@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the container's `local[32]` single-JVM mode, but every setting
+  * here is what we would ship to a 1000-executor cluster as well:
+  * AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+  * shuffle partitions sized to the parallelism actually available instead of
+  * the 200 default, UTC session time zone so window/bucket arithmetic is
+  * reproducible against external oracles.
+  */
+object GraftSession {
+
+  def local(
+      cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.statefulOperator.stateRebalancing.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,378 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreOps
+import graft.sources.Tables
+
+/** Driver contract (see SURVEY.md §7 and the build plan).
+  *
+  * Every entry in [[queries]] is a batch formulation of one operator from
+  * SURVEY.md §2 (or a beyond-reference LLM-pipeline operator), expressed
+  * through the `graft.operators` / `graft.functions` library, with a
+  * DuckDB-equivalent SQL oracle in [[oracleSql]].
+  *
+  * Output conventions (engine-parity rules):
+  *  - timestamps leave the plan as epoch micros/seconds BIGINT,
+  *  - double aggregates are quantized (`floor(x*10^k)` BIGINT) before
+  *    summing so results are bit-exact and order-independent,
+  *  - every query ends in a deterministic ORDER BY (full key, ties broken).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val USEC_PER_DAY = 86400000000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("tpch_q3_top_orders")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    analyticsQueries ++ graft.functions.LlmQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracles ++
+    analyticsOracles ++ graft.functions.LlmQueries.oracles
+
+  // =====================================================================
+  // Core operator queries (SURVEY §2) over the `events` table.
+  // =====================================================================
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: unkeyed tumbling-window count (5 s).
+    "a1_tumbling_count" -> { (s, d) =>
+      CoreOps.tumblingCountAll(Tables.events(s, d), "ts", "5 seconds")
+        .orderBy("window_start")
+    },
+    // A2: keyed running totals (converged value of the running reduce).
+    "a2_keyed_running_total" -> { (s, d) =>
+      CoreOps.keyedRunningTotal(Tables.events(s, d), "user_id", "value")
+        .orderBy("user_id")
+    },
+    // A3: sliding all-window (10 s / 5 s) count+min+max.
+    "a3_sliding_summary" -> { (s, d) =>
+      CoreOps.slidingSummaryAll(Tables.events(s, d), "ts", "10 seconds", "5 seconds")
+        .orderBy("window_start")
+    },
+    // A4: per-user session windows, 4 h gap.
+    "a4_session_windows" -> { (s, d) =>
+      CoreOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "4 hours", "value")
+        .orderBy("user_id", "session_start_us")
+    },
+    // A5: count per (user, event_type) per tumbling day.
+    "a5_keyed_window_count" -> { (s, d) =>
+      CoreOps.keyedTumblingCount(Tables.events(s, d), "ts", "1 day", "user_id", "event_type")
+        .orderBy("window_start", "user_id", "event_type")
+    },
+    // A6: event-time tumbling count at 1 minute.
+    "a6_eventtime_count" -> { (s, d) =>
+      CoreOps.eventTimeCount(Tables.events(s, d), "ts", "1 minute")
+        .orderBy("window_start")
+    },
+    // X1 main branch: purchases with full payload.
+    "x1_split_main" -> { (s, d) =>
+      val (main, _) = CoreOps.splitByPredicate(
+        Tables.events(s, d), col("event_type") === "purchase")
+      main.select(
+        col("event_id"), col("user_id"),
+        CoreOps.scaledMilli(col("value")).as("value_milli"),
+        unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    },
+    // X1 side branch: everything else projected to (user, 1).
+    "x1_split_side" -> { (s, d) =>
+      val (_, side) = CoreOps.splitByPredicate(
+        Tables.events(s, d), col("event_type") === "purchase")
+      side.select(col("event_id"), col("user_id"), lit(1).as("one"))
+        .orderBy("event_id")
+    },
+    // X2: tagged union of two per-type substreams.
+    "x2_tagged_union" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      CoreOps.taggedUnion(Seq(
+        "purchases" -> ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id")),
+        "errors" -> ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"))))
+        .orderBy("event_id")
+    },
+    // J1: tumbling-window equi-join, clicks x purchases per user per day.
+    "j1_windowed_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("event_id").as("purchase_id"))
+      CoreOps.windowedEquiJoin(clicks, purchases, "user_id", "ts", "1 day")
+        .select(col("w"), col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("w", "user_id", "click_id", "purchase_id")
+    },
+    // W2: late-data side output (batch analog over a deterministic
+    // pseudo-arrival order; allowed lateness 2 s as in the reference).
+    "w2_late_data" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val (_, late) = CoreOps.lateDataSplit(
+        ev, "ts", CoreOps.pseudoArrival(col("event_id")), 2000000L)
+      late.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    },
+    // ST1: burst alerts — two 'error' events by one user within 4 h.
+    "st1_burst_alerts" -> { (s, d) =>
+      CoreOps.burstAlerts(
+        Tables.events(s, d).filter(col("event_type") === "error"),
+        "user_id", "ts", "event_id", 14400000000L)
+        .orderBy("user_id", "event_id")
+    },
+    // ST2: previous-action durations ('signup' = login, 'error' = logout).
+    "st2_action_durations" -> { (s, d) =>
+      CoreOps.actionDurations(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        loginAction = "signup", logoutAction = "error")
+        .orderBy("user_id", "event_id")
+    },
+    // P1/P5/P6: scalar transform chain (parse/format/concat/case ops).
+    "p_scalar_transforms" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        date_format(col("ts"), "HH:mm:ss").as("time_str"),
+        concat_ws("|", col("event_type"), col("user_id").cast("string")).as("tag"),
+        upper(col("event_type")).as("event_uc"))
+        .orderBy("event_id")
+    })
+
+  private val coreOracles: Map[String, String] = Map(
+    "a1_tumbling_count" ->
+      """SELECT (epoch_us(ts)//5000000)*5 AS window_start, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "a2_keyed_running_total" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_value_milli
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a3_sliding_summary" ->
+      """SELECT window_start, count(*) AS n,
+                min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+         FROM (SELECT epoch_us(ts) AS ts_us,
+                      (epoch_us(ts)//5000000)*5 - k AS window_start
+               FROM events CROSS JOIN (VALUES (0),(5)) o(k)) s
+         GROUP BY 1 ORDER BY 1""",
+    "a4_session_windows" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id,
+                min(epoch_us(ts)) AS session_start_us,
+                max(epoch_us(ts)) + 14400000000 AS session_end_us,
+                count(*) AS n,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
+    "a5_keyed_window_count" ->
+      """SELECT (epoch_us(ts)//86400000000)*86400 AS window_start,
+                user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "a6_eventtime_count" ->
+      """SELECT (epoch_us(ts)//60000000)*60 AS window_start, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "x1_split_main" ->
+      """SELECT event_id, user_id,
+                CAST(floor(value*1000) AS BIGINT) AS value_milli,
+                epoch_us(ts) AS ts_us
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+    "x1_split_side" ->
+      """SELECT event_id, user_id, 1 AS one
+         FROM events WHERE event_type <> 'purchase' ORDER BY event_id""",
+    "x2_tagged_union" ->
+      """SELECT * FROM (
+           SELECT event_id, user_id, 'purchases' AS src FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, 'errors' AS src FROM events WHERE event_type = 'error')
+         ORDER BY event_id""",
+    "j1_windowed_join" ->
+      """WITH c AS (SELECT (epoch_us(ts)//86400000000)*86400 AS w, user_id,
+                           event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT (epoch_us(ts)//86400000000)*86400 AS w, user_id,
+                           event_id AS purchase_id
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.w, c.user_id, click_id, purchase_id
+         FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
+         ORDER BY 1, 2, 3, 4""",
+    "w2_late_data" ->
+      """WITH a AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                  max(epoch_us(ts)) OVER (ORDER BY md5(CAST(event_id AS VARCHAR))
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+           FROM events)
+         SELECT event_id, user_id, event_type, ts_us FROM a
+         WHERE wm_us IS NOT NULL AND ts_us < wm_us - 2000000
+         ORDER BY event_id""",
+    "st1_burst_alerts" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts_us
+           FROM events WHERE event_type = 'error')
+         SELECT user_id, event_id, ts_us - prev_ts_us AS diff_us
+         FROM e WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us < 14400000000
+         ORDER BY user_id, event_id""",
+    "st2_action_durations" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(event_type) OVER w AS prev_action,
+                  lag(epoch_us(ts)) OVER w AS prev_ts_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, prev_action AS action,
+                ts_us - prev_ts_us AS duration_us
+         FROM e
+         WHERE prev_action IS NOT NULL AND prev_action <> 'error'
+           AND event_type <> 'signup'
+         ORDER BY user_id, event_id""",
+    "p_scalar_transforms" ->
+      """SELECT event_id, strftime(ts, '%H:%M:%S') AS time_str,
+                concat_ws('|', event_type, CAST(user_id AS VARCHAR)) AS tag,
+                upper(event_type) AS event_uc
+         FROM events ORDER BY event_id""")
+
+  // =====================================================================
+  // Batch analytics queries (TPC-H-shaped; exercise joins, pushdown,
+  // broadcast, top-k at scale).
+  // =====================================================================
+
+  private def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy partial-aggregated group-by.
+    "tpch_q1_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '2000-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(CoreOps.scaledCenti(col("l_quantity"))).as("sum_qty_c"),
+          sum(CoreOps.scaledCenti(col("l_extendedprice"))).as("sum_base_c"),
+          sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_c"),
+          sum(CoreOps.scaledCenti(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+            .as("sum_charge_c"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // TPC-H Q3 shape: selective dim filter -> broadcast join -> top-k.
+    "tpch_q3_top_orders" -> { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_c"))
+        .orderBy(col("rev_c").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    // TPC-H Q5 shape: 6-way join with region filter, grouped revenue.
+    "tpch_q5_nation_revenue" -> { (s, d) =>
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"))
+        .orderBy("n_name")
+    },
+    // Top-k users by quantized spend (two-phase top-k at scale via AQE).
+    "top_users_by_value" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(CoreOps.scaledMilli(col("value"))).as("total_milli"))
+        .orderBy(col("total_milli").desc, col("user_id"))
+        .limit(10)
+    },
+    // Daily distinct users (exact distinct under partial aggregation).
+    "daily_active_users" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
+        .orderBy("day_start")
+    },
+    // JSON property extraction + aggregation over the props column.
+    "json_props_sum" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+
+  private val analyticsOracles: Map[String, String] = Map(
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+                CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q3_top_orders" ->
+      """SELECT o_orderkey,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_orderkey
+         ORDER BY rev_c DESC, o_orderkey LIMIT 10""",
+    "tpch_q5_nation_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
+    "top_users_by_value" ->
+      """SELECT user_id,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
+         FROM events GROUP BY user_id
+         ORDER BY total_milli DESC, user_id LIMIT 10""",
+    "daily_active_users" ->
+      """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
+                count(DISTINCT user_id) AS dau, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "json_props_sum" ->
+      """SELECT event_type,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextAnalysis.{normalize, portableHash48, tokens}
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash group-by), n-gram Jaccard (exact set
+  * similarity, blocked), MinHash+LSH (the 100 TB scale path), SimHash.
+  *
+  * Scale design:
+  *  - Exact dedup groups on a 128-bit digest, never on the full document,
+  *    so shuffle width is O(32 bytes/doc) regardless of document size.
+  *  - MinHash/LSH turns the quadratic all-pairs problem into
+  *    shuffle-by-band-bucket: each doc emits `bands` keys; only docs
+  *    sharing a bucket are ever paired. Candidate verification re-computes
+  *    exact Jaccard on the candidates only.
+  *  - All hashing is engine-portable (md5-prefix), all built-ins, no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of the raw text. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Exact duplicate groups over normalized text (case/punct-insensitive). */
+  def normalizedGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normalize(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Distinct word n-gram shingles of the text (empty array if fewer than
+    * `n` tokens). Guarded so the sequence never runs backwards.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within a blocking key.
+    *
+    * Docs are exploded to (shingle, doc) rows; the self-join on
+    * (block, shingle) yields only pairs that share at least one shingle —
+    * at scale the blocking column (e.g. source/domain/bucket) bounds the
+    * join fan-out. Output: (a, b, inter, uni, jaccard_milli).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      n: Int,
+      minJaccardMilli: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("doc"), col("blk"), col("sh"),
+      explode(col("sh")).as("s"))
+    val a = exploded.select(col("blk"), col("s"), col("doc").as("a"), size(col("sh")).as("na"))
+    val b = exploded.select(col("blk"), col("s"), col("doc").as("b"), size(col("sh")).as("nb"))
+    a.join(b, Seq("blk", "s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard_milli"))
+  }
+
+  /** MinHash signature: `numHashes` independent permutation approximations,
+    * hash_i(doc) = min over shingles of h48(i ":" shingle).
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shinglesCol,
+        s => portableHash48(concat(i.cast("string"), lit(":"), s)))))
+
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * `bands` bands of `rowsPerBand` signature rows each; docs colliding in
+    * any band become candidates; candidates are verified with exact
+    * Jaccard over their shingle sets. This is the scale path: shuffle
+    * cost is O(docs x bands), never O(docs^2).
+    * Output: (a, b, jaccard_milli).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = df
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // one (band, bandHash) key per band per doc
+    val banded = sig.select(
+      col("doc"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), k =>
+        struct(
+          k.as("band"),
+          md5(array_join(
+            transform(slice(col("sig"), k * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), ",")).as("bh")))).as("bb"))
+      .select(col("doc"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(
+        col("x.doc").as("a"), col("y.doc").as("b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a"), col("b"), col("jaccard_milli"))
+  }
+
+  /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate
+    * stays positive in signed 64-bit math in any engine). Bit j of the
+    * fingerprint is 1 iff the sum over tokens of (bit j of h48/60(token)
+    * ? +1 : -1) is positive.
+    */
+  def simhash60(text: Column): Column = simhash60FromHashes(tokenHashes60(text))
+
+  /** 60-bit portable token hashes (first 15 hex digits of md5). Compute
+    * this once into a column, then fold with [[simhash60FromHashes]] —
+    * avoids re-hashing the token list for every fingerprint bit.
+    */
+  def tokenHashes60(text: Column): Column =
+    transform(tokens(text), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  def simhash60FromHashes(hs: Column): Column = {
+    val bitCols: Seq[Column] = (0 until 60).map { j =>
+      val contrib = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a blocking column, by Hamming distance. */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      maxHamming: Int): DataFrame = {
+    val f = df
+      .withColumn("hs", tokenHashes60(col(textCol)))
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        simhash60FromHashes(col("hs")).as("sh"))
+    f.as("x").join(f.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc") < col("y.doc"))
+      .withColumn("hamming", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("x.doc").as("a"), col("y.doc").as("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,271 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** LLM-data-pipeline operators wired into the driver's correctness gate:
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Each query has a DuckDB-equivalent oracle built from the same portable
+  * primitives (md5-prefix hashing, sequential left-fold double arithmetic,
+  * integer-quantized scores), so the two engines agree bit-for-bit.
+  */
+object LlmQueries {
+
+  // Shared SQL fragments (DuckDB dialect) -------------------------------
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
+
+  private def stopSql(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** doc_id + distinct 3-gram shingle list, docs with >=1 shingle. */
+  private val shinglesCte =
+    s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+        sh AS (SELECT doc_id, source,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(generate_series(1, len(toks)-2),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                   ELSE [] END) AS s
+               FROM base)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------- dedup
+    "dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id").orderBy("fp")
+    },
+    "dedup_normalized" -> { (s, d) =>
+      Dedup.normalizedGroups(Tables.documents(s, d), "text", "doc_id").orderBy("fp")
+    },
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        blockCol = "source", n = 3, minJaccardMilli = 10)
+        .orderBy("a", "b")
+    },
+    "dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 0)
+        .orderBy("a", "b")
+    },
+    "dedup_simhash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hs", Dedup.tokenHashes60(col("text")))
+        .select(col("doc_id"), Dedup.simhash60FromHashes(col("hs")).as("simhash"))
+        .orderBy("doc_id")
+    },
+    "dedup_embedding_pairs" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("vec")),
+        minScoreQ4 = 3500L)
+        .orderBy("a", "b")
+    },
+    // ------------------------------------------------- similarity search
+    "sim_topk_brute" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy("qid", "rank")
+    },
+    "sim_topk_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(queries, corpus, k = 5, centroidEvery = 25, nprobe = 3)
+        .orderBy("qid", "rank")
+    },
+    // ------------------------------------------------- text analysis
+    "text_langid" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityMilli(col("text")).as("quality_milli"))
+        .orderBy("doc_id")
+    },
+    "text_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.tokenEstimate(col("text")).cast("long").as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp48"))
+        .orderBy("doc_id")
+    },
+    // ------------------------------------------------- multimodal
+    "multimodal_decode" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
+      Multimodal.stubDecode(media, col("text"))
+        .select(col("media_id"), col("modality"), col("width"), col("height"),
+          col("n_frames"), col("payload_bytes"))
+        .orderBy("media_id")
+    })
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+          ex AS (SELECT doc_id, source, len(s) AS ns, unnest(s) AS g
+                 FROM sh WHERE len(s) > 0)
+          SELECT a, b, inter, uni, jaccard_milli FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb,
+                   count(*) AS inter,
+                   a.ns + b.ns - count(*) AS uni,
+                   CAST(floor(count(*) * 1000.0 / (a.ns + b.ns - count(*))) AS BIGINT)
+                     AS jaccard_milli
+            FROM ex a JOIN ex b
+              ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          WHERE jaccard_milli >= 10
+          ORDER BY a, b""",
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          sig AS (SELECT doc_id, s,
+                    list_transform(generate_series(0, 15), i ->
+                      list_min(list_transform(s, g ->
+                        CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 12)) AS BIGINT))))
+                    AS sig
+                  FROM valid),
+          bands AS (SELECT doc_id, k,
+                      md5(array_to_string(sig[k*4+1 : k*4+4], ',')) AS bh
+                    FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM bands x JOIN bands y
+                     ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          SELECT c.a, c.b,
+                 CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) AS jaccard_milli
+          FROM cand c
+          JOIN valid sa ON sa.doc_id = c.a
+          JOIN valid sb ON sb.doc_id = c.b
+          ORDER BY a, b""",
+    "dedup_simhash" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          h AS (SELECT doc_id,
+                  list_transform(toks, t ->
+                    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+                FROM base)
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                   CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                   AS BIGINT) AS simhash
+          FROM h ORDER BY doc_id""",
+    "dedup_embedding_pairs" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.e AS ea, b.e AS eb
+                FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT a, b, score_q4 FROM (
+            SELECT a, b, CAST(floor(
+              (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ea)), i -> ea[i]*eb[i])), (acc,x) -> acc+x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(generate_series(1, len(ea)), i -> ea[i]*ea[i])), (acc,x) -> acc+x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(generate_series(1, len(eb)), i -> eb[i]*eb[i])), (acc,x) -> acc+x))))
+              * 10000) AS BIGINT) AS score_q4
+            FROM p)
+          WHERE score_q4 >= 3500 ORDER BY a, b""",
+    "sim_topk_brute" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 20),
+          scored AS (
+            SELECT qid, vec_id, CAST(floor(
+              (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)), i -> qe[i]*e[i])), (acc,x) -> acc+x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(generate_series(1, len(qe)), i -> qe[i]*qe[i])), (acc,x) -> acc+x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(generate_series(1, len(e)), i -> e[i]*e[i])), (acc,x) -> acc+x))))
+              * 10000) AS BIGINT) AS score_q4
+            FROM q JOIN v ON qid <> vec_id)
+          SELECT qid, vec_id, score_q4, rank FROM (
+            SELECT qid, vec_id, score_q4,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY score_q4 DESC, vec_id) AS BIGINT) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY qid, rank""",
+    "text_langid" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          sc AS (SELECT doc_id,
+                   len(list_filter(toks, t -> t IN ${stopSql("en")})) AS s_en,
+                   len(list_filter(toks, t -> t IN ${stopSql("fr")})) AS s_fr,
+                   len(list_filter(toks, t -> t IN ${stopSql("de")})) AS s_de,
+                   len(list_filter(toks, t -> t IN ${stopSql("es")})) AS s_es,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                   len(toks) AS ntok
+                 FROM base)
+          SELECT doc_id,
+                 CASE WHEN cjk*2 >= ntok AND cjk > 0 THEN 'zh'
+                      WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                      WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                      WHEN s_de >= s_es THEN 'de'
+                      ELSE 'es' END AS lang_pred
+          FROM sc ORDER BY doc_id""",
+    "text_quality" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          m AS (SELECT doc_id, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          sc AS (SELECT doc_id,
+                   least(CAST(ntok AS DOUBLE), 256.0) / 256.0 AS len_score,
+                   least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) AS stop_score,
+                   1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0) AS punct_score
+                 FROM m)
+          SELECT doc_id,
+                 CAST(floor((len_score * 0.4 + stop_score * 0.4 + punct_score * 0.2) * 1000) AS BIGINT)
+                   AS quality_milli
+          FROM sc ORDER BY doc_id""",
+    "text_tokens" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+          FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT))),
+                   (acc, h) -> (acc * 31 + h) % 281474976710656) AS rolling_fp48
+          FROM base ORDER BY doc_id""",
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     ELSE 'video' END AS modality,
+                CAST(64 + (h % 448) AS BIGINT) AS width,
+                CAST(64 + (CAST(floor(h / 448) AS BIGINT) % 448) AS BIGINT) AS height,
+                CAST(1 + (h % 16) AS BIGINT) AS n_frames,
+                CAST(strlen(text) AS BIGINT) AS payload_bytes
+         FROM (SELECT doc_id, text,
+                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+               FROM documents)
+         ORDER BY media_id""")
+}

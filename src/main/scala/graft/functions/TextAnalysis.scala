@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token-count estimation,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (regexp/array/
+  * higher-order functions) — no UDFs — so the operators stay inside
+  * whole-stage codegen and scale linearly with no shuffle (they are all
+  * narrow, per-row transforms).
+  *
+  * Engine-parity: hashes are md5-prefix based (`portableHash48`) so an
+  * external SQL engine can reproduce results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Plain whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: alphanumeric runs and each punctuation mark
+    * count as one token (approximates subword tokenizer output length
+    * far better than whitespace count on code/punctuated text).
+    */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** 48-bit portable hash: first 12 hex digits of md5, as BIGINT.
+    * Reproducible in any engine with md5 + hex parsing; 48 bits keeps the
+    * value positive in signed 64-bit math everywhere.
+    */
+  def portableHash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Normalization used for near-dup fingerprints: lowercase, collapse
+    * every non-alphanumeric run to a single space, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact document fingerprint over normalized text (md5 hex). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling 48-bit fingerprint: polynomial combination of token hashes —
+    * order-sensitive (unlike a bag-of-words hash) yet incremental.
+    * fp = fold(tokens, 0, (acc, t) -> (acc * 31 + h48(t)) mod 2^48)
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + portableHash48(t), lit(1L << 48)))
+
+  // --- language identification -----------------------------------------
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "mit", "nicht", "von"),
+    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "que", "por", "con"))
+
+  /** Count of tokens present in a stopword list. */
+  def stopwordCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*)))
+
+  /** CJK character count (BMP unified ideographs). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** N-gram/stopword-heuristic language ID over {en, fr, de, es, zh}.
+    * Deterministic tie-break order: en > fr > de > es.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwordCount(toks, "en")
+    val fr = stopwordCount(toks, "fr")
+    val de = stopwordCount(toks, "de")
+    val es = stopwordCount(toks, "es")
+    val cjk = cjkCount(text)
+    when(cjk * 2 >= size(toks) && cjk > 0, "zh")
+      .when(en >= fr && en >= de && en >= es, "en")
+      .when(fr >= de && fr >= es, "fr")
+      .when(de >= es, "de")
+      .otherwise("es")
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  /** Heuristic quality score in [0, 1000] (integer milli-units for engine
+    * parity): rewards reasonable length, stopword density and low
+    * punctuation noise — the standard cheap pre-filter before expensive
+    * dedup/training steps.
+    */
+  def qualityMilli(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val stops = stopwordCount(toks, "en").cast("double")
+    val lenScore = least(nTok, lit(256.0)) / lit(256.0)
+    val stopScore = least(stops * lit(4.0) / greatest(nTok, lit(1.0)), lit(1.0))
+    val punctScore = lit(1.0) - least(punct / greatest(nChars, lit(1.0)) * lit(4.0), lit(1.0))
+    floor((lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)) * lit(1000))
+      .cast("long")
+  }
+}

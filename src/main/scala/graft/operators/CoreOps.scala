@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's operator surface (SURVEY.md §2), re-expressed as pure
+  * `DataFrame => DataFrame` transforms over Spark built-ins. Every function
+  * here is usable both on batch DataFrames (the DuckDB-oracle correctness
+  * gate runs them in batch) and — where Spark supports the operator in a
+  * streaming plan — on streaming DataFrames (see `graft.streaming` for the
+  * stateful/streaming-only pieces).
+  *
+  * Scale notes are attached per operator: these run map-side partial
+  * aggregation, shuffle only on their grouping keys, and never collect to
+  * the driver, so the same plans hold on a 1000-executor cluster.
+  */
+object CoreOps {
+
+  /** Exact integer-scaled value: `floor(x * 10^scale)` as BIGINT.
+    *
+    * Double summation is order-sensitive, so cross-engine result comparison
+    * (and even Spark-vs-itself across partitionings) of `sum(double)` is
+    * non-deterministic in the last bits. Quantizing each input to an
+    * integer first makes every aggregate bit-exact and order-independent —
+    * the IEEE multiply+floor is identical in any engine.
+    */
+  def scaled(c: Column, scale: Int): Column =
+    floor(c * pow(lit(10), lit(scale))).cast("long")
+
+  def scaledMilli(c: Column): Column = floor(c * 1000).cast("long")
+  def scaledCenti(c: Column): Column = floor(c * 100).cast("long")
+
+  /** Window start as epoch seconds (BIGINT) for stable, engine-neutral
+    * output (raw TIMESTAMP values round-trip differently across engines).
+    */
+  private def windowStartSec(w: Column): Column = w.getField("start").cast("long")
+
+  // ---------------------------------------------------------------------
+  // A1 (`chapter2/BasicStreamingOperations.java:83-91`): unkeyed count per
+  // tumbling window. Flink needed a map-to-(ts,1) + reduce; in Spark it is
+  // a windowed count with map-side partial aggregation — the all-window
+  // no longer forces parallelism 1 except for the final tiny merge.
+  def tumblingCountAll(df: DataFrame, tsCol: String, width: String): DataFrame =
+    df.groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(windowStartSec(col("w")).as("window_start"), col("n"))
+
+  // A2 (`chapter2/KeyedStreamOperations.java:56-69`): keyed running reduce
+  // (no window). Converged batch value = per-key totals; streaming twin
+  // runs the same plan in update mode.
+  def keyedRunningTotal(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(scaledMilli(col(valueCol))).cast("long").as("total_value_milli"))
+
+  // A3 (`chapter3/WindowingOperations.java:79-100`): sliding all-window
+  // (count, min ts, max ts).
+  def slidingSummaryAll(df: DataFrame, tsCol: String, width: String, slide: String): DataFrame =
+    df.groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(unix_micros(col(tsCol))).as("min_ts_us"),
+        max(unix_micros(col(tsCol))).as("max_ts_us"))
+      .select(windowStartSec(col("w")).as("window_start"), col("n"), col("min_ts_us"), col("max_ts_us"))
+
+  // A4 (`chapter3/WindowingOperations.java:133-157`): keyed session window
+  // with gap. Native `session_window` (Spark >= 3.2) — works in batch and
+  // streaming; state is per (key, session), merged by the session operator.
+  def sessionSummary(df: DataFrame, key: String, tsCol: String, gap: String, valueCol: String): DataFrame =
+    df.groupBy(col(key), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(scaledMilli(col(valueCol))).cast("long").as("sum_value_milli"))
+      .select(
+        col(key),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n"),
+        col("sum_value_milli"))
+
+  // A5 (`chapter6/CourseUseCase.java:82-95`): count per composite key per
+  // tumbling window.
+  def keyedTumblingCount(df: DataFrame, tsCol: String, width: String, keys: String*): DataFrame =
+    df.groupBy(window(col(tsCol), width).as("w") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(windowStartSec(col("w")).as("window_start") +: keys.map(col) :+ col("n"): _*)
+
+  // A6 (`chapter4/EventTimeOperations.java:132-166`): event-time tumbling
+  // count — same shape as A1 but keyed by the *event* time column; late
+  // data handling is the W2 split below.
+  def eventTimeCount(df: DataFrame, eventTsCol: String, width: String): DataFrame =
+    tumblingCountAll(df, eventTsCol, width)
+
+  // ---------------------------------------------------------------------
+  // X1 (`chapter2/StreamSplitAndCombine.java:66-103`): side-output split.
+  // Spark-native shape: N filters over one source; Catalyst prunes each
+  // branch's columns independently and the source scan is shared when the
+  // plan is materialized per-branch from cache (or re-scanned, which for
+  // columnar parquet is usually cheaper than caching).
+  def splitByPredicate(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!pred))
+
+  // X2 (`chapter2/StreamSplitAndCombine.java:119-144`): connect/CoMap merge
+  // -> map both sides to a common schema, tag provenance, unionByName.
+  def taggedUnion(streams: Seq[(String, DataFrame)]): DataFrame =
+    streams
+      .map { case (tag, d) => d.withColumn("src", lit(tag)) }
+      .reduce(_ unionByName _)
+
+  // ---------------------------------------------------------------------
+  // J1 (`chapter3/WindowJoins.java:110-144`): tumbling-window equi-join.
+  // Both sides are bucketed into the same tumbling window, then inner-joined
+  // on (bucket, key) — identical pairing semantics to Flink's window join.
+  // At scale: the join shuffles on (window, key); if one side is small,
+  // Catalyst/AQE picks a broadcast join automatically.
+  def windowedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      width: String): DataFrame = {
+    val l = left.withColumn("w", windowStartSec(window(col(tsCol), width)))
+    val r = right.withColumn("w", windowStartSec(window(col(tsCol), width)))
+    l.join(r.withColumnRenamed(tsCol, tsCol + "_r"), Seq("w", key))
+  }
+
+  // ---------------------------------------------------------------------
+  // W2 (`chapter4/EventTimeOperations.java:128-171`): late-data side output.
+  // Batch analog: given an explicit arrival order, a row is late iff its
+  // event time is older than (high watermark so far) - allowedLateness.
+  // The streaming twin (true watermark tee) lives in
+  // `graft.streaming.LateDataSplit`.
+  def lateDataSplit(
+      df: DataFrame,
+      tsCol: String,
+      arrivalOrder: Column,
+      allowedLatenessUs: Long): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(arrivalOrder).rowsBetween(Window.unboundedPreceding, -1)
+    val withWm = df.withColumn("wm_us", max(unix_micros(col(tsCol))).over(w))
+    val isLate = col("wm_us").isNotNull &&
+      unix_micros(col(tsCol)) < col("wm_us") - lit(allowedLatenessUs)
+    (withWm.filter(!isLate).drop("wm_us"), withWm.filter(isLate).drop("wm_us"))
+  }
+
+  // ---------------------------------------------------------------------
+  // ST1 (`chapter5/StatefulOperations.java:84-129`): per-key "two trigger
+  // events within N" alert. Batch analog via lag(); streaming twin uses
+  // flatMapGroupsWithState (graft.streaming.StatefulOps) and, unlike the
+  // reference, emits nothing instead of a "No-Alerts" sentinel (P4's
+  // downstream filter becomes unnecessary — kept as `filter` anyway for
+  // API parity).
+  def burstAlerts(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieBreak: String,
+      thresholdUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("prev_ts_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("diff_us", unix_micros(col(tsCol)) - col("prev_ts_us"))
+      .filter(col("prev_ts_us").isNotNull && col("diff_us") < lit(thresholdUs))
+      .select(col(key), col(tieBreak), col("diff_us"))
+  }
+
+  // ST2 (`chapter6/CourseUseCase.java:114-180`): per-key previous-action
+  // duration state machine. Semantics: for each event (ordered by time per
+  // key), emit (key, previous action, now - previous ts) unless
+  //   - there is no previous event (first for key),
+  //   - the previous event was `logoutAction` (state was cleared),
+  //   - the current event is `loginAction` (reference skips emission).
+  def actionDurations(
+      df: DataFrame,
+      key: String,
+      actionCol: String,
+      tsCol: String,
+      tieBreak: String,
+      loginAction: String,
+      logoutAction: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("prev_action", lag(col(actionCol), 1).over(w))
+      .withColumn("prev_ts_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(
+        col("prev_action").isNotNull &&
+          col("prev_action") =!= lit(logoutAction) &&
+          col(actionCol) =!= lit(loginAction))
+      .select(
+        col(key),
+        col(tieBreak),
+        col("prev_action").as("action"),
+        (unix_micros(col(tsCol)) - col("prev_ts_us")).as("duration_us"))
+  }
+
+  /** Deterministic pseudo-arrival order for batch replays of streaming
+    * semantics: a keyed md5 permutation of a unique id column. Used to give
+    * the W2 batch analog genuinely out-of-order "arrivals" on corpora that
+    * are stored time-sorted.
+    */
+  def pseudoArrival(idCol: Column): Column = md5(idCol.cast("string"))
+}

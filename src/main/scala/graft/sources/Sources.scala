@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch table loaders for the driver-generated parquet corpus
+  * (`/root/testdata/sf*`; see TESTDATA.md). One method per table so query
+  * code never hand-builds paths.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a raw nano count (`spark.sql.legacy.parquet.nanosAsLong`).
+    * Normalize it back to a microsecond TimestampType here so every
+    * downstream operator sees a real timestamp (identical to the
+    * nanos->micros truncation other engines perform on read).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Streaming sources, mirroring the reference's source surface:
+  *
+  *  - S1 file-monitor text source (`chapter2/BasicStreamingOperations.java:52-60`,
+  *    `readFile(..., PROCESS_CONTINUOUSLY, 1000)`): Structured Streaming's
+  *    file source re-lists the directory every micro-batch, which is the
+  *    same continuous-monitoring semantics; the 1000 ms scan interval maps
+  *    to the trigger interval chosen at `writeStream` time.
+  *  - S2 Kafka source (`chapter3/WindowingOperations.java:44-60`): the
+  *    `kafka` streaming source with `startingOffsets=latest`.
+  *  - S3 rate source for deterministic load generation in tests (the
+  *    reference uses ad-hoc generator threads,
+  *    `datasource/FileStreamDataGenerator.java:32-107`).
+  */
+object Sources {
+
+  /** S1: monitor a directory of text files; one `value: String` row per line. */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir)
+
+  /** Batch twin of [[fileLines]] for replaying a captured directory. */
+  def fileLinesBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("text").load(dir)
+
+  /** S2: Kafka topic as a stream of string values.
+    * Mirrors `WindowingOperations.java:44-60` (bootstrap `localhost:9092`,
+    * `setStartFromLatest()`); group id is managed by Spark's own offset
+    * tracking rather than the consumer group protocol.
+    */
+  def kafkaLines(
+      spark: SparkSession,
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S3: deterministic event-rate source (replaces the reference's
+    * sleep-driven generator threads for tests/demos).
+    */
+  def rate(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+
+  /** Streaming view of a parquet directory with an explicit schema —
+    * used to drive the `events` table as a stream in tests/benchmarks.
+    */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}
