@@ -1,0 +1,86 @@
+package graft.apps
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.Random
+
+/** Deterministic re-implementations of the reference's in-process data
+  * generators (`datasource/FileStreamDataGenerator.java:32-107`,
+  * `chapter6/BrowserStreamDataGenerator.java:32-98`): same record domains,
+  * same one-file-per-record layout, but a fixed seed and fixed inter-arrival
+  * interval so demo runs are reproducible.
+  */
+object DataGenerators {
+
+  private val users = Seq("Tom", "Harry", "Bob")
+  private val operations = Seq("Create", "Modify", "Query", "Delete")
+  private val entities = Seq("Customer", "SalesRep")
+  private val actions = Seq("Login", "ViewVideo", "ViewLink", "ViewReview", "Logout")
+
+  final class Handle(flag: AtomicBoolean, thread: Thread) {
+    def stop(): Unit = { flag.set(false); thread.join(5000) }
+  }
+
+  private def spawn(body: AtomicBoolean => Unit): Handle = {
+    val flag = new AtomicBoolean(true)
+    val t = new Thread(() => body(flag))
+    t.setDaemon(true)
+    t.start()
+    new Handle(flag, t)
+  }
+
+  /** Audit-trail CSV files, one quoted row per file (reference format:
+    * `"id","user","entity","operation","ts","duration","count"`).
+    */
+  def auditFiles(dir: String, records: Int = 100, intervalMs: Long = 50, seed: Long = 42): Handle = {
+    Files.createDirectories(Paths.get(dir))
+    spawn { flag =>
+      val rnd = new Random(seed)
+      var i = 0
+      while (flag.get() && i < records) {
+        val row = Seq(
+          i.toString,
+          users(rnd.nextInt(users.size)),
+          entities(rnd.nextInt(entities.size)),
+          operations(rnd.nextInt(operations.size)),
+          System.currentTimeMillis().toString,
+          (rnd.nextInt(10) + 1).toString,
+          (rnd.nextInt(4) + 1).toString
+        ).map(v => "\"" + v + "\"").mkString(",")
+        atomicWrite(Paths.get(dir, s"audit_trail_$i.csv"), row)
+        i += 1
+        Thread.sleep(intervalMs)
+      }
+    }
+  }
+
+  /** Browser-event CSV files (`"id","user","action","ts"`). */
+  def browserFiles(dir: String, records: Int = 100, intervalMs: Long = 50, seed: Long = 7): Handle = {
+    Files.createDirectories(Paths.get(dir))
+    spawn { flag =>
+      val rnd = new Random(seed)
+      var i = 0
+      while (flag.get() && i < records) {
+        val row = Seq(
+          i.toString,
+          users(rnd.nextInt(users.size)),
+          actions(rnd.nextInt(actions.size)),
+          System.currentTimeMillis().toString
+        ).map(v => "\"" + v + "\"").mkString(",")
+        atomicWrite(Paths.get(dir, s"browser_events$i.csv"), row)
+        i += 1
+        Thread.sleep(intervalMs)
+      }
+    }
+  }
+
+  /** Write-then-rename so the streaming file source never reads a partial
+    * file (the reference writes in place, racy on purpose-built FS only).
+    */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content + "\n")
+    Files.move(tmp, target)
+  }
+}

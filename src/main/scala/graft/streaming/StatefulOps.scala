@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{AuditTrail, BrowserEvent}
+
+/** Keyed state machines (SURVEY §2.8), as `flatMapGroupsWithState`
+  * processors. The reference implements these as Flink `RichMapFunction`s
+  * with `ValueState` (`chapter5/StatefulOperations.java:84-129`,
+  * `chapter6/CourseUseCase.java:114-180`).
+  *
+  * Semantic deltas vs the reference, by design:
+  *  - the reference's `map` must emit 1-for-1, so it emits a
+  *    `("No-Alerts", 0)` sentinel that a downstream filter drops
+  *    (`StatefulOperations.java:130-144`); `flatMapGroupsWithState` can
+  *    emit zero rows, so the sentinel does not exist here.
+  *  - Flink processes records in per-key arrival order; Spark hands each
+  *    key's micro-batch as an iterator with no order guarantee, so each
+  *    batch is sorted by event timestamp before the state machine runs.
+  *    Cross-batch ordering relies on the watermark (late rows are handled
+  *    by the W2 splitter, `LateDataSplit`).
+  *
+  * State is per-key in the state store (HDFS/RocksDB-backed on a cluster),
+  * so the operator scales horizontally with the number of keys.
+  */
+object StatefulOps {
+
+  final case class BurstAlert(user: String, ts: Long, diffMs: Long)
+  final case class ActionDuration(user: String, action: String, durationMs: Long)
+  final case class SessionState(lastAction: String, lastTs: Long)
+
+  /** ST1 (`StatefulOperations.java:84-129`): alert when one user issues two
+    * `Delete` operations within `thresholdMs` (event time).
+    */
+  def deleteBurstAlerts(
+      audits: Dataset[AuditTrail],
+      thresholdMs: Long = 10000L): Dataset[BurstAlert] = {
+    implicit val alertEnc = Encoders.product[BurstAlert]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val stringEnc = Encoders.STRING
+    audits
+      .filter((a: AuditTrail) => a.operation == "Delete")
+      .groupByKey((a: AuditTrail) => a.user)
+      .flatMapGroupsWithState[Long, BurstAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, events: Iterator[AuditTrail], state: GroupState[Long]) =>
+          val out = Seq.newBuilder[BurstAlert]
+          var lastDelete = state.getOption
+          events.toSeq.sortBy(_.timestamp).foreach { e =>
+            lastDelete.foreach { prev =>
+              val diff = e.timestamp - prev
+              if (diff < thresholdMs) out += BurstAlert(user, e.timestamp, diff)
+            }
+            lastDelete = Some(e.timestamp)
+          }
+          lastDelete.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** ST2 (`CourseUseCase.java:114-180`): per-user action-duration tracker.
+    * For each event, emit the duration of the *previous* action
+    * (current ts - previous ts) unless the state is empty or the current
+    * action is Login; Logout clears the state, any other event replaces it.
+    */
+  def actionDurations(
+      events: Dataset[BrowserEvent],
+      loginAction: String = "Login",
+      logoutAction: String = "Logout"): Dataset[ActionDuration] = {
+    implicit val outEnc = Encoders.product[ActionDuration]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val stringEnc = Encoders.STRING
+    events
+      .groupByKey((e: BrowserEvent) => e.user)
+      .flatMapGroupsWithState[SessionState, ActionDuration](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, evs: Iterator[BrowserEvent], state: GroupState[SessionState]) =>
+          val out = Seq.newBuilder[ActionDuration]
+          var st = state.getOption
+          evs.toSeq.sortBy(_.timestamp).foreach { e =>
+            st.foreach { s =>
+              if (e.action != loginAction)
+                out += ActionDuration(user, s.lastAction, e.timestamp - s.lastTs)
+            }
+            st = if (e.action == logoutAction) None
+            else Some(SessionState(e.action, e.timestamp))
+          }
+          st match {
+            case Some(s) => state.update(s)
+            case None => if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+}

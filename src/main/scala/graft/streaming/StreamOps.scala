@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming formulations of the reference's windowed pipelines
+  * (SURVEY §2.4/§2.6/§2.7). Each returns an unstarted streaming DataFrame;
+  * callers attach sinks (`writeStream`) and pick an output mode.
+  *
+  * Watermark/latency knobs mirror the reference's constants: 2 s allowed
+  * lateness (`EventTimeOperations.java:99-100`), the window widths of the
+  * chapter programs. Spark's watermark is `max(eventTime) - delay` per
+  * micro-batch rather than Flink's wall-clock-driven punctuated assigner —
+  * same bounded-lateness semantics, different clock.
+  */
+object StreamOps {
+
+  /** A1/A6: tumbling count over an event-time column with a watermark. */
+  def windowedCount(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      watermark: String = "2 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"), col("n"))
+
+  /** A2: keyed running aggregate — run with `outputMode("update")`;
+    * Spark maintains the running state natively (per-micro-batch emission
+    * instead of the reference's per-record cadence).
+    */
+  def runningKeyedSum(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** A3: sliding window summary. */
+  def slidingSummary(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      slide: String,
+      watermark: String = "2 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"), min(col(tsCol)).as("min_ts"), max(col(tsCol)).as("max_ts"))
+      .select(col("w.start").as("window_start"), col("n"), col("min_ts"), col("max_ts"))
+
+  /** A4: keyed session windows with gap (native `session_window`). */
+  def sessionCounts(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      gap: String,
+      watermark: String = "2 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(key), col("w.start").as("session_start"), col("w.end").as("session_end"), col("n"))
+
+  /** A5: composite-key tumbling count. */
+  def keyedWindowedCount(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      watermark: String,
+      keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("w") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** J1 (`WindowJoins.java:110-144`): stream-stream inner equi-join per
+    * tumbling window. Both sides are bucketed with `window()` and joined on
+    * (key, window) — the window equality doubles as the time-range bound
+    * Spark needs to evict join state once the watermark passes the bucket.
+    */
+  def streamStreamWindowJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      width: String,
+      watermark: String = "2 seconds"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(key), window(col(tsCol), width).as("w"), col("*"))
+      .drop(tsCol)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(key).as(key + "_r"), window(col(tsCol), width).as("w_r"), col("*"))
+      .drop(tsCol, key)
+    l.join(r, col(key) === col(key + "_r") && col("w") === col("w_r"))
+      .drop("w_r", key + "_r")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{AuditTrail, BrowserEvent}
+import graft.sources.Sources
+
+/** CSV codec + fixture expectations from FIXTURES.md §1 (hand-computed from
+  * the reference's own sample data).
+  */
+class ModelSpec extends SparkSpec {
+
+  lazy val audits = AuditTrail.fromLines(
+    Sources.fileLinesBatch(spark, resourcePath("raw_audit_trail")))
+
+  lazy val browser = BrowserEvent.fromLines(
+    Sources.fileLinesBatch(spark, resourcePath("raw_browser_events")))
+
+  test("audit trail fixture parses 11 rows with quote-strip semantics") {
+    assert(audits.count() === 11)
+    val first = audits.filter(col("id") === 0).collect().head
+    assert(first.getAs[String]("user") === "Tom")
+    assert(first.getAs[String]("entity") === "SalesRep")
+    assert(first.getAs[String]("operation") === "Modify")
+    assert(first.getAs[Long]("timestamp") === 1577215616071L)
+    assert(first.getAs[Int]("duration") === 9)
+  }
+
+  test("per-user duration sums match hand-computed fixture values") {
+    val sums = audits.groupBy("user").agg(sum("duration").as("d"))
+      .collect().map(r => r.getAs[String]("user") -> r.getAs[Long]("d")).toMap
+    assert(sums === Map("Tom" -> 40L, "Bob" -> 9L, "Harry" -> 11L))
+  }
+
+  test("entity split matches fixture ids") {
+    val cust = audits.filter(col("entity") === "Customer")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(cust === Set(1, 2, 4, 8, 9, 10))
+  }
+
+  test("browser events fixture parses 22 rows") {
+    assert(browser.count() === 22)
+    val first = browser.filter(col("id") === 0).collect().head
+    assert(first.getAs[String]("user") === "Bob")
+    assert(first.getAs[String]("action") === "ViewVideo")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property tests for the LLM-pipeline operators on planted inputs. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green woods tonight"
+  private val nearDup = base.replace("green", "dark") // 1-word edit
+  private val unrelated =
+    "completely different content about spark engines shuffling data across many executors quickly"
+
+  lazy val docs = Seq(
+    (0L, base, "s"), (1L, nearDup, "s"), (2L, unrelated, "s"), (3L, base, "s"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical docs") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keep_id") === 0L)
+    assert(g.head.getAs[Long]("n") === 2L)
+  }
+
+  test("ngram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 300)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // near-dup
+    assert(pairs.contains((0L, 3L)))   // exact dup (jaccard 1000)
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
+  }
+
+  test("minhash LSH finds the near-dup pair and verifies its jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ab = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(ab.isDefined, s"expected (0,1) pair in ${pairs.toSeq}")
+    assert(ab.get._3 > 300L && ab.get._3 < 1000L)
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1000L))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val fps = docs.withColumn("hs", Dedup.tokenHashes60(col("text")))
+      .select(col("doc_id"), Dedup.simhash60FromHashes(col("hs")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(0L) === fps(3L))
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)))
+  }
+
+  test("brute-force top-k: identical vector ranks first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "vec")
+    val queries = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteForceTopK(queries, vecs, 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(10L, 11L, 12L))
+    assert(top.head.getAs[Long]("score_q4") === 10000L)
+  }
+
+  test("IVF top-k achieves full recall on small corpus with enough probes") {
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i =>
+      (math.sin(seed * 31 + i).toFloat))
+    val corpus = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "vec")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val brute = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, 3, centroidEvery = 10, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf === brute) // nprobe = all cells -> exact
+  }
+
+  test("text analysis: langid picks stopword-dominant language, quality bounded") {
+    val t = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et le chien de la maison est pour"),
+      (3L, "der hund und die katze ist ein mit von nicht"))
+      .toDF("doc_id", "text")
+    val got = t.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+    val q = t.select(TextAnalysis.qualityMilli(col("text"))).as[Long].collect()
+    assert(q.forall(v => v >= 0 && v <= 1000))
+  }
+
+  test("multimodal: stub decode is deterministic and frame sampling explodes") {
+    val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
+    val dec = Multimodal.stubDecode(media, col("text"))
+    val d1 = dec.select("media_id", "width", "height", "n_frames").collect().toSet
+    val d2 = dec.select("media_id", "width", "height", "n_frames").collect().toSet
+    assert(d1 === d2)
+    assert(dec.filter(col("width") < 64 || col("width") >= 512).count() === 0)
+    val frames = Multimodal.sampleFrames(dec, everyN = 2)
+    val nf = dec.select(sum(((col("n_frames") - 1) / 2).cast("long") + 1)).collect().head.getLong(0)
+    assert(frames.count() === nf)
+    // identical payloads (doc 0 and 3) decode identically
+    val byId = dec.select("media_id", "width").as[(Long, Long)].collect().toMap
+    assert(byId(0L) === byId(3L))
+  }
+}
