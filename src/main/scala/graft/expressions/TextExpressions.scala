@@ -1,0 +1,82 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative Catalyst expression computing distinct hashed word-n-gram
+  * shingles of a text in a single pass.
+  *
+  * Why not compose built-ins? The compositional form
+  * (`transform(sequence(...), i -> concat_ws(' ', element_at(toks, i)...))`)
+  * hits a Catalyst blind spot: `CollapseProject` inlines the tokenizer
+  * into the higher-order-function lambda, where subexpression elimination
+  * cannot reach, so the regexp split re-runs for every element access —
+  * O(tokens x shingles) regexp work per document. This expression runs the
+  * split once and hashes n-grams in one loop.
+  *
+  * Semantics are bit-identical to the compositional/oracle form:
+  * tokens = split on `\s+` minus empties; shingles = space-joined n-grams
+  * in order, string-distinct (first occurrence); hash = first 6 md5 bytes
+  * as an unsigned 48-bit BIGINT (= `conv(substr(md5(s),1,12),16,10)`),
+  * distinct again after hashing.
+  */
+case class HashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val text = t.asInstanceOf[UTF8String].toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val seenGrams = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seenGrams.add(sb.toString)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val it = seenGrams.iterator()
+    while (it.hasNext) {
+      val digest = md.digest(it.next().getBytes("UTF-8"))
+      // first 12 hex chars = first 6 bytes, as unsigned 48-bit long
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      out.add(h)
+    }
+    val arr = new Array[Long](out.size)
+    val oit = out.iterator()
+    var k = 0
+    while (oit.hasNext) { arr(k) = oit.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def hashedShingles(text: Column, n: Int): Column =
+    column(HashedShinglesExpr(expression(text), n))
+}

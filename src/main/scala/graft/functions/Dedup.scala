@@ -30,16 +30,38 @@ object Dedup {
     df.groupBy(md5(normalize(col(textCol))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Distinct word n-gram shingles of the text (empty array if fewer than
-    * `n` tokens). Guarded so the sequence never runs backwards.
+  /** Distinct word n-gram shingles from a *materialized* token-array
+    * column (empty array if fewer than `n` tokens; guarded so the sequence
+    * never runs backwards).
+    *
+    * PERF: the tokens argument must be a plain column reference, not an
+    * expression like `tokens(text)` — Catalyst does not share
+    * subexpressions into higher-order-function lambdas, so an inline
+    * tokenizer would re-run its regexp split for every `element_at` call
+    * (3 splits per shingle). Stage the token array with `withColumn`
+    * first; [[withHashedShingles]] does exactly that.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
+
+  /** Convenience single-expression form — fine for small inputs, use the
+    * staged [[withHashedShingles]] on hot paths (see perf note above).
+    */
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** text -> distinct 48-bit hashed shingles in `outCol`, via the native
+    * single-pass expression (`graft.expressions.HashedShinglesExpr`).
+    * Hashes (8-byte longs) rather than shingle strings flow into
+    * downstream set ops (joins, intersections, MinHash) — at scale this is
+    * the difference between shuffling shingle text and shuffling
+    * fixed-width keys.
+    */
+  def withHashedShingles(df: DataFrame, textCol: String, n: Int, outCol: String): DataFrame =
+    df.withColumn(outCol, graft.expressions.TextExpressions.hashedShingles(col(textCol), n))
 
   /** Exact n-gram Jaccard similarity pairs within a blocking key.
     *
@@ -55,9 +77,8 @@ object Dedup {
       blockCol: String,
       n: Int,
       minJaccardMilli: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        shingles(col(textCol), n).as("sh"))
+    val sh = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"), col("sh"))
       .filter(size(col("sh")) > 0)
     val exploded = sh.select(col("doc"), col("blk"), col("sh"),
       explode(col("sh")).as("s"))
@@ -74,14 +95,23 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard_milli"))
   }
 
-  /** MinHash signature: `numHashes` independent permutation approximations,
-    * hash_i(doc) = min over shingles of h48(i ":" shingle).
+  /** MinHash permutation modulus / seed constants. One real hash per
+    * shingle ([[hashedShingles]]); the `numHashes` permutations are affine
+    * maps `(A_i * h + B_i) mod P` over it — integer-exact, portable, and
+    * ~numHashes x cheaper than hashing every shingle per permutation.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol,
-        s => portableHash48(concat(i.cast("string"), lit(":"), s)))))
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  def minhashA(i: Int): Long = 1234567L + 2L * i
+  def minhashB(i: Int): Long = 987654L + i
+
+  /** MinHash signature over hashed shingles. */
+  def minhashSignature(hashedShinglesCol: Column, numHashes: Int): Column = {
+    val reduced = transform(hashedShinglesCol, h => h % MinhashPrime)
+    array((0 until numHashes).map { i =>
+      array_min(transform(reduced,
+        h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashPrime))
+    }: _*)
+  }
 
   /** MinHash + LSH candidate pairs with exact-Jaccard verification.
     *
@@ -100,8 +130,8 @@ object Dedup {
       rowsPerBand: Int,
       minJaccardMilli: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = df
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    val sh = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // one (band, bandHash) key per band per doc

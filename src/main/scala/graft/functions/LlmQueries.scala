@@ -22,14 +22,18 @@ object LlmQueries {
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** doc_id + distinct 3-gram shingle list, docs with >=1 shingle. */
+  /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
+    * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
+    */
   private val shinglesCte =
     s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
         sh AS (SELECT doc_id, source,
-                 list_distinct(CASE WHEN len(toks) >= 3
-                   THEN list_transform(generate_series(1, len(toks)-2),
-                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-                   ELSE [] END) AS s
+                 list_distinct(list_transform(
+                   list_distinct(CASE WHEN len(toks) >= 3
+                     THEN list_transform(generate_series(1, len(toks)-2),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                     ELSE [] END),
+                   g -> CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT))) AS s
                FROM base)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -145,8 +149,8 @@ object LlmQueries {
           valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
           sig AS (SELECT doc_id, s,
                     list_transform(generate_series(0, 15), i ->
-                      list_min(list_transform(s, g ->
-                        CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g), 1, 12)) AS BIGINT))))
+                      list_min(list_transform(s, h ->
+                        ((1234567 + 2*i) * (h % 2147483647) + (987654 + i)) % 2147483647)))
                     AS sig
                   FROM valid),
           bands AS (SELECT doc_id, k,

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.VectorExpressions.{dotProduct, l2Norm}
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
   *   Scale shape: broadcast the (small) query set, score the corpus with a
-  *   narrow per-row fold (no shuffle), then two-phase top-k (per-partition
+  *   narrow per-row loop (no shuffle), then two-phase top-k (per-partition
   *   prune before the per-query global sort) so the shuffle carries
   *   O(queries x k x partitions) rows, not O(queries x corpus).
   * - [[ivfTopK]]: IVF-style ANN — corpus is clustered to deterministic
@@ -16,18 +18,19 @@ import org.apache.spark.sql.functions._
   *   the cell assignment is the partition key, so a probe touches a
   *   bounded fraction of the corpus.
   *
-  * All arithmetic is a sequential left-fold in doubles so external engines
-  * can reproduce scores bit-for-bit (see the LlmQueries oracles).
+  * The inner loops are native codegen'd Catalyst expressions
+  * (`graft.expressions.DotProductD` / `L2NormD`) with strict sequential
+  * summation, so scores are bit-identical to a fold-based reference
+  * implementation in any engine. Norms are computed once per vector, never
+  * per pair.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Sequential-fold dot product (double arrays). */
+  def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  /** Sequential-fold L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+  /** Sequential-fold L2 norm (double array). */
+  def norm(a: Column): Column = l2Norm(a)
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
@@ -44,6 +47,16 @@ object Similarity {
   def cosineQ4(a: Column, b: Column): Column =
     floor(cosine(a, b) * 10000).cast("long")
 
+  private def q4(dotCol: Column, na: Column, nb: Column): Column =
+    floor(dotCol / (na * nb) * 10000).cast("long")
+
+  /** (vec_id-col, vec-col) -> adds `<prefix>d` (double vector) and
+    * `<prefix>n` (its norm), computed once per row.
+    */
+  private def withNorm(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    df.withColumn(prefix + "d", toDouble(col(vecCol)))
+      .withColumn(prefix + "n", l2Norm(col(prefix + "d")))
+
   /** Exact top-k neighbours for each query vector.
     *
     * @param queries  (qid, qvec) — small enough to broadcast
@@ -53,9 +66,11 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries), col("qid") =!= col("vec_id"))
-      .withColumn("score_q4", cosineQ4(col("qvec"), col("vec")))
+    val c = withNorm(corpus, "vec", "v")
+    val q = withNorm(queries, "qvec", "q")
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("score_q4", q4(dotProduct(col("qd"), col("vd")), col("qn"), col("vn")))
     // two-phase top-k: prune inside each partition before the global rank
     val localW = Window
       .partitionBy(col("qid"), spark_partition_id())
@@ -63,9 +78,10 @@ object Similarity {
     val globalW = Window.partitionBy(col("qid"))
       .orderBy(col("score_q4").desc, col("vec_id"))
     scored
+      .select(col("qid"), col("vec_id"), col("score_q4"))
       .withColumn("lr", row_number().over(localW))
       .filter(col("lr") <= k)
-      .withColumn("rank", row_number().over(globalW))
+      .withColumn("rank", row_number().over(globalW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
   }
@@ -81,49 +97,53 @@ object Similarity {
       k: Int,
       centroidEvery: Int,
       nprobe: Int): DataFrame = {
-    val centroids = corpus
+    val c = withNorm(corpus, "vec", "v")
+    val q = withNorm(queries, "qvec", "q")
+    val centroids = c
       .filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
     // cell assignment: shuffle-free scoring against broadcast centroids
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("a_score_q4").desc, col("cid"))
-    val assigned = corpus
+    val assigned = c
       .join(broadcast(centroids))
-      .withColumn("a_score_q4", cosineQ4(col("cvec"), col("vec")))
+      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
       .withColumn("arank", row_number().over(assignW))
       .filter(col("arank") === 1)
-      .select(col("vec_id"), col("vec"), col("cid"))
+      .select(col("vec_id"), col("vd"), col("vn"), col("cid"))
     // query probes
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("p_score_q4").desc, col("cid"))
-    val probes = queries
+    val probes = q
       .join(broadcast(centroids))
-      .withColumn("p_score_q4", cosineQ4(col("cvec"), col("qvec")))
+      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
-      .select(col("qid"), col("qvec"), col("cid"))
+      .select(col("qid"), col("qd"), col("qn"), col("cid"))
     val rankW = Window.partitionBy(col("qid"))
       .orderBy(col("score_q4").desc, col("vec_id"))
     probes
       .join(assigned, "cid")
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("score_q4", cosineQ4(col("qvec"), col("vec")))
-      .withColumn("rank", row_number().over(rankW))
+      .withColumn("score_q4", q4(dotProduct(col("qd"), col("vd")), col("qn"), col("vn")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
   }
 
   /** All embedding pairs above a cosine threshold (near-duplicate
     * detection). Quadratic — at scale, gate behind LSH/IVF blocking; the
-    * exact version is the oracle baseline.
+    * exact version is the oracle baseline. Norms are computed once per
+    * vector before the pair join; each pair costs one dot product.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
       minScoreQ4: Long): DataFrame = {
-    val a = corpus.select(col("vec_id").as("a"), col("vec").as("va"))
-    val b = corpus.select(col("vec_id").as("b"), col("vec").as("vb"))
+    val c = withNorm(corpus, "vec", "v")
+    val a = c.select(col("vec_id").as("a"), col("vd").as("da"), col("vn").as("na"))
+    val b = c.select(col("vec_id").as("b"), col("vd").as("db"), col("vn").as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("score_q4", cosineQ4(col("va"), col("vb")))
+      .withColumn("score_q4", q4(dotProduct(col("da"), col("db")), col("na"), col("nb")))
       .filter(col("score_q4") >= minScoreQ4)
       .select(col("a"), col("b"), col("score_q4"))
   }
