@@ -197,7 +197,7 @@ object Dedup {
         simhash60FromHashes(col("hs")).as("sh"))
     f.as("x").join(f.as("y"),
         col("x.blk") === col("y.blk") && col("x.doc") < col("y.doc"))
-      .withColumn("hamming", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))))
+      .withColumn("hamming", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("x.doc").as("a"), col("y.doc").as("b"), col("hamming"))
   }

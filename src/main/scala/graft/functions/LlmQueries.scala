@@ -19,6 +19,45 @@ object LlmQueries {
   private val toksSql =
     """list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"""
 
+  /** Sequential left-fold dot product in DuckDB — same summation order as
+    * `graft.expressions.DotProductD`, so doubles match bit-for-bit.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+
+  /** DuckDB replica of `Similarity.ivfTopK` (centroidEvery=25, nprobe=3,
+    * k=5, queries = vec_id < 20) — same centroid assignment, probing and
+    * ranking rules, bit-identical quantized scores.
+    */
+  private lazy val ivfOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v),
+        cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+        assign AS (
+          SELECT vec_id, e, n, cid FROM (
+            SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (
+          SELECT qid, qe, qn, cid FROM (
+            SELECT q.vec_id AS qid, q.e AS qe, q.n AS qn, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn q CROSS JOIN cent c WHERE q.vec_id < 20) WHERE rn <= 3)
+        SELECT qid, vec_id, score_q4, rank FROM (
+          SELECT p.qid, a.vec_id,
+                 CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) AS score_q4,
+                 CAST(row_number() OVER (PARTITION BY p.qid
+                   ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
+                            a.vec_id) AS BIGINT) AS rank
+          FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id)
+        WHERE rank <= 5 ORDER BY qid, rank"""
+
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -59,6 +98,11 @@ object LlmQueries {
         .withColumn("hs", Dedup.tokenHashes60(col("text")))
         .select(col("doc_id"), Dedup.simhash60FromHashes(col("hs")).as("simhash"))
         .orderBy("doc_id")
+    },
+    "dedup_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+        blockCol = "source", maxHamming = 10)
+        .orderBy("a", "b")
     },
     "dedup_embedding_pairs" -> { (s, d) =>
       Similarity.cosineNearDupPairs(
@@ -179,6 +223,23 @@ object LlmQueries {
                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
                    AS BIGINT) AS simhash
           FROM h ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+          h AS (SELECT doc_id, source,
+                  list_transform(toks, t ->
+                    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+                FROM base),
+          f AS (SELECT doc_id, source,
+                  CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                    CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                    AS BIGINT) AS sh
+                FROM h)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+          FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 10
+          ORDER BY a, b""",
     "dedup_embedding_pairs" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),
@@ -215,6 +276,7 @@ object LlmQueries {
                      ORDER BY score_q4 DESC, vec_id) AS BIGINT) AS rank
             FROM scored)
           WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_topk_ivf" -> ivfOracle,
     "text_langid" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           sc AS (SELECT doc_id,

@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dump formatted physical plans for selected queries (dev tool for
+  * auditing pushdown / broadcast / whole-stage-codegen shape).
+  * Usage: runMain graft.tools.Explain [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "explain")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "tpch_q1_pricing", "tpch_q3_top_orders", "tpch_q5_nation_revenue",
+      "j1_windowed_join", "top_users_by_value", "a1_tumbling_count")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
