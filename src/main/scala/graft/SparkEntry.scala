@@ -301,6 +301,27 @@ object SparkEntry {
           .as("revenue_c"))
         .orderBy("n_name")
     },
+    // TPC-H Q6 shape: pure scan + filter + scalar aggregate (pushdown test).
+    "tpch_q6_revenue_delta" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_c"))
+    },
+    // TPC-H Q18 shape: large-order customers (join + group + having + top-k).
+    "tpch_q18_large_orders" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(CoreOps.scaledCenti(col("l_quantity"))).as("sum_qty_c"))
+        .filter(col("sum_qty_c") > 15000)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("sum_qty_c"))
+        .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+        .limit(20)
+    },
     // Top-k users by quantized spend (two-phase top-k at scale via AQE).
     "top_users_by_value" -> { (s, d) =>
       Tables.events(s, d)
@@ -361,6 +382,20 @@ object SparkEntry {
            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+    "tpch_q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "tpch_q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, sum_qty_c FROM (
+           SELECT l_orderkey,
+                  CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum_qty_c > 15000) q
+         JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20""",
     "top_users_by_value" ->
       """SELECT user_id,
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli

@@ -88,7 +88,16 @@ object Sources {
 
   /** Streaming view of a parquet directory with an explicit schema —
     * used to drive the `events` table as a stream in tests/benchmarks.
+    * `globFilter` selects specific files inside the directory (the
+    * streaming file source itself only accepts directories).
     */
-  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def parquetStream(
+      spark: SparkSession,
+      dir: String,
+      schema: StructType,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    globFilter.foreach(g => r.option("pathGlobFilter", g))
+    r.parquet(dir)
+  }
 }

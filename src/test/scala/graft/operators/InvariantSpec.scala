@@ -1,0 +1,130 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style invariants (SURVEY §5.2) over seeded random datasets
+  * mirroring the reference generator domains
+  * (`datasource/FileStreamDataGenerator.java:37-78`). Seeds are fixed so
+  * runs are reproducible.
+  */
+class InvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val users = Seq("Tom", "Harry", "Bob")
+  private val ops = Seq("Create", "Modify", "Query", "Delete")
+
+  private def randomEvents(seed: Long, n: Int) = {
+    val rnd = new Random(seed)
+    var ts = 1577215616071L
+    (0 until n).map { i =>
+      ts += rnd.nextInt(8000)
+      (i.toLong, users(rnd.nextInt(users.size)), ops(rnd.nextInt(ops.size)),
+        new Timestamp(ts), rnd.nextInt(10) + 1.0)
+    }.toDF("id", "user", "op", "ts", "value")
+  }
+
+  test("window counts partition the input: sum of per-window n = total rows") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val df = randomEvents(seed, 500)
+      val counts = CoreOps.tumblingCountAll(df, "ts", "5 seconds")
+      assert(counts.agg(sum("n")).collect().head.getLong(0) === 500L)
+      // sliding 10s/5s windows double-count each row exactly twice
+      val sliding = CoreOps.slidingSummaryAll(df, "ts", "10 seconds", "5 seconds")
+      assert(sliding.agg(sum("n")).collect().head.getLong(0) === 1000L)
+    }
+  }
+
+  test("session windows never overlap per key and cover all rows") {
+    for (seed <- Seq(4L, 5L)) {
+      val df = randomEvents(seed, 400)
+      val sessions = CoreOps.sessionSummary(df, "user", "ts", "5 seconds", "value")
+        .orderBy("user", "session_start_us").collect()
+      assert(sessions.map(_.getAs[Long]("n")).sum === 400L)
+      sessions.groupBy(_.getAs[String]("user")).foreach { case (_, rows) =>
+        rows.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("session_end_us") <= b.getAs[Long]("session_start_us"),
+              "sessions overlap")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("burst alerts: every alert diff is positive and under threshold") {
+    for (seed <- Seq(6L, 7L)) {
+      val df = randomEvents(seed, 400).filter(col("op") === "Delete")
+      val alerts = CoreOps.burstAlerts(df, "user", "ts", "id", 10000000L).collect()
+      assert(alerts.forall { r =>
+        val d = r.getAs[Long]("diff_us"); d >= 0 && d < 10000000L
+      })
+    }
+  }
+
+  test("action durations: non-negative, and logout rows never act as previous") {
+    for (seed <- Seq(8L, 9L)) {
+      val df = randomEvents(seed, 400)
+      val durations = CoreOps.actionDurations(
+        df, "user", "op", "ts", "id", loginAction = "Create", logoutAction = "Delete")
+      val rows = durations.collect()
+      assert(rows.forall(_.getAs[Long]("duration_us") >= 0))
+      assert(rows.forall(_.getAs[String]("action") != "Delete"))
+    }
+  }
+
+  test("late-data split is a partition: onTime + late = input, late older than wm") {
+    val df = randomEvents(10L, 300)
+    val (onTime, late) = CoreOps.lateDataSplit(
+      df, "ts", CoreOps.pseudoArrival(col("id")), 2000000L)
+    assert(onTime.count() + late.count() === 300L)
+    assert(onTime.select("id").intersect(late.select("id")).count() === 0L)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = randomEvents(11L, 1000)
+    val direct = df.groupBy(col("user")).agg(
+      count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy("user").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = Skew.saltedCountSum(df, "user", "value", "id", salts = 8)
+      .orderBy("user").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(direct.map(t => (t._1, t._2)).toSeq === salted.map(t => (t._1, t._2)).toSeq)
+    direct.zip(salted).foreach { case (a, b) =>
+      assert(math.abs(a._3 - b._3) < 1e-6) // double sum order may differ
+    }
+  }
+
+  test("salted join equals direct join") {
+    val left = randomEvents(12L, 500)
+    val right = users.zipWithIndex.toDF("user", "grp")
+    val direct = left.join(right, "user").count()
+    val salted = Skew.saltedJoin(left, right, "user", "id", salts = 8).count()
+    assert(direct === salted)
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs at the threshold") {
+    val rnd = new Random(13L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa")
+    def doc() = (0 until 40).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(), "s"))
+    // plant near-dups
+    val planted = base ++ Seq((100L, base(0)._2 + " extra", "s"), (101L, base(1)._2, "s"))
+    val docs = planted.toDF("doc_id", "text", "source")
+    val exact = graft.functions.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 500)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = graft.functions.Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 500)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced pairs not in exact set: ${lsh -- exact}")
+    assert(lsh.contains((1L, 101L)), "exact duplicate must always collide in LSH")
+  }
+}
