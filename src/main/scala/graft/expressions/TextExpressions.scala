@@ -74,9 +74,51 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit SimHash from a token-hash array, in one pass.
+  *
+  * Replaces 60 per-bit `aggregate` higher-order folds (each re-walking the
+  * token array through an interpreted lambda) with a single loop
+  * maintaining 60 counters. Bit j of the result is 1 iff the sum over
+  * tokens of (bit j set ? +1 : -1) is positive — identical semantics to
+  * the fold form and to the SQL oracle.
+  */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def hashedShingles(text: Column, n: Int): Column =
     column(HashedShinglesExpr(expression(text), n))
+
+  def simhash60(tokenHashes: Column): Column =
+    column(SimHash60Expr(expression(tokenHashes)))
 }

@@ -175,14 +175,8 @@ object Dedup {
   def tokenHashes60(text: Column): Column =
     transform(tokens(text), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 
-  def simhash60FromHashes(hs: Column): Column = {
-    val bitCols: Seq[Column] = (0 until 60).map { j =>
-      val contrib = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftrightunsigned(h, j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
-      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash60FromHashes(hs: Column): Column =
+    graft.expressions.TextExpressions.simhash60(hs)
 
   /** SimHash near-dup pairs within a blocking column, by Hamming distance. */
   def simhashPairs(

@@ -110,6 +110,12 @@ object LlmQueries {
         minScoreQ4 = 3500L)
         .orderBy("a", "b")
     },
+    "dedup_embedding_lsh" -> { (s, d) =>
+      Similarity.signLshNearDupPairs(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("vec")),
+        minScoreQ4 = 3500L, dim = 64)
+        .orderBy("a", "b")
+    },
     // ------------------------------------------------- similarity search
     "sim_topk_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -255,6 +261,30 @@ object LlmQueries {
                       list_transform(generate_series(1, len(eb)), i -> eb[i]*eb[i])), (acc,x) -> acc+x))))
               * 10000) AS BIGINT) AS score_q4
             FROM p)
+          WHERE score_q4 >= 3500 ORDER BY a, b""",
+    "dedup_embedding_lsh" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+          vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v),
+          planes AS (SELECT i,
+              list_transform(generate_series(0, 63), j ->
+                CASE WHEN (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) & 1) = 1
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS p
+            FROM generate_series(0, 31) t(i)),
+          bits AS (SELECT vec_id, i,
+                     CASE WHEN ${dotSql("p", "e")} > 0 THEN 1 ELSE 0 END AS b
+                   FROM vn CROSS JOIN planes),
+          buckets AS (SELECT vec_id, i // 4 AS band,
+                        CAST(sum(b * (1 << (i % 4))) AS BIGINT) AS bucket
+                      FROM bits GROUP BY 1, 2),
+          cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                   FROM buckets x JOIN buckets y
+                     ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id)
+          SELECT a, b, score_q4 FROM (
+            SELECT c.a, c.b,
+                   CAST(floor(${dotSql("va.e", "vb.e")} / (va.n * vb.n) * 10000) AS BIGINT) AS score_q4
+            FROM cand c JOIN vn va ON va.vec_id = c.a JOIN vn vb ON vb.vec_id = c.b)
           WHERE score_q4 >= 3500 ORDER BY a, b""",
     "sim_topk_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -131,6 +131,61 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
   }
 
+  /** Deterministic ±1 hyperplane component (md5-derived, reproducible in
+    * any engine): sign_ij = lowest bit of the 48-bit md5-prefix hash of
+    * "i:j".
+    */
+  private[functions] def planeSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+    var h = 0L
+    var b = 0
+    while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane (sign) LSH near-duplicate pairs — the scale path
+    * for [[cosineNearDupPairs]]. Each vector gets `bands` bucket keys
+    * (one per band of `rowsPerBand` hyperplane sign bits); only vectors
+    * sharing a (band, bucket) are paired, then verified with the exact
+    * quantized cosine. Shuffle cost O(vectors x bands) instead of
+    * O(vectors^2); recall < 1 by design (governed by bands x rows).
+    */
+  def signLshNearDupPairs(
+      corpus: DataFrame,
+      minScoreQ4: Long,
+      dim: Int,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val c = withNorm(corpus, "vec", "v")
+    // plane i dotted with the vector, as a native dot product against a
+    // literal ±1 vector
+    def planeDot(i: Int): Column =
+      dotProduct(typedLit((0 until dim).map(j => planeSign(i, j)).toArray), col("vd"))
+    val bucketCols: Seq[Column] = (0 until bands).map { k =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        when(planeDot(k * rowsPerBand + r) > 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(k).as("band"), bucket.as("bucket"))
+    }
+    val banded = c
+      .withColumn("bb", explode(array(bucketCols: _*)))
+      .select(col("vec_id"), col("vd"), col("vn"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.vd").as("da"), col("x.vn").as("na"),
+        col("y.vd").as("db"), col("y.vn").as("nb"))
+      .dropDuplicates("a", "b")
+      .withColumn("score_q4", q4(dotProduct(col("da"), col("db")), col("na"), col("nb")))
+      .filter(col("score_q4") >= minScoreQ4)
+      .select(col("a"), col("b"), col("score_q4"))
+  }
+
   /** All embedding pairs above a cosine threshold (near-duplicate
     * detection). Quadratic — at scale, gate behind LSH/IVF blocking; the
     * exact version is the oracle baseline. Norms are computed once per

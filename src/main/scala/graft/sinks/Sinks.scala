@@ -45,6 +45,20 @@ object Sinks {
   def consoleSink(df: DataFrame, numRows: Int = 20): DataStreamWriter[Row] =
     df.writeStream.format("console").option("numRows", numRows.toString)
 
+  /** X1 at scale: single-pass fan-out to N branch handlers. The micro-batch
+    * is cached once, every branch filters/transforms/writes from the cached
+    * batch, then the cache is released — one source read feeds all
+    * branches (the reference's side-output split without re-scanning).
+    */
+  def fanoutSink(
+      df: DataFrame,
+      branches: Seq[(String, DataFrame => Unit)]): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      val b = batch.toDF().persist()
+      try branches.foreach { case (_, handle) => handle(b) }
+      finally { b.unpersist(); () }
+    }
+
   /** Test sink: named in-memory table. */
   def memorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)

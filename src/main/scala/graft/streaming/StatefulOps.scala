@@ -59,6 +59,56 @@ object StatefulOps {
       }
   }
 
+  /** ST1 via Spark 4's `transformWithState` (StatefulProcessor API) —
+    * the successor to `flatMapGroupsWithState` with named state variables
+    * registered in `init`, mirroring the reference's
+    * `ValueStateDescriptor`-in-`open()` shape
+    * (`StatefulOperations.java:92-101`) even more directly.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class BurstProcessor(thresholdMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, AuditTrail, BurstAlert] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var lastDelete: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastDelete = getHandle.getValueState[Long](
+        "lastDelete", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: String,
+        rows: Iterator[AuditTrail],
+        timerValues: TimerValues): Iterator[BurstAlert] = {
+      val out = Seq.newBuilder[BurstAlert]
+      var last = if (lastDelete.exists()) Some(lastDelete.get()) else None
+      rows.toSeq.filter(_.operation == "Delete").sortBy(_.timestamp).foreach { e =>
+        last.foreach { prev =>
+          val diff = e.timestamp - prev
+          if (diff < thresholdMs) out += BurstAlert(user, e.timestamp, diff)
+        }
+        last = Some(e.timestamp)
+      }
+      last.foreach(lastDelete.update)
+      out.result().iterator
+    }
+  }
+
+  /** ST1 on the Spark 4 `transformWithState` API (see [[BurstProcessor]]). */
+  def deleteBurstAlertsTws(
+      audits: Dataset[AuditTrail],
+      thresholdMs: Long = 10000L): Dataset[BurstAlert] = {
+    implicit val alertEnc = Encoders.product[BurstAlert]
+    implicit val stringEnc = Encoders.STRING
+    audits
+      .groupByKey((a: AuditTrail) => a.user)
+      .transformWithState(
+        new BurstProcessor(thresholdMs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** ST2 (`CourseUseCase.java:114-180`): per-user action-duration tracker.
     * For each event, emit the duration of the *previous* action
     * (current ts - previous ts) unless the state is empty or the current

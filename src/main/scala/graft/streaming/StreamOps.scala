@@ -68,6 +68,20 @@ object StreamOps {
       .groupBy(window(col(tsCol), width).as("w") +: keys.map(col): _*)
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming deduplication (training-pipeline staple; no reference
+    * counterpart). Exact key dedup with bounded state: rows whose key was
+    * already seen inside the watermark horizon are dropped, state for
+    * expired event times is evicted. Use a digest column (md5/fingerprint)
+    * as the key for document streams.
+    */
+  def streamingDedup(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keys: String*): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** J1 (`WindowJoins.java:110-144`): stream-stream inner equi-join per
     * tumbling window. Both sides are bucketed with `window()` and joined on
     * (key, window) — the window equality doubles as the time-range bound

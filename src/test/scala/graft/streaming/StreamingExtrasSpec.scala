@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.AuditTrail
+import graft.sinks.Sinks
+
+final case class DocEv(ts: Timestamp, fp: String, payload: String)
+
+/** Streaming dedup, single-pass fanout sink, and the Spark 4
+  * transformWithState ST1 variant.
+  */
+class StreamingExtrasSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(sec: Long) = new Timestamp(sec * 1000)
+
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    val input = MemoryStream[DocEv]
+    val deduped = StreamOps.streamingDedup(input.toDF(), "ts", "10 seconds", "fp")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(DocEv(t(1), "A", "a1"), DocEv(t(2), "A", "a2"), DocEv(t(3), "B", "b1"))
+      q.processAllAvailable()
+      input.addData(DocEv(t(4), "A", "a3"), DocEv(t(5), "C", "c1"))
+      q.processAllAvailable()
+      val fps = spark.table("dedup_out").select("fp").as[String].collect().sorted
+      assert(fps.toSeq === Seq("A", "B", "C"))
+    } finally q.stop()
+  }
+
+  test("fanout sink: one cached batch feeds all branches") {
+    val input = MemoryStream[DocEv]
+    val seenA = scala.collection.mutable.ArrayBuffer[String]()
+    val seenRest = scala.collection.mutable.ArrayBuffer[String]()
+    val q = Sinks.fanoutSink(input.toDF(), Seq(
+      "a-branch" -> { df =>
+        seenA.synchronized {
+          seenA ++= df.filter(col("fp") === "A").select("payload").as[String](
+            org.apache.spark.sql.Encoders.STRING).collect()
+        }
+      },
+      "rest" -> { df =>
+        seenRest.synchronized {
+          seenRest ++= df.filter(col("fp") =!= "A").select("payload").as[String](
+            org.apache.spark.sql.Encoders.STRING).collect()
+        }
+      })).start()
+    try {
+      input.addData(DocEv(t(1), "A", "a1"), DocEv(t(2), "B", "b1"), DocEv(t(3), "A", "a2"))
+      q.processAllAvailable()
+      assert(seenA.sorted.toSeq === Seq("a1", "a2"))
+      assert(seenRest.toSeq === Seq("b1"))
+    } finally q.stop()
+  }
+
+  test("ST1 via transformWithState matches the flatMapGroupsWithState semantics") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[AuditTrail]
+      val alerts = StatefulOps.deleteBurstAlertsTws(input.toDS())
+      val q = alerts.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(Seq(
+          AuditTrail(0, "Bob", "Customer", "Delete", 1000L, 1, 1),
+          AuditTrail(1, "Bob", "Customer", "Query", 1500L, 1, 1)))
+        q.processAllAvailable()
+        input.addData(Seq(
+          AuditTrail(2, "Bob", "Customer", "Delete", 5000L, 1, 1),   // 4 s after -> alert
+          AuditTrail(3, "Tom", "Customer", "Delete", 6000L, 1, 1)))  // first for Tom
+        q.processAllAvailable()
+        val out = spark.table("tws_out").as[StatefulOps.BurstAlert].collect()
+        assert(out.toSeq === Seq(StatefulOps.BurstAlert("Bob", 5000L, 4000L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
