@@ -338,6 +338,32 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // Analytic window functions: top-3 spend days per user.
+    "rank_user_top_days" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          window(col("ts"), "1 day").getField("start").cast("long").as("day_start"))
+        .agg(sum(CoreOps.scaledMilli(col("value"))).as("spend_milli"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("spend_milli").desc, col("day_start"))
+      daily.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("user_id", "rank")
+    },
+    // Rollup aggregation with explicit ALL sentinel (engine-neutral nulls).
+    "rollup_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(CoreOps.scaledCenti(col("l_extendedprice"))).as("sum_base_c"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("sum_base_c"), col("n"))
+        .orderBy("rflag", "lstatus")
+    },
     // JSON property extraction + aggregation over the props column.
     "json_props_sum" -> { (s, d) =>
       Tables.events(s, d)
@@ -405,6 +431,24 @@ object SparkEntry {
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "rank_user_top_days" ->
+      """WITH daily AS (
+           SELECT user_id, (epoch_us(ts)//86400000000)*86400 AS day_start,
+                  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS spend_milli
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day_start, spend_milli, rank FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY spend_milli DESC, day_start) AS BIGINT) AS rank
+           FROM daily)
+         WHERE rank <= 3 ORDER BY user_id, rank""",
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+                coalesce(l_linestatus, '<all>') AS lstatus,
+                CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
     "json_props_sum" ->
       """SELECT event_type,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Scale artifact: bucketed tables let co-partitioned joins skip the
+  * shuffle entirely — the 100 TB answer to repeated fact-to-fact joins on
+  * the same key. Asserts the physical plan has NO Exchange on either side
+  * of the join when both tables are bucketed on the join key.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      Tables.lineitem(spark, d).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      Tables.orders(spark, d).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      val joinPart = plan.substring(0, plan.indexOf("HashAggregate")
+        .max(plan.length - 1))
+      // the only allowed exchange is the post-join aggregation shuffle
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"join sides must not shuffle:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum === 6000L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
