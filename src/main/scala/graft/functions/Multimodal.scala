@@ -53,6 +53,55 @@ object Multimodal {
       .withColumn("n_frames", (lit(1) + pmod(h, lit(16L))).cast("long"))
   }
 
+  /** Typed media record for the batched decode path. */
+  final case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decode result: dimensions + an extracted feature vector, ready for
+    * the similarity/dedup operators.
+    */
+  final case class DecodedMedia(
+      media_id: Long,
+      modality: String,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      feature: Array[Float])
+
+  /** Batched decode via `mapPartitions` — the Scala analog of an Arrow
+    * `mapInPandas` kernel: payloads are handed to the (stub) codec in
+    * batches of `batchSize` so a real vectorized decoder (JNI/FFI) would
+    * amortize per-call overhead; the operator is narrow (no shuffle) and
+    * preserves partitioning, so it rides along the scan at any scale.
+    *
+    * STUB body: dims and a 16-dim unit-scale feature vector derived from
+    * the md5 of the payload — deterministic, engine-reproducible; a real
+    * implementation replaces the inner loop only.
+    */
+  def decodeBatchedStub(
+      ds: org.apache.spark.sql.Dataset[MediaRecord],
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[DecodedMedia]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        // real impl: one vectorized codec call per `batch`
+        batch.iterator.map { m =>
+          val digest = md.digest(m.payload)
+          var h = 0L
+          var b = 0
+          while (b < 6) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+          val feature = Array.tabulate(16)(i => ((digest(i) & 0xff) / 255.0f) - 0.5f)
+          DecodedMedia(
+            m.media_id, m.modality,
+            width = 64 + (h % 448),
+            height = 64 + ((h / 448) % 448),
+            n_frames = 1 + (h % 16),
+            feature = feature)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: one output row per sampled frame index (every
     * `everyN`-th frame). Pure plan-level explode — no data movement beyond
     * the row expansion, parallelism preserved.

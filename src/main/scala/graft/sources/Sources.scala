@@ -36,6 +36,23 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** SQL catalog surface: register every corpus table as a temp view so the
+  * whole engine is reachable through `spark.sql(...)` as well as the
+  * DataFrame API (the reference exposes no SQL — this is part of the
+  * beyond-reference surface).
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case n => Tables.table(spark, dir, n).createOrReplaceTempView(n)
+    }
+}
+
 /** Streaming sources, mirroring the reference's source surface:
   *
   *  - S1 file-monitor text source (`chapter2/BasicStreamingOperations.java:52-60`,

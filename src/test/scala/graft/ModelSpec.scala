@@ -38,6 +38,15 @@ class ModelSpec extends SparkSpec {
     assert(cust === Set(1, 2, 4, 8, 9, 10))
   }
 
+  test("catalog: all corpus tables queryable through spark.sql") {
+    graft.sources.Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT count(*) FROM events e JOIN customer c ON e.user_id = c.c_custkey")
+      .collect().head.getLong(0)
+    assert(n === 1000L)
+    assert(spark.sql("SELECT max(ts) FROM events").collect().head.get(0) != null)
+  }
+
   test("browser events fixture parses 22 rows") {
     assert(browser.count() === 22)
     val first = browser.filter(col("id") === 0).collect().head

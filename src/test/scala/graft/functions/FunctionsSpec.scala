@@ -94,6 +94,28 @@ class FunctionsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0 && v <= 1000))
   }
 
+  test("multimodal: batched mapPartitions decode feeds similarity search") {
+    import Multimodal.{DecodedMedia, MediaRecord}
+    val media = docs.collect().map(r =>
+      MediaRecord(r.getLong(0), "image", r.getString(1).getBytes("UTF-8")))
+    val ds = spark.createDataset(media.toSeq)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(3)
+    val decoded = Multimodal.decodeBatchedStub(ds, batchSize = 2)
+    val rows = decoded.collect().sortBy(_.media_id)
+    assert(rows.length === 4)
+    assert(rows.forall(_.feature.length === 16))
+    // identical payloads (doc 0 and 3) decode to identical features
+    assert(rows(0).feature.toSeq === rows(3).feature.toSeq)
+    assert(rows(0).width === rows(3).width)
+    // decoded features compose with the similarity operators
+    val corpus = decoded.select(col("media_id").as("vec_id"), col("feature").as("vec"))
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteForceTopK(queries, corpus, 1).collect()
+    assert(top.head.getAs[Long]("vec_id") === 3L)      // the exact dup wins
+    assert(top.head.getAs[Long]("score_q4") >= 9999L)  // cosine 1 up to fp rounding
+  }
+
   test("multimodal: stub decode is deterministic and frame sampling explodes") {
     val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
       .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
