@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.operators.CoreOps
+
+/** Scale-up smoke: synthesizes a corpus ~10x sf0.1 (1M events, 50k docs,
+  * 20k embeddings) in /tmp and runs the flagship operators, printing
+  * per-operator wall time. The point is to observe near-linear scaling of
+  * the narrow/keyed-shuffle plans — the local[32] stand-in for "would this
+  * hold at 1000 executors".
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [eventsM] [docsK] [vecsK]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val eventsN = args.headOption.map(_.toInt).getOrElse(1) * 1000000L
+    val docsN = args.drop(1).headOption.map(_.toInt).getOrElse(50) * 1000L
+    val vecsN = args.drop(2).headOption.map(_.toInt).getOrElse(20) * 1000L
+    val spark = GraftSession.local(32, "scale-smoke")
+    import spark.implicits._
+
+    val base = "/tmp/graft_scale"
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // --- synthesize (deterministic, seed-free arithmetic) ---------------
+    time(s"gen events ($eventsN)") {
+      spark.range(eventsN)
+        .select(
+          col("id").as("event_id"),
+          timestamp_micros(lit(1704067200000000L) + col("id") * 2592L).as("ts"),
+          pmod(xxhash64(col("id")), lit(15000)).as("user_id"),
+          element_at(
+            array(lit("click"), lit("view"), lit("purchase"), lit("error"), lit("signup")),
+            (pmod(xxhash64(col("id"), lit(1)), lit(5)) + 1).cast("int")).as("event_type"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(49000)).cast("double") / 100.0).as("value"))
+        .write.mode("overwrite").parquet(s"$base/events")
+    }
+    time(s"gen docs ($docsN)") {
+      val words = array((0 until 64).map(i => lit(s"w$i")): _*)
+      spark.range(docsN)
+        .select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(120)),
+            i => element_at(words, (pmod(xxhash64(col("id"), i), lit(64)) + 1).cast("int"))))
+            .as("text"),
+          concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+        .write.mode("overwrite").parquet(s"$base/docs")
+    }
+    time(s"gen vecs ($vecsN)") {
+      spark.range(vecsN)
+        .select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => (pmod(xxhash64(col("id"), i), lit(2000)).cast("double") / 1000.0 - 1.0)
+              .cast("float")).as("vec"))
+        .write.mode("overwrite").parquet(s"$base/vecs")
+    }
+
+    val events = spark.read.parquet(s"$base/events")
+    val docs = spark.read.parquet(s"$base/docs")
+    val vecs = spark.read.parquet(s"$base/vecs")
+
+    // --- operators ------------------------------------------------------
+    time("windowed counts (5s)") {
+      CoreOps.tumblingCountAll(events, "ts", "5 seconds").count()
+    }
+    time("session windows (1h/user)") {
+      CoreOps.sessionSummary(events, "user_id", "ts", "1 hour", "value").count()
+    }
+    time("keyed running totals") {
+      CoreOps.keyedRunningTotal(events, "user_id", "value").count()
+    }
+    time("windowed self-join (1d)") {
+      val c = events.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("l"))
+      val p = events.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("event_id").as("r"))
+      CoreOps.windowedEquiJoin(c, p, "user_id", "ts", "1 day").count()
+    }
+    time("text annotate (langid+quality)") {
+      docs.select(
+        TextAnalysis.langId(col("text")),
+        TextAnalysis.qualityMilli(col("text"))).count()
+    }
+    time("hashed shingles") {
+      Dedup.withHashedShingles(docs, "text", 3, "sh").select(size(col("sh"))).count()
+    }
+    time("minhash LSH pairs") {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600).count()
+    }
+    time("simhash fingerprints") {
+      docs.withColumn("hs", Dedup.tokenHashes60(col("text")))
+        .select(Dedup.simhash60FromHashes(col("hs"))).count()
+    }
+    time("brute topk (100 queries)") {
+      val q = vecs.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.bruteForceTopK(q, vecs, 5).count()
+    }
+    time("ivf topk (100 queries)") {
+      val q = vecs.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.ivfTopK(q, vecs, 5, centroidEvery = 200, nprobe = 3).count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan properties the
+  * engine relies on (scan pushdown, pruned read schemas, broadcast joins,
+  * top-k without global sort) must survive future refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("tpch_q1: shipdate filter reaches the parquet scan, schema pruned") {
+    val p = plan("tpch_q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), s"unused columns not pruned:\n$p")
+  }
+
+  test("tpch_q3: dimension joins broadcast, top-k avoids global sort") {
+    val p = plan("tpch_q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("x1 split: branch predicate is pushed to the scan") {
+    val p = plan("x1_split_main")
+    assert(p.contains("EqualTo(event_type,purchase)"), s"predicate not pushed:\n$p")
+  }
+
+  test("sim_topk_brute: query side broadcast, no corpus-wide shuffle before local prune") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast:\n$p")
+  }
+
+  test("aggregations use map-side partial aggregation") {
+    val p = plan("a2_keyed_running_total")
+    assert("partial_(sum|count)".r.findFirstIn(p).isDefined,
+      s"expected partial aggregation:\n$p")
+  }
+}
