@@ -104,6 +104,25 @@ object Dedup {
   def minhashA(i: Int): Long = 1234567L + 2L * i
   def minhashB(i: Int): Long = 987654L + i
 
+  /** (bands, rowsPerBand) for a target Jaccard threshold under a hash
+    * budget, via the standard S-curve rule t ≈ (1/bands)^(1/rows): among
+    * divisor splits of `numHashes`, pick the one whose inflection point
+    * is closest to the threshold. Low thresholds need few rows (recall),
+    * high thresholds need many rows (candidate-volume control) — see
+    * SCALING.md for the cost model.
+    */
+  def lshParams(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && numHashes > 0)
+    val (b, r, _) = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { r =>
+        val b = numHashes / r
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+      .minBy { case (_, _, t) => math.abs(t - threshold) }
+    (b, r)
+  }
+
   /** MinHash signature over hashed shingles. */
   def minhashSignature(hashedShinglesCol: Column, numHashes: Int): Column = {
     val reduced = transform(hashedShinglesCol, h => h % MinhashPrime)

@@ -61,6 +61,34 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progress listener captures batch metrics and state rows") {
+    val logger = Observability.attach(spark)
+    val input = MemoryStream[DocEv]
+    val agg = input.toDF().groupBy("fp").count()
+    val q = agg.writeStream.format("memory").queryName("obs_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(DocEv(t(1), "A", "x"), DocEv(t(2), "B", "y"))
+      q.processAllAvailable()
+      // listener events are async; wait briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (logger.snapshots.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val withRows = logger.snapshots.filter(_.numInputRows > 0)
+      assert(withRows.nonEmpty)
+      assert(withRows.exists(_.stateRows > 0))
+    } finally { q.stop(); Observability.detach(spark, logger) }
+  }
+
+  test("lshParams picks sensible band splits for the threshold") {
+    import graft.functions.Dedup.lshParams
+    assert(lshParams(0.7, 16) === (4, 4))
+    val (bLow, rLow) = lshParams(0.2, 16)
+    val (bHigh, rHigh) = lshParams(0.9, 16)
+    assert(rLow < rHigh, "low thresholds need fewer rows per band")
+    assert(bLow > bHigh)
+  }
+
   test("ST1 via transformWithState matches the flatMapGroupsWithState semantics") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
