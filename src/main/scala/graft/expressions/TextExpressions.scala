@@ -121,4 +121,18 @@ object TextExpressions {
 
   def simhash60(tokenHashes: Column): Column =
     column(SimHash60Expr(expression(tokenHashes)))
+
+  /** Make every custom graft expression callable from `spark.sql(...)`:
+    * `dot_product_d(a, b)`, `l2_norm_d(a)`, `hashed_shingles(text, n)`,
+    * `simhash60(hashes)`.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    registerFunction(spark, "dot_product_d", es => DotProductD(es(0), es(1)))
+    registerFunction(spark, "l2_norm_d", es => L2NormD(es.head))
+    registerFunction(spark, "hashed_shingles", es =>
+      HashedShinglesExpr(es.head, es(1).asInstanceOf[Literal].value.toString.toInt))
+    registerFunction(spark, "simhash60", es => SimHash60Expr(es.head))
+  }
 }

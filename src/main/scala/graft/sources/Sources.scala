@@ -80,6 +80,10 @@ object Sources {
     * Mirrors `WindowingOperations.java:44-60` (bootstrap `localhost:9092`,
     * `setStartFromLatest()`); group id is managed by Spark's own offset
     * tracking rather than the consumer group protocol.
+    *
+    * NOTE: this container ships no `spark-sql-kafka` connector jar (and no
+    * broker), so the source can only be exercised on a real cluster with
+    * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`.
     */
   def kafkaLines(
       spark: SparkSession,

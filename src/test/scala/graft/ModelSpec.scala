@@ -47,6 +47,19 @@ class ModelSpec extends SparkSpec {
     assert(spark.sql("SELECT max(ts) FROM events").collect().head.get(0) != null)
   }
 
+  test("custom expressions callable from spark.sql") {
+    graft.expressions.TextExpressions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT dot_product_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                l2_norm_d(array(3.0D, 4.0D)) AS n,
+                size(hashed_shingles('a b c d', 3)) AS s,
+                simhash60(array(1L, 3L)) AS f""").collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getInt(2) === 2)
+    assert(r.getLong(3) === 1L) // bit 0: both set (+2); bit 1: one set (0 -> not positive)
+  }
+
   test("browser events fixture parses 22 rows") {
     assert(browser.count() === 22)
     val first = browser.filter(col("id") === 0).collect().head
