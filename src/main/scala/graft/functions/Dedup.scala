@@ -153,24 +153,27 @@ object Dedup {
       .select(col(idCol).as("doc"), col("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one (band, bandHash) key per band per doc
+    // one (band, bandHash) key per band per doc — ids only; the shingle
+    // arrays are re-attached after candidate dedup so the self-join
+    // shuffles 3 small columns instead of the full shingle sets
     val banded = sig.select(
-      col("doc"), col("sh"),
+      col("doc"),
       explode(transform(sequence(lit(0), lit(bands - 1)), k =>
         struct(
           k.as("band"),
           md5(array_join(
             transform(slice(col("sig"), k * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string")), ",")).as("bh")))).as("bb"))
-      .select(col("doc"), col("sh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("x")
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
-      .select(
-        col("x.doc").as("a"), col("y.doc").as("b"),
-        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
+    val cand = candIds
+      .join(sh.select(col("doc").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc").as("b"), col("sh").as("shb")), "b")
     cand
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))

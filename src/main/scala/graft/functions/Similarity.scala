@@ -168,19 +168,21 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(k).as("band"), bucket.as("bucket"))
     }
+    // ids-only self-join on bucket keys; vectors re-attached after pair
+    // dedup so the shuffle carries 3 small columns, not the embeddings
     val banded = c
       .withColumn("bb", explode(array(bucketCols: _*)))
-      .select(col("vec_id"), col("vd"), col("vn"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("x")
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(
-        col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.vd").as("da"), col("x.vn").as("na"),
-        col("y.vd").as("db"), col("y.vn").as("nb"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates("a", "b")
+    val vecs = c.select(col("vec_id"), col("vd"), col("vn"))
+    candIds
+      .join(vecs.select(col("vec_id").as("a"), col("vd").as("da"), col("vn").as("na")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("vd").as("db"), col("vn").as("nb")), "b")
       .withColumn("score_q4", q4(dotProduct(col("da"), col("db")), col("na"), col("nb")))
       .filter(col("score_q4") >= minScoreQ4)
       .select(col("a"), col("b"), col("score_q4"))
