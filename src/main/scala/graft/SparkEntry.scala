@@ -338,6 +338,27 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // Event-stream enrichment: broadcast dimension join + rollup by segment.
+    "events_enriched_by_segment" -> { (s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(CoreOps.scaledMilli(col("value"))).as("total_milli"))
+        .orderBy("c_mktsegment")
+    },
+    // TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    "tpch_q14_promo_share" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(lit(0L))).as("promo_rev_c"),
+          sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_rev_c"))
+    },
     // Analytic window functions: top-3 spend days per user.
     "rank_user_top_days" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -431,6 +452,19 @@ object SparkEntry {
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "events_enriched_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q14_promo_share" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_rev_c,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_rev_c
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
     "rank_user_top_days" ->
       """WITH daily AS (
            SELECT user_id, (epoch_us(ts)//86400000000)*86400 AS day_start,

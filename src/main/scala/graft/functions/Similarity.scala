@@ -102,14 +102,21 @@ object Similarity {
     val centroids = c
       .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
-    // cell assignment: shuffle-free scoring against broadcast centroids
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("a_score_q4").desc, col("cid"))
-    val assigned = c
+    // cell assignment: scoring against broadcast centroids is narrow, and
+    // the per-vector argmax is a map-side-combinable max(struct) — the
+    // shuffle carries one row per corpus vector, not corpus x centroids
+    // (a row_number window here would shuffle the full scored cross join).
+    // Tie-break matches (score desc, cid asc) via the negated cid.
+    // keep the aggregate narrow (no array columns through the hash agg:
+    // complex-typed aggregates fall off the fast HashAggregate path);
+    // vectors re-attach via a join on vec_id afterwards
+    val cells = c
       .join(broadcast(centroids))
       .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
-      .withColumn("arank", row_number().over(assignW))
-      .filter(col("arank") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+    val assigned = c.join(cells, "vec_id")
       .select(col("vec_id"), col("vd"), col("vn"), col("cid"))
     // query probes
     val probeW = Window.partitionBy(col("qid"))
