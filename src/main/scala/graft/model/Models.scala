@@ -35,17 +35,21 @@ object AuditTrail {
     StructField("duration", IntegerType),
     StructField("count", IntegerType)))
 
-  /** Strip-quotes-then-split codec of `AuditTrail.java:18-29`, as columns. */
+  /** Strip-quotes-then-split codec of `AuditTrail.java:18-29`, as columns.
+    * `try_element_at`/`try_cast` keep the job alive on malformed lines
+    * (nulls to quarantine downstream) where the reference — and ANSI-mode
+    * casts — would throw and kill the stream (`AuditTrail.java:21-28`).
+    */
   def parseLine(line: Column): Column = {
     val parts = split(regexp_replace(line, "\"", ""), ",")
     struct(
-      element_at(parts, 1).cast(IntegerType).as("id"),
-      element_at(parts, 2).as("user"),
-      element_at(parts, 3).as("entity"),
-      element_at(parts, 4).as("operation"),
-      element_at(parts, 5).cast(LongType).as("timestamp"),
-      element_at(parts, 6).cast(IntegerType).as("duration"),
-      element_at(parts, 7).cast(IntegerType).as("count"))
+      try_element_at(parts, lit(1)).try_cast(IntegerType).as("id"),
+      try_element_at(parts, lit(2)).as("user"),
+      try_element_at(parts, lit(3)).as("entity"),
+      try_element_at(parts, lit(4)).as("operation"),
+      try_element_at(parts, lit(5)).try_cast(LongType).as("timestamp"),
+      try_element_at(parts, lit(6)).try_cast(IntegerType).as("duration"),
+      try_element_at(parts, lit(7)).try_cast(IntegerType).as("count"))
   }
 
   /** Lines dataframe (one `value` string column) -> typed audit trail with a
@@ -68,14 +72,16 @@ object BrowserEvent {
     StructField("action", StringType),
     StructField("timestamp", LongType)))
 
-  /** CSV codec of `chapter6/CourseUseCase.java:59-76`. */
+  /** CSV codec of `chapter6/CourseUseCase.java:59-76` (null-safe, see
+    * [[AuditTrail.parseLine]]).
+    */
   def parseLine(line: Column): Column = {
     val parts = split(regexp_replace(line, "\"", ""), ",")
     struct(
-      element_at(parts, 1).cast(IntegerType).as("id"),
-      element_at(parts, 2).as("user"),
-      element_at(parts, 3).as("action"),
-      element_at(parts, 4).cast(LongType).as("timestamp"))
+      try_element_at(parts, lit(1)).try_cast(IntegerType).as("id"),
+      try_element_at(parts, lit(2)).as("user"),
+      try_element_at(parts, lit(3)).as("action"),
+      try_element_at(parts, lit(4)).try_cast(LongType).as("timestamp"))
   }
 
   def fromLines(lines: DataFrame): DataFrame =

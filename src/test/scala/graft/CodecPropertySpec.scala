@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.model.{AuditTrail, BrowserEvent}
+
+/** ScalaCheck properties for the CSV codecs, with generators mirroring the
+  * reference generator domains (`datasource/FileStreamDataGenerator.java:37-78`,
+  * `chapter6/BrowserStreamDataGenerator.java:37-48`).
+  */
+class CodecPropertySpec extends SparkSpec {
+
+  private val genAudit: Gen[AuditTrail] = for {
+    id <- Gen.choose(0, 99)
+    user <- Gen.oneOf("Tom", "Harry", "Bob")
+    entity <- Gen.oneOf("Customer", "SalesRep")
+    op <- Gen.oneOf("Create", "Modify", "Query", "Delete")
+    ts <- Gen.choose(1577215616071L, 1577215716071L)
+    duration <- Gen.choose(1, 10)
+    count <- Gen.choose(1, 4)
+  } yield AuditTrail(id, user, entity, op, ts, duration, count)
+
+  private def toCsv(a: AuditTrail): String =
+    Seq(a.id, a.user, a.entity, a.operation, a.timestamp, a.duration, a.count)
+      .map(v => "\"" + v + "\"").mkString(",")
+
+  private def runProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: quoted-CSV round-trip reproduces every audit record") {
+    import spark.implicits._
+    runProp(Prop.forAll(Gen.listOfN(20, genAudit)) { rows =>
+      val lines = rows.map(toCsv).toDF("value")
+      val parsed = AuditTrail.fromLines(lines).drop("eventTime").as[AuditTrail].collect()
+      parsed.sortBy(r => (r.id, r.timestamp)).toSeq ==
+        rows.sortBy(r => (r.id, r.timestamp))
+    })
+  }
+
+  test("malformed lines parse null-safely instead of failing the job") {
+    import spark.implicits._
+    val bad = Seq("\"not,enough", "", "\"1\",\"Tom\"", "garbage").toDF("value")
+    val parsed = AuditTrail.fromLines(bad)
+    // the job completes; unparseable numeric fields surface as nulls that a
+    // quality filter can quarantine (vs the reference, which would throw
+    // NumberFormatException and kill the stream: AuditTrail.java:21-28)
+    val rows = parsed.collect()
+    assert(rows.length === 4)
+    assert(parsed.filter(col("timestamp").isNull).count() >= 3)
+  }
+
+  test("property: browser-event codec round-trips (id column preserved)") {
+    import spark.implicits._
+    val genBrowser = for {
+      id <- Gen.choose(0, 99)
+      user <- Gen.oneOf("Tom", "Harry", "Bob")
+      action <- Gen.oneOf("Login", "ViewVideo", "ViewLink", "ViewReview", "Logout")
+      ts <- Gen.choose(1577029696229L, 1577029796229L)
+    } yield BrowserEvent(id, user, action, ts)
+    runProp(Prop.forAll(Gen.listOfN(20, genBrowser)) { rows =>
+      val lines = rows
+        .map(b => Seq(b.id, b.user, b.action, b.timestamp)
+          .map(v => "\"" + v + "\"").mkString(","))
+        .toDF("value")
+      val parsed = BrowserEvent.fromLines(lines).drop("eventTime").as[BrowserEvent].collect()
+      parsed.sortBy(r => (r.id, r.timestamp)).toSeq ==
+        rows.sortBy(r => (r.id, r.timestamp))
+    })
+  }
+}
