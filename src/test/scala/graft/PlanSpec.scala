@@ -11,6 +11,20 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
+  test("driver contract: entry() returns rows on sf0.001 smoke corpus") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("driver contract: every query has matching column names with its oracle") {
+    // the driver sorts columns by name before hashing; a query without an
+    // oracle gets only a rows-check — make the set explicit so a typo in
+    // either map is caught here, not in the round gate
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries missing oracles: ${q -- o}")
+  }
+
   test("tpch_q1: shipdate filter reaches the parquet scan, schema pruned") {
     val p = plan("tpch_q1_pricing")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
