@@ -109,6 +109,57 @@ object StatefulOps {
         OutputMode.Append)
   }
 
+  /** ST2 on `transformWithState` — same semantics as [[actionDurations]];
+    * the named ValueState mirrors the two `ValueStateDescriptor`s of
+    * `CourseUseCase.java:122-143` as one product state.
+    */
+  class DurationProcessor(loginAction: String, logoutAction: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BrowserEvent, ActionDuration] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState](
+        "sess", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: String,
+        evs: Iterator[BrowserEvent],
+        timerValues: TimerValues): Iterator[ActionDuration] = {
+      val out = Seq.newBuilder[ActionDuration]
+      var st = if (sess.exists()) Some(sess.get()) else None
+      evs.toSeq.sortBy(_.timestamp).foreach { e =>
+        st.foreach { s =>
+          if (e.action != loginAction)
+            out += ActionDuration(user, s.lastAction, e.timestamp - s.lastTs)
+        }
+        st = if (e.action == logoutAction) None
+        else Some(SessionState(e.action, e.timestamp))
+      }
+      st match {
+        case Some(s) => sess.update(s)
+        case None => sess.clear()
+      }
+      out.result().iterator
+    }
+  }
+
+  /** ST2 on the Spark 4 `transformWithState` API (see [[DurationProcessor]]). */
+  def actionDurationsTws(
+      events: Dataset[BrowserEvent],
+      loginAction: String = "Login",
+      logoutAction: String = "Logout"): Dataset[ActionDuration] = {
+    implicit val outEnc = Encoders.product[ActionDuration]
+    implicit val stringEnc = Encoders.STRING
+    events
+      .groupByKey((e: BrowserEvent) => e.user)
+      .transformWithState(
+        new DurationProcessor(loginAction, logoutAction),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** ST2 (`CourseUseCase.java:114-180`): per-user action-duration tracker.
     * For each event, emit the duration of the *previous* action
     * (current ts - previous ts) unless the state is empty or the current

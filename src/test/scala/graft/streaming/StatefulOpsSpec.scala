@@ -60,6 +60,32 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST2 via transformWithState matches the flatMapGroupsWithState output") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[BrowserEvent]
+      val durations = StatefulOps.actionDurationsTws(input.toDS())
+      val q = durations.writeStream.format("memory").queryName("st2_tws")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(Seq(
+          BrowserEvent(0, "Tom", "Login", 1000L),
+          BrowserEvent(1, "Tom", "ViewVideo", 3000L)))
+        q.processAllAvailable()
+        input.addData(Seq(
+          BrowserEvent(2, "Tom", "Logout", 6000L),
+          BrowserEvent(3, "Tom", "ViewLink", 7000L)))
+        q.processAllAvailable()
+        val out = spark.table("st2_tws").as[StatefulOps.ActionDuration].collect()
+          .sortBy(_.durationMs)
+        assert(out.toSeq === Seq(
+          StatefulOps.ActionDuration("Tom", "Login", 2000L),
+          StatefulOps.ActionDuration("Tom", "ViewVideo", 3000L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ST2: login/logout state machine across batches") {
     val input = MemoryStream[BrowserEvent]
     val durations = StatefulOps.actionDurations(input.toDS())

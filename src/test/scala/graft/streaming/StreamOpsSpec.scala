@@ -54,6 +54,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A4 streaming: session windows close when the watermark passes the gap") {
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionCounts(input.toDF(), "user", "ts", "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("a4_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(t(1), "a", 1), Ev(t(3), "a", 1), Ev(t(20), "a", 1))
+      q.processAllAvailable()
+      input.addData(Ev(t(60), "b", 1)) // watermark far past both sessions
+      q.processAllAvailable()
+      input.addData(Ev(t(90), "b", 1))
+      q.processAllAvailable()
+      val rows = spark.table("a4_out")
+        .select(col("user"), col("session_start").cast("long"),
+          col("session_end").cast("long"), col("n"))
+        .as[(String, Long, Long, Long)].collect().filter(_._1 == "a").sortBy(_._2)
+      assert(rows.toSeq === Seq(("a", 1L, 8L, 2L), ("a", 20L, 25L, 1L)))
+    } finally q.stop()
+  }
+
+  test("A3 streaming: sliding windows emit two rows per closed 5s bucket") {
+    val input = MemoryStream[Ev]
+    val sliding = StreamOps.slidingSummary(input.toDF(), "ts", "10 seconds", "5 seconds")
+    val q = sliding.writeStream.format("memory").queryName("a3_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(t(7), "a", 1))
+      q.processAllAvailable()
+      input.addData(Ev(t(40), "b", 1))
+      q.processAllAvailable()
+      input.addData(Ev(t(80), "c", 1))
+      q.processAllAvailable()
+      val starts = spark.table("a3_out")
+        .select(col("window_start").cast("long")).as[Long].collect().sorted
+      // event at 7s belongs to windows starting at 0 and 5
+      assert(starts.toSeq.take(2) === Seq(0L, 5L))
+    } finally q.stop()
+  }
+
   test("J1 streaming: stream-stream join pairs rows in the same window") {
     val left = MemoryStream[TwoSided]
     val right = MemoryStream[TwoSided]
