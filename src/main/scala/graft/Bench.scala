@@ -24,20 +24,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
-      try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
 
     SparkEntry.queries.foreach { case (_, fn) => once(fn) } // warm-up
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      once(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = once(fn)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,8 +21,6 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  private val USEC_PER_DAY = 86400000000L
-
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("tpch_q3_top_orders")(spark, "/root/testdata/sf0.001")
@@ -158,14 +156,14 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "a4_session_windows" ->
       """WITH o AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, event_id, value,
                   CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
                        THEN 1 ELSE 0 END AS brk
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
-           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
            FROM o)
          SELECT user_id,

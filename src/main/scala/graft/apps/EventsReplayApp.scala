@@ -38,7 +38,8 @@ object EventsReplayApp {
     q.awaitTermination()
 
     val n = spark.table("events_sessions").count()
-    val total = spark.table("events_sessions").agg(sum("n")).collect().head.getLong(0)
+    val total = spark.table("events_sessions")
+      .agg(coalesce(sum("n"), lit(0L))).collect().head.getLong(0)
     println(s"[events-replay] emitted $n closed sessions covering $total events from $sfDir")
     spark.stop()
   }

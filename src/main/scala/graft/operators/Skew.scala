@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts) derived from a row-discriminating
-    * column (xxhash64 of the column + key avoids co-locating identical
-    * values on one salt).
+  /** Deterministic salt in [0, salts) from a row-discriminating column.
+    * The discriminator MUST vary within a single hot key (a row id,
+    * event id, or payload column) — passing the key itself or a constant
+    * puts the whole hot key on one salt and defeats the mitigation.
     */
   def salt(discriminator: Column, salts: Int): Column =
     pmod(xxhash64(discriminator), lit(salts))

@@ -40,16 +40,19 @@ final class LateDataSplit(
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val wm = watermarkMs
     val tsMs = unix_millis(col(tsCol))
-    val (onTimeDf, lateDf) =
-      if (wm == Long.MinValue) (batch, batch.limit(0))
-      else (batch.filter(tsMs >= wm), batch.filter(tsMs < wm))
-    onTime(onTimeDf, batchId)
-    late(lateDf, batchId)
-    val batchMax = batch.agg(max(tsMs)).collect().head
-    if (!batchMax.isNullAt(0)) {
-      val m = batchMax.getLong(0)
-      highWatermarkMs.updateAndGet(cur => math.max(cur, m))
-    }
+    val cached = batch.persist() // three consumers; evaluate the batch once
+    try {
+      val (onTimeDf, lateDf) =
+        if (wm == Long.MinValue) (cached, cached.limit(0))
+        else (cached.filter(tsMs >= wm), cached.filter(tsMs < wm))
+      onTime(onTimeDf, batchId)
+      late(lateDf, batchId)
+      val batchMax = cached.agg(max(tsMs)).collect().head
+      if (!batchMax.isNullAt(0)) {
+        val m = batchMax.getLong(0)
+        highWatermarkMs.updateAndGet(cur => math.max(cur, m))
+      }
+    } finally { cached.unpersist(); () }
   }
 
   /** Attach to a streaming DataFrame: returns the writer (caller starts it). */

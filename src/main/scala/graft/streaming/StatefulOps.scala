@@ -102,6 +102,7 @@ object StatefulOps {
     implicit val alertEnc = Encoders.product[BurstAlert]
     implicit val stringEnc = Encoders.STRING
     audits
+      .filter((a: AuditTrail) => a.operation == "Delete") // before the shuffle
       .groupByKey((a: AuditTrail) => a.user)
       .transformWithState(
         new BurstProcessor(thresholdMs),

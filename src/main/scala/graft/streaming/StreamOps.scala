@@ -95,11 +95,12 @@ object StreamOps {
       width: String,
       watermark: String = "2 seconds"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
-      .select(col(key), window(col(tsCol), width).as("w"), col("*"))
+      .withColumn("w", window(col(tsCol), width))
       .drop(tsCol)
     val r = right.withWatermark(tsCol, watermark)
-      .select(col(key).as(key + "_r"), window(col(tsCol), width).as("w_r"), col("*"))
-      .drop(tsCol, key)
+      .withColumn("w_r", window(col(tsCol), width))
+      .withColumnRenamed(key, key + "_r")
+      .drop(tsCol)
     l.join(r, col(key) === col(key + "_r") && col("w") === col("w_r"))
       .drop("w_r", key + "_r")
   }

@@ -32,8 +32,6 @@ class BucketingSpec extends SparkSpec {
 
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
-      val joinPart = plan.substring(0, plan.indexOf("HashAggregate")
-        .max(plan.length - 1))
       // the only allowed exchange is the post-join aggregation shuffle
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(exchanges <= 1, s"join sides must not shuffle:\n$plan")
