@@ -357,6 +357,19 @@ object SparkEntry {
           sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .as("total_rev_c"))
     },
+    // As-of (backward) join: each event enriched with the customer's most
+    // recent order as of the event time — CoreOps.asofJoinBackward.
+    "asof_latest_order" -> { (s, d) =>
+      val left = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_order_key"))
+      CoreOps.asofJoinBackward(left, right,
+        leftKey = "user_id", rightKey = "o_custkey",
+        tsL = "ts", tsR = "o_orderdate", valueCols = Seq("last_order_key"))
+        .select(col("event_id"), col("user_id"), col("asof_last_order_key"))
+        .orderBy("event_id")
+    },
     // Analytic window functions: top-3 spend days per user.
     "rank_user_top_days" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
@@ -463,6 +476,13 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "asof_latest_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_key
+                    FROM orders GROUP BY 1, 2)
+         SELECT event_id, user_id, last_order_key AS asof_last_order_key
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+         ORDER BY event_id""",
     "rank_user_top_days" ->
       """WITH daily AS (
            SELECT user_id, (epoch_us(ts)//86400000000)*86400 AS day_start,

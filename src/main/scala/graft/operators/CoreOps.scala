@@ -192,6 +192,61 @@ object CoreOps {
         (unix_micros(col(tsCol)) - col("prev_ts_us")).as("duration_us"))
   }
 
+  /** Backward as-of join: for every left row, attach the single right row
+    * with the greatest `tsR <= tsL` for the same key (the standard
+    * "latest state as of event time" join — an operator Spark lacks as a
+    * primitive).
+    *
+    * Implementation is the scale-correct union-sort-window form, not the
+    * O(matches) range-join-then-rank form: both sides are tagged and
+    * unioned, one shuffle+sort per key orders right rows before left rows
+    * at equal timestamps, and `last(_, ignoreNulls)` carries the most
+    * recent right payload forward onto each left row. Cost: one exchange
+    * of |L|+|R| thin rows, no join blowup, skew governed by the hottest
+    * key. Right-side (key, tsR) pairs must be unique for a deterministic
+    * result — pre-aggregate the right side if needed.
+    *
+    * @param right     (rightKey, tsR, payload) — payload = the remaining cols
+    * @param valueCols right columns to carry onto left rows
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      tsL: String,
+      tsR: String,
+      valueCols: Seq[String]): DataFrame = {
+    // cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
+    // with a UTC session the instant is unchanged)
+    def tsMicros(c: org.apache.spark.sql.Column) =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val lTagged = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", tsMicros(col(tsL)))
+      .withColumn("__side", lit(1)) // left sorts after right at equal ts
+    val rTagged = right
+      .select(
+        col(rightKey).as("__k") +:
+          tsMicros(col(tsR)).as("__ts") +:
+          lit(0).as("__side") +:
+          valueCols.map(c => col(c).as("__r_" + c)): _*)
+    val unioned = lTagged
+      .select(lTagged.columns.filterNot(_.startsWith("__r_")).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as("__r_" + c)): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn("__asof_" + c, last(col("__r_" + c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1) // keep left rows only
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col("__asof_" + c).as("asof_" + c)): _*)
+  }
+
   /** Deterministic pseudo-arrival order for batch replays of streaming
     * semantics: a keyed md5 permutation of a unique id column. Used to give
     * the W2 batch analog genuinely out-of-order "arrivals" on corpora that

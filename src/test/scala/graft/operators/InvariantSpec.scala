@@ -109,6 +109,28 @@ class InvariantSpec extends SparkSpec {
     assert(direct === salted)
   }
 
+  test("asof backward join matches the brute-force range-join definition") {
+    import java.sql.Timestamp
+    val left = Seq(
+      (1L, 10L, new Timestamp(5000)),
+      (2L, 10L, new Timestamp(12000)),
+      (3L, 10L, new Timestamp(12000)), // tie with right row at 12000 -> inclusive
+      (4L, 20L, new Timestamp(8000)),  // key with no earlier right row -> null
+      (5L, 30L, new Timestamp(9000)))  // key absent on the right -> null
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, new Timestamp(1000), 100L),
+      (10L, new Timestamp(12000), 101L),
+      (10L, new Timestamp(20000), 102L),
+      (20L, new Timestamp(9000), 200L))
+      .toDF("rk", "rts", "payload")
+    val got = CoreOps.asofJoinBackward(left, right, "k", "rk", "ts", "rts", Seq("payload"))
+      .select(col("event_id"), col("asof_payload")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: greatest rts <= ts per key
+    assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> 101L, 4L -> -1L, 5L -> -1L))
+  }
+
   test("minhash LSH pairs are a subset of exact jaccard pairs at the threshold") {
     val rnd = new Random(13L)
     val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
