@@ -396,6 +396,18 @@ object SparkEntry {
           col("sum_base_c"), col("n"))
         .orderBy("rflag", "lstatus")
     },
+    // Exact interpolated percentiles over quantized values.
+    "percentiles_by_type" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("value_milli", CoreOps.scaledMilli(col("value")))
+      ev.groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value_milli, 0.5)").as("p50"),
+          expr("percentile(value_milli, 0.9)").as("p90"),
+          expr("percentile(value_milli, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
     // JSON property extraction + aggregation over the props column.
     "json_props_sum" -> { (s, d) =>
       Tables.events(s, d)
@@ -501,6 +513,13 @@ object SparkEntry {
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
+    "percentiles_by_type" ->
+      """SELECT event_type,
+                quantile_cont(CAST(floor(value*1000) AS BIGINT), 0.5) AS p50,
+                quantile_cont(CAST(floor(value*1000) AS BIGINT), 0.9) AS p90,
+                quantile_cont(CAST(floor(value*1000) AS BIGINT), 0.99) AS p99,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "json_props_sum" ->
       """SELECT event_type,
                 CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
