@@ -109,7 +109,8 @@ object SparkEntry {
     "w2_late_data" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val (_, late) = CoreOps.lateDataSplit(
-        ev, "ts", CoreOps.pseudoArrival(col("event_id")), 2000000L)
+        ev, "ts", CoreOps.pseudoArrival(col("event_id")), 2000000L,
+        CoreOps.pseudoArrivalChunk(col("event_id")))
       late.select(
         col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))

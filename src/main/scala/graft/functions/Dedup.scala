@@ -66,9 +66,22 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs within a blocking key.
     *
     * Docs are exploded to (shingle, doc) rows; the self-join on
-    * (block, shingle) yields only pairs that share at least one shingle —
-    * at scale the blocking column (e.g. source/domain/bucket) bounds the
-    * join fan-out. Output: (a, b, inter, uni, jaccard_milli).
+    * (block, shingle) yields only pairs that share at least one shingle.
+    * Two fan-out bounds make this scale:
+    *  - the blocking column (e.g. source/domain/bucket) partitions the
+    *    candidate space, and
+    *  - shingles with document frequency > `maxShingleDf` inside a block
+    *    are dropped BEFORE the join (a stop-shingle shared by most of a
+    *    block would otherwise re-create the all-pairs quadratic join) —
+    *    worst-case fan-out per shingle is maxShingleDf^2. Jaccard is then
+    *    computed over the capped shingle universe, the standard
+    *    stopword-removal semantics for near-dup mining.
+    * Plan shape: the df-filter is a window count partitioned by
+    * (block, shingle), which leaves the rows partitioned exactly on the
+    * subsequent join's key — one wide shuffle total, then the pair
+    * aggregation; per-doc set sizes re-attach to the (small) surviving
+    * pair list, AQE choosing broadcast when it fits.
+    * Output: (a, b, inter, uni, jaccard_milli).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -76,18 +89,28 @@ object Dedup {
       idCol: String,
       blockCol: String,
       n: Int,
-      minJaccardMilli: Int): DataFrame = {
+      minJaccardMilli: Int,
+      maxShingleDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = withHashedShingles(df, textCol, n, "sh")
       .select(col(idCol).as("doc"), col(blockCol).as("blk"), col("sh"))
       .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("doc"), col("blk"), col("sh"),
-      explode(col("sh")).as("s"))
-    val a = exploded.select(col("blk"), col("s"), col("doc").as("a"), size(col("sh")).as("na"))
-    val b = exploded.select(col("blk"), col("s"), col("doc").as("b"), size(col("sh")).as("nb"))
-    a.join(b, Seq("blk", "s"))
+    val exploded = sh.select(col("doc"), col("blk"), explode(col("sh")).as("s"))
+    val rare = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("blk"), col("s"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    // rare-shingle set size per doc (docs whose shingles are all capped
+    // out never become candidates)
+    val docSizes = rare.groupBy(col("doc")).agg(count(lit(1)).as("nd"))
+    val pairs = rare.select(col("blk"), col("s"), col("doc").as("a"))
+      .join(rare.select(col("blk"), col("s"), col("doc").as("b")), Seq("blk", "s"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(docSizes.select(col("doc").as("a"), col("nd").as("na")), "a")
+      .join(docSizes.select(col("doc").as("b"), col("nd").as("nb")), "b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard_milli",
         floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
@@ -200,21 +223,50 @@ object Dedup {
   def simhash60FromHashes(hs: Column): Column =
     graft.expressions.TextExpressions.simhash60(hs)
 
-  /** SimHash near-dup pairs within a blocking column, by Hamming distance. */
+  /** SimHash near-dup pairs within a blocking column, by Hamming distance.
+    *
+    * Candidate generation is multi-index Hamming banding, not all-pairs:
+    * the 60-bit fingerprint is split into `maxHamming + 1` contiguous
+    * bands, so by pigeonhole any pair within Hamming <= maxHamming agrees
+    * EXACTLY on at least one band. Docs emit one (band, value) key per
+    * band; only docs colliding on (block, band, value) are ever paired,
+    * then verified with the exact `bit_count(xor)`. Shuffle is
+    * O(docs x bands) thin rows — same output as the quadratic
+    * within-block join, never its cost.
+    */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       blockCol: String,
       maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= 60, s"maxHamming must be in [0, 59], got $maxHamming")
+    val baseLen = 60 / bands
+    val rem = 60 % bands
+    val lens = Seq.tabulate(bands)(i => baseLen + (if (i < rem) 1 else 0))
+    val offs = lens.scanLeft(0)(_ + _)
     val f = df
       .withColumn("hs", tokenHashes60(col(textCol)))
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         simhash60FromHashes(col("hs")).as("sh"))
-    f.as("x").join(f.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc") < col("y.doc"))
-      .withColumn("hamming", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("x.doc").as("a"), col("y.doc").as("b"), col("hamming"))
+    // the fingerprint is a single long, so carrying it alongside the band
+    // keys is cheaper than a re-attach join after candidate dedup
+    val banded = f.select(col("doc"), col("blk"), col("sh"),
+      explode(array((0 until bands).map { k =>
+        struct(
+          lit(k).as("band"),
+          shiftright(col("sh"), offs(k)).bitwiseAND(lit((1L << lens(k)) - 1)).as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("blk"), col("sh"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // verify BEFORE dedup: shrinks the shuffle
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("hamming"))
   }
 }

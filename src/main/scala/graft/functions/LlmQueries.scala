@@ -85,7 +85,7 @@ object LlmQueries {
     },
     "dedup_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        blockCol = "source", n = 3, minJaccardMilli = 10)
+        blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
         .orderBy("a", "b")
     },
     "dedup_minhash_lsh" -> { (s, d) =>
@@ -181,18 +181,23 @@ object LlmQueries {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-          ex AS (SELECT doc_id, source, len(s) AS ns, unnest(s) AS g
-                 FROM sh WHERE len(s) > 0)
-          SELECT a, b, inter, uni, jaccard_milli FROM (
-            SELECT a.doc_id AS a, b.doc_id AS b, a.ns AS na, b.ns AS nb,
-                   count(*) AS inter,
-                   a.ns + b.ns - count(*) AS uni,
-                   CAST(floor(count(*) * 1000.0 / (a.ns + b.ns - count(*))) AS BIGINT)
-                     AS jaccard_milli
-            FROM ex a JOIN ex b
-              ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4)
-          WHERE jaccard_milli >= 10
+          valid AS (SELECT doc_id, source, s FROM sh WHERE len(s) > 0),
+          ex AS (SELECT doc_id, source, unnest(s) AS g FROM valid),
+          freq AS (SELECT source, g, count(*) AS df FROM ex GROUP BY 1, 2),
+          rare AS (SELECT ex.doc_id, ex.source, ex.g
+                   FROM ex JOIN freq USING (source, g) WHERE freq.df <= 50),
+          nd AS (SELECT doc_id, count(*) AS nd FROM rare GROUP BY 1),
+          p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM rare a JOIN rare b
+                  ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT a, b, inter, uni,
+                 CAST(floor(inter * 1000.0 / uni) AS BIGINT) AS jaccard_milli
+          FROM (
+            SELECT p.a, p.b, p.inter, na.nd + nb.nd - p.inter AS uni
+            FROM p JOIN nd na ON na.doc_id = p.a
+                   JOIN nd nb ON nb.doc_id = p.b)
+          WHERE CAST(floor(inter * 1000.0 / uni) AS BIGINT) >= 10
           ORDER BY a, b""",
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -132,16 +132,48 @@ object CoreOps {
   // event time is older than (high watermark so far) - allowedLateness.
   // The streaming twin (true watermark tee) lives in
   // `graft.streaming.LateDataSplit`.
+  //
+  // A running prefix-max over a total order is the textbook case where a
+  // naive `Window.orderBy(ord)` serializes the whole corpus through one
+  // task. This is the chunked two-pass form instead:
+  //   1. bucket rows by `chunkCol` — any coarse MONOTONE function of the
+  //      arrival order (chunk(x) < chunk(y) must imply x < y);
+  //   2. aggregate per-chunk max(ts) — a tiny O(chunks) summary;
+  //   3. prefix-max that summary across chunks with a broadcast range
+  //      self-join (O(chunks^2) on ~hundreds of rows, no window at all);
+  //   4. resolve within-chunk with a window PARTITIONED by chunk.
+  // Every stage is shuffle-parallel; nothing in the plan is single-task.
   def lateDataSplit(
       df: DataFrame,
       tsCol: String,
       arrivalOrder: Column,
-      allowedLatenessUs: Long): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(arrivalOrder).rowsBetween(Window.unboundedPreceding, -1)
-    val withWm = df.withColumn("wm_us", max(unix_micros(col(tsCol))).over(w))
+      allowedLatenessUs: Long,
+      chunkCol: Column): (DataFrame, DataFrame) = {
+    val base = df
+      .withColumn("__ord", arrivalOrder)
+      .withColumn("__chunk", chunkCol)
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+    // tiny per-chunk summary; prefix-max via broadcast range self-join
+    // (left join keeps the first chunk, whose prefix-max is null)
+    val chunkMax = base.groupBy(col("__chunk")).agg(max(col("__ts_us")).as("__cmax"))
+    val prevChunkMax = chunkMax.select(col("__chunk"), col("__cmax"))
+      .join(
+        broadcast(chunkMax.select(col("__chunk").as("__pc"), col("__cmax").as("__pmax"))),
+        col("__pc") < col("__chunk"), "left")
+      .groupBy(col("__chunk"))
+      .agg(max(col("__pmax")).as("__prev_chunk_max"))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withWm = base
+      .join(broadcast(prevChunkMax), Seq("__chunk"))
+      .withColumn("__within_max", max(col("__ts_us")).over(w))
+      // greatest() skips nulls: null only when BOTH are null (first row of
+      // the first chunk) — exactly "no watermark yet"
+      .withColumn("wm_us", greatest(col("__prev_chunk_max"), col("__within_max")))
     val isLate = col("wm_us").isNotNull &&
-      unix_micros(col(tsCol)) < col("wm_us") - lit(allowedLatenessUs)
-    (withWm.filter(!isLate).drop("wm_us"), withWm.filter(isLate).drop("wm_us"))
+      col("__ts_us") < col("wm_us") - lit(allowedLatenessUs)
+    val helpers = Seq("__ord", "__chunk", "__ts_us", "__prev_chunk_max", "__within_max", "wm_us")
+    (withWm.filter(!isLate).drop(helpers: _*), withWm.filter(isLate).drop(helpers: _*))
   }
 
   // ---------------------------------------------------------------------
@@ -253,4 +285,11 @@ object CoreOps {
     * are stored time-sorted.
     */
   def pseudoArrival(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** The matching chunk key for [[lateDataSplit]]: the first two hex chars
+    * of the md5 arrival order — 256 uniform chunks, and a string prefix is
+    * monotone in the lexicographic order of the full digest.
+    */
+  def pseudoArrivalChunk(idCol: Column): Column =
+    substring(pseudoArrival(idCol), 1, 2)
 }

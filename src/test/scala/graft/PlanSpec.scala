@@ -54,4 +54,17 @@ class PlanSpec extends SparkSpec {
     assert("partial_(sum|count)".r.findFirstIn(p).isDefined,
       s"expected partial aggregation:\n$p")
   }
+
+  test("no query plans a single-partition window (WindowExec scale-killer)") {
+    // an unpartitioned Window.orderBy moves the whole input through one
+    // task; every windowed operator must partition (w2's prefix-max is the
+    // chunked two-pass form precisely to keep this set empty)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, fn) <- SparkEntry.queries) {
+      val bad = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has an unpartitioned window:\n${bad.mkString("\n")}")
+    }
+  }
 }

@@ -27,7 +27,7 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("ngram jaccard finds the planted near-dup pair") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 300)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 300, 50)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))   // near-dup
     assert(pairs.contains((0L, 3L)))   // exact dup (jaccard 1000)

@@ -81,9 +81,32 @@ class InvariantSpec extends SparkSpec {
   test("late-data split is a partition: onTime + late = input, late older than wm") {
     val df = randomEvents(10L, 300)
     val (onTime, late) = CoreOps.lateDataSplit(
-      df, "ts", CoreOps.pseudoArrival(col("id")), 2000000L)
+      df, "ts", CoreOps.pseudoArrival(col("id")), 2000000L,
+      CoreOps.pseudoArrivalChunk(col("id")))
     assert(onTime.count() + late.count() === 300L)
     assert(onTime.select("id").intersect(late.select("id")).count() === 0L)
+  }
+
+  test("chunked late-data split equals the sequential prefix-max definition") {
+    val df = randomEvents(14L, 300)
+    val (_, late) = CoreOps.lateDataSplit(
+      df, "ts", CoreOps.pseudoArrival(col("id")), 2000000L,
+      CoreOps.pseudoArrivalChunk(col("id")))
+    val got = late.select("id").as[Long].collect().toSet
+    // brute force: replay rows in arrival order, track the running max ts
+    val rows = df
+      .select(col("id"), unix_micros(col("ts")).as("ts_us"),
+        CoreOps.pseudoArrival(col("id")).as("arr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._3)
+    var wm = Long.MinValue
+    val expected = scala.collection.mutable.Set[Long]()
+    for ((id, ts, _) <- rows) {
+      if (wm != Long.MinValue && ts < wm - 2000000L) expected += id
+      wm = math.max(wm, ts)
+    }
+    assert(got === expected.toSet)
   }
 
   test("salted aggregation equals direct aggregation") {
@@ -141,7 +164,7 @@ class InvariantSpec extends SparkSpec {
     val planted = base ++ Seq((100L, base(0)._2 + " extra", "s"), (101L, base(1)._2, "s"))
     val docs = planted.toDF("doc_id", "text", "source")
     val exact = graft.functions.Dedup
-      .ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 500)
+      .ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 500, Int.MaxValue)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val lsh = graft.functions.Dedup
       .minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 500)
