@@ -57,6 +57,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col(key), col("w.start").as("session_start"), col("w.end").as("session_end"), col("n"))
 
+  /** A4 with the batch gate's exact output shape: streaming twin of
+    * `CoreOps.sessionSummary` (same column names/types — epoch-micro
+    * bounds, count, milli-scaled value sum), so a streaming replay can be
+    * compared row-for-row against the oracle-checked batch answer.
+    */
+  def sessionSummaryStream(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      gap: String,
+      valueCol: String,
+      watermark: String = "2 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(graft.operators.CoreOps.scaledMilli(col(valueCol))).cast("long").as("sum_value_milli"))
+      .select(
+        col(key),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n"),
+        col("sum_value_milli"))
+
   /** A5: composite-key tumbling count. */
   def keyedWindowedCount(
       df: DataFrame,

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.{AuditTrail, BrowserEvent}
+import graft.sources.Tables
+
+/** Streaming-vs-batch convergence over the real corpus: replay the
+  * sf0.01 `events` table (10k rows) through the streaming twins of
+  * ST1/ST2/A4 in timestamp order across several micro-batches and assert
+  * the converged streaming output equals the batch formulation — the one
+  * the DuckDB oracle gate proves correct. This closes the "the oracle
+  * only sees batch" gap: batch == oracle (driver gate) and
+  * streaming == batch (this spec) together pin the streaming semantics.
+  *
+  * Reference semantics under test: `StatefulOperations.java:84-129` (ST1),
+  * `CourseUseCase.java:114-180` (ST2), `WindowingOperations.java:133-157`
+  * (A4 session windows).
+  */
+class ConvergenceSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val d = "/root/testdata/sf0.01"
+  private val batchSize = 2000
+
+  /** The corpus in replay (arrival) order: (event_id, user_id, event_type,
+    * ts_us, value) sorted by (ts_us, event_id) — the same total order the
+    * batch formulations use as their tie-break.
+    */
+  private lazy val replay: Array[(Long, Long, String, Long, Double)] =
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, String, Long, Double)]
+      .collect()
+      .sortBy(r => (r._4, r._1))
+
+  private def chunks[T](xs: Seq[T]): Iterator[Seq[T]] = xs.grouped(batchSize)
+
+  test("ST1 streaming replay of the corpus converges to the batch (oracled) answer") {
+    val input = MemoryStream[AuditTrail]
+    // the streaming twin keys on AuditTrail.user / filters operation ==
+    // "Delete"; map the corpus into that shape (error -> Delete), with
+    // timestamps in epoch micros so the 4h threshold matches the batch
+    // query's 14400000000 us
+    val alerts = StatefulOps.deleteBurstAlerts(input.toDS(), thresholdMs = 14400000000L)
+    val q = alerts.writeStream.format("memory").queryName("conv_st1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+          AuditTrail(id.toInt, user.toString,
+            "Event", if (typ == "error") "Delete" else typ, tsUs, 0, 0)
+        })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("conv_st1")
+        .select("user", "ts", "diffMs").as[(String, Long, Long)]
+        .collect().toSeq.sorted
+      // batch formulation emits (user_id, event_id, diff_us); re-attach
+      // each event's timestamp to compare on the streaming output's shape
+      val ev = Tables.events(spark, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val batch = graft.SparkEntry.queries("st1_burst_alerts")(spark, d)
+        .join(ev, "event_id")
+        .select(col("user_id").cast("string"), col("ts_us"), col("diff_us"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("ST2 streaming replay (transformWithState) converges to the batch answer") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[BrowserEvent]
+      val durations = StatefulOps.actionDurationsTws(
+        input.toDS(), loginAction = "signup", logoutAction = "error")
+      val q = durations.writeStream.format("memory").queryName("conv_st2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks(replay.toSeq).foreach { batch =>
+          input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+            BrowserEvent(id.toInt, user.toString, typ, tsUs)
+          })
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("conv_st2")
+          .select("user", "action", "durationMs").as[(String, String, Long)]
+          .collect().toSeq.sorted
+        val batch = graft.SparkEntry.queries("st2_action_durations")(spark, d)
+          .select(col("user_id").cast("string"), col("action"), col("duration_us"))
+          .as[(String, String, Long)].collect().toSeq.sorted
+        assert(streamed.nonEmpty)
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("A4 streaming session windows converge to the batch answer") {
+    final case class SessEv(user: String, ts_us: Long, value: Double)
+    val input = MemoryStream[(String, Long, Double)]
+    val sessions = StreamOps.sessionSummaryStream(
+      input.toDF().toDF("user_id", "ts_us", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "user_id", "ts", "4 hours", "value", watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("conv_a4")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (_, user, _, tsUs, v) => (user.toString, tsUs, v) })
+        q.processAllAvailable()
+      }
+      // a far-future sentinel for a user id outside the corpus pushes the
+      // watermark past every open session so append mode flushes them all
+      val flushTs = replay.last._4 + 30L * 24 * 3600 * 1000000
+      input.addData(Seq(("-1", flushTs, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_a4")
+        .filter(col("user_id") =!= "-1")
+        .select("user_id", "session_start_us", "session_end_us", "n", "sum_value_milli")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("a4_session_windows")(spark, d)
+        .select(col("user_id").cast("string"), col("session_start_us"),
+          col("session_end_us"), col("n"), col("sum_value_milli"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
