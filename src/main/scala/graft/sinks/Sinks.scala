@@ -27,18 +27,63 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
 
+  /** K2 payload serialization, as a pure batch-testable transform: a Kafka
+    * record needs a single `value` column; rows without one are serialized
+    * CSV-style (the reference's sink writes the `toString` of each record —
+    * `EventTimeOperations.java:188-196`). Split out of [[kafkaSink]] so the
+    * wire format is oracle-testable without a broker.
+    */
+  def kafkaPayload(df: DataFrame): DataFrame =
+    if (df.columns.contains("value")) df.select(col("value").cast("string").as("value"))
+    else df.select(concat_ws(",", df.columns.map(c => col(c).cast("string")): _*).as("value"))
+
+  /** K2 producer options (pure; see [[kafkaPayload]] for the payload). */
+  def kafkaSinkOptions(bootstrap: String, topic: String, checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
   /** K2: Kafka value sink; rows are serialized with `to_csv`-style concat
     * unless a `value` column already exists.
     */
-  def kafkaSink(df: DataFrame, bootstrap: String, topic: String, checkpoint: String): DataStreamWriter[Row] = {
-    val payload =
-      if (df.columns.contains("value")) df.select(col("value").cast("string").as("value"))
-      else df.select(concat_ws(",", df.columns.map(c => col(c).cast("string")): _*).as("value"))
-    payload.writeStream
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String, checkpoint: String): DataStreamWriter[Row] =
+    kafkaPayload(df).writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(bootstrap, topic, checkpoint))
+
+  /** Exactly-once to non-transactional stores, the Spark-idiomatic recipe.
+    *
+    * The reference's Kafka sink uses Flink's transactional producer
+    * (`EventTimeOperations.java:178-216`, Semantic.EXACTLY_ONCE); Spark's
+    * Kafka sink is at-least-once — on task/driver retry a micro-batch can
+    * be re-published. The delta is closed by making the WRITE idempotent
+    * instead of transactional: `foreachBatch` hands every micro-batch a
+    * stable `batchId` that is REUSED verbatim when the batch is replayed
+    * after recovery, so a tiny write-ahead ledger of committed batch ids
+    * (one zero-byte file per id, atomically created) makes the replayed
+    * write a no-op. Works against any store that can either overwrite by
+    * deterministic key/path (parquet partition = batchId) or skip a
+    * committed id, which is exactly how Spark's own file sink achieves
+    * end-to-end exactly-once.
+    *
+    * Ledger writes are one file create per micro-batch — no scaling
+    * concern; the data write inside `write` stays fully distributed.
+    */
+  def idempotentForeachBatch(
+      df: DataFrame,
+      ledgerDir: String)(
+      write: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val dir = java.nio.file.Paths.get(ledgerDir)
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+      java.nio.file.Files.createDirectories(dir)
+      val mark = dir.resolve(s"committed-$batchId")
+      if (!java.nio.file.Files.exists(mark)) {
+        write(batch.toDF(), batchId)
+        java.nio.file.Files.createFile(mark) // atomic; marks the id done
+        ()
+      }
+    }
   }
 
   /** K3: console sink (the reference's `print()`). */

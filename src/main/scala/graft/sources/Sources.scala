@@ -92,11 +92,21 @@ object Sources {
       startingOffsets: String = "latest"): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaSourceOptions(bootstrap, topic, startingOffsets))
       .load()
       .selectExpr("CAST(value AS STRING) AS value")
+
+  /** S2 consumer options (pure, spec-testable without the connector jar):
+    * the exact option surface `kafkaLines` hands the `kafka` source.
+    */
+  def kafkaSourceOptions(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
 
   /** S3: deterministic event-rate source (replaces the reference's
     * sleep-driven generator threads for tests/demos).
