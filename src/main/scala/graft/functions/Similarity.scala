@@ -98,10 +98,26 @@ object Similarity {
       centroidEvery: Int,
       nprobe: Int): DataFrame = {
     val c = withNorm(corpus, "vec", "v")
-    val q = withNorm(queries, "qvec", "q")
     val centroids = c
       .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    ivfTopKWithCentroids(queries, corpus, centroids, k, nprobe)
+  }
+
+  /** IVF probe/rank core with caller-supplied centroids `(cid, cd, cn)` —
+    * lets the index quality (modulo-sampled vs k-means-refined centroids,
+    * [[kmeansCentroids]]) vary without touching the probe plan. Measured
+    * recall@k vs [[bruteForceTopK]] is tracked in SCALING.md and floored
+    * by `RecallSpec`.
+    */
+  def ivfTopKWithCentroids(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val c = withNorm(corpus, "vec", "v")
+    val q = withNorm(queries, "qvec", "q")
     // cell assignment: scoring against broadcast centroids is narrow, and
     // the per-vector argmax is a map-side-combinable max(struct) — the
     // shuffle carries one row per corpus vector, not corpus x centroids
@@ -136,6 +152,54 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
+  }
+
+  /** Deterministic Lloyd refinement of the modulo-sampled centroids:
+    * fixed seed set (`vec_id % centroidEvery == 0`), fixed iteration
+    * count, cosine assignment with the same (score desc, cid asc)
+    * tie-break as the probe path — no RNG anywhere, so the index is
+    * reproducible run-to-run. Refinement balances cells on clustered
+    * corpora (the VERDICT-noted weakness of pure modulo sampling).
+    *
+    * Plan shape per iteration: assignment is the same narrow
+    * broadcast + max(struct) argmax as the probe path (one thin row per
+    * vector through the shuffle); the new means shuffle (cid, pos, x)
+    * triples — O(vectors x dim) thin rows, grouped twice. Empty cells
+    * keep their previous centroid (left join + coalesce).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      centroidEvery: Int,
+      iters: Int): DataFrame = {
+    val c = withNorm(corpus, "vec", "v")
+    var cent = c
+      .filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    for (_ <- 0 until iters) {
+      val cells = c
+        .join(broadcast(cent))
+        .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
+        .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+      val means = c.join(cells, "vec_id")
+        .select(col("cid"), posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cd"))
+        .withColumn("cn", l2Norm(col("cd")))
+      cent = cent.select(col("cid"), col("cd").as("cd0"), col("cn").as("cn0"))
+        .join(means, Seq("cid"), "left")
+        .select(
+          col("cid"),
+          coalesce(col("cd"), col("cd0")).as("cd"),
+          coalesce(col("cn"), col("cn0")).as("cn"))
+        .localCheckpoint() // cut the per-iteration lineage growth
+    }
+    cent
   }
 
   /** Deterministic ±1 hyperplane component (md5-derived, reproducible in

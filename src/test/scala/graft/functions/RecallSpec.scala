@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.tools.RecallEval
+
+/** IVF ANN recall floor vs the exact brute-force top-k, at the shipped
+  * query's configuration (k=5, centroidEvery=25, nprobe=3) on the sf0.01
+  * corpus. The corpus is (measured) near-random in cosine space — see
+  * SCALING.md §ANN-recall — so the information-theoretic expectation for
+  * ANY index is recall ≈ probe fraction (0.15 here); the floors assert
+  * the index (a) clears that bar by >2x and (b) the deterministic k-means
+  * refinement does not regress below the modulo-sampled baseline.
+  * Measured on 2026-08-12: modulo 0.390, kmeans(3) 0.450.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("IVF recall@5 clears 2x the probe fraction; k-means refinement holds the floor") {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+
+    val brute = Similarity.bruteForceTopK(queries, corpus, 5).cache()
+    try {
+      val rMod = RecallEval.recallAtK(
+        brute, Similarity.ivfTopK(queries, corpus, 5, centroidEvery = 25, nprobe = 3))
+      val rKm = RecallEval.recallAtK(
+        brute,
+        Similarity.ivfTopKWithCentroids(
+          queries, corpus, Similarity.kmeansCentroids(corpus, 25, 3), 5, 3))
+      val probeFraction = 3.0 / 20.0 // nprobe of ~20 cells
+      assert(rMod >= 2 * probeFraction, f"modulo recall $rMod%.3f under 2x probe fraction")
+      assert(rMod >= 0.30, f"modulo recall $rMod%.3f under floor 0.30 (measured 0.390)")
+      assert(rKm >= 0.35, f"kmeans recall $rKm%.3f under floor 0.35 (measured 0.450)")
+    } finally { brute.unpersist(); () }
+  }
+}
