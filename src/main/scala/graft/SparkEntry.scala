@@ -56,6 +56,15 @@ object SparkEntry {
       CoreOps.sessionSummary(Tables.events(s, d), "user_id", "ts", "4 hours", "value")
         .orderBy("user_id", "session_start_us")
     },
+    // A4, skew-safe form: time-chunked sessionize + boundary merge — same
+    // output (and same oracle) as a4_session_windows, but no reducer ever
+    // sees more than one day-bucket of one key. Skew win measured by the
+    // bench's skew_sessions_direct/chunked pair.
+    "a4_sessions_chunked" -> { (s, d) =>
+      CoreOps.sessionSummaryChunked(Tables.events(s, d), "user_id", "ts",
+        gapUs = 14400000000L, bucketUs = 86400000000L, "value")
+        .orderBy("user_id", "session_start_us")
+    },
     // A5: count per (user, event_type) per tumbling day.
     "a5_keyed_window_count" -> { (s, d) =>
       CoreOps.keyedTumblingCount(Tables.events(s, d), "ts", "1 day", "user_id", "event_type")
@@ -156,6 +165,26 @@ object SparkEntry {
                FROM events CROSS JOIN (VALUES (0),(5)) o(k)) s
          GROUP BY 1 ORDER BY 1""",
     "a4_session_windows" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id,
+                min(epoch_us(ts)) AS session_start_us,
+                max(epoch_us(ts)) + 14400000000 AS session_end_us,
+                count(*) AS n,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
+    // identical sessions, independent of how the engine chunks the work
+    "a4_sessions_chunked" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, value,
                   CASE WHEN lag(ts) OVER w IS NULL

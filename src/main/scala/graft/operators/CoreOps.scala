@@ -80,6 +80,64 @@ object CoreOps {
         col("n"),
         col("sum_value_milli"))
 
+  /** A4 for skewed keys: time-chunked ("salted by time") sessionization.
+    *
+    * [[sessionSummary]]'s plan shuffles every row of a key to ONE reducer
+    * — correct, but a hot key (one user with 10^8 events at 100 TB)
+    * serializes through a single task. This is the two-pass form:
+    *   1. sessionize within (key, time-bucket): adding the bucket to the
+    *      grouping key spreads a hot key across its time range, so no
+    *      reducer ever sees more than one bucket of one key;
+    *   2. merge bucket-boundary splits: per key, order the (few) local
+    *      sessions by start and merge adjacent ones whose start precedes
+    *      the running max end — since a session's end is last-event + gap,
+    *      `start < prev_end` is EXACTLY the "gap not yet expired"
+    *      condition, so the merge reconstructs the unchunked sessions
+    *      bit-for-bit. The merge window is partitioned by key but runs
+    *      over per-SESSION rows (bounded by buckets + true sessions), not
+    *      per-event rows — the skew is gone before any per-key ordering.
+    * Identical output to [[sessionSummary]]; oracle-checked against the
+    * same DuckDB SQL (`a4_sessions_chunked`) and equality-tested on
+    * planted hot-key corpora (`InvariantSpec`).
+    *
+    * @param bucketUs chunk width; any value >= gapUs is correct (smaller
+    *                 buckets spread hotter keys wider but split more
+    *                 sessions; ~day buckets suit ~hour gaps)
+    */
+  def sessionSummaryChunked(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      gapUs: Long,
+      bucketUs: Long,
+      valueCol: String): DataFrame = {
+    require(bucketUs >= gapUs, "bucket must be at least the session gap")
+    val local = df
+      .withColumn("__bucket", floor(unix_micros(col(tsCol)) / lit(bucketUs)))
+      .groupBy(col(key), col("__bucket"),
+        session_window(col(tsCol), s"$gapUs microseconds").as("w"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(scaledMilli(col(valueCol))).cast("long").as("__sv"))
+      .select(
+        col(key),
+        unix_micros(col("w.start")).as("__s"),
+        unix_micros(col("w.end")).as("__e"),
+        col("__n"), col("__sv"))
+    val byStart = Window.partitionBy(col(key)).orderBy(col("__s"))
+    val prevMaxEnd = max(col("__e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    local
+      .withColumn("__new", when(prevMaxEnd.isNull || col("__s") >= prevMaxEnd, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byStart))
+      .groupBy(col(key), col("__island"))
+      .agg(
+        min(col("__s")).as("session_start_us"),
+        max(col("__e")).as("session_end_us"),
+        sum(col("__n")).as("n"),
+        sum(col("__sv")).as("sum_value_milli"))
+      .drop("__island")
+  }
+
   // A5 (`chapter6/CourseUseCase.java:82-95`): count per composite key per
   // tumbling window.
   def keyedTumblingCount(df: DataFrame, tsCol: String, width: String, keys: String*): DataFrame =

@@ -57,6 +57,21 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("chunked sessionization equals direct sessionization, incl. a planted hot key") {
+    // 70% of rows on one hot user - the skew case the chunked form exists
+    // for; tiny gap/bucket so hundreds of sessions straddle bucket edges
+    val hot = randomEvents(21L, 1500)
+      .withColumn("user", when(pmod(col("id"), lit(10)) < 7, lit("HOT")).otherwise(col("user")))
+    for (df <- Seq(randomEvents(20L, 800), hot)) {
+      val direct = CoreOps.sessionSummary(df, "user", "ts", "5 seconds", "value")
+      val chunked = CoreOps.sessionSummaryChunked(
+        df, "user", "ts", gapUs = 5000000L, bucketUs = 60000000L, "value")
+      assert(chunked.count() === direct.count())
+      assert(direct.exceptAll(chunked).count() === 0L)
+      assert(chunked.exceptAll(direct).count() === 0L)
+    }
+  }
+
   test("burst alerts: every alert diff is positive and under threshold") {
     for (seed <- Seq(6L, 7L)) {
       val df = randomEvents(seed, 400).filter(col("op") === "Delete")
