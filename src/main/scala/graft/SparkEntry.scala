@@ -350,6 +350,135 @@ object SparkEntry {
         .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
         .limit(20)
     },
+    // TPC-H Q4 shape: EXISTS semi-join (orders with any late-shipped line).
+    "tpch_q4_priority_count" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q7 shape: bidirectional two-nation volume by ship year.
+    "tpch_q7_nation_volume" -> { (s, d) =>
+      val nat = Tables.nation(s, d)
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    // TPC-H Q10 shape: returned-item revenue, top-20 customers.
+    "tpch_q10_returned_top" -> { (s, d) =>
+      val custNat = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          CoreOps.scaledCenti(col("c_acctbal")).as("acctbal_c"), col("n_name"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+              col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custNat, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"), col("n_name"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // TPC-H Q13 shape: outer-join order-count distribution.
+    "tpch_q13_order_dist" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // TPC-H Q15 shape: top supplier(s) via max-of-aggregate subquery.
+    "tpch_q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_c"))
+      rev
+        .join(broadcast(rev.agg(max(col("total_c")).as("mx"))), col("total_c") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_c"))
+        .orderBy("s_suppkey")
+    },
+    // TPC-H Q17 shape: small-quantity lines vs per-part average (correlated
+    // aggregate rewritten as a broadcast join against the per-part avg).
+    "tpch_q17_small_qty" -> { (s, d) =>
+      val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val liOfParts = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val avgQty = liOfParts.groupBy(col("p_partkey").as("avg_pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      liOfParts
+        .join(broadcast(avgQty), col("p_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          sum(CoreOps.scaledCenti(col("l_extendedprice"))).as("rev_c"),
+          count(lit(1)).as("n"))
+    },
+    // TPC-H Q19 shape: disjunction of brand/size/quantity bands — the
+    // OR-of-ANDs predicate pushdown/join test.
+    "tpch_q19_brand_bands" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 30)))
+        .agg(
+          sum(CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_c"),
+          count(lit(1)).as("n"))
+    },
+    // TPC-H Q22 shape: above-average balances with NO orders (scalar
+    // subquery threshold + anti-join), grouped by nation.
+    "tpch_q22_idle_rich" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .withColumn("acctbal_c", CoreOps.scaledCenti(col("c_acctbal")))
+      // threshold from exactly-summed cents: avg is deterministic in any
+      // engine (integer sum / count), unlike a double sum
+      val thr = cust.filter(col("acctbal_c") > 0)
+        .agg((sum(col("acctbal_c")) / count(lit(1))).as("avg_c"))
+      cust
+        .join(broadcast(thr), col("acctbal_c") > col("avg_c"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= expr("TIMESTAMP '1999-01-01 00:00:00'")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("acctbal_c")).as("totacctbal_c"))
+        .orderBy("c_nationkey")
+    },
     // Top-k users by quantized spend (two-phase top-k at scale via AQE).
     "top_users_by_value" -> { (s, d) =>
       Tables.events(s, d)
@@ -496,6 +625,86 @@ object SparkEntry {
            HAVING sum_qty_c > 15000) q
          JOIN orders ON l_orderkey = o_orderkey
          ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20""",
+    "tpch_q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q10_returned_top" ->
+      """SELECT c_custkey, c_name,
+                CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_c DESC, c_custkey LIMIT 20""",
+    "tpch_q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) c
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_c
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_c = (SELECT max(total_c) FROM rev)
+         ORDER BY s_suppkey""",
+    "tpch_q17_small_qty" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#3'),
+         a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty FROM li GROUP BY 1)
+         SELECT CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+                count(*) AS n
+         FROM li JOIN a ON l_partkey = pk
+         WHERE l_quantity < 0.2 * avg_qty""",
+    "tpch_q19_brand_bands" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
+    "tpch_q22_idle_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+                           CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_c
+                    FROM customer)
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+         FROM c
+         WHERE acctbal_c > (SELECT sum(acctbal_c) * 1.0 / count(*) FROM c WHERE acctbal_c > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY 1 ORDER BY 1""",
     "top_users_by_value" ->
       """SELECT user_id,
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
