@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines, beyond dedup:
+  * benchmark-contamination detection, deterministic stratified sampling,
+  * sequence packing, duplicate-cluster resolution, keyword extraction and
+  * PII scrubbing. Every operator is a declarative DataFrame transform with
+  * an engine-portable definition (md5-derived hashing, integer-quantized
+  * scores) so the DuckDB oracle gate can check it bit-for-bit.
+  */
+object Curation {
+
+  /** 48-bit md5-prefix hash of a column's string form — the engine-neutral
+    * deterministic hash used for sampling decisions (NOT a UDF: conv +
+    * md5 + substring are all codegen'd built-ins).
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Benchmark-contamination pairs: corpus documents sharing >= 1 hashed
+    * n-gram with a benchmark document, scored by containment of the
+    * BENCHMARK's shingle set (the standard train-test leakage check:
+    * `inter / |bench shingles|`).
+    *
+    * Scale shape mirrors `Dedup.ngramJaccardPairs`: shingles with global
+    * document frequency > `maxShingleDf` are dropped before the join
+    * (bounding per-shingle fan-out at maxShingleDf^2), the join carries
+    * (shingle, id) pairs only, and the benchmark side of a real pipeline
+    * is tiny next to the corpus — Catalyst/AQE broadcasts it.
+    * Containment is computed over the capped shingle universe.
+    */
+  def contaminationPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isBench: Column,
+      n: Int,
+      maxShingleDf: Int,
+      minContainMilli: Int): DataFrame = {
+    val sh = Dedup.withHashedShingles(docs, textCol, n, "sh")
+      .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc"), col("is_bench"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = ex.join(freq, "g").filter(col("df") <= maxShingleDf).drop("df")
+    val benchSizes = rare.filter(col("is_bench"))
+      .groupBy(col("doc").as("bench_id")).agg(count(lit(1)).as("nb"))
+    rare.filter(!col("is_bench")).select(col("g"), col("doc").as("doc_id"))
+      .join(rare.filter(col("is_bench")).select(col("g"), col("doc").as("bench_id")), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(benchSizes, "bench_id")
+      .withColumn("containment_milli",
+        floor(col("inter") * lit(1000.0) / col("nb")).cast("long"))
+      .filter(col("containment_milli") >= minContainMilli)
+      .select(col("doc_id"), col("bench_id"), col("inter"), col("nb"),
+        col("containment_milli"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `hash48(id) mod 1000 < rateMilli(stratum)` — reproducible across
+    * engines and runs, no RNG, and exactly mirrorable in SQL. The standard
+    * way a 100 TB pipeline takes "10% of web, all of books": a narrow
+    * filter, no shuffle, pushes into the scan's ReadSchema.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratCol: String,
+      ratesMilli: Map[String, Int],
+      defaultMilli: Int): DataFrame = {
+    val rate = ratesMilli.foldLeft(lit(defaultMilli)) { case (acc, (k, v)) =>
+      when(col(stratCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(pmod(hash48(col(idCol)), lit(1000)) < rate)
+  }
+
+  /** Sequence packing: assign documents (in deterministic `idCol` order
+    * per stratum) to fixed token-budget bins by running token count —
+    * the contiguous-packing layout used to build training batches. A doc
+    * that straddles a boundary starts in the earlier bin (`bin` is where
+    * its first token lands; `bin_offset` the position there).
+    *
+    * The per-stratum running sum is a partitioned window (one stratum =
+    * one reducer's sort, same skew posture as sessionization — for a
+    * single enormous stratum, pre-chunk by a coarse monotone id range
+    * exactly like `CoreOps.sessionSummaryChunked`).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      stratCol: String,
+      textCol: String,
+      budgetTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(idCol), col(stratCol), col("n_tokens"),
+        (col("cum_before") / lit(budgetTokens)).cast("long").as("bin"),
+        pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
+  }
+
+  /** Connected components over an undirected pair list (the
+    * duplicate-CLUSTER resolution step after any pairwise dedup): every
+    * node is labelled with the minimum id reachable from it.
+    *
+    * Hash-to-min label propagation: each iteration joins current labels
+    * across edges and keeps the per-node minimum — O(component diameter)
+    * iterations, each one bounded-size shuffle on node ids (never
+    * materializing pairs-of-pairs). Near-dup graphs are overwhelmingly
+    * star/clique shaped (diameter 2-3), so the loop converges in a few
+    * rounds; `maxIters` only guards pathological chains. Iterations are
+    * `localCheckpoint`ed so lineage stays flat.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Rarity-weighted keyword extraction (TF-IDF family, rational form):
+    * per-document top-k terms by `tf * N / df`, integer-quantized
+    * (`floor(tf * 1000 * N / df)`) so the score is bit-identical in any
+    * engine — a plain `ln`-based IDF differs in the last ulp across libm
+    * implementations and would break hash parity.
+    *
+    * Plan: one explode + two aggregations; the term-df table is vocabulary
+    * -sized and broadcast; top-k per doc is a partitioned window.
+    */
+  def keywordScores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = ex.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_milli",
+        floor(col("tf") * lit(1000.0) * col("n") / col("df")).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_milli"), col("rank"))
+  }
+
+  /** PII scrubbing: redact emails, URLs and long digit runs (in that
+    * order — order matters, URLs can contain digit runs), counting each.
+    * Pure codegen'd regexp built-ins; the patterns avoid constructs whose
+    * semantics differ between regex engines (no backrefs, no lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val DigitsRe = "[0-9]{6,}"
+
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("__t1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_urls", regexp_count(col("__t1"), lit(UrlRe)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), UrlRe, "<URL>"))
+      .withColumn("n_ids", regexp_count(col("__t2"), lit(DigitsRe)).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("__t2"), DigitsRe, "<ID>"))
+      .drop("__t1", "__t2")
+}

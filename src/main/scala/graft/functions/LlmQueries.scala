@@ -61,6 +61,25 @@ object LlmQueries {
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** MinHash candidate-pair CTE chain (after `shinglesCte`): 16 affine
+    * permutations, 4 bands x 4 rows — mirrors `Dedup.minhashLshPairs`.
+    * Shared by the `dedup_minhash_lsh` and `dedup_clusters` oracles.
+    */
+  private val minhashCandCtes: String =
+    """valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          sig AS (SELECT doc_id, s,
+                    list_transform(generate_series(0, 15), i ->
+                      list_min(list_transform(s, h ->
+                        ((1234567 + 2*i) * (h % 2147483647) + (987654 + i)) % 2147483647)))
+                    AS sig
+                  FROM valid),
+          bands AS (SELECT doc_id, k,
+                      md5(array_to_string(sig[k*4+1 : k*4+4], ',')) AS bh
+                    FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM bands x JOIN bands y
+                     ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+
   /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
     * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
     */
@@ -133,6 +152,44 @@ object LlmQueries {
       Similarity.ivfTopK(queries, corpus, k = 5, centroidEvery = 25, nprobe = 3)
         .orderBy("qid", "rank")
     },
+    // ------------------------------------------------- curation
+    // Train-test leakage: corpus docs sharing capped 3-gram shingles with
+    // a (deterministic stand-in) benchmark set, scored by containment of
+    // the benchmark's shingle set.
+    "contamination" -> { (s, d) =>
+      Curation.contaminationPairs(Tables.documents(s, d), "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(20)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100)
+        .orderBy("doc_id", "bench_id")
+    },
+    // Deterministic md5-hash stratified sampling per source.
+    "stratified_sample" -> { (s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
+        ratesMilli = Map("src0" -> 50, "src1" -> 200, "src2" -> 800),
+        defaultMilli = 500)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    // Token-budget sequence packing (4096-token bins per source).
+    "pack_sequences" -> { (s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 4096)
+        .orderBy("doc_id")
+    },
+    // Duplicate clusters: connected components over MinHash-LSH verified
+    // pairs (jaccard >= 0.5), labelled by minimum reachable doc id.
+    "dedup_clusters" -> { (s, d) =>
+      Curation.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    // Rarity-weighted keyword extraction: top-3 terms per doc.
+    "text_keywords" -> { (s, d) =>
+      Curation.keywordScores(Tables.documents(s, d), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    },
     // ------------------------------------------------- text analysis
     "text_langid" -> { (s, d) =>
       Tables.documents(s, d)
@@ -201,19 +258,7 @@ object LlmQueries {
           ORDER BY a, b""",
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
-          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-          sig AS (SELECT doc_id, s,
-                    list_transform(generate_series(0, 15), i ->
-                      list_min(list_transform(s, h ->
-                        ((1234567 + 2*i) * (h % 2147483647) + (987654 + i)) % 2147483647)))
-                    AS sig
-                  FROM valid),
-          bands AS (SELECT doc_id, k,
-                      md5(array_to_string(sig[k*4+1 : k*4+4], ',')) AS bh
-                    FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                   FROM bands x JOIN bands y
-                     ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          $minhashCandCtes
           SELECT c.a, c.b,
                  CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
                    (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
@@ -222,6 +267,70 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "contamination" ->
+      s"""WITH $shinglesCte,
+          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          ex AS (SELECT doc_id, (doc_id % 20 = 0) AS is_bench, unnest(s) AS g FROM valid),
+          freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+          rare AS (SELECT ex.doc_id, ex.is_bench, ex.g
+                   FROM ex JOIN freq USING (g) WHERE freq.df <= 50),
+          nbt AS (SELECT doc_id AS bench_id, count(*) AS nb
+                  FROM rare WHERE is_bench GROUP BY 1),
+          p AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
+                FROM rare c JOIN rare b ON c.g = b.g
+                WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2)
+          SELECT doc_id, bench_id, inter, nb,
+                 CAST(floor(inter * 1000.0 / nb) AS BIGINT) AS containment_milli
+          FROM p JOIN nbt USING (bench_id)
+          WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100
+          ORDER BY doc_id, bench_id""",
+    "stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 <
+               CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 200
+                           WHEN 'src2' THEN 800 ELSE 500 END
+         ORDER BY doc_id""",
+    "pack_sequences" ->
+      s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+          t AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+          c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM t)
+          SELECT doc_id, source, n_tokens,
+                 CAST(cum_before // 4096 AS BIGINT) AS bin,
+                 CAST(cum_before % 4096 AS BIGINT) AS bin_offset
+          FROM c ORDER BY doc_id""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
+          SELECT node AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY 1 ORDER BY 1""",
+    "text_keywords" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          ex AS (SELECT doc_id, unnest(toks) AS term FROM base),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, term, tf, df, score_milli, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                   CAST(floor(tf.tf * 1000.0 * nn.n / dfreq.df) AS BIGINT) AS score_milli,
+                   CAST(row_number() OVER (PARTITION BY tf.doc_id
+                     ORDER BY CAST(floor(tf.tf * 1000.0 * nn.n / dfreq.df) AS BIGINT) DESC,
+                              tf.term) AS BIGINT) AS rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN nn) q
+          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "dedup_simhash" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
           h AS (SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit coverage for the curation operators whose corpus queries can't
+  * exercise every path (the synthetic documents contain no PII) plus
+  * fixture-level checks of the oracle-gated ones.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub redacts emails, urls and id runs in order, with counts") {
+    val df = Seq(
+      (1L, "contact bob.smith+x@corp.example.org or visit https://ex.org/a?id=1234567 ref 99887766"),
+      (2L, "clean text, short digits 12345 stay"),
+      (3L, "two mails a@b.co c@d.io and http://u.v/w")).toDF("id", "text")
+    val out = Curation.piiScrub(df, "text")
+      .select("id", "scrubbed", "n_emails", "n_urls", "n_ids")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "contact <EMAIL> or visit <URL> ref <ID>", 1L, 1L, 1L)))
+    assert(out(1) === ((2L, "clean text, short digits 12345 stay", 0L, 0L, 0L)))
+    assert(out(2) === ((3L, "two mails <EMAIL> <EMAIL> and <URL>", 2L, 1L, 0L)))
+  }
+
+  test("connectedComponents labels a chain, a clique and a singleton pair") {
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Curation.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("stratifiedSample keeps strata at their configured rates") {
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("grp"))
+    val out = Curation.stratifiedSample(df, "id", "grp",
+      Map("s0" -> 0, "s1" -> 1000, "s2" -> 500), defaultMilli = 100)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("s0"))                     // rate 0 drops all
+    assert(counts("s1") === 5000L)                     // rate 1000 keeps all
+    assert(math.abs(counts("s2") - 2500L) < 300,       // ~50%
+      s"s2 kept ${counts("s2")}")
+    assert(math.abs(counts("s3") - 500L) < 150,        // default ~10%
+      s"s3 kept ${counts("s3")}")
+    // determinism: same input -> identical sample
+    val again = Curation.stratifiedSample(df, "id", "grp",
+      Map("s0" -> 0, "s1" -> 1000, "s2" -> 500), defaultMilli = 100)
+    assert(out.exceptAll(again).count() === 0L)
+  }
+
+  test("packSequences: bins respect the budget and offsets are consistent") {
+    val docs = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e"), (3L, "s", "f g h i"),
+      (4L, "t", "x y z w v")).toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(docs, "doc_id", "source", "text", 4)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    // source s: cum_before 0, 3, 5 -> bins 0, 0, 1; offsets 0, 3, 1
+    assert(out.toSeq === Seq(
+      (1L, "s", 3L, 0L, 0L), (2L, "s", 2L, 0L, 3L), (3L, "s", 4L, 1L, 1L),
+      (4L, "t", 5L, 0L, 0L)))
+  }
+}
