@@ -55,6 +55,35 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation:\n$p")
   }
 
+  test("tpch_q4: EXISTS plans as a semi join, never a full join + distinct") {
+    val p = plan("tpch_q4_priority_count")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+  }
+
+  test("tpch_q22: NOT EXISTS plans as an anti join; threshold broadcasts") {
+    val p = plan("tpch_q22_idle_rich")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar threshold must broadcast:\n$p")
+  }
+
+  test("tpch_q19: part dimension broadcasts and the brand filter is pushed") {
+    val p = plan("tpch_q19_brand_bands")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+    assert(p.contains("In(p_brand"), s"brand filter not pushed to part scan:\n$p")
+  }
+
+  test("stratified_sample: the hash filter is a narrow scan, no shuffle") {
+    val p = plan("stratified_sample")
+    assert(!p.contains("Exchange") || p.contains("Exchange rangepartitioning"),
+      s"sampling must not shuffle (orderBy range exchange excepted):\n$p")
+  }
+
+  test("text_keywords: term df table broadcasts, top-k window is partitioned") {
+    val p = plan("text_keywords")
+    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast:\n$p")
+  }
+
   test("no query plans a single-partition window (WindowExec scale-killer)") {
     // an unpartitioned Window.orderBy moves the whole input through one
     // task; every windowed operator must partition (w2's prefix-max is the
