@@ -27,8 +27,13 @@ object Dedup {
 
   /** Exact duplicate groups over normalized text (case/punct-insensitive). */
   def normalizedGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(normalize(col(textCol))).as("fp"))
+    df.groupBy(normalizedFingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Normalized-text digest — the dedup key of [[normalizedGroups]], also
+    * usable as a per-row column (e.g. streaming dedup on a doc stream).
+    */
+  def normalizedFingerprint(text: Column): Column = md5(normalize(text))
 
   /** Distinct word n-gram shingles from a *materialized* token-array
     * column (empty array if fewer than `n` tokens; guarded so the sequence
