@@ -111,6 +111,29 @@ object ScaleSmoke {
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       Similarity.ivfTopK(q, vecs, 5, centroidEvery = 200, nprobe = 3).count()
     }
+    time("contamination (1/1000 bench)") {
+      graft.functions.Curation.contaminationPairs(docs, "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(1000)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100).count()
+    }
+    time("stratified sample") {
+      graft.functions.Curation.stratifiedSample(docs, "doc_id", "source",
+        Map("src0" -> 50, "src1" -> 200), 500).count()
+    }
+    time("sequence packing (4096)") {
+      graft.functions.Curation.packSequences(docs, "doc_id", "source", "text", 4096).count()
+    }
+    time("dup clusters (CC over LSH pairs)") {
+      graft.functions.Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b").count()
+    }
+    time("keyword extraction (top-3)") {
+      graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).count()
+    }
+    time("pii scrub") {
+      graft.functions.Curation.piiScrub(docs, "text")
+        .select(col("n_emails") + col("n_urls") + col("n_ids")).count()
+    }
     spark.stop()
   }
 }
