@@ -226,6 +226,29 @@ object LlmQueries {
         .select(col("media_id"), col("modality"), col("width"), col("height"),
           col("n_frames"), col("payload_bytes"))
         .orderBy("media_id")
+    },
+    // Frame sampling: one row per 4th frame of each video payload — the
+    // plan-level explode that feeds per-frame feature extraction.
+    "multimodal_frames" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
+      Multimodal.sampleFrames(
+        Multimodal.stubDecode(media, col("text")).filter(col("modality") === "video"),
+        everyN = 4)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    },
+    // Aspect-preserving resize metadata (payloads untouched by the stub).
+    "multimodal_resize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
+      Multimodal.stubResize(
+        Multimodal.stubDecode(media, col("text")), maxDim = 256L)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("media_id")
     })
 
   def oracles: Map[String, String] = Map(
@@ -477,5 +500,27 @@ object LlmQueries {
          FROM (SELECT doc_id, text,
                  CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
                FROM documents)
-         ORDER BY media_id""")
+         ORDER BY media_id""",
+    "multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CAST(1 + (CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 16) AS BIGINT)
+                    AS n_frames
+           FROM documents WHERE CAST(doc_id % 3 AS INT) = 2)
+         SELECT media_id, n_frames,
+                CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
+         FROM m ORDER BY media_id, frame_idx""",
+    "multimodal_resize" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id,
+                  CAST(64 + (h % 448) AS BIGINT) AS width,
+                  CAST(64 + (CAST(floor(h / 448) AS BIGINT) % 448) AS BIGINT) AS height
+           FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+                 FROM documents)),
+         s AS (SELECT *, least(256, greatest(width, height)) AS sn,
+                      greatest(width, height) AS sd FROM d)
+         SELECT media_id, width, height,
+                CAST(floor(width * sn / sd) AS BIGINT) AS out_width,
+                CAST(floor(height * sn / sd) AS BIGINT) AS out_height
+         FROM s ORDER BY media_id""")
 }
