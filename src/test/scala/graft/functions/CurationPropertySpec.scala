@@ -1,0 +1,115 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded-random invariants for the curation operators — the properties a
+  * 100 TB run relies on (conservation, bounds, determinism), checked over
+  * corpora the fixture tests don't enumerate.
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = (0 until 40).map(i => s"w$i")
+
+  private def randomDocs(seed: Long, n: Int) = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      (i.toLong,
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"src${rnd.nextInt(5)}")
+    }.toDF("doc_id", "text", "source")
+  }
+
+  test("packing conserves tokens; offsets stay under budget; strata start at zero") {
+    for (seed <- Seq(31L, 32L)) {
+      val docs = randomDocs(seed, 400)
+      val budget = 128
+      val packed = Curation.packSequences(docs, "doc_id", "source", "text", budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val totalTokens = docs
+        .select(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+        .collect().head.getLong(0)
+      assert(packed.map(_._3).sum === totalTokens, "token conservation")
+      assert(packed.forall(p => p._5 >= 0 && p._5 < budget), "offset in [0, budget)")
+      packed.groupBy(_._2).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_._1)
+        assert(ordered.head._4 === 0L && ordered.head._5 === 0L,
+          "first doc of a stratum starts at bin 0 offset 0")
+        // bins never decrease in id order, and cum positions reconstruct
+        var cum = 0L
+        ordered.foreach { case (_, _, nTok, bin, off) =>
+          assert(bin === cum / budget && off === cum % budget)
+          cum += nTok
+        }
+      }
+    }
+  }
+
+  test("sampling is a deterministic subset, monotone in rate") {
+    val docs = randomDocs(33L, 600)
+    def sample(rate: Int) = Curation.stratifiedSample(
+      docs, "doc_id", "source", Map.empty, rate).select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(sample(1000) === all)
+    assert(sample(0) === Set.empty[Long])
+    val s300 = sample(300)
+    val s700 = sample(700)
+    assert(s300.subsetOf(s700), "rate monotonicity: lower rate is a subset")
+    assert(s700.subsetOf(all))
+    assert(sample(300) === s300, "re-run identical")
+  }
+
+  test("connected components: pair endpoints share labels, labels are members") {
+    val rnd = new Random(34L)
+    val pairs = (0 until 120).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      if (a < b) (a, b) else (b, a + 1)
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    val labels = Curation.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // every endpoint is labelled with a node no greater than itself
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) === labels(b), s"endpoints of ($a,$b) in different clusters")
+    }
+    assert(labels.forall { case (n, l) => l <= n }, "label is a component minimum")
+    assert(labels.values.toSet.forall(l => labels(l) === l),
+      "every cluster label is itself labelled with itself")
+  }
+
+  test("contamination containment is bounded and benchmark-consistent") {
+    val docs = randomDocs(35L, 300)
+    val rows = Curation.contaminationPairs(docs, "text", "doc_id",
+      isBench = pmod(col("doc_id"), lit(10)) === 0,
+      n = 3, maxShingleDf = 40, minContainMilli = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, benchId, inter, nb, milli) =>
+      assert(docId % 10 !== 0L, "corpus side excludes benchmark docs")
+      assert(benchId % 10 === 0L, "bench side only benchmark docs")
+      assert(inter >= 1 && inter <= nb, "0 < inter <= |bench shingles|")
+      assert(milli >= 0 && milli <= 1000, "containment in [0, 1000]")
+    }
+  }
+
+  test("keyword ranks are contiguous from 1 and scores non-increasing per doc") {
+    val docs = randomDocs(36L, 200)
+    val rows = Curation.keywordScores(docs, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to byRank.length).toSeq)
+      assert(byRank.sliding(2).forall {
+        case Array(x, y) => x._2 >= y._2
+        case _ => true
+      }, "scores non-increasing in rank")
+    }
+  }
+}
