@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MB scan splits: with ~2-4x expansion from parquet decode, a
+      // task's working set stays well inside a typical 4-8 GB executor
+      // heap share, so scans neither spill nor starve parallelism at any
+      // corpus size (explicit, not defaulted, because it's load-bearing
+      // for the 100 TB sizing story).
+      .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
