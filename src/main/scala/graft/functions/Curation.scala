@@ -106,6 +106,50 @@ object Curation {
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
   }
 
+  /** [[packSequences]] for a skewed/hot stratum: the same output, but the
+    * running token sum is the chunked two-pass form (the pattern shared
+    * with `CoreOps.lateDataSplit` and `sessionSummaryChunked`):
+    * per-(stratum, chunk) token totals — a tiny summary — are prefix-
+    * summed with a broadcast range self-join, and only the within-chunk
+    * remainder uses a window PARTITIONED by (stratum, chunk). No reducer
+    * ever sorts more than one chunk of one stratum.
+    *
+    * @param chunkCol coarse MONOTONE function of `idCol` within each
+    *                 stratum (chunk(x) < chunk(y) must imply x < y), e.g.
+    *                 `floor(col("doc_id") / 100000)`
+    */
+  def packSequencesChunked(
+      df: DataFrame,
+      idCol: String,
+      stratCol: String,
+      textCol: String,
+      budgetTokens: Int,
+      chunkCol: Column): DataFrame = {
+    val base = df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__chunk", chunkCol)
+    val chunkSums = base.groupBy(col(stratCol), col("__chunk"))
+      .agg(sum(col("n_tokens")).as("__csum"))
+    val prevSums = chunkSums
+      .join(
+        broadcast(chunkSums.select(col(stratCol).as("__ps"), col("__chunk").as("__pc"),
+          col("__csum").as("__psum"))),
+        col("__ps") === col(stratCol) && col("__pc") < col("__chunk"), "left")
+      .groupBy(col(stratCol), col("__chunk"))
+      .agg(sum(col("__psum")).as("__prev_sum"))
+    val w = Window.partitionBy(col(stratCol), col("__chunk")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(prevSums), Seq(stratCol, "__chunk"))
+      .withColumn("cum_before",
+        coalesce(col("__prev_sum"), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(idCol), col(stratCol), col("n_tokens"),
+        (col("cum_before") / lit(budgetTokens)).cast("long").as("bin"),
+        pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
+  }
+
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every
     * node is labelled with the minimum id reachable from it.

@@ -175,6 +175,12 @@ object LlmQueries {
       Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 4096)
         .orderBy("doc_id")
     },
+    // Same packing, skew-safe chunked prefix-sum plan (same oracle).
+    "pack_sequences_chunked" -> { (s, d) =>
+      Curation.packSequencesChunked(Tables.documents(s, d), "doc_id", "source", "text",
+        4096, chunkCol = floor(col("doc_id") / 100))
+        .orderBy("doc_id")
+    },
     // Duplicate clusters: connected components over MinHash-LSH verified
     // pairs (jaccard >= 0.5), labelled by minimum reachable doc id.
     "dedup_clusters" -> { (s, d) =>
@@ -314,6 +320,18 @@ object LlmQueries {
                            WHEN 'src2' THEN 800 ELSE 500 END
          ORDER BY doc_id""",
     "pack_sequences" ->
+      s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+          t AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+          c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM t)
+          SELECT doc_id, source, n_tokens,
+                 CAST(cum_before // 4096 AS BIGINT) AS bin,
+                 CAST(cum_before % 4096 AS BIGINT) AS bin_offset
+          FROM c ORDER BY doc_id""",
+    // identical bins regardless of how the engine chunks the prefix sum
+    "pack_sequences_chunked" ->
       s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
           t AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
           c AS (SELECT *, coalesce(sum(n_tokens) OVER (

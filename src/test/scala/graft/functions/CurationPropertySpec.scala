@@ -51,6 +51,19 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunked packing equals direct packing, incl. a single hot stratum") {
+    val uniform = randomDocs(37L, 500)
+    val hot = randomDocs(38L, 800).withColumn("source", lit("HOT"))
+    for (docs <- Seq(uniform, hot)) {
+      val direct = Curation.packSequences(docs, "doc_id", "source", "text", 128)
+      val chunked = Curation.packSequencesChunked(docs, "doc_id", "source", "text", 128,
+        chunkCol = floor(col("doc_id") / 50))
+      assert(direct.exceptAll(chunked).count() === 0L)
+      assert(chunked.exceptAll(direct).count() === 0L)
+      assert(chunked.count() === direct.count())
+    }
+  }
+
   test("sampling is a deterministic subset, monotone in rate") {
     val docs = randomDocs(33L, 600)
     def sample(rate: Int) = Curation.stratifiedSample(
