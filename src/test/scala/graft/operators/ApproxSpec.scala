@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The sketch-based forms of the exact aggregates, checked for accuracy
+  * against their oracled exact twins on the real corpus. At 100 TB the
+  * exact forms stay correct but pay for it — exact distinct shuffles every
+  * (day, user) pair, exact percentiles buffer whole groups — while the
+  * sketches (HyperLogLog++, KLL-style quantiles) are fixed-size,
+  * map-side-combinable state. The engine ships both; these specs pin the
+  * accuracy contract that makes the swap safe.
+  */
+class ApproxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct tracks exact DAU within 5% on every day") {
+    val ev = Tables.events(spark, d)
+    val both = ev
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+      .select("exact", "approx").as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.05, s"HLL err $err (exact=$exact approx=$approx)")
+    }
+  }
+
+  test("approx_percentile brackets the exact percentiles per event type") {
+    val ev = Tables.events(spark, d)
+      .withColumn("value_milli", CoreOps.scaledMilli(col("value")))
+    val rows = ev.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value_milli, 0.5)").as("p50_exact"),
+        expr("approx_percentile(value_milli, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(value_milli, 0.99)").as("p99_exact"),
+        expr("approx_percentile(value_milli, 0.99, 1000)").as("p99_approx"),
+        max(col("value_milli")).as("mx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("mx").toDouble
+      assert(math.abs(r.getAs[Double]("p50_exact") - r.getAs[Long]("p50_approx")) / mx < 0.02,
+        s"p50 drifted: $r")
+      assert(math.abs(r.getAs[Double]("p99_exact") - r.getAs[Long]("p99_approx")) / mx < 0.02,
+        s"p99 drifted: $r")
+    }
+  }
+}
