@@ -102,6 +102,63 @@ class ConvergenceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("A1/A6 streaming tumbling counts converge to the batch answer") {
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val counts = StreamOps.windowedCount(
+      input.toDF().toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "ts", "1 minute", watermark = "1 second")
+    val q = counts.writeStream.format("memory").queryName("conv_a6")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (id, _, _, tsUs, _) => (id, tsUs) })
+        q.processAllAvailable()
+      }
+      input.addData((-1L, replay.last._4 + 30L * 24 * 3600 * 1000000)) // flush
+      q.processAllAvailable()
+      val sentinelWindow = (replay.last._4 + 30L * 24 * 3600 * 1000000) / 60000000L * 60
+      val streamed = spark.table("conv_a6")
+        .select(unix_micros(col("window_start")).divide(lit(1000000)).cast("long")
+          .as("ws"), col("n"))
+        .filter(col("ws") =!= sentinelWindow)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("a6_eventtime_count")(spark, d)
+        .select(col("window_start"), col("n"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("A5 streaming keyed tumbling counts converge to the batch answer") {
+    val input = MemoryStream[(Long, String, Long)] // (user_id, event_type, ts_us)
+    val counts = StreamOps.keyedWindowedCount(
+      input.toDF().toDF("user_id", "event_type", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "ts", "1 day", "1 second", "user_id", "event_type")
+    val q = counts.writeStream.format("memory").queryName("conv_a5")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (_, user, typ, tsUs, _) => (user, typ, tsUs) })
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "flush", replay.last._4 + 30L * 24 * 3600 * 1000000))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_a5")
+        .filter(col("user_id") =!= -1L)
+        .select(col("w.start").cast("long").as("ws"), col("user_id"),
+          col("event_type"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("a5_keyed_window_count")(spark, d)
+        .select(col("window_start"), col("user_id"), col("event_type"), col("n"))
+        .as[(Long, Long, String, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("A4 streaming session windows converge to the batch answer") {
     final case class SessEv(user: String, ts_us: Long, value: Double)
     val input = MemoryStream[(String, Long, Double)]
