@@ -383,6 +383,35 @@ object SparkEntry {
           .as("revenue_c"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
+    // TPC-H Q8 shape: supplier-nation market share inside a region's
+    // customer revenue, by ship year (conditional ratio of exact sums —
+    // both numerator and denominator are quantized-cents BIGINTs, so the
+    // share is deterministic in any engine).
+    "tpch_q8_market_share" -> { (s, d) =>
+      val suppNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val rev = CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      Tables.lineitem(s, d)
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0L)))
+            .as("nation_rev_c"),
+          sum(rev).as("total_rev_c"))
+        .withColumn("share_milli",
+          floor(col("nation_rev_c") * lit(1000.0) / col("total_rev_c")).cast("long"))
+        .orderBy("l_year")
+    },
     // TPC-H Q10 shape: returned-item revenue, top-20 customers.
     "tpch_q10_returned_top" -> { (s, d) =>
       val custNat = Tables.customer(s, d)
@@ -645,6 +674,28 @@ object SparkEntry {
          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q8_market_share" ->
+      """WITH base AS (
+           SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                  n1.n_name AS supp_nation,
+                  CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS cents
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA')
+         SELECT l_year, nation_rev_c, total_rev_c,
+                CAST(floor(nation_rev_c * 1000.0 / total_rev_c) AS BIGINT) AS share_milli
+         FROM (
+           SELECT l_year,
+                  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT)
+                    AS nation_rev_c,
+                  CAST(sum(cents) AS BIGINT) AS total_rev_c
+           FROM base GROUP BY 1)
+         ORDER BY l_year""",
     "tpch_q10_returned_top" ->
       """SELECT c_custkey, c_name,
                 CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name,
