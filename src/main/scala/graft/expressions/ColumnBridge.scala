@@ -13,6 +13,12 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Stable per-session UUID (`private[sql]` upstream): never reused for
+    * the JVM's lifetime, unlike an identity hash code.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a builder under `name` in the session's function registry so
     * the expression is callable from `spark.sql(...)`.
     */

@@ -102,8 +102,20 @@ object Curation {
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col(idCol), col(stratCol), col("n_tokens"),
-        (col("cum_before") / lit(budgetTokens)).cast("long").as("bin"),
+        longDiv(col("cum_before"), budgetTokens).as("bin"),
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
+  }
+
+  /** Exact integral division on longs (SQL `div`, Catalyst
+    * `IntegralDivide`), matching the oracle's `//` — double `/` + cast is
+    * only exact below 2^53, too small a ceiling for per-stratum cumulative
+    * token counts at 100 TB.
+    */
+  private def longDiv(c: Column, divisor: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(c.cast("long")), Literal(divisor)))
   }
 
   /** [[packSequences]] for a skewed/hot stratum: the same output, but the
@@ -146,7 +158,7 @@ object Curation {
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col(idCol), col(stratCol), col("n_tokens"),
-        (col("cum_before") / lit(budgetTokens)).cast("long").as("bin"),
+        longDiv(col("cum_before"), budgetTokens).as("bin"),
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
   }
 
@@ -189,6 +201,12 @@ object Curation {
       converged = changed == 0
       it += 1
     }
+    // A silent exit via the iteration cap would hand the caller unmerged
+    // (wrong) cluster labels; a chain-shaped component longer than
+    // maxIters must fail loudly, not quietly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: labels still changing after $maxIters " +
+        "iterations (component diameter exceeds maxIters); raise maxIters")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -199,7 +217,11 @@ object Curation {
     * implementations and would break hash parity.
     *
     * Plan: one explode + two aggregations; the term-df table is vocabulary
-    * -sized and broadcast; top-k per doc is a partitioned window.
+    * -sized — deliberately NOT hint-broadcast, because a web-scale corpus
+    * has an unbounded vocabulary and a pinned broadcast would OOM the
+    * driver. AQE picks broadcast when the table fits (it does at test
+    * scale) and falls back to a shuffled join when it doesn't. Top-k per
+    * doc is a partitioned window.
     */
   def keywordScores(
       docs: DataFrame,
@@ -212,7 +234,7 @@ object Curation {
     val dfreq = ex.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score_milli",
         floor(col("tf") * lit(1000.0) * col("n") / col("df")).cast("long"))

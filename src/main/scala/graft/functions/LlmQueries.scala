@@ -26,29 +26,27 @@ object LlmQueries {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
 
-  /** DuckDB replica of `Similarity.ivfTopK` (centroidEvery=25, nprobe=3,
-    * k=5, queries = vec_id < 20) — same centroid assignment, probing and
-    * ranking rules, bit-identical quantized scores.
+  /** IVF probe/rank CTE tail (nprobe=3, k=5, queries = vec_id < 20)
+    * against a centroid CTE named `centCte` with columns (cid, ce, cn) —
+    * same assignment, probing and ranking rules as
+    * `Similarity.ivfTopKWithCentroids`, bit-identical quantized scores.
+    * Prepend `v`/`vn` CTEs and the centroid CTE chain.
     */
-  private lazy val ivfOracle: String =
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                   FROM embeddings),
-        vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v),
-        cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
-        assign AS (
+  private def ivfProbeSql(centCte: String): String =
+    s"""assign AS (
           SELECT vec_id, e, n, cid FROM (
             SELECT vn.vec_id, vn.e, vn.n, c.cid,
                    row_number() OVER (PARTITION BY vn.vec_id
                      ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
                               c.cid) AS rn
-            FROM vn CROSS JOIN cent c) WHERE rn = 1),
+            FROM vn CROSS JOIN $centCte c) WHERE rn = 1),
         probes AS (
           SELECT qid, qe, qn, cid FROM (
             SELECT q.vec_id AS qid, q.e AS qe, q.n AS qn, c.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
                               c.cid) AS rn
-            FROM vn q CROSS JOIN cent c WHERE q.vec_id < 20) WHERE rn <= 3)
+            FROM vn q CROSS JOIN $centCte c WHERE q.vec_id < 20) WHERE rn <= 3)
         SELECT qid, vec_id, score_q4, rank FROM (
           SELECT p.qid, a.vec_id,
                  CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) AS score_q4,
@@ -57,6 +55,58 @@ object LlmQueries {
                             a.vec_id) AS BIGINT) AS rank
           FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id)
         WHERE rank <= 5 ORDER BY qid, rank"""
+
+  private val vnCtes: String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+        vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v)"""
+
+  /** DuckDB replica of `Similarity.ivfTopK` (centroidEvery=25). */
+  private lazy val ivfOracle: String =
+    s"""WITH $vnCtes,
+        cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+        ${ivfProbeSql("cent")}"""
+
+  /** One Lloyd iteration as CTEs: cosine-argmax assignment against
+    * `$prev`, EXACT quantized means (floor(x*1e6) summed as BIGINT,
+    * integer-divided by the cell size — the same order-independent
+    * arithmetic as `Similarity.kmeansCentroids`, so both engines derive
+    * bit-identical centroids), empty cells keeping the previous centroid.
+    * Embedding dim is 64 (TESTDATA.md).
+    */
+  private def kmeansIterSql(prev: String, i: Int): String =
+    s"""ka$i AS (
+          SELECT vec_id, cid FROM (
+            SELECT vn.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn CROSS JOIN $prev c) WHERE rn = 1),
+        km$i AS (
+          SELECT a.cid, t.i AS pos,
+                 CAST(sum(CAST(floor(vn.e[t.i] * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+                 count(*) AS nv
+          FROM ka$i a JOIN vn USING (vec_id)
+               CROSS JOIN generate_series(1, 64) t(i)
+          GROUP BY 1, 2),
+        kn$i AS (
+          SELECT cid, list(CAST(sq // nv AS DOUBLE) / 1000000 ORDER BY pos) AS ce
+          FROM km$i GROUP BY cid),
+        cent$i AS (
+          SELECT p.cid, coalesce(n.ce, p.ce) AS ce,
+                 sqrt(${dotSql("coalesce(n.ce, p.ce)", "coalesce(n.ce, p.ce)")}) AS cn
+          FROM $prev p LEFT JOIN kn$i n USING (cid))"""
+
+  /** DuckDB replica of `Similarity.ivfTopKWithCentroids` over
+    * `Similarity.kmeansCentroids(centroidEvery=25, iters=2)` — the two
+    * Lloyd iterations unrolled as CTE chains.
+    */
+  private lazy val ivfKmeansOracle: String =
+    s"""WITH $vnCtes,
+        cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+        ${kmeansIterSql("cent0", 1)},
+        ${kmeansIterSql("cent1", 2)},
+        ${ivfProbeSql("cent2")}"""
 
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
@@ -150,6 +200,17 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       Similarity.ivfTopK(queries, corpus, k = 5, centroidEvery = 25, nprobe = 3)
+        .orderBy("qid", "rank")
+    },
+    // IVF over k-means-refined centroids (2 deterministic Lloyd
+    // iterations, exact quantized means — see kmeansCentroids scaladoc).
+    "sim_topk_ivf_kmeans" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 25, iters = 2)
+      Similarity.ivfTopKWithCentroids(queries, corpus, cent, k = 5, nprobe = 3)
         .orderBy("qid", "rank")
     },
     // ------------------------------------------------- curation
@@ -462,6 +523,7 @@ object LlmQueries {
             FROM scored)
           WHERE rank <= 5 ORDER BY qid, rank""",
     "sim_topk_ivf" -> ivfOracle,
+    "sim_topk_ivf_kmeans" -> ivfKmeansOracle,
     "text_langid" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           sc AS (SELECT doc_id,

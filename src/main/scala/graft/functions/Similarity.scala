@@ -161,9 +161,17 @@ object Similarity {
     * reproducible run-to-run. Refinement balances cells on clustered
     * corpora (the VERDICT-noted weakness of pure modulo sampling).
     *
+    * The Lloyd means are EXACT, engine-portable integers, not raw double
+    * `avg()`s: each component is quantized to `floor(x * 10^6)` (a single
+    * IEEE multiply + floor, identical everywhere), summed as longs
+    * (order-independent), integer-divided by the cell size, and scaled
+    * back. Raw double means depend on summation order in the last ulp,
+    * which can flip an assignment argmax between engines and break the
+    * oracle's hash parity.
+    *
     * Plan shape per iteration: assignment is the same narrow
     * broadcast + max(struct) argmax as the probe path (one thin row per
-    * vector through the shuffle); the new means shuffle (cid, pos, x)
+    * vector through the shuffle); the new means shuffle (cid, pos, xq)
     * triples — O(vectors x dim) thin rows, grouped twice. Empty cells
     * keep their previous centroid (left join + coalesce).
     */
@@ -185,7 +193,10 @@ object Similarity {
       val means = c.join(cells, "vec_id")
         .select(col("cid"), posexplode(col("vd")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(
+          sum(floor(col("x") * lit(1000000.0)).cast("long")).as("sq"),
+          count(lit(1)).as("nv"))
+        .withColumn("m", longDiv(col("sq"), col("nv")).cast("double") / lit(1000000.0))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -200,6 +211,16 @@ object Similarity {
         .localCheckpoint() // cut the per-iteration lineage growth
     }
     cent
+  }
+
+  /** Exact integral division on longs (Catalyst `IntegralDivide`, SQL
+    * `div`): truncation toward zero, matching DuckDB's `//`.
+    */
+  private def longDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Deterministic ±1 hyperplane component (md5-derived, reproducible in

@@ -69,21 +69,33 @@ object Sinks {
     *
     * Ledger writes are one file create per micro-batch — no scaling
     * concern; the data write inside `write` stays fully distributed.
+    *
+    * LIFECYCLE COUPLING: batch ids are only unique within one checkpoint
+    * lineage — resetting the checkpoint restarts them at 0. The ledger
+    * therefore lives UNDER the query's checkpoint dir
+    * (`<checkpointDir>/_graft_commit_ledger`), so wiping the checkpoint
+    * wipes the ledger with it; a kept ledger + reset checkpoint would make
+    * new batches collide with old committed markers and be silently
+    * skipped (data loss, not duplicates).
     */
+  val LedgerSubdir = "_graft_commit_ledger"
+
   def idempotentForeachBatch(
       df: DataFrame,
-      ledgerDir: String)(
+      checkpointDir: String)(
       write: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val dir = java.nio.file.Paths.get(ledgerDir)
-    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-      java.nio.file.Files.createDirectories(dir)
-      val mark = dir.resolve(s"committed-$batchId")
-      if (!java.nio.file.Files.exists(mark)) {
-        write(batch.toDF(), batchId)
-        java.nio.file.Files.createFile(mark) // atomic; marks the id done
-        ()
+    val dir = java.nio.file.Paths.get(checkpointDir, LedgerSubdir)
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        java.nio.file.Files.createDirectories(dir)
+        val mark = dir.resolve(s"committed-$batchId")
+        if (!java.nio.file.Files.exists(mark)) {
+          write(batch.toDF(), batchId)
+          java.nio.file.Files.createFile(mark) // atomic; marks the id done
+          ()
+        }
       }
-    }
   }
 
   /** K3: console sink (the reference's `print()`). */

@@ -13,16 +13,30 @@ object Tables {
     * of re-listing on every call. On a 100 TB table the listing/footer
     * pass is thousands of S3 round-trips; benchmarks see it as a fixed
     * ~0.1-0.3 s floor per query. The cache holds lazy plans (nothing is
-    * materialized) and is keyed by session so dropped sessions don't leak
-    * plans across tests.
+    * materialized), is keyed by `sessionUUID` (stable, never reused —
+    * unlike identity hash codes), and entries of STOPPED sessions are
+    * evicted on the next access so a long-lived JVM (test runner,
+    * notebook) doesn't pin dead sessions' plans forever.
+    *
+    * CAVEAT: the cached relation snapshots the file listing at first
+    * access. If a parquet path's contents are regenerated or appended to
+    * within the same JVM, call [[invalidate]] first or the stale listing
+    * is silently served.
     */
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop cached plans under `dir` (use after rewriting files in place). */
+  def invalidate(dir: String): Unit =
+    planCache.filterInPlace { case ((_, p), _) => !p.startsWith(dir) }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    planCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     planCache.getOrElseUpdate(
-      (System.identityHashCode(spark).toString, s"$dir/$name.parquet"),
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(spark),
+        s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

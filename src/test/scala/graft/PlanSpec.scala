@@ -79,9 +79,13 @@ class PlanSpec extends SparkSpec {
       s"sampling must not shuffle (orderBy range exchange excepted):\n$p")
   }
 
-  test("text_keywords: term df table broadcasts, top-k window is partitioned") {
+  test("text_keywords: term df join uses a real join strategy (no hint pin)") {
+    // The df table is vocabulary-sized: deliberately NOT hint-broadcast
+    // (unbounded vocab at web scale would OOM a pinned broadcast). AQE
+    // broadcasts when it fits, shuffles when it doesn't — either is valid.
     val p = plan("text_keywords")
-    assert(p.contains("BroadcastHashJoin"), s"df table must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"df join must be hash/merge:\n$p")
   }
 
   test("no query plans a single-partition window (WindowExec scale-killer)") {

@@ -54,10 +54,11 @@ class KafkaSurfaceSpec extends SparkSpec {
   }
 
   test("exactly-once recipe: replayed batch ids write exactly once") {
-    val ledger = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val ledger = s"$checkpoint/${Sinks.LedgerSubdir}"
     val writes = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
     val input = MemoryStream[Long]
-    val q = Sinks.idempotentForeachBatch(input.toDF(), ledger) { (b, id) =>
+    val q = Sinks.idempotentForeachBatch(input.toDF(), checkpoint) { (b, id) =>
       writes.synchronized { writes += ((id, b.count())) }
       ()
     }.start()
