@@ -412,6 +412,70 @@ object SparkEntry {
           floor(col("nation_rev_c") * lit(1000.0) / col("total_rev_c")).cast("long"))
         .orderBy("l_year")
     },
+    // TPC-H Q9 shape: product-line profit by supplier nation and ship
+    // year. Adapted to this schema (no partsupp table): the per-unit cost
+    // proxy is p_retailprice/10, and the part filter is the q9-style name
+    // LIKE. Both profit terms are integer-quantized before the sum.
+    "tpch_q9_profit" -> { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(
+          CoreOps.scaledCenti(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+            floor(col("l_quantity") * col("p_retailprice") * lit(10.0)).cast("long"))
+          .as("profit_c"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    // CEP-ish conversion funnel: for each click, is there a purchase by
+    // the same user within the next hour? The forward as-of is ONE
+    // partitioned window over the unioned substreams (descending order,
+    // running min of future purchase times) — no range join, no per-user
+    // quadratic; the same union-sort-window shape as asofJoinBackward.
+    "funnel_click_purchase" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+        .filter(col("event_type") === "click")
+        .withColumn("conv",
+          when(col("next_purchase_us") > col("ts_us") &&
+            col("next_purchase_us") <= col("ts_us") + lit(3600000000L), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("conv")).as("n_converted"))
+        .withColumn("conv_milli",
+          floor(col("n_converted") * lit(1000.0) / col("n_clicks")).cast("long"))
+        .orderBy("user_id")
+    },
+    // Rank-family coverage: deterministic deciles of value per event type
+    // (ntile over a fully tie-broken order), count/min/max per bucket.
+    "value_deciles" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          CoreOps.scaledMilli(col("value")).as("value_milli"), col("event_id"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value_milli"), col("event_id"))
+      ev.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value_milli")).as("lo"), max(col("value_milli")).as("hi"))
+        .orderBy("event_type", "decile")
+    },
     // TPC-H Q10 shape: returned-item revenue, top-20 customers.
     "tpch_q10_returned_top" -> { (s, d) =>
       val custNat = Tables.customer(s, d)
@@ -584,7 +648,12 @@ object SparkEntry {
           col("sum_base_c"), col("n"))
         .orderBy("rflag", "lstatus")
     },
-    // Exact interpolated percentiles over quantized values.
+    // Exact interpolated percentiles over quantized values. ORACLE-ONLY
+    // AT SCALE: the exact `percentile` aggregate buffers every value of a
+    // group in the agg buffer — with few groups that is one reducer
+    // materializing a corpus fraction. The form to run at 100 TB is
+    // percentiles_by_type_approx below; this exact form exists as its
+    // accuracy oracle and for small/medium corpora.
     "percentiles_by_type" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .withColumn("value_milli", CoreOps.scaledMilli(col("value")))
@@ -593,6 +662,23 @@ object SparkEntry {
           expr("percentile(value_milli, 0.5)").as("p50"),
           expr("percentile(value_milli, 0.9)").as("p90"),
           expr("percentile(value_milli, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    // Sketch twin of percentiles_by_type: fixed-size quantile summaries,
+    // map-side combinable — constant memory per group at any scale. No
+    // DuckDB hash-parity oracle (sketch internals are engine-specific);
+    // the accuracy contract (each percentile within 2% of the value range
+    // of its exact twin, per event type) is pinned by ApproxSpec, and the
+    // driver records the rows-only check.
+    "percentiles_by_type_approx" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("value_milli", CoreOps.scaledMilli(col("value")))
+      ev.groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value_milli, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value_milli, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(value_milli, 0.99, 1000)").as("p99"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
     },
@@ -696,6 +782,46 @@ object SparkEntry {
                   CAST(sum(cents) AS BIGINT) AS total_rev_c
            FROM base GROUP BY 1)
          ORDER BY l_year""",
+    "tpch_q9_profit" ->
+      """SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                       - CAST(floor(l_quantity*p_retailprice*10) AS BIGINT)) AS BIGINT) AS profit_c
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2
+         ORDER BY n_name, o_year DESC""",
+    "funnel_click_purchase" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         t AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+                    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us
+           FROM ev),
+         c AS (
+           SELECT user_id,
+                  CASE WHEN next_purchase_us > ts_us
+                        AND next_purchase_us <= ts_us + 3600000000 THEN 1 ELSE 0 END AS conv
+           FROM t WHERE event_type = 'click')
+         SELECT user_id, count(*) AS n_clicks, CAST(sum(conv) AS BIGINT) AS n_converted,
+                CAST(floor(sum(conv) * 1000.0 / count(*)) AS BIGINT) AS conv_milli
+         FROM c GROUP BY 1 ORDER BY user_id""",
+    "value_deciles" ->
+      """WITH v AS (
+           SELECT event_type, CAST(floor(value*1000) AS BIGINT) AS value_milli, event_id
+           FROM events),
+         t AS (
+           SELECT event_type, value_milli,
+                  CAST(ntile(10) OVER (PARTITION BY event_type
+                    ORDER BY value_milli, event_id) AS BIGINT) AS decile
+           FROM v)
+         SELECT event_type, decile, count(*) AS n,
+                min(value_milli) AS lo, max(value_milli) AS hi
+         FROM t GROUP BY 1, 2 ORDER BY event_type, decile""",
     "tpch_q10_returned_top" ->
       """SELECT c_custkey, c_name,
                 CAST(floor(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name,

@@ -247,6 +247,51 @@ object Curation {
         col("score_milli"), col("rank"))
   }
 
+  /** Repetition/diversity quality signals per document (the Gopher-rule
+    * family, adapted to whitespace tokens): most-frequent-token share,
+    * distinct-token ratio and duplicate-bigram share, each integer-milli
+    * quantized. High top-token or duplicate-bigram share flags the
+    * degenerate boilerplate/spam a pretraining corpus filters out.
+    *
+    * Plan: one posexplode; token stats are two keyed aggregations; the
+    * bigram join of each token to its successor is a lead() over a window
+    * PARTITIONED by doc (never a single-task window). Zero-token docs are
+    * kept with all-zero metrics (left joins + coalesce).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tok = tf.groupBy(col("doc_id")).agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("tf")).as("top_tf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = ex
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+    val bgs = bg.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      countDistinct(col("bigram")).as("n_bigrams_distinct"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(tok, Seq("doc_id"), "left")
+      .join(bgs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(
+          floor(col("top_tf") * lit(1000.0) / col("n_tokens")).cast("long"),
+          lit(0L)).as("top_token_milli"),
+        coalesce(
+          floor(col("n_distinct") * lit(1000.0) / col("n_tokens")).cast("long"),
+          lit(0L)).as("distinct_milli"),
+        coalesce(
+          floor((col("n_bigrams") - col("n_bigrams_distinct")) * lit(1000.0) /
+            col("n_bigrams")).cast("long"),
+          lit(0L)).as("dup_bigram_milli"))
+  }
+
   /** PII scrubbing: redact emails, URLs and long digit runs (in that
     * order — order matters, URLs can contain digit runs), counting each.
     * Pure codegen'd regexp built-ins; the patterns avoid constructs whose

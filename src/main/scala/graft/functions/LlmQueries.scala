@@ -257,6 +257,11 @@ object LlmQueries {
       Curation.keywordScores(Tables.documents(s, d), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rank")
     },
+    // Gopher-style repetition/diversity quality signals per doc.
+    "text_repetition" -> { (s, d) =>
+      Curation.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    },
     // ------------------------------------------------- text analysis
     "text_langid" -> { (s, d) =>
       Tables.documents(s, d)
@@ -433,6 +438,31 @@ object LlmQueries {
                               tf.term) AS BIGINT) AS rank
             FROM tf JOIN dfreq USING (term) CROSS JOIN nn) q
           WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "text_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          m AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                  len(list_distinct(toks)) AS n_distinct,
+                  CASE WHEN len(toks) > 0 THEN
+                    list_max(list_transform(list_distinct(toks),
+                      t -> len(list_filter(toks, x -> x = t))))
+                  ELSE 0 END AS top_tf,
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(1, len(toks)-1),
+                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg
+                FROM base)
+          SELECT doc_id,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(CASE WHEN n_tokens > 0
+                   THEN floor(top_tf * 1000.0 / n_tokens) ELSE 0 END AS BIGINT)
+                   AS top_token_milli,
+                 CAST(CASE WHEN n_tokens > 0
+                   THEN floor(n_distinct * 1000.0 / n_tokens) ELSE 0 END AS BIGINT)
+                   AS distinct_milli,
+                 CAST(CASE WHEN len(bg) > 0
+                   THEN floor((len(bg) - len(list_distinct(bg))) * 1000.0 / len(bg))
+                   ELSE 0 END AS BIGINT) AS dup_bigram_milli
+          FROM m ORDER BY doc_id""",
     "dedup_simhash" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
           h AS (SELECT doc_id,

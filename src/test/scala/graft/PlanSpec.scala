@@ -19,10 +19,15 @@ class PlanSpec extends SparkSpec {
     // the driver sorts columns by name before hashing; a query without an
     // oracle gets only a rows-check — make the set explicit so a typo in
     // either map is caught here, not in the round gate
+    // queries that DELIBERATELY ship without a DuckDB twin (sketch
+    // internals are engine-specific); each must carry its own accuracy
+    // contract in a spec (ApproxSpec) and accepts the driver's rows-check
+    val rowsOnly = Set("percentiles_by_type_approx")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert((q -- o).isEmpty, s"queries missing oracles: ${q -- o}")
+    assert((q -- o -- rowsOnly).isEmpty, s"queries missing oracles: ${q -- o -- rowsOnly}")
+    assert(rowsOnly.subsetOf(q -- o), "rows-only set out of date")
   }
 
   test("tpch_q1: shipdate filter reaches the parquet scan, schema pruned") {

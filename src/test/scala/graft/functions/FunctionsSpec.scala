@@ -116,6 +116,36 @@ class FunctionsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("score_q4") >= 9999L)  // cosine 1 up to fp rounding
   }
 
+  test("multimodal: real PNG payloads decode to true dimensions via javax.imageio") {
+    import Multimodal.MediaRecord
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", png(37, 21, 0xffffff)),  // white
+      MediaRecord(2L, "image", png(128, 64, 0x000000)), // black
+      MediaRecord(3L, "image", "not an image".getBytes("UTF-8")), // stub fallback
+      MediaRecord(4L, "audio", png(50, 50, 0x123456)))  // wrong modality -> stub
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(2)
+    val rows = Multimodal.decodeBatched(ds, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).width === 37L && rows(1L).height === 21L && rows(1L).n_frames === 1L)
+    assert(rows(2L).width === 128L && rows(2L).height === 64L)
+    // mean-luma grid features: white ~ +0.5, black ~ -0.5 per cell
+    assert(rows(1L).feature.forall(f => math.abs(f - 0.5f) < 0.01f))
+    assert(rows(2L).feature.forall(f => math.abs(f + 0.5f) < 0.01f))
+    // non-image bytes and non-image modalities take the stub path
+    // (hash-derived dims land in [64, 512))
+    assert(rows(3L).width >= 64L && rows(3L).width < 512L)
+    assert(rows(4L).width >= 64L && rows(4L).width < 512L)
+  }
+
   test("multimodal: stub decode is deterministic and frame sampling explodes") {
     val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
       .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")

@@ -39,4 +39,37 @@ class RecallSpec extends SparkSpec {
       assert(rKm >= 0.35, f"kmeans recall $rKm%.3f under floor 0.35 (measured 0.450)")
     } finally { brute.unpersist(); () }
   }
+
+  test("clustered planted corpus: k-means-refined centroids beat modulo sampling") {
+    // 64 LOOSE clusters (noise comparable to the center norm): a random
+    // member is then a poor cell representative, while the Lloyd mean
+    // converges to the true center — exactly the case refinement exists
+    // for. Fully deterministic (fixed seed), so the comparison is stable.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val nClusters = 64
+    val perCluster = 20
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val cl = i % nClusters
+      (i.toLong,
+        Array.tabulate(dim)(j => (centers(cl)(j) + 0.8 * rnd.nextGaussian()).toFloat))
+    }
+    import spark.implicits._
+    val corpus = rows.toDF("vec_id", "vec")
+    val queries = corpus.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val brute = Similarity.bruteForceTopK(queries, corpus, 5).cache()
+    try {
+      val rMod = RecallEval.recallAtK(
+        brute, Similarity.ivfTopK(queries, corpus, 5, centroidEvery = 25, nprobe = 2))
+      val rKm = RecallEval.recallAtK(
+        brute,
+        Similarity.ivfTopKWithCentroids(
+          queries, corpus, Similarity.kmeansCentroids(corpus, 25, 3), 5, 2))
+      info(f"planted-corpus recall@5: modulo $rMod%.3f, kmeans $rKm%.3f")
+      assert(rKm >= rMod,
+        f"refined recall $rKm%.3f must not regress below modulo $rMod%.3f")
+    } finally { brute.unpersist(); () }
+  }
 }

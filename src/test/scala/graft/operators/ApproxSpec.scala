@@ -53,4 +53,30 @@ class ApproxSpec extends SparkSpec {
         s"p99 drifted: $r")
     }
   }
+
+  test("shipped percentiles_by_type_approx brackets its exact oracle twin") {
+    // The accuracy gate for the SHIPPED sketch query (the driver only
+    // rows-checks it — sketch internals have no DuckDB twin): every
+    // percentile within 2% of the per-type value range of the exact form.
+    val exact = graft.SparkEntry.queries("percentiles_by_type")(spark, d)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val approx = graft.SparkEntry.queries("percentiles_by_type_approx")(spark, d)
+      .collect()
+    val ranges = Tables.events(spark, d)
+      .withColumn("value_milli", CoreOps.scaledMilli(col("value")))
+      .groupBy(col("event_type"))
+      .agg((max(col("value_milli")) - min(col("value_milli"))).as("range"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("range")).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { a =>
+      val t = a.getAs[String]("event_type")
+      val e = exact(t)
+      val range = ranges(t).toDouble
+      assert(a.getAs[Long]("n") === e.getAs[Long]("n"), s"count mismatch for $t")
+      Seq("p50", "p90", "p99").foreach { p =>
+        val err = math.abs(e.getAs[Double](p) - a.getAs[Long](p)) / range
+        assert(err < 0.02, f"$t.$p err $err%.4f exceeds 2%% of range")
+      }
+    }
+  }
 }

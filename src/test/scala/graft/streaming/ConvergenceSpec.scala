@@ -159,6 +159,79 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J1 streaming stream-stream window join converges to the batch answer") {
+    val clicksIn = MemoryStream[(Long, Long, Long)]    // (user_id, click_id, ts_us)
+    val purchasesIn = MemoryStream[(Long, Long, Long)] // (user_id, purchase_id, ts_us)
+    val left = clicksIn.toDF().toDF("user_id", "click_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val right = purchasesIn.toDF().toDF("user_id", "purchase_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val joined = StreamOps.streamStreamWindowJoin(
+      left, right, "user_id", "ts", "1 day", watermark = "1 second")
+    val q = joined.writeStream.format("memory").queryName("conv_j1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // replay in timestamp order: no row ever arrives behind the
+      // watermark, so no join state is evicted before its matches arrive
+      // and the inner join emits every batch pair
+      chunks(replay.toSeq).foreach { batch =>
+        val clicks = batch.collect { case (id, user, "click", tsUs, _) => (user, id, tsUs) }
+        val purchases = batch.collect { case (id, user, "purchase", tsUs, _) => (user, id, tsUs) }
+        if (clicks.nonEmpty) clicksIn.addData(clicks)
+        if (purchases.nonEmpty) purchasesIn.addData(purchases)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("conv_j1")
+        .select(col("w.start").cast("long").as("ws"), col("user_id"),
+          col("click_id"), col("purchase_id"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("j1_windowed_join")(spark, d)
+        .select(col("w"), col("user_id"), col("click_id"), col("purchase_id"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("W2 streaming late-data tee converges to the batch split (per-row replay)") {
+    // The tee advances its watermark per MICRO-batch; the batch operator
+    // per row. They coincide exactly when each micro-batch carries one
+    // row, so this replays a 250-event pseudo-arrival-ordered subset
+    // row-at-a-time (the full corpus would be 10k triggers). Times are
+    // truncated to milliseconds first — the tee's bookkeeping is in ms —
+    // so both sides compare identical instants. Proof chain: tee ==
+    // batch lateDataSplit here; batch lateDataSplit == DuckDB oracle on
+    // the full corpus via the w2_late_data driver gate.
+    import graft.operators.CoreOps
+    val subset = Tables.events(spark, d)
+      .withColumn("__pa", CoreOps.pseudoArrival(col("event_id")))
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("__pa"))
+      .as[(Long, Long, String)].collect().sortBy(_._3).take(250).toSeq
+    val subsetDf = subset.toDF("event_id", "ts_ms", "__pa")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val (_, lateBatch) = CoreOps.lateDataSplit(
+      subsetDf, "ts", col("__pa"), 2000000L, substring(col("__pa"), 1, 2))
+    val expected = lateBatch.select("event_id").as[Long].collect().toSeq.sorted
+
+    val lateIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val split = new LateDataSplit("ts", allowedLatenessMs = 2000L,
+      onTime = (_, _) => (),
+      late = (df, _) =>
+        lateIds.synchronized { lateIds ++= df.collect().map(_.getAs[Long]("event_id")) })
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_ms)
+    val stream = input.toDF().toDF("event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val q = split.writer(stream).start()
+    try {
+      subset.foreach { case (id, tsMs, _) =>
+        input.addData((id, tsMs))
+        q.processAllAvailable()
+      }
+      assert(expected.nonEmpty, "subset must contain late rows for the proof to bite")
+      assert(lateIds.toSeq.sorted === expected)
+    } finally q.stop()
+  }
+
   test("A4 streaming session windows converge to the batch answer") {
     final case class SessEv(user: String, ts_us: Long, value: Double)
     val input = MemoryStream[(String, Long, Double)]
