@@ -588,6 +588,18 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // HLL sketch twin of daily_active_users — the 100 TB form: fixed ~KB
+    // state per day, map-side combinable, vs exact distinct's (day, user)
+    // shuffle. Rows-only at the driver gate (sketches are engine-
+    // specific); ApproxSpec pins the <=5%-of-exact accuracy contract.
+    "daily_active_users_approx" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("dau"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
+        .orderBy("day_start")
+    },
     // Event-stream enrichment: broadcast dimension join + rollup by segment.
     "events_enriched_by_segment" -> { (s, d) =>
       Tables.events(s, d)

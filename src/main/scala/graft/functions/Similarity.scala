@@ -242,6 +242,13 @@ object Similarity {
     * sharing a (band, bucket) are paired, then verified with the exact
     * quantized cosine. Shuffle cost O(vectors x bands) instead of
     * O(vectors^2); recall < 1 by design (governed by bands x rows).
+    *
+    * SCALE TUNING: random pairs collide with prob 2^-rowsPerBand per
+    * band, so fixed-width bands make candidate volume quadratic as the
+    * corpus grows. Set rowsPerBand ~ ceil(log2(corpus size)) to keep the
+    * expected random-collision volume O(bands x n) — measured flat at
+    * ~9-12 candidates/vector up to 2M vectors (SCALING.md, candidate-
+    * volume curve). The 4-bit default fits the sf-scale oracle corpora.
     */
   def signLshNearDupPairs(
       corpus: DataFrame,

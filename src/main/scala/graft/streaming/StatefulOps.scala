@@ -161,6 +161,56 @@ object StatefulOps {
         OutputMode.Append)
   }
 
+  final case class FunnelEvent(user: Long, eventType: String, tsUs: Long, eventId: Long)
+  final case class FunnelClick(clickId: Long, tsUs: Long)
+  final case class PendingClicks(clicks: Seq[FunnelClick])
+  final case class FunnelResolution(
+      user: Long, clickId: Long, clickTsUs: Long, nextPurchaseUs: Long, converted: Boolean)
+
+  /** CEP-ish conversion funnel, streaming twin of the batch
+    * `funnel_click_purchase` query (forward as-of window): each click is
+    * resolved by the FIRST (ts, event_id)-later purchase of the same user
+    * — `converted` iff that purchase's ts is strictly later and within
+    * `windowUs`. A purchase at the exact click timestamp resolves the
+    * click unconverted, exactly like the batch running-min (which that
+    * purchase masks).
+    *
+    * Clicks with no subsequent purchase stay pending in state — resolve
+    * them by closing the stream with a far-future sentinel purchase per
+    * user (the convergence proof does), or bound state with a timeout in
+    * a production deployment. Pending state per user is capped by the
+    * clicks between two purchases, not the stream length.
+    */
+  def funnelConversions(
+      events: Dataset[FunnelEvent],
+      windowUs: Long = 3600000000L): Dataset[FunnelResolution] = {
+    implicit val outEnc = Encoders.product[FunnelResolution]
+    implicit val stateEnc = Encoders.product[PendingClicks]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .filter((e: FunnelEvent) => e.eventType == "click" || e.eventType == "purchase")
+      .groupByKey((e: FunnelEvent) => e.user)
+      .flatMapGroupsWithState[PendingClicks, FunnelResolution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEvent], state: GroupState[PendingClicks]) =>
+          val out = Seq.newBuilder[FunnelResolution]
+          var pending = state.getOption.map(_.clicks).getOrElse(Seq.empty)
+          evs.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            if (e.eventType == "click") pending = pending :+ FunnelClick(e.eventId, e.tsUs)
+            else {
+              pending.foreach { c =>
+                out += FunnelResolution(user, c.clickId, c.tsUs, e.tsUs,
+                  e.tsUs > c.tsUs && e.tsUs <= c.tsUs + windowUs)
+              }
+              pending = Seq.empty
+            }
+          }
+          if (pending.isEmpty) { if (state.exists) state.remove() }
+          else state.update(PendingClicks(pending))
+          out.result().iterator
+      }
+  }
+
   /** ST2 (`CourseUseCase.java:114-180`): per-user action-duration tracker.
     * For each event, emit the duration of the *previous* action
     * (current ts - previous ts) unless the state is empty or the current

@@ -60,6 +60,24 @@ class ModelSpec extends SparkSpec {
     assert(r.getLong(3) === 1L) // bit 0: both set (+2); bit 1: one set (0 -> not positive)
   }
 
+  test("whole queries are expressible in pure spark.sql and match the DataFrame twins") {
+    graft.sources.Catalog.registerAll(spark, "/root/testdata/sf0.001")
+    val q6df = graft.SparkEntry.queries("tpch_q6_revenue_delta")(
+      spark, "/root/testdata/sf0.001").collect()
+    val q6sql = spark.sql(
+      """SELECT sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""").collect()
+    assert(q6sql.toSeq === q6df.toSeq)
+    val a1df = graft.SparkEntry.queries("a1_tumbling_count")(
+      spark, "/root/testdata/sf0.001").collect()
+    val a1sql = spark.sql(
+      """SELECT CAST(window.start AS LONG) AS window_start, count(*) AS n
+         FROM events GROUP BY window(ts, '5 seconds') ORDER BY window_start""").collect()
+    assert(a1sql.toSeq === a1df.toSeq)
+  }
+
   test("browser events fixture parses 22 rows") {
     assert(browser.count() === 22)
     val first = browser.filter(col("id") === 0).collect().head

@@ -22,7 +22,7 @@ class PlanSpec extends SparkSpec {
     // queries that DELIBERATELY ship without a DuckDB twin (sketch
     // internals are engine-specific); each must carry its own accuracy
     // contract in a spec (ApproxSpec) and accepts the driver's rows-check
-    val rowsOnly = Set("percentiles_by_type_approx")
+    val rowsOnly = Set("percentiles_by_type_approx", "daily_active_users_approx")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
@@ -91,6 +91,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("text_keywords")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"df join must be hash/merge:\n$p")
+  }
+
+  test("tpch_q9: both dimension sides broadcast, name filter pushed") {
+    val p = plan("tpch_q9_profit")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(p.contains("StringContains") || p.contains("widget"),
+      s"part name filter not pushed:\n$p")
+  }
+
+  test("funnel: forward as-of is one partitioned window, no join at all") {
+    // the naive formulation is a per-user range join (quadratic in the
+    // hottest user); the shipped plan must contain NO join operator
+    val p = plan("funnel_click_purchase")
+    assert(!p.contains("Join"), s"funnel must not plan a join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected window operator:\n$p")
   }
 
   test("no query plans a single-partition window (WindowExec scale-killer)") {

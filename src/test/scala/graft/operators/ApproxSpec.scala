@@ -54,6 +54,22 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("shipped daily_active_users_approx tracks its exact twin within 5%") {
+    val exact = graft.SparkEntry.queries("daily_active_users")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("daily_active_users_approx")(spark, d)
+      .collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (day, dau, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val e = exact(day)
+      val err = math.abs(dau - e).toDouble / e
+      assert(err <= 0.05, s"day $day: HLL $dau vs exact $e (err $err)")
+      assert(n > 0)
+    }
+    assert(approx.map(_.getLong(0)).toSet === exact.keySet, "same day set")
+  }
+
   test("shipped percentiles_by_type_approx brackets its exact oracle twin") {
     // The accuracy gate for the SHIPPED sketch query (the driver only
     // rows-checks it — sketch internals have no DuckDB twin): every

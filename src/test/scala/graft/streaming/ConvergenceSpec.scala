@@ -131,6 +131,70 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A3 streaming sliding summary converges to the batch answer") {
+    val input = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val summary = StreamOps.slidingSummary(
+      input.toDF().toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "ts", "10 seconds", "5 seconds", watermark = "1 second")
+    val q = summary.writeStream.format("memory").queryName("conv_a3")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (id, _, _, tsUs, _) => (id, tsUs) })
+        q.processAllAvailable()
+      }
+      input.addData((-1L, replay.last._4 + 30L * 24 * 3600 * 1000000)) // flush
+      q.processAllAvailable()
+      val cutoffSec = replay.last._4 / 1000000L + 60
+      val streamed = spark.table("conv_a3")
+        .select(col("window_start").cast("long").as("ws"), col("n"),
+          unix_micros(col("min_ts")).as("mn"), unix_micros(col("max_ts")).as("mx"))
+        .filter(col("ws") < cutoffSec)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("a3_sliding_summary")(spark, d)
+        .select(col("window_start"), col("n"), col("min_ts_us"), col("max_ts_us"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("funnel streaming state machine converges to the batch answer") {
+    import StatefulOps.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val res = StatefulOps.funnelConversions(input.toDS())
+    val q = res.writeStream.format("memory").queryName("conv_funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+          FunnelEvent(user, typ, tsUs, id)
+        })
+        q.processAllAvailable()
+      }
+      // far-future sentinel purchases resolve every still-pending click
+      // as unconverted — the state-machine analog of the batch query's
+      // NULL next_purchase
+      val flushTs = replay.last._4 + 30L * 24 * 3600 * 1000000
+      input.addData(replay.map(_._2).distinct.toSeq.map(u =>
+        FunnelEvent(u, "purchase", flushTs, -1L)))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_funnel")
+        .groupBy(col("user"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+        .select(col("user"), col("n_clicks"), col("n_converted"),
+          floor(col("n_converted") * lit(1000.0) / col("n_clicks")).cast("long")
+            .as("conv_milli"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("funnel_click_purchase")(spark, d)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("A5 streaming keyed tumbling counts converge to the batch answer") {
     val input = MemoryStream[(Long, String, Long)] // (user_id, event_type, ts_us)
     val counts = StreamOps.keyedWindowedCount(
