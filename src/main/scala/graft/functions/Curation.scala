@@ -247,6 +247,34 @@ object Curation {
         col("score_milli"), col("rank"))
   }
 
+  /** Token-budget mixture sampling: build a training mix by taking each
+    * stratum's documents in deterministic `idCol` order until that
+    * stratum's token budget is exhausted ("2B tokens of web, 500M of
+    * code"). A document is kept iff the running token count BEFORE it is
+    * still under budget, so the boundary document is included and every
+    * budget is reached (never silently undershot). Same per-stratum
+    * prefix-sum plan as [[packSequences]] (and the same chunked escape
+    * hatch applies to a single enormous stratum).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      stratCol: String,
+      textCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(stratCol) === k, lit(v)).otherwise(acc)
+    }
+    df
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col(idCol), col(stratCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Repetition/diversity quality signals per document (the Gopher-rule
     * family, adapted to whitespace tokens): most-frequent-token share,
     * distinct-token ratio and duplicate-bigram share, each integer-milli

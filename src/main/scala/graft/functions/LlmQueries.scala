@@ -262,6 +262,27 @@ object LlmQueries {
       Curation.repetitionStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")
     },
+    // Token-budget mixture sampling: 512 tokens of src0, 2048 of src1,
+    // 1024 of anything else, in deterministic doc_id order (budgets sized
+    // to ~2.5k tokens/source at gate scale so the cutoff actually bites).
+    "mixture_sample" -> { (s, d) =>
+      Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "source", "text",
+        budgets = Map("src0" -> 512L, "src1" -> 2048L), defaultBudget = 1024L)
+        .orderBy("doc_id")
+    },
+    // Max-abs int8 embedding quantization, reduced to per-vector scalars
+    // (scale + code-fold checksums) so the gate hash-compares scalars.
+    "embedding_quantize" -> { (s, d) =>
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          floor(q.getField("scale") * lit(1000000.0)).cast("long").as("scale_q6"),
+          aggregate(q.getField("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(q.getField("q")).as("q_min"),
+          array_max(q.getField("q")).as("q_max"))
+        .orderBy("vec_id")
+    },
     // ------------------------------------------------- text analysis
     "text_langid" -> { (s, d) =>
       Tables.documents(s, d)
@@ -438,6 +459,34 @@ object LlmQueries {
                               tf.term) AS BIGINT) AS rank
             FROM tf JOIN dfreq USING (term) CROSS JOIN nn) q
           WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "mixture_sample" ->
+      s"""WITH base AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+          t AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+          c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM t)
+          SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+          FROM c
+          WHERE cum_before < CASE source WHEN 'src0' THEN 512
+                                         WHEN 'src1' THEN 2048 ELSE 1024 END
+          ORDER BY doc_id""",
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          s AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          q AS (SELECT vec_id, scale,
+                  list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(x / scale * 127) AS BIGINT) END) AS codes
+                FROM s)
+          SELECT vec_id,
+                 CAST(floor(scale * 1000000) AS BIGINT) AS scale_q6,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                   (acc, x) -> acc + x) AS q_sum,
+                 list_min(codes) AS q_min,
+                 list_max(codes) AS q_max
+          FROM q ORDER BY vec_id""",
     "text_repetition" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
           m AS (SELECT doc_id, toks, len(toks) AS n_tokens,
