@@ -190,14 +190,16 @@ object Curation {
     while (!converged && it < maxIters) {
       val prop = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      // carry the previous label through the checkpoint so convergence is
+      // read off the materialized frame instead of re-joining both label
+      // generations (one fewer job per iteration)
       val next = labels.join(prop, labels("node") === prop("src"), "left")
         .select(labels("node"),
-          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+          labels("label").as("__old"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       converged = changed == 0
       it += 1
     }

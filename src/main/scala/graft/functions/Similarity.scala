@@ -179,7 +179,11 @@ object Similarity {
       corpus: DataFrame,
       centroidEvery: Int,
       iters: Int): DataFrame = {
-    val c = withNorm(corpus, "vec", "v")
+    // materialize the normalized working set once: every Lloyd iteration
+    // reads it twice (assignment + means) and recomputing norms + the
+    // scan per pass dominates the index build (iterative-kmeans caching,
+    // same practice as MLlib's)
+    val c = withNorm(corpus, "vec", "v").localCheckpoint()
     var cent = c
       .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))

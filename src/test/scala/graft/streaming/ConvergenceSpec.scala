@@ -131,6 +131,33 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A2 streaming running totals (update mode) converge to the batch answer") {
+    val input = MemoryStream[(Long, Long)] // (user_id, value_milli)
+    val totals = StreamOps.runningKeyedSum(
+      input.toDF().toDF("user_id", "value_milli"), "user_id", "value_milli")
+    val q = totals.writeStream.format("memory").queryName("conv_a2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (_, user, _, _, v) =>
+          (user, math.floor(v * 1000).toLong)
+        })
+        q.processAllAvailable()
+      }
+      // update mode emits one row per changed key per micro-batch; counts
+      // and totals are nondecreasing (values >= 0), so the per-key max
+      // across all updates IS the converged value
+      val streamed = spark.table("conv_a2")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"), max(col("total")).as("total_value_milli"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("a2_keyed_running_total")(spark, d)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("A3 streaming sliding summary converges to the batch answer") {
     val input = MemoryStream[(Long, Long)] // (event_id, ts_us)
     val summary = StreamOps.slidingSummary(
