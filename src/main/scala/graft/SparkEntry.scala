@@ -31,6 +31,50 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++
     analyticsOracles ++ graft.functions.LlmQueries.oracles
 
+  /** Shared input/aggregation of the two funnel query forms: clicks and
+    * purchases as (user_id, event_type, ts_us, event_id); per-user click
+    * count, conversions (next purchase strictly later and within 1 h),
+    * and the milli-rate.
+    */
+  private def funnelInput(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+
+  /** One oracle for both funnel plans (direct and chunked — same answer
+    * by construction).
+    */
+  private val funnelOracleSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       t AS (
+         SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+                  PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us
+         FROM ev),
+       c AS (
+         SELECT user_id,
+                CASE WHEN next_purchase_us > ts_us
+                      AND next_purchase_us <= ts_us + 3600000000 THEN 1 ELSE 0 END AS conv
+         FROM t WHERE event_type = 'click')
+       SELECT user_id, count(*) AS n_clicks, CAST(sum(conv) AS BIGINT) AS n_converted,
+              CAST(floor(sum(conv) * 1000.0 / count(*)) AS BIGINT) AS conv_milli
+       FROM c GROUP BY 1 ORDER BY user_id"""
+
+  private def funnelAgg(clicks: DataFrame): DataFrame =
+    clicks
+      .withColumn("conv",
+        when(col("next_purchase_us") > col("ts_us") &&
+          col("next_purchase_us") <= col("ts_us") + lit(3600000000L), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("conv")).as("n_converted"))
+      .withColumn("conv_milli",
+        floor(col("n_converted") * lit(1000.0) / col("n_clicks")).cast("long"))
+      .orderBy("user_id")
+
   // =====================================================================
   // Core operator queries (SURVEY §2) over the `events` table.
   // =====================================================================
@@ -439,27 +483,13 @@ object SparkEntry {
     // running min of future purchase times) — no range join, no per-user
     // quadratic; the same union-sort-window shape as asofJoinBackward.
     "funnel_click_purchase" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev
-        .withColumn("next_purchase_us",
-          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
-        .filter(col("event_type") === "click")
-        .withColumn("conv",
-          when(col("next_purchase_us") > col("ts_us") &&
-            col("next_purchase_us") <= col("ts_us") + lit(3600000000L), 1L)
-            .otherwise(0L))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_clicks"), sum(col("conv")).as("n_converted"))
-        .withColumn("conv_milli",
-          floor(col("n_converted") * lit(1000.0) / col("n_clicks")).cast("long"))
-        .orderBy("user_id")
+      funnelAgg(CoreOps.funnelNextPurchase(funnelInput(s, d)))
+    },
+    // Same funnel, skew-safe chunked suffix-min plan (same oracle) — no
+    // reducer ever sorts more than one day-bucket of one user.
+    "funnel_chunked" -> { (s, d) =>
+      funnelAgg(CoreOps.funnelNextPurchaseChunked(funnelInput(s, d),
+        bucketUs = 86400000000L))
     },
     // Rank-family coverage: deterministic deciles of value per event type
     // (ntile over a fully tie-broken order), count/min/max per bucket.
@@ -805,23 +835,8 @@ object SparkEntry {
          WHERE p_name LIKE '%widget%'
          GROUP BY 1, 2
          ORDER BY n_name, o_year DESC""",
-    "funnel_click_purchase" ->
-      """WITH ev AS (
-           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
-           FROM events WHERE event_type IN ('click', 'purchase')),
-         t AS (
-           SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
-                    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us
-           FROM ev),
-         c AS (
-           SELECT user_id,
-                  CASE WHEN next_purchase_us > ts_us
-                        AND next_purchase_us <= ts_us + 3600000000 THEN 1 ELSE 0 END AS conv
-           FROM t WHERE event_type = 'click')
-         SELECT user_id, count(*) AS n_clicks, CAST(sum(conv) AS BIGINT) AS n_converted,
-                CAST(floor(sum(conv) * 1000.0 / count(*)) AS BIGINT) AS conv_milli
-         FROM c GROUP BY 1 ORDER BY user_id""",
+    "funnel_click_purchase" -> funnelOracleSql,
+    "funnel_chunked" -> funnelOracleSql,
     "value_deciles" ->
       """WITH v AS (
            SELECT event_type, CAST(floor(value*1000) AS BIGINT) AS value_milli, event_id

@@ -337,6 +337,57 @@ object CoreOps {
         valueCols.map(c => col("__asof_" + c).as("asof_" + c)): _*)
   }
 
+  /** Forward as-of ("next matching event"): for every click row of `ev`
+    * — (user_id, event_type, ts_us, event_id) — attach
+    * `next_purchase_us` = the minimum purchase ts among the same user's
+    * rows strictly later in (ts_us, event_id) order. One partitioned
+    * window over the unioned substreams (descending order, running min),
+    * no range join, no per-user quadratic.
+    */
+  def funnelNextPurchase(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      .filter(col("event_type") === "click")
+  }
+
+  /** [[funnelNextPurchase]] for a pathologically hot user: the same
+    * output, but the running future-min is the chunked two-pass form (the
+    * family pattern of `sessionSummaryChunked` / `lateDataSplit` /
+    * `packSequencesChunked`, here as a SUFFIX-min): per-(user, time
+    * bucket) purchase minima — a tiny summary — are suffix-min'd with a
+    * broadcast range self-join, and only the within-bucket remainder uses
+    * a window PARTITIONED by (user, bucket). Buckets are a function of
+    * ts, so cross-bucket rows are strictly later and the (ts, event_id)
+    * tie-break only matters within a bucket — the merge is exact.
+    */
+  def funnelNextPurchaseChunked(ev: DataFrame, bucketUs: Long): DataFrame = {
+    val base = ev.withColumn("__chunk", floor(col("ts_us") / lit(bucketUs)))
+    val chunkMin = base.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("__chunk")).agg(min(col("ts_us")).as("__cmin"))
+    val laterMin = base.select(col("user_id"), col("__chunk")).distinct()
+      .join(
+        broadcast(chunkMin.select(col("user_id").as("__u"),
+          col("__chunk").as("__pc"), col("__cmin"))),
+        col("__u") === col("user_id") && col("__pc") > col("__chunk"), "left")
+      .groupBy(col("user_id"), col("__chunk"))
+      .agg(min(col("__cmin")).as("__later_min"))
+    val w = Window.partitionBy(col("user_id"), col("__chunk"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(laterMin), Seq("user_id", "__chunk"), "left")
+      .withColumn("__within_min",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+      // least() skips nulls: null only when no later purchase exists at all
+      .withColumn("next_purchase_us", least(col("__within_min"), col("__later_min")))
+      .filter(col("event_type") === "click")
+      .drop("__chunk", "__within_min", "__later_min")
+  }
+
   /** Deterministic pseudo-arrival order for batch replays of streaming
     * semantics: a keyed md5 permutation of a unique id column. Used to give
     * the W2 batch analog genuinely out-of-order "arrivals" on corpora that

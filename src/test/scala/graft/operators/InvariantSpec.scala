@@ -72,6 +72,26 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("chunked funnel equals direct funnel, incl. a planted hot key") {
+    import spark.implicits._
+    // deterministic click/purchase mix; 70% of events on one hot user,
+    // tiny buckets so next-purchase lookups routinely cross bucket edges
+    val ev = spark.range(3000).select(
+      when(pmod(col("id"), lit(10)) < 7, lit(7L))
+        .otherwise(pmod(col("id"), lit(40))).as("user_id"),
+      when(pmod(col("id"), lit(3)) === 0, lit("purchase"))
+        .otherwise(lit("click")).as("event_type"),
+      (lit(1700000000000000L) + pmod(xxhash64(col("id")), lit(600000000L))).as("ts_us"),
+      col("id").as("event_id"))
+    val direct = CoreOps.funnelNextPurchase(ev)
+      .select("user_id", "event_id", "next_purchase_us")
+    val chunked = CoreOps.funnelNextPurchaseChunked(ev, bucketUs = 30000000L)
+      .select("user_id", "event_id", "next_purchase_us")
+    assert(direct.count() === chunked.count())
+    assert(direct.exceptAll(chunked).count() === 0L)
+    assert(chunked.exceptAll(direct).count() === 0L)
+  }
+
   test("burst alerts: every alert diff is positive and under threshold") {
     for (seed <- Seq(6L, 7L)) {
       val df = randomEvents(seed, 400).filter(col("op") === "Delete")
