@@ -112,6 +112,70 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("token-budget sampling: kept set is the exact per-stratum prefix, budgets bite") {
+    for (seed <- Seq(41L, 42L)) {
+      val docs = randomDocs(seed, 300)
+      val budget = 600L
+      val kept = Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
+        budgets = Map("src0" -> 200L), defaultBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(kept.nonEmpty)
+      kept.groupBy(_._2).foreach { case (src, rows) =>
+        val b = if (src == "src0") 200L else budget
+        // every kept doc starts under budget; the kept set is a PREFIX in
+        // doc_id order (no gaps), and it reaches the budget unless the
+        // stratum ran out of documents
+        assert(rows.forall(_._4 < b), s"$src: kept doc starting at/after budget")
+        val ids = rows.map(_._1).sorted
+        val allIds = docs.filter(col("source") === src)
+          .select("doc_id").as[Long].collect().sorted
+        assert(ids.toSeq === allIds.take(ids.length).toSeq, s"$src: not a prefix")
+        val lastTotal = rows.map(r => r._4 + r._3).max
+        assert(lastTotal >= b || ids.length == allIds.length,
+          s"$src: budget undershot with documents left")
+      }
+    }
+  }
+
+  test("repetition stats: all metrics in [0, 1000], degenerate docs flagged") {
+    val docs = randomDocs(43L, 200)
+      .union(Seq((9001L, "spam spam spam spam spam spam", "srcX")).toDF())
+      .union(Seq((9002L, "", "srcX")).toDF())
+    val rows = Curation.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 202)
+    rows.foreach { case (_, n, top, dist, dup) =>
+      assert(top >= 0 && top <= 1000 && dist >= 0 && dist <= 1000 && dup >= 0 && dup <= 1000)
+      if (n == 0) assert(top == 0 && dist == 0 && dup == 0)
+    }
+    val spam = rows.find(_._1 == 9001L).get
+    assert(spam._3 === 1000L, "single-token doc: top-token share = 1000")
+    // 6 tokens -> 5 bigrams, 1 distinct: dup share = (5-1)/5 = 800 milli
+    assert(spam._5 === 800L, "all-identical bigrams: dup share = (n-1)/n")
+    val empty = rows.find(_._1 == 9002L).get
+    assert(empty._2 === 0L && empty._3 === 0L)
+  }
+
+  test("int8 quantization: codes bounded, dequantization error under scale/127") {
+    val vecs = (0 until 100).map { i =>
+      val rnd = new Random(100L + i)
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "vec")
+    val q = Similarity.quantizeInt8(col("vec"))
+    val rows = vecs.select(col("vec"), q.getField("scale").as("s"), q.getField("q").as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val s = r.getDouble(1)
+      val codes = r.getSeq[Long](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(c.toDouble / 127.0 * s - x) <= s / 127.0 + 1e-9,
+          s"dequant error too large: x=$x c=$c s=$s")
+      }
+    }
+  }
+
   test("keyword ranks are contiguous from 1 and scores non-increasing per doc") {
     val docs = randomDocs(36L, 200)
     val rows = Curation.keywordScores(docs, "text", "doc_id", k = 3)
