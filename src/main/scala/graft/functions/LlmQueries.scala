@@ -270,6 +270,19 @@ object LlmQueries {
         budgets = Map("src0" -> 512L, "src1" -> 2048L), defaultBudget = 1024L)
         .orderBy("doc_id")
     },
+    // Coarse embedding dedup in quantized space: vectors identical after
+    // int8 quantization share an md5 code fingerprint — the 16-byte
+    // shuffle-key dedup shape of dedup_exact, applied to vectors.
+    "dedup_embedding_quantized" -> { (s, d) =>
+      val q = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          md5(concat_ws(",",
+            transform(q.getField("q"), c => c.cast("string")))).as("qfp"))
+        .groupBy(col("qfp"))
+        .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("qfp")
+    },
     // Max-abs int8 embedding quantization, reduced to per-vector scalars
     // (scale + code-fold checksums) so the gate hash-compares scalars.
     "embedding_quantize" -> { (s, d) =>
@@ -471,6 +484,18 @@ object LlmQueries {
           WHERE cum_before < CASE source WHEN 'src0' THEN 512
                                          WHEN 'src1' THEN 2048 ELSE 1024 END
           ORDER BY doc_id""",
+    "dedup_embedding_quantized" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          s AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          q AS (SELECT vec_id,
+                  md5(array_to_string(
+                    list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(floor(x / scale * 127) AS BIGINT) END), ',')) AS qfp
+                FROM s)
+          SELECT qfp, min(vec_id) AS keep_id, count(*) AS n
+          FROM q GROUP BY 1 ORDER BY 1""",
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),
