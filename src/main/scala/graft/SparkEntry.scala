@@ -11,7 +11,10 @@ import graft.sources.Tables
   * Every entry in [[queries]] is a batch formulation of one operator from
   * SURVEY.md §2 (or a beyond-reference LLM-pipeline operator), expressed
   * through the `graft.operators` / `graft.functions` library, with a
-  * DuckDB-equivalent SQL oracle in [[oracleSql]].
+  * DuckDB-equivalent SQL oracle in [[oracleSql]] — except the two sketch
+  * twins (`percentiles_by_type_approx`, `daily_active_users_approx`),
+  * which are rows-only at the gate and accuracy-gated by `ApproxSpec`
+  * (the allowlist lives in `PlanSpec`'s contract test).
   *
   * Output conventions (engine-parity rules):
   *  - timestamps leave the plan as epoch micros/seconds BIGINT,
@@ -493,6 +496,9 @@ object SparkEntry {
     },
     // Rank-family coverage: deterministic deciles of value per event type
     // (ntile over a fully tie-broken order), count/min/max per bucket.
+    // ORACLE-ONLY AT SCALE: ntile partitioned by a low-cardinality key is
+    // one reducer per event type sorting its whole partition — the sketch
+    // twin below is the 100 TB form.
     "value_deciles" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
@@ -501,6 +507,27 @@ object SparkEntry {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value_milli"), col("event_id"))
       ev.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value_milli")).as("lo"), max(col("value_milli")).as("hi"))
+        .orderBy("event_type", "decile")
+    },
+    // Sketch twin of value_deciles: decile BOUNDARIES from
+    // approx_percentile (fixed-size state, map-side combinable), then a
+    // narrow broadcast-join bucket assignment — no per-type global sort
+    // anywhere, scales with partitions rather than event types. Rows-only
+    // at the gate; ApproxSpec pins near-uniform bucket occupancy.
+    "value_deciles_approx" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), CoreOps.scaledMilli(col("value")).as("value_milli"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(expr(
+          "approx_percentile(value_milli, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 1000)")
+          .as("bs"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("decile",
+          aggregate(col("bs"), lit(1L),
+            (acc, b) => acc + when(col("value_milli") > b, 1L).otherwise(0L)))
         .groupBy(col("event_type"), col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("value_milli")).as("lo"), max(col("value_milli")).as("hi"))

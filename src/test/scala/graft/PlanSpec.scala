@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
     // queries that DELIBERATELY ship without a DuckDB twin (sketch
     // internals are engine-specific); each must carry its own accuracy
     // contract in a spec (ApproxSpec) and accepts the driver's rows-check
-    val rowsOnly = Set("percentiles_by_type_approx", "daily_active_users_approx")
+    val rowsOnly = Set("percentiles_by_type_approx", "daily_active_users_approx",
+      "value_deciles_approx")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")

@@ -70,6 +70,30 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.getLong(0)).toSet === exact.keySet, "same day set")
   }
 
+  test("shipped value_deciles_approx: buckets near-uniform, totals conserved") {
+    // the sketch-boundary buckets can't match ntile's exactly-equal
+    // sizes; the contract is conservation + near-uniform occupancy
+    val exact = graft.SparkEntry.queries("value_deciles")(spark, d).collect()
+    val approx = graft.SparkEntry.queries("value_deciles_approx")(spark, d).collect()
+    val exactTotals = exact.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val approxByType = approx.groupBy(_.getString(0))
+    assert(approxByType.keySet === exactTotals.keySet)
+    approxByType.foreach { case (t, rows) =>
+      val total = rows.map(_.getAs[Long]("n")).sum
+      assert(total === exactTotals(t), s"$t: rows not conserved")
+      assert(rows.forall { r =>
+        val dec = r.getAs[Long]("decile"); dec >= 1 && dec <= 10
+      })
+      val ideal = total / 10.0
+      rows.foreach { r =>
+        val err = math.abs(r.getAs[Long]("n") - ideal) / ideal
+        assert(err <= 0.25,
+          s"$t decile ${r.getAs[Long]("decile")}: n=${r.getAs[Long]("n")} vs ideal $ideal")
+      }
+    }
+  }
+
   test("shipped percentiles_by_type_approx brackets its exact oracle twin") {
     // The accuracy gate for the SHIPPED sketch query (the driver only
     // rows-checks it — sketch internals have no DuckDB twin): every
