@@ -110,6 +110,38 @@ class PlanSpec extends SparkSpec {
       s"expected window operator:\n$p")
   }
 
+  test("no query plans an unbounded cartesian product") {
+    // cross joins are only legitimate against a provably tiny side (a
+    // 1-row global aggregate, a broadcast centroid/boundary table);
+    // anything else is the O(n^2) scale-killer. The allowlist names the
+    // audited exceptions.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.Cross
+    val allowed = Set(
+      "text_keywords", // crossJoin(broadcast(count(*))) — 1 row by construction
+      // IVF assignment deliberately scores corpus x centroids: the
+      // centroid side is bounded (corpus/centroidEvery rows) and
+      // broadcast; the fan-out IS the documented index-build cost
+      "sim_topk_ivf", "sim_topk_ivf_kmeans"
+    )
+    for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
+      val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == Cross || j.condition.isEmpty =>
+          // a conditionless join is fine iff one side is a global
+          // aggregate (grouping-free => exactly one row)
+          val oneRow = Seq(j.left, j.right).exists {
+            case a: Aggregate => a.groupingExpressions.isEmpty
+            case p => p.collectFirst {
+              case a: Aggregate if a.groupingExpressions.isEmpty => a
+            }.isDefined && p.maxRows.contains(1L)
+          }
+          if (oneRow) None else Some(j)
+      }.flatten
+      assert(crosses.isEmpty,
+        s"$name plans a cartesian product over non-1-row sides:\n${crosses.mkString("\n")}")
+    }
+  }
+
   test("no query plans a single-partition window (WindowExec scale-killer)") {
     // an unpartitioned Window.orderBy moves the whole input through one
     // task; every windowed operator must partition (w2's prefix-max is the
