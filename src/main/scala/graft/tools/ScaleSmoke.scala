@@ -134,6 +134,25 @@ object ScaleSmoke {
       graft.functions.Curation.piiScrub(docs, "text")
         .select(col("n_emails") + col("n_urls") + col("n_ids")).count()
     }
+    time("repetition stats") {
+      graft.functions.Curation.repetitionStats(docs, "text", "doc_id").count()
+    }
+    time("token-budget mixture sample") {
+      graft.functions.Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
+        Map("src0" -> 100000L), 50000L).count()
+    }
+    time("funnel next-purchase (chunked)") {
+      val ev = events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      CoreOps.funnelNextPurchaseChunked(ev, bucketUs = 86400000000L).count()
+    }
+    time("int8 quantize + fingerprint") {
+      val q = Similarity.quantizeInt8(col("vec"))
+      vecs.select(md5(concat_ws(",",
+        transform(q.getField("q"), c => c.cast("string"))))).count()
+    }
     spark.stop()
   }
 }
