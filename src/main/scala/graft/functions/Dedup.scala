@@ -168,6 +168,36 @@ object Dedup {
     * cost is O(docs x bands), never O(docs^2).
     * Output: (a, b, jaccard_milli).
     */
+  /** Per-document LSH band keys: one (doc, band, bh) row per band, plus
+    * the shingle set (`sh`) and any `passthrough` columns. The shared
+    * core of batch [[minhashLshPairs]] and the streaming near-dup join
+    * (`StreamOps.streamingNearDupPairs`) — works on a static frame or a
+    * stream (stateless narrow transform).
+    */
+  def bandKeys(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc") +: col("sh") +: passthrough.map(col): _*)
+      .filter(size(col("sh")) > 0)
+    sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bb",
+        explode(transform(sequence(lit(0), lit(bands - 1)), k =>
+          struct(
+            k.as("band"),
+            md5(array_join(
+              transform(slice(col("sig"), k * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string")), ",")).as("bh")))))
+      .select(col("doc") +: col("sh") +: col("bb.band").as("band") +:
+        col("bb.bh").as("bh") +: passthrough.map(col): _*)
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       textCol: String,
@@ -176,23 +206,14 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       minJaccardMilli: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val sh = withHashedShingles(df, textCol, n, "sh")
       .select(col(idCol).as("doc"), col("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one (band, bandHash) key per band per doc — ids only; the shingle
-    // arrays are re-attached after candidate dedup so the self-join
-    // shuffles 3 small columns instead of the full shingle sets
-    val banded = sig.select(
-      col("doc"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), k =>
-        struct(
-          k.as("band"),
-          md5(array_join(
-            transform(slice(col("sig"), k * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), ",")).as("bh")))).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // ids-only band keys; the shingle arrays are re-attached after
+    // candidate dedup so the self-join shuffles 3 small columns instead
+    // of the full shingle sets
+    val banded = bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("doc"), col("band"), col("bh"))
     val candIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

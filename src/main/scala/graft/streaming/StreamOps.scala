@@ -106,6 +106,48 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-duplicate detection (training-pipeline staple beyond
+    * [[streamingDedup]]'s exact keys): minhash-LSH band keys over the
+    * document stream, paired by a windowed stream-stream self-join and
+    * verified with exact Jaccard over the shingle sets carried through
+    * the join. Only documents in the same time window pair up — the
+    * window equality is what lets Spark evict join state at the
+    * watermark, so state is bounded by (window x ingest rate), not the
+    * corpus. A pair colliding in multiple bands is emitted once per
+    * band; dedup downstream with `dropDuplicatesWithinWatermark` if a
+    * unique pair stream is needed.
+    */
+  def streamingNearDupPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      width: String,
+      watermark: String,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccardMilli: Int = 500): DataFrame = {
+    def side(aId: String, shName: String, suffix: String) =
+      graft.functions.Dedup.bandKeys(docs, textCol, idCol, n, bands, rowsPerBand,
+        passthrough = Seq(tsCol))
+        .withWatermark(tsCol, watermark)
+        .withColumn("w" + suffix, window(col(tsCol), width))
+        .select(col("doc").as(aId), col("sh").as(shName),
+          col("band").as("band" + suffix), col("bh").as("bh" + suffix), col("w" + suffix))
+    val l = side("a", "sha", "")
+    val r = side("b", "shb", "_r")
+    l.join(r,
+        col("band") === col("band_r") && col("bh") === col("bh_r") &&
+          col("w") === col("w_r") && col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("w"), col("a"), col("b"), col("band"), col("jaccard_milli"))
+  }
+
   /** J1 (`WindowJoins.java:110-144`): stream-stream inner equi-join per
     * tumbling window. Both sides are bucketed with `window()` and joined on
     * (key, window) — the window equality doubles as the time-range bound

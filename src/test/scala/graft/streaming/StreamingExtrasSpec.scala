@@ -36,6 +36,32 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs: LSH self-join finds planted near-dups in-window") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val far = "completely unrelated text with different words entirely disjoint tokens"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val pairs = StreamOps.streamingNearDupPairs(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "text", "doc_id", "ts", width = "1 minute", watermark = "10 seconds")
+    val q = pairs.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 1 and 2 are near-dups in the same window; 3 is unrelated; 4 is an
+      // exact copy of 1 but hours later — outside the window, no pair
+      input.addData((1L, near1, t(1)), (2L, near2, t(5)), (3L, far, t(9)))
+      q.processAllAvailable()
+      input.addData((4L, near1, t(7200)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("a", "b", "jaccard_milli").as[(Long, Long, Long)]
+        .collect().toSet // multi-band collisions collapse here
+      assert(got.map(p => (p._1, p._2)) === Set((1L, 2L)),
+        s"expected exactly the planted pair, got $got")
+      assert(got.head._3 >= 500L, "planted near-dups must verify above threshold")
+    } finally q.stop()
+  }
+
   test("fanout sink: one cached batch feeds all branches") {
     val input = MemoryStream[DocEv]
     val seenA = scala.collection.mutable.ArrayBuffer[String]()
