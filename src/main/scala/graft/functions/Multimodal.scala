@@ -143,14 +143,59 @@ object Multimodal {
     }
   }
 
-  /** Batched decode with a REAL image path: `image` payloads are decoded
-    * with [[decodeOneImage]] (JDK `javax.imageio`), falling back to the
-    * hash-derived stub metadata when the bytes aren't a decodable image
-    * (the fabricated test-corpus payloads). Audio/video remain stubbed —
-    * the JDK ships no audio/video codec and the container has no media
-    * libraries. Same batched narrow `mapPartitions` shape as
-    * [[decodeBatchedStub]]; the shipped `multimodal_decode` oracle query
-    * stays on the stub path so its DuckDB twin remains exact.
+  /** REAL decode of one audio payload via the JDK's own
+    * `javax.sound.sampled` (WAV/AIFF/AU parse + PCM read ship with the
+    * JDK — zero external dependencies). Returns
+    * (sampleRate, channels, frames, feature); None when the bytes are
+    * not a decodable audio container. Feature = 16-segment mean
+    * absolute amplitude of the first channel (16-bit PCM; other sample
+    * sizes keep a zero feature while the header metadata stays real).
+    */
+  private[functions] def decodeOneAudio(
+      payload: Array[Byte]): Option[(Long, Long, Long, Array[Float])] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(ais).map { in =>
+      val fmt = in.getFormat
+      val feature = new Array[Float](16)
+      if (fmt.getSampleSizeInBits == 16 && in.getFrameLength > 0) {
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val n = bytes.length / frameSize
+        val counts = new Array[Int](16)
+        var i = 0
+        while (i < n) {
+          val off = i * frameSize
+          val s =
+            if (fmt.isBigEndian)
+              (((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)).toShort
+            else
+              (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort
+          val seg = math.min(15, i * 16 / n)
+          feature(seg) += math.abs(s / 32768.0f)
+          counts(seg) += 1
+          i += 1
+        }
+        var k = 0
+        while (k < 16) { if (counts(k) > 0) feature(k) /= counts(k); k += 1 }
+      }
+      (fmt.getSampleRate.toLong, fmt.getChannels.toLong, in.getFrameLength, feature)
+    }
+  }
+
+  /** Batched decode with REAL image and audio paths: `image` payloads go
+    * through [[decodeOneImage]] (JDK `javax.imageio`) and `audio`
+    * payloads through [[decodeOneAudio]] (JDK `javax.sound.sampled`),
+    * each falling back to the hash-derived stub metadata when the bytes
+    * aren't decodable (the fabricated test-corpus payloads). Audio maps
+    * onto the record as width=sampleRate, height=channels,
+    * n_frames=PCM frames. Video remains stubbed — the JDK ships no
+    * video codec and the container has no media libraries. Same batched
+    * narrow `mapPartitions` shape as [[decodeBatchedStub]]; the shipped
+    * `multimodal_decode` oracle query stays on the stub path so its
+    * DuckDB twin remains exact.
     */
   def decodeBatched(
       ds: org.apache.spark.sql.Dataset[MediaRecord],
@@ -160,12 +205,17 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val real = if (m.modality == "image") decodeOneImage(m.payload) else None
-          real match {
-            case Some((w, h, feature)) =>
-              DecodedMedia(m.media_id, m.modality, w, h, n_frames = 1L, feature)
-            case None => stubOne(md, m)
+          val real: Option[DecodedMedia] = m.modality match {
+            case "image" => decodeOneImage(m.payload).map { case (w, h, f) =>
+              DecodedMedia(m.media_id, m.modality, w, h, n_frames = 1L, f)
+            }
+            case "audio" => decodeOneAudio(m.payload).map { case (rate, ch, fr, f) =>
+              DecodedMedia(m.media_id, m.modality, width = rate, height = ch,
+                n_frames = fr, f)
+            }
+            case _ => None
           }
+          real.getOrElse(stubOne(md, m))
         }
       }
     }

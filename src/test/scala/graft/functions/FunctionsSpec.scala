@@ -146,6 +146,38 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(4L).width >= 64L && rows(4L).width < 512L)
   }
 
+  test("multimodal: real WAV payloads decode to true rate/channels/frames") {
+    import Multimodal.MediaRecord
+    def wav(rateHz: Int, nSamples: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+      val data = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val s = (math.sin(i * 0.1) * 20000).toInt.toShort
+        data(i * 2) = (s & 0xff).toByte
+        data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "audio", wav(8000, 800)),
+      MediaRecord(2L, "audio", wav(44100, 4410)),
+      MediaRecord(3L, "audio", "not audio".getBytes("UTF-8"))) // stub fallback
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(2)
+    val rows = Multimodal.decodeBatched(ds, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).width === 8000L && rows(1L).height === 1L && rows(1L).n_frames === 800L)
+    assert(rows(2L).width === 44100L && rows(2L).n_frames === 4410L)
+    // a 20000/32768-amplitude sine has mean |s| well above zero in every segment
+    assert(rows(1L).feature.forall(f => f > 0.1f && f <= 1.0f))
+    assert(rows(3L).width >= 64L && rows(3L).width < 512L) // hash-derived stub dims
+  }
+
   test("multimodal: stub decode is deterministic and frame sampling explodes") {
     val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
       .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
