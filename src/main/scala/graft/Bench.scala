@@ -92,14 +92,40 @@ object Bench {
     }
     spark2.stop()
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val skewQs = skewResults.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ---- Reporting. The driver captures only the LAST ~2000 chars of
+    // stdout and parses one JSON line out of it (sbt appends ~70 chars of
+    // its own after us). A full 70+-query map with 9-digit doubles is
+    // ~2.5 KB and gets decapitated — rounds 1-3 all show `parsed: null`.
+    // So: full detail goes to BENCH_FULL.json on disk; the stdout line is
+    // millisecond-rounded, slowest-first, and hard-budgeted to fit the
+    // tail window whole.
+    def ms3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def entries(rs: Seq[(String, Double, Boolean)]): Seq[String] =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
+    val skewQs = entries(skewResults).mkString("{", ",", "}")
     val errors = (results ++ skewResults).collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}""")
+
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val fullJson =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(results).mkString("{", ",", "}")},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Slowest-first so whatever fits is the informative part; budget keeps
+    // the whole line inside the driver's tail capture.
+    val slowestFirst = results.sortBy(-_._2)
+    val fixed =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":{},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+    val budget = 1750 - fixed.length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries(slowestFirst).foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val line =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+    println(line)
   }
 }
