@@ -60,6 +60,74 @@ object Curation {
         col("containment_milli"))
   }
 
+  /** Bloom-prefiltered contamination: identical output to
+    * [[contaminationPairs]], with the corpus side pruned by a Bloom filter
+    * of the benchmark's shingle universe before any join shuffles it.
+    *
+    * This is the shape of Spark's own runtime row-level filtering
+    * (`BloomFilterAggregate` + `might_contain`) lifted to an explicit
+    * operator: one distributed aggregate folds every bench shingle into a
+    * `bloomBits`-wide sketch, the single binary travels to the driver and
+    * ships back to executors inside the task binary as a literal, and the
+    * corpus-side exploded shingles are filtered by `might_contain` BEFORE
+    * the df-cap and candidate joins. Blooms have no false negatives, so
+    * the exact joins downstream see a superset of the truly-matching
+    * shingles and the result is bit-identical to the unfiltered operator;
+    * false positives only cost a little extra join input. At 100 TB the
+    * corpus-side shuffle shrinks from |corpus shingles| to |hits|+FP,
+    * while the bench side (benchmarks are tiny next to a web corpus)
+    * stays a few hundred KB regardless of corpus size.
+    */
+  def contaminationPairsBloom(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isBench: Column,
+      n: Int,
+      maxShingleDf: Int,
+      minContainMilli: Int,
+      bloomItems: Long = 1L << 18,
+      bloomBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val sh = Dedup.withHashedShingles(docs, textCol, n, "sh")
+      .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc"), col("is_bench"), explode(col("sh")).as("g"))
+
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("g")),
+        Literal(bloomItems), Literal(bloomBits)).toAggregateExpression())
+    val bloomBytes = ex.filter(col("is_bench")).agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(col("g"))))
+
+    // df counts over the FULL shingle universe (the cap's semantics must
+    // not see the prefilter), but only prefiltered corpus shingles reach
+    // the df-cap join and the bench join.
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rareBench = ex.filter(col("is_bench"))
+      .join(freq, "g").filter(col("df") <= maxShingleDf).drop("df")
+    val rareCorpus = ex.filter(!col("is_bench") && mightContain)
+      .join(freq, "g").filter(col("df") <= maxShingleDf).drop("df")
+    val benchSizes = rareBench
+      .groupBy(col("doc").as("bench_id")).agg(count(lit(1)).as("nb"))
+    rareCorpus.select(col("g"), col("doc").as("doc_id"))
+      .join(rareBench.select(col("g"), col("doc").as("bench_id")), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(benchSizes, "bench_id")
+      .withColumn("containment_milli",
+        floor(col("inter") * lit(1000.0) / col("nb")).cast("long"))
+      .filter(col("containment_milli") >= minContainMilli)
+      .select(col("doc_id"), col("bench_id"), col("inter"), col("nb"),
+        col("containment_milli"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `hash48(id) mod 1000 < rateMilli(stratum)` — reproducible across
     * engines and runs, no RNG, and exactly mirrorable in SQL. The standard

@@ -223,6 +223,16 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Same leakage check behind a Bloom prefilter on the corpus side —
+    // bit-identical rows (no false negatives; the exact join verifies),
+    // but the corpus shingles that shuffle into the joins shrink to
+    // |matches| + bloom FP. Shares contamination's oracle.
+    "contamination_bloom" -> { (s, d) =>
+      Curation.contaminationPairsBloom(Tables.documents(s, d), "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(20)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100)
+        .orderBy("doc_id", "bench_id")
+    },
     // Deterministic md5-hash stratified sampling per source.
     "stratified_sample" -> { (s, d) =>
       Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "source",
@@ -357,6 +367,27 @@ object LlmQueries {
         .orderBy("media_id")
     })
 
+  /** Contamination oracle — shared verbatim by `contamination` and
+    * `contamination_bloom` (the bloom prefilter is output-invariant).
+    */
+  private def contaminationOracleSql: String =
+    s"""WITH $shinglesCte,
+        valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        ex AS (SELECT doc_id, (doc_id % 20 = 0) AS is_bench, unnest(s) AS g FROM valid),
+        freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+        rare AS (SELECT ex.doc_id, ex.is_bench, ex.g
+                 FROM ex JOIN freq USING (g) WHERE freq.df <= 50),
+        nbt AS (SELECT doc_id AS bench_id, count(*) AS nb
+                FROM rare WHERE is_bench GROUP BY 1),
+        p AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
+              FROM rare c JOIN rare b ON c.g = b.g
+              WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2)
+        SELECT doc_id, bench_id, inter, nb,
+               CAST(floor(inter * 1000.0 / nb) AS BIGINT) AS containment_milli
+        FROM p JOIN nbt USING (bench_id)
+        WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100
+        ORDER BY doc_id, bench_id"""
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n
@@ -396,23 +427,9 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
-    "contamination" ->
-      s"""WITH $shinglesCte,
-          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-          ex AS (SELECT doc_id, (doc_id % 20 = 0) AS is_bench, unnest(s) AS g FROM valid),
-          freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
-          rare AS (SELECT ex.doc_id, ex.is_bench, ex.g
-                   FROM ex JOIN freq USING (g) WHERE freq.df <= 50),
-          nbt AS (SELECT doc_id AS bench_id, count(*) AS nb
-                  FROM rare WHERE is_bench GROUP BY 1),
-          p AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
-                FROM rare c JOIN rare b ON c.g = b.g
-                WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2)
-          SELECT doc_id, bench_id, inter, nb,
-                 CAST(floor(inter * 1000.0 / nb) AS BIGINT) AS containment_milli
-          FROM p JOIN nbt USING (bench_id)
-          WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100
-          ORDER BY doc_id, bench_id""",
+    "contamination" -> contaminationOracleSql,
+    // the bloom prefilter is output-invariant, so the oracle is identical
+    "contamination_bloom" -> contaminationOracleSql,
     "stratified_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 <

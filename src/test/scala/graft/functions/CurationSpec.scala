@@ -34,6 +34,25 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("contaminationPairsBloom: bit-identical to the exact operator, bloom in plan") {
+    // 40 docs, every 10th is "bench"; half the corpus shares the bench
+    // trigrams, half is disjoint — the bloom must pass exactly the sharers.
+    val docs = spark.range(40).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(2)) === 0,
+        concat(lit("alpha beta gamma delta epsilon zeta seq "), col("id")))
+        .otherwise(concat(lit("omega psi chi phi upsilon tau seq "), col("id")))
+        .as("text"))
+    val isBench = pmod(col("doc_id"), lit(10)) === 0
+    val exact = Curation.contaminationPairs(docs, "text", "doc_id", isBench,
+      n = 3, maxShingleDf = 50, minContainMilli = 100)
+    val bloom = Curation.contaminationPairsBloom(docs, "text", "doc_id", isBench,
+      n = 3, maxShingleDf = 50, minContainMilli = 100)
+    assert(bloom.exceptAll(exact).count() === 0L)
+    assert(exact.exceptAll(bloom).count() === 0L)
+    assert(exact.count() > 0L) // non-vacuous: bench trigrams do hit the corpus
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
   test("stratifiedSample keeps strata at their configured rates") {
     val df = spark.range(20000).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(4))).as("grp"))
