@@ -213,6 +213,15 @@ object LlmQueries {
       Similarity.ivfTopKWithCentroids(queries, corpus, cent, k = 5, nprobe = 3)
         .orderBy("qid", "rank")
     },
+    // SemDeDup: semantic near-dup pruning confined to k-means cells —
+    // per-cluster pairwise cosine instead of corpus-wide O(n^2).
+    "semdedup_keep" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 25, iters = 2)
+      Similarity.semDedupKeep(corpus, cent, minScoreQ4 = 3500L)
+        .orderBy("vec_id")
+    },
     // ------------------------------------------------- curation
     // Train-test leakage: corpus docs sharing capped 3-gram shingles with
     // a (deterministic stand-in) benchmark set, scored by containment of
@@ -222,6 +231,12 @@ object LlmQueries {
         isBench = pmod(col("doc_id"), lit(20)) === 0,
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
+    },
+    // Span-level duplication profile: per doc, the share of its 3-gram
+    // shingles that recur in other documents (template/boilerplate mass).
+    "dedup_span_profile" -> { (s, d) =>
+      Dedup.duplicateShingleProfile(Tables.documents(s, d), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
     },
     // Same leakage check behind a Bloom prefilter on the corpus side —
     // bit-identical rows (no false negatives; the exact join verifies),
@@ -427,6 +442,37 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "semdedup_keep" ->
+      s"""WITH $vnCtes,
+          cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+          ${kmeansIterSql("cent0", 1)},
+          ${kmeansIterSql("cent1", 2)},
+          assign AS (
+            SELECT vec_id, e, n, cid FROM (
+              SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                     row_number() OVER (PARTITION BY vn.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn CROSS JOIN cent2 c) WHERE rn = 1),
+          dups AS (
+            SELECT DISTINCT y.vec_id
+            FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE CAST(floor(${dotSql("x.e", "y.e")} / (x.n * y.n) * 10000) AS BIGINT) >= 3500)
+          SELECT a.vec_id, a.cid,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM assign a LEFT JOIN dups d USING (vec_id)
+          ORDER BY a.vec_id""",
+    "dedup_span_profile" ->
+      s"""WITH $shinglesCte,
+          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM valid),
+          freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1)
+          SELECT doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 CAST(floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000.0 / count(*))
+                   AS BIGINT) AS dup_frac_milli
+          FROM ex JOIN freq USING (g)
+          GROUP BY 1 ORDER BY doc_id""",
     "contamination" -> contaminationOracleSql,
     // the bloom prefilter is output-invariant, so the oracle is identical
     "contamination_bloom" -> contaminationOracleSql,

@@ -104,6 +104,25 @@ object Similarity {
     ivfTopKWithCentroids(queries, corpus, centroids, k, nprobe)
   }
 
+  /** Nearest-centroid cell assignment for normed vectors `(vec_id, vd,
+    * vn)` against centroids `(cid, cd, cn)` → `(vec_id, cid)`.
+    *
+    * Scoring against broadcast centroids is narrow, and the per-vector
+    * argmax is a map-side-combinable max(struct) — the shuffle carries
+    * one thin row per corpus vector, not corpus x centroids (a
+    * row_number window here would shuffle the full scored cross join).
+    * Tie-break matches (score desc, cid asc) via the negated cid. The
+    * aggregate stays narrow (no array columns through the hash agg:
+    * complex-typed aggregates fall off the fast HashAggregate path);
+    * vectors re-attach via a join on vec_id afterwards.
+    */
+  private def cellAssign(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids))
+      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+
   /** IVF probe/rank core with caller-supplied centroids `(cid, cd, cn)` —
     * lets the index quality (modulo-sampled vs k-means-refined centroids,
     * [[kmeansCentroids]]) vary without touching the probe plan. Measured
@@ -118,20 +137,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     val c = withNorm(corpus, "vec", "v")
     val q = withNorm(queries, "qvec", "q")
-    // cell assignment: scoring against broadcast centroids is narrow, and
-    // the per-vector argmax is a map-side-combinable max(struct) — the
-    // shuffle carries one row per corpus vector, not corpus x centroids
-    // (a row_number window here would shuffle the full scored cross join).
-    // Tie-break matches (score desc, cid asc) via the negated cid.
-    // keep the aggregate narrow (no array columns through the hash agg:
-    // complex-typed aggregates fall off the fast HashAggregate path);
-    // vectors re-attach via a join on vec_id afterwards
-    val cells = c
-      .join(broadcast(centroids))
-      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+    val cells = cellAssign(c, centroids)
     val assigned = c.join(cells, "vec_id")
       .select(col("vec_id"), col("vd"), col("vn"), col("cid"))
     // query probes
@@ -188,12 +194,7 @@ object Similarity {
       .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
     for (_ <- 0 until iters) {
-      val cells = c
-        .join(broadcast(cent))
-        .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
-        .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+      val cells = cellAssign(c, cent)
       val means = c.join(cells, "vec_id")
         .select(col("cid"), posexplode(col("vd")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -324,5 +325,40 @@ object Similarity {
       .withColumn("score_q4", q4(dotProduct(col("da"), col("db")), col("na"), col("nb")))
       .filter(col("score_q4") >= minScoreQ4)
       .select(col("a"), col("b"), col("score_q4"))
+  }
+
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic dedup by
+    * clustering the embedding space and pruning near-duplicates ONLY
+    * within each cluster — the trick that makes embedding-level dedup
+    * tractable at corpus scale. The all-pairs form is O(n^2) in the
+    * corpus; here the pairwise join is confined to cluster cells, so the
+    * cost is sum over clusters of |cell|^2 — with k-means-balanced cells
+    * (cell ~ n/k), that is n^2/k, and k grows with the corpus.
+    *
+    * Per vector: assign to its nearest centroid (same broadcast +
+    * max(struct) argmax as the IVF probe path — one thin shuffled row per
+    * vector), self-join within the cell on (cid, a < b), and mark the
+    * LARGER id of every pair scoring >= `minScoreQ4` as a duplicate. The
+    * kept set is then the per-group minimum representative, matching the
+    * exact-dedup keep-min convention. Output: (vec_id, cid, keep 0/1) —
+    * one row per input vector, so downstream filters compose.
+    */
+  def semDedupKeep(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      minScoreQ4: Long): DataFrame = {
+    val c = withNorm(corpus, "vec", "v")
+    val assigned = c.join(cellAssign(c, centroids), "vec_id")
+      .select(col("vec_id"), col("vd"), col("vn"), col("cid"))
+    val dups = assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(q4(dotProduct(col("x.vd"), col("y.vd")),
+        col("x.vn"), col("y.vn")) >= minScoreQ4)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups.withColumn("d", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("d").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep"))
   }
 }

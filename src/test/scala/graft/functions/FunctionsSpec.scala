@@ -81,6 +81,46 @@ class FunctionsSpec extends SparkSpec {
     assert(ivf === brute) // nprobe = all cells -> exact
   }
 
+  test("semDedupKeep prunes within-cell near-dups down to the min representative") {
+    // two tight clusters around orthogonal axes + one isolated vector;
+    // centroids = the axis vectors themselves, so assignment is exact
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.01f)), (2L, Array(1.0f, 0.0f, 0.02f)),
+      (3L, Array(0.99f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.01f)), (11L, Array(0.0f, 1.0f, 0.02f)),
+      (20L, Array(0.0f, 0.0f, -1.0f))).toDF("vec_id", "vec")
+    val centroids = Seq(
+      (100L, Seq(1.0, 0.0, 0.0), 1.0),
+      (200L, Seq(0.0, 1.0, 0.0), 1.0),
+      (300L, Seq(0.0, 0.0, -1.0), 1.0)).toDF("cid", "cd", "cn")
+    val got = Similarity.semDedupKeep(corpus, centroids, minScoreQ4 = 9990L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // cluster 100: 1,2,3 all mutually >0.999 cosine -> keep only min id 1
+    // cluster 200: 10,11 near-dup -> keep 10; singleton 20 kept
+    assert(got.map(t => t._1 -> t._3).toMap ===
+      Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 10L -> 1L, 11L -> 0L, 20L -> 1L))
+    assert(got.map(_._2).toSeq === Seq(100L, 100L, 100L, 200L, 200L, 300L))
+  }
+
+  test("duplicateShingleProfile separates template, half-template and unique docs") {
+    val tpl = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, tpl),                                   // pure template (x2)
+      (2L, tpl),
+      (3L, tpl + " unique tail nine ten eleven twelve thirteen fourteen"),
+      (4L, "wholly distinct words without any overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateShingleProfile(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._4 === 1000L)          // every shingle duplicated
+    assert(byId(2L)._4 === 1000L)
+    assert(byId(3L)._4 > 0L && byId(3L)._4 < 1000L) // mixed doc
+    assert(byId(4L)._4 === 0L)             // fully unique
+    // doc 3 shares exactly the 6 template trigrams of an 8-token prefix
+    assert(byId(3L)._3 === 6L)
+  }
+
   test("text analysis: langid picks stopword-dominant language, quality bounded") {
     val t = Seq(
       (1L, "the cat and the dog of the house"),
