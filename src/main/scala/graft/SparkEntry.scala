@@ -657,6 +657,26 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // Mergeable-sketch rollup — the reason sketches beat exact distinct at
+    // 100 TB: per-DAY DataSketches HLL sketches (the ~KB pre-aggregates a
+    // real pipeline materializes once) are UNIONED up to weeks without
+    // ever rescanning raw events or re-shuffling (day, user) pairs.
+    // Adding a month of data touches only the new days' sketches. Rows-
+    // only at the gate (sketch bytes are engine-specific); ApproxSpec
+    // pins the accuracy contract against the exact weekly twin.
+    "weekly_active_users_sketch" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        .select(col("w.start").as("day"), col("sk"))
+      daily
+        .groupBy(window(col("day"), "7 days").as("w"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau"),
+          count(lit(1)).as("n_days"))
+        .select(col("w.start").cast("long").as("week_start"), col("wau"),
+          col("n_days"))
+        .orderBy("week_start")
+    },
     // Event-stream enrichment: broadcast dimension join + rollup by segment.
     "events_enriched_by_segment" -> { (s, d) =>
       Tables.events(s, d)

@@ -23,7 +23,7 @@ class PlanSpec extends SparkSpec {
     // internals are engine-specific); each must carry its own accuracy
     // contract in a spec (ApproxSpec) and accepts the driver's rows-check
     val rowsOnly = Set("percentiles_by_type_approx", "daily_active_users_approx",
-      "value_deciles_approx")
+      "value_deciles_approx", "weekly_active_users_sketch")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
@@ -122,7 +122,10 @@ class PlanSpec extends SparkSpec {
       // IVF assignment deliberately scores corpus x centroids: the
       // centroid side is bounded (corpus/centroidEvery rows) and
       // broadcast; the fan-out IS the documented index-build cost
-      "sim_topk_ivf", "sim_topk_ivf_kmeans"
+      "sim_topk_ivf", "sim_topk_ivf_kmeans",
+      // SemDeDup's cell assignment is the same bounded corpus x centroids
+      // broadcast score; the within-cell pair join is conditioned on cid
+      "semdedup_keep"
     )
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {

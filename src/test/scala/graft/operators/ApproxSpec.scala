@@ -70,6 +70,27 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.getLong(0)).toSet === exact.keySet, "same day set")
   }
 
+  test("shipped weekly_active_users_sketch: day-sketch union tracks exact WAU") {
+    val exact = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "7 days").as("w"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("w.start").cast("long"), col("wau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = graft.SparkEntry.queries("weekly_active_users_sketch")(spark, d)
+      .collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      val (week, wau, nDays) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val e = exact(week)
+      val err = math.abs(wau - e).toDouble / e
+      // two-level rollup (day sketches -> weekly union) must keep HLL
+      // accuracy: union of same-lgK sketches loses nothing material
+      assert(err <= 0.05, s"week $week: union-HLL $wau vs exact $e (err $err)")
+      assert(nDays >= 1L && nDays <= 7L)
+    }
+    assert(sk.map(_.getLong(0)).toSet === exact.keySet, "same week set")
+  }
+
   test("shipped value_deciles_approx: buckets near-uniform, totals conserved") {
     // the sketch-boundary buckets can't match ntile's exactly-equal
     // sizes; the contract is conservation + near-uniform occupancy
