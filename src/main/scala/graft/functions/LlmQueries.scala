@@ -232,6 +232,12 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Corpus-trained char-trigram LM fluency score (CCNet-style quality
+    // signal), integer-exact surprisal — no libm log in either engine.
+    "text_lm_surprisal" -> { (s, d) =>
+      TextAnalysis.lmSurprisalScore(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    },
     // Span-level duplication profile: per doc, the share of its 3-gram
     // shingles that recur in other documents (template/boilerplate mass).
     "dedup_span_profile" -> { (s, d) =>
@@ -442,6 +448,24 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "text_lm_surprisal" -> {
+      def l1024(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + " +
+          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH lb AS (SELECT doc_id, lower(text) AS lt FROM documents),
+          tri AS (SELECT doc_id, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM lb),
+          cnt AS (SELECT t, count(*) AS cnt FROM tri GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
+          SELECT doc_id, count(*) AS n_tri,
+                 CAST(sum(${l1024("total")} - ${l1024("cnt")}) // count(*) AS BIGINT)
+                   AS avg_surprisal_q10
+          FROM tri JOIN cnt USING (t) CROSS JOIN tot
+          GROUP BY doc_id ORDER BY doc_id"""
+    },
     "semdedup_keep" ->
       s"""WITH $vnCtes,
           cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -108,5 +108,57 @@ object TextAnalysis {
     val punctScore = lit(1.0) - least(punct / greatest(nChars, lit(1.0)) * lit(4.0), lit(1.0))
     floor((lenScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2)) * lit(1000))
       .cast("long")
+  }
+
+  // --- corpus-LM fluency scoring ---------------------------------------
+
+  /** `log2(x) * 1024`, integer-exact: bit-length gives the integer part
+    * (`floor(log2 x) = length(bin(x)) - 1`), and a shift + integral
+    * division linearly interpolates the 10-bit fraction (max error
+    * ~0.086 bits). No libm `log` anywhere — libm implementations differ
+    * in the last ulp across engines, which is exactly the kind of
+    * nondeterminism that breaks bit-for-bit oracle parity. Pure
+    * bit-length/shift/`div` arithmetic is identical everywhere.
+    */
+  private def log2Q10Sql(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + " +
+      s"(shiftleft($x, 10) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)) - 1024)"
+
+  /** Corpus-LM fluency score (the CCNet-style quality signal): train a
+    * character-trigram language model ON the corpus itself (one groupBy),
+    * then score every document by the average surprisal of its trigram
+    * occurrences, `avg(log2(total/cnt(t)))`, in 1/1024-bit units.
+    * Fluent, ordinary text scores low; gibberish, rare-script and
+    * encoding-garbage text scores high — the standard perplexity-bucket
+    * filter, with the corpus itself as the reference model.
+    *
+    * Scale shape: trigram extraction is a narrow Generate (positions
+    * exploded OUTSIDE any lambda — a `transform` lambda would re-lower
+    * the text per element, the CollapseProject/HOF pitfall); the model
+    * is one map-side-combined count over a vocabulary bounded by
+    * |charset|^3 (AQE broadcasts it back); the score is one keyed join +
+    * per-doc aggregate. Everything integer (see [[log2Q10Sql]]).
+    * Output: (doc_id, n_tri, avg_surprisal_q10).
+    */
+  def lmSurprisalScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tri = df
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
+      .select(col("doc_id"), col("lt"),
+        // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+        // docs under 3 chars need the explicit empty branch
+        explode(when(length(col("lt")) >= 3,
+          sequence(lit(1), length(col("lt")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), expr("substring(lt, i, 3)").as("t"))
+    val cnt = tri.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total")) // one row, broadcast
+    tri.join(cnt, "t")
+      .crossJoin(broadcast(total))
+      .withColumn("s_q10",
+        expr(s"cast(${log2Q10Sql("total")} - ${log2Q10Sql("cnt")} as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s_q10")).as("sum_s"))
+      .withColumn("avg_surprisal_q10", expr("cast(sum_s div n_tri as bigint)"))
+      .select(col("doc_id"), col("n_tri"), col("avg_surprisal_q10"))
   }
 }

@@ -121,6 +121,29 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(3L)._3 === 6L)
   }
 
+  test("lmSurprisalScore: corpus-common text scores low, gibberish high") {
+    // 9 docs of ordinary repeated English fix the trigram model; one doc
+    // of rare-character junk must stand out with a higher avg surprisal
+    val common = "the cat sat on the mat and the dog sat on the log"
+    val docs = ((1L to 9L).map(i => (i, common + " round " + i)) :+
+      (10L, "zqxj#7 vkw@9 qzp!3 xjq%5 wvk^1")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmSurprisalScore(docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === 10)
+    val commonAvg = got.filter(_._1 <= 9).map(_._3)
+    val junk = got.find(_._1 === 10L).get._3
+    // all junk trigrams are singletons -> ~log2(total) bits each; the
+    // common docs sit several bits lower. 3 bits = 3072 q10 of headroom.
+    assert(junk > commonAvg.max + 3072,
+      s"junk surprisal $junk should dominate common ${commonAvg.max}")
+    // short docs (<3 chars) drop out instead of crashing sequence(1, 0)
+    val tiny = Seq((1L, "ab"), (2L, "abcd")).toDF("doc_id", "text")
+    val t = TextAnalysis.lmSurprisalScore(tiny, "text", "doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(t.map(_._1).toSeq === Seq(2L))
+    assert(t.head._2 === 2L) // "abc", "bcd"
+  }
+
   test("text analysis: langid picks stopword-dominant language, quality bounded") {
     val t = Seq(
       (1L, "the cat and the dog of the house"),
