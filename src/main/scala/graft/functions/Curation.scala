@@ -261,11 +261,26 @@ object Curation {
       // carry the previous label through the checkpoint so convergence is
       // read off the materialized frame instead of re-joining both label
       // generations (one fewer job per iteration)
-      val next = labels.join(prop, labels("node") === prop("src"), "left")
+      val merged = labels.join(prop, labels("node") === prop("src"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
           labels("label").as("__old"))
-        .localCheckpoint()
+      // pointer-jump (path compression) from round 3 on: also adopt the
+      // label OF the current label — every label value is itself a node
+      // id in the same component, so each jump round halves remaining
+      // chain depth, bounding total rounds at ~3 + log2(diameter). Dup
+      // graphs from LSH pairs are near-cliques (diameter 2-3) that
+      // converge before the jump ever runs, so the common case pays
+      // nothing; the jump's extra join only spends where a chain-shaped
+      // component would otherwise need O(diameter) rounds.
+      val next = (if (it < 3) merged else {
+        val m = merged.localCheckpoint(false)
+        val byNode = m.select(col("node").as("pn"), col("label").as("plabel"))
+        m.join(byNode, m("label") === byNode("pn"), "left")
+          .select(m("node"),
+            least(m("label"), coalesce(col("plabel"), m("label"))).as("label"),
+            col("__old"))
+      }).localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       converged = changed == 0
@@ -276,7 +291,8 @@ object Curation {
     // maxIters must fail loudly, not quietly.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: labels still changing after $maxIters " +
-        "iterations (component diameter exceeds maxIters); raise maxIters")
+        "iterations (component diameter exceeds ~2^maxIters with " +
+        "pointer-jumping); raise maxIters")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -150,14 +150,22 @@ object TextAnalysis {
           sequence(lit(1), length(col("lt")) - 2))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col("doc_id"), expr("substring(lt, i, 3)").as("t"))
-    val cnt = tri.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    // collapse occurrences to per-(doc, trigram) multiplicities FIRST:
+    // the model join then touches one row per distinct trigram per doc
+    // (vs every occurrence), and the model itself is a cheap re-aggregate
+    // of the same frame. The lazy checkpoint materializes td once for
+    // both uses; AQE sizes the join from the real runtime bytes.
+    val td = tri.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val cnt = td.groupBy(col("t")).agg(sum(col("k")).as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total")) // one row, broadcast
-    tri.join(cnt, "t")
+    td.join(cnt, "t")
       .crossJoin(broadcast(total))
       .withColumn("s_q10",
         expr(s"cast(${log2Q10Sql("total")} - ${log2Q10Sql("cnt")} as bigint)"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tri"), sum(col("s_q10")).as("sum_s"))
+      .agg(sum(col("k")).as("n_tri"), sum(col("k") * col("s_q10")).as("sum_s"))
       .withColumn("avg_surprisal_q10", expr("cast(sum_s div n_tri as bigint)"))
       .select(col("doc_id"), col("n_tri"), col("avg_surprisal_q10"))
   }

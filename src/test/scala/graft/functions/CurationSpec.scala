@@ -34,6 +34,17 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents converges on a 60-node chain within the default cap") {
+    // a 60-edge path has diameter 60: plain hash-min needs 60 rounds and
+    // would blow the maxIters=20 cap; pointer-jumping must close it in
+    // ~3 + log2(60) rounds. Convergence (not throwing) IS the assertion.
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Curation.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length === 61)
+    assert(got.forall(_._2 === 0L), "every chain node labels to the min id 0")
+  }
+
   test("contaminationPairsBloom: bit-identical to the exact operator, bloom in plan") {
     // 40 docs, every 10th is "bench"; half the corpus shares the bench
     // trigrams, half is disjoint — the bloom must pass exactly the sharers.
