@@ -124,6 +124,48 @@ object TextAnalysis {
     s"((length(bin($x)) - 1) * 1024 + " +
       s"(shiftleft($x, 10) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)) - 1024)"
 
+  /** Exploded lowercase character trigrams, `(doc_id, t)` plus any extra
+    * columns the caller projected (e.g. an event-time column — the
+    * streaming scorer needs it to survive the explode). Positions explode
+    * OUTSIDE any lambda: a `transform` lambda would re-`lower` the text
+    * per element (the CollapseProject/HOF pitfall).
+    */
+  def charTrigrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
+    df
+      .select(col(idCol).as("doc_id") +: lower(col(textCol)).as("lt") +: carry: _*)
+      .select(col("doc_id") +: col("lt") +:
+        // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+        // docs under 3 chars need the explicit empty branch
+        explode(when(length(col("lt")) >= 3,
+          sequence(lit(1), length(col("lt")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i") +: carry: _*)
+      .select(col("doc_id") +: expr("substring(lt, i, 3)").as("t") +: carry: _*)
+  }
+
+  /** Corpus character-trigram model `(t, cnt)` — the batch-trained side
+    * of the train-batch / score-stream split (see
+    * `graft.streaming.StreamingCuration.lmSurprisalStream`).
+    */
+  def trigramModel(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    charTrigrams(df, textCol, idCol).groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+
+  /** log2(x)*1024 for a Scala Long, matching [[log2Q10Sql]] exactly. */
+  def log2Q10(x: Long): Long = {
+    val flog = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    flog.toLong * 1024L + ((x << 10) / (1L << flog)) - 1024L
+  }
+
+  /** Per-trigram surprisal column vs a model count column, in 1/1024-bit
+    * units: `log2(total) - log2(cnt)`, integer-exact.
+    */
+  def surprisalQ10(cntCol: String, total: Long): Column =
+    expr(s"cast(${log2Q10(total)} - ${log2Q10Sql(cntCol)} as bigint)")
+
   /** Corpus-LM fluency score (the CCNet-style quality signal): train a
     * character-trigram language model ON the corpus itself (one groupBy),
     * then score every document by the average surprisal of its trigram
@@ -141,15 +183,7 @@ object TextAnalysis {
     * Output: (doc_id, n_tri, avg_surprisal_q10).
     */
   def lmSurprisalScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tri = df
-      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
-      .select(col("doc_id"), col("lt"),
-        // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
-        // docs under 3 chars need the explicit empty branch
-        explode(when(length(col("lt")) >= 3,
-          sequence(lit(1), length(col("lt")) - 2))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"), expr("substring(lt, i, 3)").as("t"))
+    val tri = charTrigrams(df, textCol, idCol)
     // collapse occurrences to per-(doc, trigram) multiplicities FIRST:
     // the model join then touches one row per distinct trigram per doc
     // (vs every occurrence), and the model itself is a cheap re-aggregate

@@ -131,6 +131,43 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM scorer with a batch-trained model converges to the batch score") {
+    // train-batch / score-stream: the model comes from the SAME corpus the
+    // stream replays, so coverage is total and the per-doc streaming score
+    // must EQUAL the batch lmSurprisalScore (oracled at the driver gate)
+    val docsDf = Tables.documents(spark, d)
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val model = graft.functions.TextAnalysis
+      .trigramModel(docsDf, "text", "doc_id").cache()
+    val total = model.agg(sum(col("cnt"))).as[Long].head()
+    val input = MemoryStream[(Long, String, Long)] // (doc_id, text, ts_us)
+    val base = 1704067200000000L
+    val scored = StreamingCuration.lmSurprisalStream(
+      input.toDF().toDF("doc_id", "text", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      model, total, "text", "doc_id", "ts",
+      horizon = "1 second", windowDur = "1 minute")
+    val q = scored.writeStream.format("memory").queryName("conv_lm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.grouped(100).foreach { batch =>
+        input.addData(batch.map { case (id, t) => (id, t, base + id) })
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "flush sentinel document", base + 365L * 86400000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_lm").filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("n_tri"), col("avg_surprisal_q10"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val batch = graft.functions.TextAnalysis
+        .lmSurprisalScore(docsDf, "text", "doc_id")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("A2 streaming running totals (update mode) converge to the batch answer") {
     val input = MemoryStream[(Long, Long)] // (user_id, value_milli)
     val totals = StreamOps.runningKeyedSum(
