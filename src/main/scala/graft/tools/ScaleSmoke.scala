@@ -153,6 +153,31 @@ object ScaleSmoke {
       vecs.select(md5(concat_ws(",",
         transform(q.getField("q"), c => c.cast("string"))))).count()
     }
+    time("span dup profile (3-gram)") {
+      Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).count()
+    }
+    time("LM surprisal score") {
+      TextAnalysis.lmSurprisalScore(docs, "text", "doc_id").count()
+    }
+    time("contamination bloom (1/1000)") {
+      graft.functions.Curation.contaminationPairsBloom(docs, "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(1000)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100).count()
+    }
+    time("semdedup (kmeans cells)") {
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 200, iters = 1)
+      Similarity.semDedupKeep(corpus, cent, minScoreQ4 = 9000L)
+        .filter(col("keep") === 0).count()
+    }
+    time("weekly HLL sketch rollup") {
+      val daily = events
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+        .select(col("w.start").as("day"), col("sk"))
+      daily.groupBy(window(col("day"), "7 days").as("w"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau")).count()
+    }
     spark.stop()
   }
 }
