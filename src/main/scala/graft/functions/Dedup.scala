@@ -30,6 +30,37 @@ object Dedup {
     df.groupBy(normalizedFingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Source-priority duplicate resolution: within each exact-dup group,
+    * keep the copy from the most-trusted source (smallest priority rank;
+    * unlisted sources get `defaultRank`), tie-broken by smallest id —
+    * the "prefer the curated edition over the crawl copy" rule every
+    * real corpus merge applies, rather than keep-any.
+    *
+    * One map-side-combinable aggregate: the arg-min travels as a
+    * `min(struct(rank, id, source))` — a single thin row per group
+    * through the shuffle, no window, no self-join, no skew exposure
+    * (a million-copy boilerplate group still reduces via partial min).
+    * Output: (fp, keep_id, keep_source, n).
+    */
+  def priorityResolvedGroups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      priority: Map[String, Int],
+      defaultRank: Int): DataFrame = {
+    val rank = priority.foldLeft(lit(defaultRank)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(
+        min(struct(rank.as("r"), col(idCol).as("id"), col(sourceCol).as("src")))
+          .as("best"),
+        count(lit(1)).as("n"))
+      .select(col("fp"), col("best.id").as("keep_id"),
+        col("best.src").as("keep_source"), col("n"))
+  }
+
   /** Normalized-text digest — the dedup key of [[normalizedGroups]], also
     * usable as a per-row column (e.g. streaming dedup on a doc stream).
     */

@@ -152,6 +152,13 @@ object LlmQueries {
     "dedup_normalized" -> { (s, d) =>
       Dedup.normalizedGroups(Tables.documents(s, d), "text", "doc_id").orderBy("fp")
     },
+    // Source-priority duplicate resolution: prefer src2 > src0 > rest,
+    // tie-break min id — one arg-min aggregate, no window/self-join.
+    "dedup_priority" -> { (s, d) =>
+      Dedup.priorityResolvedGroups(Tables.documents(s, d), "text", "doc_id",
+        "source", priority = Map("src2" -> 0, "src0" -> 1), defaultRank = 2)
+        .orderBy("fp")
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
@@ -417,6 +424,17 @@ object LlmQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_priority" ->
+      """WITH r AS (SELECT md5(text) AS fp, doc_id, source,
+                      CASE source WHEN 'src2' THEN 0 WHEN 'src0' THEN 1
+                           ELSE 2 END AS rk
+                    FROM documents),
+          g AS (SELECT fp, count(*) AS n FROM r GROUP BY 1),
+          w AS (SELECT fp, doc_id, source,
+                  row_number() OVER (PARTITION BY fp ORDER BY rk, doc_id) AS rn
+                FROM r)
+          SELECT w.fp, w.doc_id AS keep_id, w.source AS keep_source, g.n
+          FROM w JOIN g USING (fp) WHERE rn = 1 ORDER BY fp""",
     "dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte,
           valid AS (SELECT doc_id, source, s FROM sh WHERE len(s) > 0),

@@ -25,6 +25,40 @@ class CurationPropertySpec extends SparkSpec {
     }.toDF("doc_id", "text", "source")
   }
 
+  test("log2Q10: Scala and Spark-SQL forms agree and bracket true log2") {
+    val rnd = new Random(7L)
+    val xs = (Seq(1L, 2L, 3L, 1023L, 1024L, (1L << 40) - 1, 1L << 40) ++
+      Seq.fill(200)(1L + math.abs(rnd.nextLong()) % (1L << 48))).distinct
+    val fromSql = xs.toDF("x")
+      .select(col("x"), TextAnalysis.surprisalQ10("x", 1L << 50).as("s"))
+      .as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      val scala = TextAnalysis.log2Q10(x)
+      // surprisalQ10 = log2Q10(total) - log2Q10Sql(x): invert to compare
+      val sql = TextAnalysis.log2Q10(1L << 50) - fromSql(x)
+      assert(scala === sql, s"x=$x: scala $scala vs sql $sql")
+      val truth = math.log(x.toDouble) / math.log(2.0) * 1024.0
+      assert(scala <= truth + 1e-6 && scala >= truth - 0.09 * 1024,
+        s"x=$x: $scala vs true $truth")
+    }
+  }
+
+  test("duplicateShingleProfile: n_dup bounded, exact-dup docs hit 1000") {
+    for (seed <- Seq(11L, 12L)) {
+      val docs = randomDocs(seed, 200)
+      // plant an exact duplicate of doc 0 under a fresh id
+      val planted = docs.union(
+        docs.filter(col("doc_id") === 0).select(lit(9999L), col("text"), col("source")))
+      val prof = Dedup.duplicateShingleProfile(planted, "text", "doc_id", n = 3)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(prof.forall(p => p._3 >= 0 && p._3 <= p._2), "0 <= n_dup <= n_shingles")
+      assert(prof.forall(p => p._4 >= 0 && p._4 <= 1000), "frac in [0, 1000]")
+      prof.find(_._1 === 9999L).foreach { p =>
+        assert(p._4 === 1000L, "an exact duplicate is 100% duplicated spans")
+      }
+    }
+  }
+
   test("packing conserves tokens; offsets stay under budget; strata start at zero") {
     for (seed <- Seq(31L, 32L)) {
       val docs = randomDocs(seed, 400)

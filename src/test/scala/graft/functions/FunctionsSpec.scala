@@ -81,6 +81,21 @@ class FunctionsSpec extends SparkSpec {
     assert(ivf === brute) // nprobe = all cells -> exact
   }
 
+  test("priorityResolvedGroups keeps the most-trusted source copy, then min id") {
+    val dupDocs = Seq(
+      (5L, "same text", "crawl"), (3L, "same text", "wiki"),
+      (9L, "same text", "crawl"),
+      (7L, "other", "crawl"), (8L, "other", "crawl"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.priorityResolvedGroups(dupDocs, "text", "doc_id", "source",
+      Map("wiki" -> 0), defaultRank = 9)
+      .select("keep_id", "keep_source", "n")
+      .as[(Long, String, Long)].collect().toSet
+    // wiki beats crawl despite the larger ids present; pure-crawl group
+    // falls back to min id
+    assert(got === Set((3L, "wiki", 3L), (7L, "crawl", 2L)))
+  }
+
   test("semDedupKeep prunes within-cell near-dups down to the min representative") {
     // two tight clusters around orthogonal axes + one isolated vector;
     // centroids = the axis vectors themselves, so assignment is exact
