@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.expressions.{DotProductD, HashedShinglesExpr, L2NormD, SimHash60Expr}
+
+/** Cluster-deployment entry point for the engine's custom Catalyst
+  * expressions: ship the jar and set
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * and every session on the cluster gets `dot_product_d`, `l2_norm_d`,
+  * `hashed_shingles` and `simhash60` in SQL — no per-session
+  * `registerAll` call, which only covers sessions the caller creates
+  * (JDBC/Thrift and notebook sessions are created by the platform). The
+  * injected builders are the same ones `TextExpressions.registerAll`
+  * installs; both paths resolve to the identical codegen'd expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name), e => builder(e)))
+    inject("dot_product_d", es => DotProductD(es(0), es(1)))
+    inject("l2_norm_d", es => L2NormD(es.head))
+    inject("hashed_shingles", es =>
+      HashedShinglesExpr(es.head, es(1).asInstanceOf[Literal].value.toString.toInt))
+    inject("simhash60", es => SimHash60Expr(es.head))
+  }
+}

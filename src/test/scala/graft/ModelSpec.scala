@@ -60,6 +60,32 @@ class ModelSpec extends SparkSpec {
     assert(r.getLong(3) === 1L) // bit 0: both set (+2); bit 1: one set (0 -> not positive)
   }
 
+  test("GraftExtensions injects the SQL functions at session build time") {
+    // the spark.sql.extensions deployment path: a FRESH SparkSession built
+    // with withExtensions must see the functions with no registerAll call.
+    // The shared SparkContext is reused; only session state is new.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    try {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT dot_product_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  size(hashed_shingles('a b c d', 3)) AS s""").collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getInt(1) === 2)
+      // do NOT stop s2 — it shares the suite-wide SparkContext
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("whole queries are expressible in pure spark.sql and match the DataFrame twins") {
     graft.sources.Catalog.registerAll(spark, "/root/testdata/sf0.001")
     val q6df = graft.SparkEntry.queries("tpch_q6_revenue_delta")(
