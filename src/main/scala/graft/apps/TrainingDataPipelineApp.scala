@@ -12,8 +12,10 @@ import graft.sources.Tables
   * table — the composite the individual operators exist for:
   *
   *   1. annotate: language ID, quality score, token counts, fingerprint
-  *   2. quality gate: drop low-quality docs
-  *   3. exact dedup: keep the lowest doc_id per normalized fingerprint
+  *   2. quality gate: drop low-quality docs — heuristic signals AND the
+  *      corpus-LM surprisal score (fluency outliers out)
+  *   3. exact dedup with SOURCE PRIORITY: keep the most-trusted source's
+  *      copy per fingerprint, not just the lowest id
   *   4. near-dup removal: MinHash+LSH pairs; drop the higher id of each
   *      verified pair (union-find-free greedy, deterministic)
   *   5. write the cleaned corpus + per-language stats
@@ -40,12 +42,22 @@ object TrainingDataPipelineApp {
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
 
-    // 2. quality gate
-    val qualityOk = annotated.filter(col("quality_milli") >= 400)
+    // 2. quality gate: heuristics + corpus-LM fluency (drop the most
+    // surprising 3 bits-above-nothing tail — encoding garbage, wrong-
+    // script noise; the LM is trained on the corpus itself, one agg)
+    val lm = TextAnalysis.lmSurprisalScore(docs, "text", "doc_id")
+      .select(col("doc_id"), col("avg_surprisal_q10"))
+    val qualityOk = annotated
+      .join(lm, Seq("doc_id"), "left")
+      .filter(col("quality_milli") >= 400 &&
+        coalesce(col("avg_surprisal_q10"), lit(0L)) < lit(14L * 1024L))
 
-    // 3. exact dedup on normalized fingerprint
-    val keepIds = qualityOk.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val exactDeduped = qualityOk.join(keepIds, Seq("fp", "doc_id"))
+    // 3. exact dedup, resolved by source priority (curated sources win
+    // over crawl copies; min id breaks ties)
+    val keepIds = Dedup.priorityResolvedGroups(qualityOk, "text", "doc_id",
+        "source", priority = Map("src2" -> 0, "src0" -> 1), defaultRank = 2)
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = qualityOk.join(keepIds, Seq("doc_id"))
 
     // 4. near-dup removal (drop the higher id of every verified LSH pair)
     val nearDupLosers = Dedup
