@@ -239,6 +239,13 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Integer-exact BM25 keyword search (retrieval twin of the ANN
+    // family): query-term prune before any shuffle, broadcast stats,
+    // TakeOrderedAndProject top-k.
+    "search_bm25" -> { (s, d) =>
+      TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
+        queryTerms = Seq("window", "hash", "stream", "dup"), topK = 50)
+    },
     // Corpus-trained char-trigram LM fluency score (CCNet-style quality
     // signal), integer-exact surprisal — no libm log in either engine.
     "text_lm_surprisal" -> { (s, d) =>
@@ -466,6 +473,32 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "search_bm25" -> {
+      def l1024(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + " +
+          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+      """WITH base AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+                       FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+          stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+          tf AS (SELECT doc_id, t, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+                 WHERE t IN ('window', 'hash', 'stream', 'dup')
+                 GROUP BY 1, 2),
+          dfq AS (SELECT t, count(*) AS dfreq FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id, CAST(sum(
+                   ((""" + l1024("n") + " - " + l1024("dfreq") + """) *
+                    ((tf * (1200 + 1000) * 1000) //
+                     (tf * 1000 + (1200 * ((1000 - 750) +
+                        (750 * ((len * 1000000) // ((tot * 1000) // n))) // 1000)) // 1000))
+                   ) // 1000) AS BIGINT) AS score_q10
+                 FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN stats
+                 GROUP BY 1)
+          SELECT doc_id, score_q10 FROM sc
+          ORDER BY score_q10 DESC, doc_id LIMIT 50"""
+    },
     "text_lm_surprisal" -> {
       def l1024(x: String): String =
         s"((length(bin($x)) - 1) * 1024 + " +

@@ -110,6 +110,61 @@ object TextAnalysis {
       .cast("long")
   }
 
+  // --- lexical retrieval (BM25) ----------------------------------------
+
+  /** BM25 keyword search over the corpus, integer-exact: every factor of
+    * the classic formula is computed in scaled-integer arithmetic —
+    * idf as the bit-length log2 ([[log2Q10Sql]], q10 units), the length
+    * normalization and tf saturation as milli-scaled integral divisions —
+    * so any engine reproduces the scores bit-for-bit (BM25's doubles are
+    * the usual parity killer: log + divisions compound last-ulp drift).
+    *
+    * Plan shape for 100 TB: the explode is immediately filtered to the
+    * query terms (`isin` — a narrow scan-side prune; only query-term
+    * occurrences ever shuffle), per-term df and corpus stats are
+    * broadcast back, and the top-k is orderBy+limit — Spark plans
+    * `TakeOrderedAndProject` (per-partition heap + driver merge of k
+    * rows), never a global sort or single-partition window.
+    * Scoring: standard Robertson BM25 with k1 = `k1Milli`/1000 and
+    * b = `bMilli`/1000; `idf_q10 = log2(N/df) * 1024` (non-negative,
+    * unlike the log((N-df+.5)/(df+.5)) variant, and exactly portable).
+    * Output: (doc_id, score_q10) top `topK` by (score desc, id).
+    */
+  def bm25Search(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L,
+      topK: Int = 50): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")) // 1 row
+    val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(queryTerms: _*)) // prune BEFORE any shuffle
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
+    tf.join(broadcast(dfq), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q10",
+        expr(s"cast(${log2Q10Sql("n")} - ${log2Q10Sql("dfreq")} as bigint)"))
+      .withColumn("avgl_milli", expr("(tot * 1000) div n"))
+      .withColumn("rel_milli", expr("(len * 1000000) div avgl_milli"))
+      .withColumn("norm_milli",
+        expr(s"(1000 - $bMilli) + ($bMilli * rel_milli) div 1000"))
+      .withColumn("tfn_milli",
+        expr(s"(tf * ($k1Milli + 1000) * 1000) div " +
+          s"(tf * 1000 + ($k1Milli * norm_milli) div 1000)"))
+      .withColumn("contrib_q10", expr("(idf_q10 * tfn_milli) div 1000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_q10")).as("score_q10"))
+      .orderBy(col("score_q10").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // --- corpus-LM fluency scoring ---------------------------------------
 
   /** `log2(x) * 1024`, integer-exact: bit-length gives the integer part

@@ -136,6 +136,27 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(3L)._3 === 6L)
   }
 
+  test("bm25Search: rare terms dominate, tf saturates, non-matches absent") {
+    val dd = (Seq(
+      (1L, "alpha alpha alpha alpha"),                       // common term only
+      (2L, "zeta one two three"),                            // single rare term
+      (3L, "zeta zeta zeta zeta zeta zeta zeta zeta"),       // rare term spammed
+      (4L, "gamma delta")) ++                                // no query terms
+      (10L to 29L).map(i => (i, "alpha filler words here"))) // alpha is common
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(dd, "text", "doc_id",
+      Seq("alpha", "zeta"), topK = 30).as[(Long, Long)].collect()
+    val score = got.toMap
+    val order = got.map(_._1)
+    assert(!score.contains(4L), "docs without query terms never appear")
+    assert(order.indexOf(2L) < order.indexOf(1L),
+      "one rare zeta outranks a doc of common alphas (idf dominance)")
+    // tf saturation: 8x the term must score more than 1x, but nowhere
+    // near 8x more (k1 caps the tf contribution)
+    assert(score(3L) > score(2L))
+    assert(score(3L) < 3 * score(2L), s"saturation: ${score(3L)} vs ${score(2L)}")
+  }
+
   test("lmSurprisalScore: corpus-common text scores low, gibberish high") {
     // 9 docs of ordinary repeated English fix the trigram model; one doc
     // of rare-character junk must stand out with a higher avg surprisal
