@@ -246,6 +246,28 @@ object LlmQueries {
       TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
         queryTerms = Seq("window", "hash", "stream", "dup"), topK = 50)
     },
+    // Hybrid retrieval: integer RRF fusion of the BM25 lexical list and
+    // a brute-force cosine list over the (aligned) embedding ids. The
+    // bm25 side is re-ranked via a bounded count-join on its own top-50
+    // output (never a single-partition window).
+    "search_hybrid_rrf" -> { (s, d) =>
+      val bm = TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
+        queryTerms = Seq("window", "hash", "stream", "dup"), topK = 50)
+      val bmRanked = bm.as("x").join(bm.as("y"),
+          col("y.score_q10") > col("x.score_q10") ||
+            (col("y.score_q10") === col("x.score_q10") &&
+              col("y.doc_id") < col("x.doc_id")),
+          "left")
+        .groupBy(col("x.doc_id").as("id"))
+        .agg((count(col("y.doc_id")) + 1).as("rank"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        emb.select(col("vec_id"), col("embedding").as("vec")), k = 50)
+        .select(col("vec_id").as("id"), col("rank"))
+      Similarity.rrfFuse(bmRanked, vec, kRrf = 60, topK = 20)
+    },
     // Corpus-trained char-trigram LM fluency score (CCNet-style quality
     // signal), integer-exact surprisal — no libm log in either engine.
     "text_lm_surprisal" -> { (s, d) =>
@@ -498,6 +520,49 @@ object LlmQueries {
                  GROUP BY 1)
           SELECT doc_id, score_q10 FROM sc
           ORDER BY score_q10 DESC, doc_id LIMIT 50"""
+    },
+    "search_hybrid_rrf" -> {
+      def l1024(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + " +
+          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH base AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '') AS toks
+                        FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+          stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+          tfq AS (SELECT doc_id, t, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+                  WHERE t IN ('window', 'hash', 'stream', 'dup')
+                  GROUP BY 1, 2),
+          dfq AS (SELECT t, count(*) AS dfreq FROM tfq GROUP BY 1),
+          sc AS (SELECT tfq.doc_id, CAST(sum(
+                   ((${l1024("n")} - ${l1024("dfreq")}) *
+                    ((tf * (1200 + 1000) * 1000) //
+                     (tf * 1000 + (1200 * ((1000 - 750) +
+                        (750 * ((len * 1000000) // ((tot * 1000) // n))) // 1000)) // 1000))
+                   ) // 1000) AS BIGINT) AS score_q10
+                 FROM tfq JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN stats
+                 GROUP BY 1),
+          bm AS (SELECT doc_id, score_q10 FROM sc
+                 ORDER BY score_q10 DESC, doc_id LIMIT 50),
+          bmr AS (SELECT doc_id AS id,
+                    row_number() OVER (ORDER BY score_q10 DESC, doc_id) AS rank
+                  FROM bm),
+          $vnCtes,
+          vs AS (SELECT a.vec_id,
+                   CAST(floor(${dotSql("q.e", "a.e")} / (q.n * a.n) * 10000) AS BIGINT)
+                     AS score_q4
+                 FROM vn a CROSS JOIN (SELECT e, n FROM vn WHERE vec_id = 0) q
+                 WHERE a.vec_id <> 0),
+          vr AS (SELECT vec_id AS id, rank FROM (
+                   SELECT vec_id,
+                     row_number() OVER (ORDER BY score_q4 DESC, vec_id) AS rank
+                   FROM vs) WHERE rank <= 50),
+          f AS (SELECT id, 1000000 // (60 + rank) AS c FROM bmr
+                UNION ALL SELECT id, 1000000 // (60 + rank) AS c FROM vr)
+          SELECT id, CAST(sum(c) AS BIGINT) AS rrf_score FROM f
+          GROUP BY 1 ORDER BY rrf_score DESC, id LIMIT 20"""
     },
     "text_lm_surprisal" -> {
       def l1024(x: String): String =

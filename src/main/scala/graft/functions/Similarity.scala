@@ -327,6 +327,24 @@ object Similarity {
       .select(col("a"), col("b"), col("score_q4"))
   }
 
+  /** Reciprocal-rank fusion of two ranked lists `(id, rank)` (rank
+    * starting at 1): contribution = `floor(10^6 / (kRrf + rank))`,
+    * summed per id — the standard hybrid-retrieval combiner (Cormack et
+    * al., SIGIR 2009), in integer arithmetic so both engines agree
+    * bit-for-bit (the usual 1/(k+r) doubles differ in the last ulp once
+    * summed in different orders). Ids present in only one list get that
+    * list's contribution, the RRF convention. Top-k plans as
+    * `TakeOrderedAndProject` — no global sort.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int, topK: Int): DataFrame =
+    a.select(col("id"), col("rank"))
+      .unionByName(b.select(col("id"), col("rank")))
+      .withColumn("c", expr(s"cast(1000000 div ($kRrf + rank) as bigint)"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+
   /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic dedup by
     * clustering the embedding space and pruning near-duplicates ONLY
     * within each cluster — the trick that makes embedding-level dedup
