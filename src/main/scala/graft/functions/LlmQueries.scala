@@ -239,6 +239,16 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Exact corpus heavy hitters (the oracle twin of the Count-Min
+    // library path, `functions.Sketches`): top tokens by frequency.
+    "top_terms" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t"))
+        .limit(20)
+    },
     // Integer-exact BM25 keyword search (retrieval twin of the ANN
     // family): query-term prune before any shuffle, broadcast stats,
     // TakeOrderedAndProject top-k.
@@ -495,6 +505,12 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "top_terms" ->
+      """SELECT t, count(*) AS n
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> '')) AS t
+               FROM documents)
+         GROUP BY 1 ORDER BY n DESC, t LIMIT 20""",
     "search_bm25" -> {
       def l1024(x: String): String =
         s"((length(bin($x)) - 1) * 1024 + " +
