@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW. The default LoggedOutput
+// prefixes every line with "[info] ", which breaks any per-line JSON
+// parse of Bench's stdout protocol line (rounds 1-4 all show
+// `parsed: null` in BENCH_r*.json for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

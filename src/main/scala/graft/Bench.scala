@@ -114,18 +114,30 @@ object Bench {
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     // Slowest-first so whatever fits is the informative part; budget keeps
-    // the whole line inside the driver's tail capture.
-    val slowestFirst = results.sortBy(-_._2)
-    val fixed =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":{},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
-    val budget = 1750 - fixed.length
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    entries(slowestFirst).foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    }
-    val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+    // the whole line inside the driver's tail capture. The fixed skeleton
+    // itself can outgrow the budget if errors/skew entries multiply, so
+    // degrade in steps (drop errors detail, then the skew block) and the
+    // final fallback is a minimal always-valid JSON line — never truncate
+    // mid-string, a decapitated line is exactly the bug this guards.
+    val budgetTotal = 1750
+    val slowestFirst = entries(results.sortBy(-_._2))
+    def mk(qs: Seq[String], skew: String, errs: String): String =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"skew_demo":$skew,"runs_per_query":$runs,"errors":$errs,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+    val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
+      .map { case (sk, er) =>
+        val room = budgetTotal - mk(Nil, sk, er).length
+        if (room < 0) None
+        else {
+          val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+          var used = 0
+          slowestFirst.foreach { e =>
+            if (used + e.length + 1 <= room) { kept += e; used += e.length + 1 }
+          }
+          Some(mk(kept.toSeq, sk, er))
+        }
+      }
+      .collectFirst { case Some(l) => l }
+      .getOrElse(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
     println(line)
   }
 }
