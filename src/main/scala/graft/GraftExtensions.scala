@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{DotProductD, HashedShinglesExpr, L2NormD, SimHash60Expr}
+import graft.expressions.TextExpressions
 
 /** Cluster-deployment entry point for the engine's custom Catalyst
   * expressions: ship the jar and set
@@ -19,14 +19,9 @@ import graft.expressions.{DotProductD, HashedShinglesExpr, L2NormD, SimHash60Exp
   * installs; both paths resolve to the identical codegen'd expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit =
+    TextExpressions.sqlBuilders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.expressions", name), e => builder(e)))
-    inject("dot_product_d", es => DotProductD(es(0), es(1)))
-    inject("l2_norm_d", es => L2NormD(es.head))
-    inject("hashed_shingles", es =>
-      HashedShinglesExpr(es.head, es(1).asInstanceOf[Literal].value.toString.toInt))
-    inject("simhash60", es => SimHash60Expr(es.head))
-  }
+        new ExpressionInfo("graft.expressions", name), es => builder(es)))
+    }
 }

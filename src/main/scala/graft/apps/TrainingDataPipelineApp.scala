@@ -52,10 +52,11 @@ object TrainingDataPipelineApp {
       .filter(col("quality_milli") >= 400 &&
         coalesce(col("avg_surprisal_q10"), lit(0L)) < lit(14L * 1024L))
 
-    // 3. exact dedup, resolved by source priority (curated sources win
-    // over crawl copies; min id breaks ties)
-    val keepIds = Dedup.priorityResolvedGroups(qualityOk, "text", "doc_id",
-        "source", priority = Map("src2" -> 0, "src0" -> 1), defaultRank = 2)
+    // 3. exact dedup on the NORMALIZED fingerprint annotated in step 1
+    // (case/whitespace variants collapse), resolved by source priority
+    // (curated sources win over crawl copies; min id breaks ties)
+    val keepIds = Dedup.priorityResolvedGroupsByKey(qualityOk, col("fp"),
+        "doc_id", "source", priority = Map("src2" -> 0, "src0" -> 1), defaultRank = 2)
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = qualityOk.join(keepIds, Seq("doc_id"))
 

@@ -122,17 +122,51 @@ object TextExpressions {
   def simhash60(tokenHashes: Column): Column =
     column(SimHash60Expr(expression(tokenHashes)))
 
+  /** The custom functions' SQL builders, with argument validation —
+    * shared by [[registerAll]] (per-session) and
+    * [[graft.GraftExtensions]] (cluster-wide `spark.sql.extensions`), so
+    * a wrong arity or a non-literal shingle size fails analysis with a
+    * clear `AnalysisException` on BOTH paths instead of a
+    * `ClassCastException`/`IndexOutOfBoundsException` at plan time.
+    */
+  def sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def analysisError(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        msg, None, None, None, None, Map.empty, Array.empty)
+    def arity(name: String, es: Seq[Expression], n: Int): Seq[Expression] =
+      if (es.length == n) es
+      else analysisError(s"$name expects $n argument(s), got ${es.length}")
+    def intLiteral(name: String, arg: String, e: Expression): Int = e match {
+      case Literal(v: Int, _)   => v
+      case Literal(v: Long, _)  => v.toInt
+      case Literal(v: Short, _) => v.toInt
+      case Literal(v: Byte, _)  => v.toInt
+      case other => analysisError(
+        s"$name: <$arg> must be an integer literal, got ${other.sql}")
+    }
+    Seq(
+      "dot_product_d" -> { es: Seq[Expression] =>
+        val a = arity("dot_product_d", es, 2); DotProductD(a(0), a(1))
+      },
+      "l2_norm_d" -> { es: Seq[Expression] =>
+        L2NormD(arity("l2_norm_d", es, 1).head)
+      },
+      "hashed_shingles" -> { es: Seq[Expression] =>
+        val a = arity("hashed_shingles", es, 2)
+        HashedShinglesExpr(a.head, intLiteral("hashed_shingles", "n", a(1)))
+      },
+      "simhash60" -> { es: Seq[Expression] =>
+        SimHash60Expr(arity("simhash60", es, 1).head)
+      })
+  }
+
   /** Make every custom graft expression callable from `spark.sql(...)`:
     * `dot_product_d(a, b)`, `l2_norm_d(a)`, `hashed_shingles(text, n)`,
     * `simhash60(hashes)`.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    registerFunction(spark, "dot_product_d", es => DotProductD(es(0), es(1)))
-    registerFunction(spark, "l2_norm_d", es => L2NormD(es.head))
-    registerFunction(spark, "hashed_shingles", es =>
-      HashedShinglesExpr(es.head, es(1).asInstanceOf[Literal].value.toString.toInt))
-    registerFunction(spark, "simhash60", es => SimHash60Expr(es.head))
+    sqlBuilders.foreach { case (name, b) => registerFunction(spark, name, b) }
   }
 }

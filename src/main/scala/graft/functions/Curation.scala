@@ -101,8 +101,22 @@ object Curation {
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(ColumnBridge.expression(col("g")),
         Literal(bloomItems), Literal(bloomBits)).toAggregateExpression())
-    val bloomBytes = ex.filter(col("is_bench")).agg(bloomAgg.as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // NOTE: eager — this runs a Spark action (one aggregate over the
+    // bench-side shingles) at DataFrame-CONSTRUCTION time, because
+    // BloomFilterMightContain requires its bloom side as a foldable
+    // literal. Unusual for an otherwise lazy API; callers constructing
+    // plans in a loop (e.g. plan sweeps) pay the aggregate each time.
+    val bloomRow = ex.filter(col("is_bench"))
+      .agg(bloomAgg.as("bf"), approx_count_distinct(col("g")).as("n"))
+      .head()
+    val bloomBytes = bloomRow.getAs[Array[Byte]](0)
+    val benchShingles = bloomRow.getAs[Long](1)
+    if (benchShingles > bloomItems)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"contaminationPairsBloom: ~$benchShingles distinct bench shingles " +
+          s"exceed bloomItems=$bloomItems — FP rate degrades and the " +
+          "prefilter passes more corpus shingles (correctness unaffected); " +
+          "raise bloomItems/bloomBits to restore selectivity")
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType), ColumnBridge.expression(col("g"))))
 

@@ -48,11 +48,25 @@ object Dedup {
       idCol: String,
       sourceCol: String,
       priority: Map[String, Int],
+      defaultRank: Int): DataFrame =
+    priorityResolvedGroupsByKey(df, md5(col(textCol)), idCol, sourceCol,
+      priority, defaultRank)
+
+  /** [[priorityResolvedGroups]] with an explicit dedup-key expression —
+    * pass a normalized fingerprint (e.g. [[normalizedFingerprint]]) to
+    * collapse case/whitespace variants instead of raw-byte duplicates.
+    */
+  def priorityResolvedGroupsByKey(
+      df: DataFrame,
+      keyExpr: Column,
+      idCol: String,
+      sourceCol: String,
+      priority: Map[String, Int],
       defaultRank: Int): DataFrame = {
     val rank = priority.foldLeft(lit(defaultRank)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    df.groupBy(md5(col(textCol)).as("fp"))
+    df.groupBy(keyExpr.as("fp"))
       .agg(
         min(struct(rank.as("r"), col(idCol).as("id"), col(sourceCol).as("src")))
           .as("best"),

@@ -209,8 +209,17 @@ object TextAnalysis {
   def trigramModel(df: DataFrame, textCol: String, idCol: String): DataFrame =
     charTrigrams(df, textCol, idCol).groupBy(col("t")).agg(count(lit(1)).as("cnt"))
 
-  /** log2(x)*1024 for a Scala Long, matching [[log2Q10Sql]] exactly. */
+  /** log2(x)*1024 for a Scala Long, matching [[log2Q10Sql]] exactly.
+    *
+    * Domain: `1 <= x < 2^53`. Below 1 the bit-length trick degenerates
+    * (x=0 would shift by 63 and return garbage, not throw); at 2^53 and
+    * above `x << 10` overflows Long. Callers pass corpus/model counts,
+    * so both edges mean "empty or absurd model" — fail loudly here
+    * instead of silently producing wrong scores downstream.
+    */
   def log2Q10(x: Long): Long = {
+    require(x >= 1L, s"log2Q10 requires x >= 1 (got $x) — empty model/total?")
+    require(x < (1L << 53), s"log2Q10 requires x < 2^53 (got $x)")
     val flog = 63 - java.lang.Long.numberOfLeadingZeros(x)
     flog.toLong * 1024L + ((x << 10) / (1L << flog)) - 1024L
   }
