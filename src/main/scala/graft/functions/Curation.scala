@@ -429,6 +429,47 @@ object Curation {
   val UrlRe = "https?://[^\\s]+"
   val DigitsRe = "[0-9]{6,}"
 
+  /** Sliding token-window chunking — the "split long documents into
+    * training sequences" step of an LLM data pipeline. Each document
+    * yields windows of `window` tokens starting every `stride` tokens
+    * (stride < window = overlapping context windows); the final windows
+    * truncate at the document end, empty documents yield nothing.
+    *
+    * Output per chunk: `chunk_idx` (0-based), `chunk_start` (1-based
+    * token offset), `chunk_tokens` (= `window` except at the tail) and
+    * `chunk_fp48` (portable 48-bit digest of the space-rejoined window —
+    * chunk-level exact dedup keys come for free).
+    *
+    * Plan shape for 100 TB: tokenize once (staged `withColumn` — the
+    * CollapseProject/HOF pitfall), one `explode` over ~n/stride indices
+    * per doc, `slice` per chunk. Narrow end to end: no shuffle, no state;
+    * scales linearly with corpus bytes and parallelizes per input split.
+    */
+  def chunkTokenWindows(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(
+        when(col("__n") > 0,
+          sequence(lit(0L), expr(s"(__n - 1) div $stride")))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("chunk_start", col("chunk_idx") * stride + 1L)
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_start").cast("int"), lit(window)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("chunk_start"),
+        size(col("__chunk")).cast("long").as("chunk_tokens"),
+        TextAnalysis.portableHash48(concat_ws(" ", col("__chunk"))).as("chunk_fp48"))
+  }
+
   def piiScrub(df: DataFrame, textCol: String): DataFrame =
     df
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)).cast("long"))

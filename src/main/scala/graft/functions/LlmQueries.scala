@@ -192,6 +192,14 @@ object LlmQueries {
         minScoreQ4 = 3500L, dim = 64)
         .orderBy("a", "b")
     },
+    // MinHash signature-estimated Jaccard NEXT TO the exact value on the
+    // same LSH candidates — the web-scale move is rank/threshold on the
+    // 16-long estimate and verify only near the boundary.
+    "sim_est_minhash" -> { (s, d) =>
+      Dedup.minhashEstimatedPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 300)
+        .orderBy("a", "b")
+    },
     // ------------------------------------------------- similarity search
     "sim_topk_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
@@ -400,6 +408,33 @@ object LlmQueries {
           TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp48"))
         .orderBy("doc_id")
     },
+    // Sliding token-window chunking (window 32, stride 8): the
+    // long-document -> training-sequence split, with a portable per-chunk
+    // dedup digest. Narrow plan: tokenize once, explode ~n/stride chunk
+    // indices, slice — no shuffle.
+    "chunk_documents" -> { (s, d) =>
+      Curation.chunkTokenWindows(Tables.documents(s, d), "text", "doc_id",
+        window = 32, stride = 8)
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // Corpus length profile: histogram of documents and tokens by
+    // 10-token bucket (capped at bucket 9) — the data-profiling pass a
+    // pipeline runs before choosing chunking/packing parameters.
+    "doc_length_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("__toks", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .groupBy(expr("least(__toks div 10, 9)").as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("__toks")).as("tokens"))
+        .orderBy("bucket")
+    },
+    // Signed-random-projection compression of embeddings (64 -> 8 dims,
+    // deterministic md5-derived hyperplanes, integer-exact components).
+    "embedding_rp" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +:
+          Similarity.randomProjectionQ4(col("embedding"), inDim = 64, outDim = 8): _*)
+        .orderBy("vec_id")
+    },
     // ------------------------------------------------- multimodal
     "multimodal_decode" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -505,6 +540,20 @@ object LlmQueries {
           JOIN valid sa ON sa.doc_id = c.a
           JOIN valid sb ON sb.doc_id = c.b
           ORDER BY a, b""",
+    "sim_est_minhash" ->
+      s"""WITH $shinglesCte,
+          $minhashCandCtes
+          SELECT a, b, est_milli, jaccard_milli FROM (
+            SELECT c.a, c.b,
+                   CAST(floor(len(list_filter(generate_series(1, 16),
+                     i -> sa.sig[i] = sb.sig[i])) * 1000.0 / 16) AS BIGINT) AS est_milli,
+                   CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                     (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                     AS BIGINT) AS jaccard_milli
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b)
+          WHERE jaccard_milli >= 300 ORDER BY a, b""",
     "top_terms" ->
       """SELECT t, count(*) AS n
          FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -892,6 +941,36 @@ object LlmQueries {
                    list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT))),
                    (acc, h) -> (acc * 31 + h) % 281474976710656) AS rolling_fp48
           FROM base ORDER BY doc_id""",
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+          k AS (SELECT doc_id, toks, n,
+                       unnest(range(0, ((n - 1) // 8) + 1)) AS k FROM n)
+          SELECT doc_id, k AS chunk_idx, k * 8 + 1 AS chunk_start,
+                 len(toks[(k * 8 + 1):least(k * 8 + 32, n)]) AS chunk_tokens,
+                 CAST(('0x' || substr(md5(array_to_string(
+                   toks[(k * 8 + 1):least(k * 8 + 32, n)], ' ')), 1, 12)) AS BIGINT)
+                   AS chunk_fp48
+          FROM k ORDER BY doc_id, chunk_idx""",
+    "doc_length_histogram" ->
+      s"""WITH t AS (SELECT len($toksSql) AS n FROM documents)
+          SELECT least(n // 10, 9) AS bucket, count(*) AS docs,
+                 CAST(sum(n) AS BIGINT) AS tokens
+          FROM t GROUP BY 1 ORDER BY bucket""",
+    "embedding_rp" -> {
+      val comps = (0 until 8).map { j =>
+        s"""CAST(sum(CAST(floor(v * 10000) AS BIGINT) *
+           |  (CASE WHEN (CAST(('0x' || substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 12))
+           |    AS BIGINT) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) AS c$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT vec_id,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+                       unnest(range(0, len(embedding))) AS i
+                     FROM embeddings)
+          SELECT vec_id,
+          $comps
+          FROM f GROUP BY vec_id ORDER BY vec_id"""
+    },
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

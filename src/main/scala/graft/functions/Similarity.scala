@@ -246,6 +246,32 @@ object Similarity {
           .otherwise(floor(x / scale * lit(127.0)).cast("long"))).as("q"))
   }
 
+  /** Signed random projection (Achlioptas/SimHash-style dimensionality
+    * reduction): project an `inDim`-dimensional embedding onto `outDim`
+    * deterministic ±1 hyperplanes ([[planeSign]], md5-derived — any
+    * engine reproduces the matrix). Returns one column per output
+    * component, integer-exact: elements are quantized
+    * `floor(x * 10^4)` BIGINTs BEFORE the signed sum, so the result is
+    * order-independent and bit-identical everywhere.
+    *
+    * Plan shape for 100 TB: the sign matrix folds into the plan as
+    * `outDim` literal arrays (zero per-row hashing) and each component
+    * is one `zip_with` + `aggregate` over the row's own vector — a pure
+    * narrow map, no shuffle, no driver state. The input must have
+    * exactly `inDim` elements (shorter vectors zip against null and
+    * poison the sum by design — fail loudly, not silently wrong).
+    */
+  def randomProjectionQ4(vec: Column, inDim: Int, outDim: Int): Seq[Column] = {
+    require(inDim >= 1 && outDim >= 1, "dims must be >= 1")
+    val vd = toDouble(vec)
+    (0 until outDim).map { j =>
+      val signs = typedLit((0 until inDim).map(i => planeSign(j, i).toLong))
+      aggregate(
+        zip_with(vd, signs, (v, s) => floor(v * lit(10000.0)).cast("long") * s),
+        lit(0L), (acc, x) => acc + x).as(s"c$j")
+    }
+  }
+
   /** Deterministic ±1 hyperplane component (md5-derived, reproducible in
     * any engine): sign_ij = lowest bit of the 48-bit md5-prefix hash of
     * "i:j".

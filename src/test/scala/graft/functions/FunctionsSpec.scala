@@ -292,4 +292,55 @@ class FunctionsSpec extends SparkSpec {
     val byId = dec.select("media_id", "width").as[(Long, Long)].collect().toMap
     assert(byId(0L) === byId(3L))
   }
+
+  test("minhashEstimatedPairs: exact dup estimates 1000, near-dup tracks exact") {
+    val pairs = Dedup.minhashEstimatedPairs(docs, "text", "doc_id",
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("est_milli"), r.getAs[Long]("jaccard_milli"))).toMap
+    val (estDup, exactDup) = pairs((0L, 3L)) // identical docs
+    assert(estDup === 1000L && exactDup === 1000L)
+    val (estNear, exactNear) = pairs((0L, 1L)) // 1-word edit
+    assert(exactNear >= 300L && exactNear < 1000L)
+    // a 16-hash estimator has ~sigma 125 milli; 400 is a >3-sigma bound
+    assert(math.abs(estNear - exactNear) <= 400L)
+  }
+
+  test("chunkTokenWindows: strides, truncated tail, empty doc, dedup digests") {
+    val df = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // shorter than a window
+      (2L, "   "),                                    // empty after tokenize
+      (3L, (1 to 10).map(i => s"t$i").mkString(" "))) // duplicate of doc 0
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokenWindows(df, "text", "doc_id", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens", "chunk_fp48")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 0: starts 1,4,7,10 -> lengths 4,4,4,1 ; doc 1: starts 1 -> 3 tokens
+    assert(out.filter(_._1 == 0L).map(r => (r._3, r._4)).toSeq ===
+      Seq((1L, 4L), (4L, 4L), (7L, 4L), (10L, 1L)))
+    assert(out.filter(_._1 == 1L).map(r => (r._3, r._4)).toSeq === Seq((1L, 3L)))
+    assert(!out.exists(_._1 == 2L)) // empty doc yields no chunks
+    // identical docs produce identical per-chunk digests (chunk-level dedup key)
+    assert(out.filter(_._1 == 0L).map(_._5).toSeq ===
+      out.filter(_._1 == 3L).map(_._5).toSeq)
+    // distinct windows hash differently
+    assert(out.filter(_._1 == 0L).map(_._5).distinct.length === 4)
+  }
+
+  test("randomProjectionQ4: deterministic, matches a hand-folded component") {
+    val vec = Array(0.5f, -1.25f, 2.0f)
+    val df = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val comps = Similarity.randomProjectionQ4(col("embedding"), inDim = 3, outDim = 2)
+    val row = df.select(col("vec_id") +: comps: _*).collect().head
+    def expected(j: Int): Long =
+      vec.zipWithIndex.map { case (v, i) =>
+        math.floor(v.toDouble * 10000).toLong * Similarity.planeSign(j, i).toLong
+      }.sum
+    assert(row.getLong(1) === expected(0))
+    assert(row.getLong(2) === expected(1))
+    // stable across evaluations (plan-literal sign matrix, no RNG)
+    assert(df.select(col("vec_id") +: comps: _*).collect().head === row)
+  }
 }
