@@ -243,6 +243,50 @@ object Dedup {
         col("bb.bh").as("bh") +: passthrough.map(col): _*)
   }
 
+  /** [[minhashLshPairs]] plus the SIGNATURE-estimated Jaccard next to the
+    * exact one: `est_milli = matching signature positions / numHashes`.
+    * The estimator is the point of MinHash — at web scale the exact
+    * verify (set intersection over full shingle sets) is the expensive
+    * step, and a pipeline can rank/threshold on the estimate first and
+    * verify only near the decision boundary. Shipping both columns makes
+    * the estimator's accuracy inspectable query-side (and spec-gated).
+    */
+  def minhashEstimatedPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("doc"), col("band"), col("bh"))
+    val candIds = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .dropDuplicates("a", "b")
+    candIds
+      .join(sigs.select(col("doc").as("a"), col("sh").as("sha"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("doc").as("b"), col("sh").as("shb"), col("sig").as("sigb")), "b")
+      .withColumn("matches",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), m => m)))
+      .withColumn("est_milli",
+        floor(col("matches") * lit(1000.0) / numHashes).cast("long"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a"), col("b"), col("est_milli"), col("jaccard_milli"))
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       textCol: String,
