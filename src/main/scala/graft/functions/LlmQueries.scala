@@ -209,6 +209,17 @@ object LlmQueries {
       Similarity.bruteForceTopK(queries, corpus, k = 5)
         .orderBy("qid", "rank")
     },
+    // Top-k search over the int8-QUANTIZED index (4x smaller scan at
+    // 100 TB): integer code x quantized-query inner product, one
+    // deterministic double multiply by the stored max-abs scale.
+    "sim_topk_int8" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.int8TopK(queries, corpus, k = 5)
+        .orderBy("qid", "rank")
+    },
     "sim_topk_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
@@ -874,6 +885,27 @@ object LlmQueries {
                    CAST(floor(${dotSql("va.e", "vb.e")} / (va.n * vb.n) * 10000) AS BIGINT) AS score_q4
             FROM cand c JOIN vn va ON va.vec_id = c.a JOIN vn vb ON vb.vec_id = c.b)
           WHERE score_q4 >= 3500 ORDER BY a, b""",
+    "sim_topk_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          c AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          codes AS (SELECT vec_id, scale,
+              list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(x / scale * 127) AS BIGINT) END) AS code
+            FROM c),
+          q AS (SELECT vec_id AS qid,
+                  list_transform(e, x -> CAST(floor(x * 10000) AS BIGINT)) AS qq
+                FROM v WHERE vec_id < 20),
+          scored AS (SELECT q.qid, codes.vec_id,
+              CAST(floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(code)), i -> code[i] * qq[i])),
+                (acc, x) -> acc + x) AS DOUBLE) * scale) AS BIGINT) AS score_q
+            FROM codes CROSS JOIN q WHERE q.qid <> codes.vec_id),
+          ranked AS (SELECT qid, vec_id, score_q,
+              row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, vec_id) AS rank
+            FROM scored)
+          SELECT qid, vec_id, score_q, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
     "sim_topk_brute" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),

@@ -86,6 +86,47 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
   }
 
+  /** Top-k inner-product search over the int8-QUANTIZED corpus — search
+    * the compressed index directly, the memory-bound regime's standard
+    * move (the codes are 4x smaller than float32; at 100 TB the scan is
+    * the cost, so scanning codes instead of floats is a 4x win before
+    * any pruning).
+    *
+    * Scoring is integer-exact then one deterministic double multiply:
+    * `ip = sum(code_i * floor(q_i * 10^4))` (pure BIGINT),
+    * `score = floor(ip * scale)` — `scale` is the corpus vector's max-abs
+    * (a comparison-free reduction, bit-identical in any engine), so
+    * rankings reproduce everywhere. Estimates the true inner product
+    * times 127*10^4/scale; recall vs the float index is spec-measured.
+    * Same broadcast + two-phase top-k shape as [[bruteForceTopK]].
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q8 = quantizeInt8(col("vec"))
+    val codes = corpus.select(col("vec_id"),
+      q8.getField("scale").as("scale"), q8.getField("q").as("code"))
+    val qq = queries.select(col("qid"),
+      transform(toDouble(col("qvec")), x => floor(x * lit(10000.0)).cast("long"))
+        .as("qq"))
+    val scored = codes
+      .join(broadcast(qq), col("qid") =!= col("vec_id"))
+      .withColumn("ip",
+        aggregate(zip_with(col("code"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("score_q", floor(col("ip").cast("double") * col("scale")).cast("long"))
+    val localW = Window
+      .partitionBy(col("qid"), spark_partition_id())
+      .orderBy(col("score_q").desc, col("vec_id"))
+    val globalW = Window.partitionBy(col("qid"))
+      .orderBy(col("score_q").desc, col("vec_id"))
+    scored
+      .select(col("qid"), col("vec_id"), col("score_q"))
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("score_q"), col("rank"))
+  }
+
   /** Deterministic IVF: centroids are the corpus vectors whose id is
     * divisible by `centroidEvery`; each corpus vector is assigned to its
     * max-cosine centroid (ties to the lower centroid id); each query

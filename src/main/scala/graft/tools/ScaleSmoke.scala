@@ -170,6 +170,22 @@ object ScaleSmoke {
       Similarity.semDedupKeep(corpus, cent, minScoreQ4 = 9000L)
         .filter(col("keep") === 0).count()
     }
+    time("token-window chunking (32/8)") {
+      graft.functions.Curation.chunkTokenWindows(docs, "text", "doc_id",
+        window = 32, stride = 8).count()
+    }
+    time("random projection (64->8)") {
+      vecs.select(col("vec_id") +:
+        Similarity.randomProjectionQ4(col("vec"), inDim = 64, outDim = 8): _*).count()
+    }
+    time("minhash estimated pairs") {
+      Dedup.minhashEstimatedPairs(docs, "text", "doc_id", 3, 4, 4, 600).count()
+    }
+    time("int8 topk (100 queries)") {
+      val q = vecs.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.int8TopK(q, vecs, 5).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))

@@ -306,6 +306,40 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(estNear - exactNear) <= 400L)
   }
 
+  test("int8TopK: searches the quantized index with high recall vs float") {
+    // deterministic corpus: 100 vectors in 4 well-separated clusters
+    val vecs = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 5.0f else 0.1f
+        base + ((id * 31 + i * 7) % 10) / 20.0f
+      }
+      (id, v)
+    }
+    val corpus = vecs.toDF("vec_id", "vec")
+    val queries = vecs.take(8).map { case (id, v) => (id, v) }
+      .toDF("qid", "qvec")
+    // exact float INNER-PRODUCT top-5 (int8TopK is a MIPS index, so the
+    // like-for-like baseline is IP ranking, not bruteForceTopK's cosine)
+    val float = (for {
+      (qid, qv) <- vecs.take(8)
+      top = vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        }
+        .sortBy { case (id, ip) => (-ip, id) }.take(5)
+      (id, _) <- top
+    } yield (qid, id)).toSet
+    val int8 = Similarity.int8TopK(queries, corpus, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(int8.size === 8 * 5)
+    // quantized search keeps >= 80% of the exact-IP top-k on clustered data
+    assert((float intersect int8).size >= (0.8 * float.size).toInt)
+    // determinism across evaluations
+    assert(Similarity.int8TopK(queries, corpus, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet === int8)
+  }
+
   test("chunkTokenWindows: strides, truncated tail, empty doc, dedup digests") {
     val df = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
