@@ -108,6 +108,30 @@ object LlmQueries {
         ${kmeansIterSql("cent1", 2)},
         ${ivfProbeSql("cent2")}"""
 
+  /** Product-quantization CTE chain (8 subspaces x 8 dims, codebooks =
+    * the `vec_id % 25 = 0` seed subvectors) — mirrors
+    * `Similarity.pqEncode` bit-for-bit (same left-to-right residual fold,
+    * same `floor(x * 10^6)` quantization, ties to the lower centroid id).
+    * Ends with `best`; the encoded codes are its `rn = 1` rows.
+    */
+  private val pqCtes: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+       svv AS (SELECT vec_id, j, e[(j*8+1):(j*8+8)] AS sv
+               FROM (SELECT vec_id, unnest(range(0, 8)) AS j, e FROM v)),
+       cvv AS (SELECT cid, j, e[(j*8+1):(j*8+8)] AS cv
+               FROM (SELECT vec_id AS cid, unnest(range(0, 8)) AS j, e
+                     FROM v WHERE vec_id % 25 = 0)),
+       d AS (SELECT svv.vec_id, svv.j, cvv.cid,
+               CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 8),
+                   i -> (svv.sv[i] - cvv.cv[i]) * (svv.sv[i] - cvv.cv[i]))),
+                 (acc, x) -> acc + x) * 1000000) AS BIGINT) AS d_q6
+             FROM svv JOIN cvv USING (j)),
+       best AS (SELECT vec_id, j, cid, d_q6,
+                  row_number() OVER (PARTITION BY vec_id, j ORDER BY d_q6, cid) AS rn
+                FROM d)"""
+
   private def stopSql(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -207,6 +231,26 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
       Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy("qid", "rank")
+    },
+    // Product-quantization encode: 64 floats -> 8 codebook ids per
+    // vector (deterministic per-subspace codebooks); the codes table is
+    // the compressed index adcTopK searches.
+    "embedding_pq" -> { (s, d) =>
+      Similarity.pqEncode(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("vec")),
+        centroidEvery = 25, m = 8, dim = 64)
+        .orderBy("vec_id", "j")
+    },
+    // ADC top-k over the PQ codes: per-query distance table to every
+    // codebook entry, integer sums of 8 table lookups per corpus vector
+    // — the float corpus is never read at query time.
+    "sim_topk_pq" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.adcTopK(queries, corpus, k = 5, centroidEvery = 25, m = 8, dim = 64)
         .orderBy("qid", "rank")
     },
     // Top-k search over the int8-QUANTIZED index (4x smaller scan at
@@ -885,6 +929,31 @@ object LlmQueries {
                    CAST(floor(${dotSql("va.e", "vb.e")} / (va.n * vb.n) * 10000) AS BIGINT) AS score_q4
             FROM cand c JOIN vn va ON va.vec_id = c.a JOIN vn vb ON vb.vec_id = c.b)
           WHERE score_q4 >= 3500 ORDER BY a, b""",
+    "embedding_pq" ->
+      s"""WITH $pqCtes
+          SELECT vec_id, j, cid AS code, d_q6 FROM best WHERE rn = 1
+          ORDER BY vec_id, j""",
+    "sim_topk_pq" ->
+      s"""WITH $pqCtes,
+          codes AS (SELECT vec_id, j, cid AS code FROM best WHERE rn = 1),
+          qsub AS (SELECT qid, j, qe[(j*8+1):(j*8+8)] AS qv
+                   FROM (SELECT vec_id AS qid, unnest(range(0, 8)) AS j, e AS qe
+                         FROM v WHERE vec_id < 20)),
+          dt AS (SELECT qsub.qid, qsub.j, cvv.cid AS code,
+                   CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(generate_series(1, 8),
+                       i -> (qsub.qv[i] - cvv.cv[i]) * (qsub.qv[i] - cvv.cv[i]))),
+                     (acc, x) -> acc + x) * 1000000) AS BIGINT) AS pd_q6
+                 FROM qsub JOIN cvv USING (j)),
+          scored AS (SELECT dt.qid, codes.vec_id, CAST(sum(pd_q6) AS BIGINT) AS adc_q6
+                     FROM codes JOIN dt USING (j, code)
+                     WHERE dt.qid <> codes.vec_id
+                     GROUP BY 1, 2),
+          ranked AS (SELECT qid, vec_id, adc_q6,
+                       row_number() OVER (PARTITION BY qid ORDER BY adc_q6, vec_id) AS rank
+                     FROM scored)
+          SELECT qid, vec_id, adc_q6, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
     "sim_topk_int8" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),

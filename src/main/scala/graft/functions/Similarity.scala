@@ -127,6 +127,107 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score_q"), col("rank"))
   }
 
+  /** Product-quantization encode (Jegou et al. 2011): split each
+    * `dim`-dimensional vector into `m` subvectors and replace every
+    * subvector with the id of its nearest codebook entry (L2, ties to
+    * the lower centroid id). Codebooks are deterministic per subspace:
+    * the subvectors of the seed vectors (`vec_id % centroidEvery == 0`)
+    * — the same seeding rule as [[ivfTopK]], engine-reproducible.
+    *
+    * Output: (vec_id, j, code, d_q6) — one row per subspace, `code` the
+    * chosen centroid id, `d_q6` the quantized squared L2 residual
+    * (`floor(||sub - c||^2 * 10^6)`, left-to-right fold, bit-portable).
+    * The codes table IS the compressed index: m BIGINTs per vector
+    * instead of `dim` floats (8 codes vs 64 floats here), and
+    * [[adcTopK]] searches it without ever touching the original floats.
+    *
+    * Plan shape for 100 TB: codebooks are a tiny broadcast (m x k rows);
+    * encoding is explode(m) + broadcast-join + map-side-combinable
+    * arg-min — one narrow pass over the corpus, no wide shuffle.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val v = corpus.select(col("vec_id"), toDouble(col("vec")).as("e"))
+    val subs = v
+      .select(col("vec_id"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("e"))
+      .withColumn("sv", expr(s"slice(e, j * $sub + 1, $sub)"))
+      .drop("e")
+    val cents = v.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("e"))
+      .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
+      .drop("e")
+    subs.join(broadcast(cents), "j")
+      .withColumn("d_q6",
+        floor(aggregate(
+          zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d_q6"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("j"),
+        col("best.cid").as("code"), col("best.d_q6").as("d_q6"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-coded corpus: the query
+    * stays in float space; per (subspace, codebook entry) squared-L2
+    * partials are precomputed into a tiny distance table, and each
+    * corpus vector's estimated distance is the INTEGER sum of its m
+    * table lookups. Returns the k nearest (smallest estimated distance,
+    * ties to the lower vec_id) per query.
+    *
+    * Plan shape for 100 TB: scans ONLY the codes table (m BIGINTs per
+    * vector), broadcast-joins the queries x m x k distance table, and
+    * partial-aggregates the integer sums — the float corpus is never
+    * read at query time. That is the PQ payoff: the hot scan shrinks
+    * from dim floats to m codes per vector.
+    */
+  def adcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    val codes = pqEncode(corpus, centroidEvery, m, dim)
+      .select(col("vec_id"), col("j"), col("code"))
+    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("j"),
+        toDouble(col("vec")).as("e"))
+      .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
+      .drop("e")
+    val dtable = queries
+      .select(col("qid"), toDouble(col("qvec")).as("qe"))
+      .crossJoin(cents)
+      .withColumn("qv", expr(s"slice(qe, j * $sub + 1, $sub)"))
+      .withColumn("pd_q6",
+        floor(aggregate(
+          zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long"))
+      .select(col("qid"), col("j"), col("cid").as("code"), col("pd_q6"))
+    val scored = codes
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd_q6")).as("adc_q6"))
+    val localW = Window
+      .partitionBy(col("qid"), spark_partition_id())
+      .orderBy(col("adc_q6"), col("vec_id"))
+    val globalW = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_q6"), col("vec_id"))
+    scored
+      .withColumn("lr", row_number().over(localW))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("adc_q6"), col("rank"))
+  }
+
   /** Deterministic IVF: centroids are the corpus vectors whose id is
     * divisible by `centroidEvery`; each corpus vector is assigned to its
     * max-cosine centroid (ties to the lower centroid id); each query

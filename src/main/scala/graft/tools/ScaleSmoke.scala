@@ -186,6 +186,16 @@ object ScaleSmoke {
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       Similarity.int8TopK(q, vecs, 5).count()
     }
+    time("pq encode (m=8)") {
+      Similarity.pqEncode(vecs.select(col("vec_id"), col("vec")),
+        centroidEvery = 200, m = 8, dim = 64).count()
+    }
+    time("adc topk over pq (100 queries)") {
+      val q = vecs.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.adcTopK(q, vecs.select(col("vec_id"), col("vec")),
+        k = 5, centroidEvery = 200, m = 8, dim = 64).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))

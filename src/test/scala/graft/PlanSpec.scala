@@ -125,7 +125,11 @@ class PlanSpec extends SparkSpec {
       "sim_topk_ivf", "sim_topk_ivf_kmeans",
       // SemDeDup's cell assignment is the same bounded corpus x centroids
       // broadcast score; the within-cell pair join is conditioned on cid
-      "semdedup_keep"
+      "semdedup_keep",
+      // ADC's distance table is queries x codebook (m x corpus/centroidEvery
+      // rows, broadcast) — bounded by construction; the corpus-side scan
+      // then equi-joins it on (j, code)
+      "sim_topk_pq"
     )
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {

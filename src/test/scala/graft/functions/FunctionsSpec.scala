@@ -306,6 +306,46 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(estNear - exactNear) <= 400L)
   }
 
+  test("pqEncode/adcTopK: seeds self-encode at zero residual, ADC finds clusters") {
+    // 4 well-separated clusters in 16 dims, 100 vectors; the jitter
+    // period (29) is coprime with the seed stride so no two seeds are
+    // identical (identical seeds would tie at d=0 and the lower cid wins)
+    val vecs = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 5.0f else 0.1f
+        base + ((id * 37 + i * 13) % 29) / 40.0f
+      }
+      (id, v)
+    }
+    val corpus = vecs.toDF("vec_id", "vec")
+    val codes = Similarity.pqEncode(corpus, centroidEvery = 10, m = 4, dim = 16)
+    assert(codes.count() === 100L * 4)
+    // a seed vector's subvectors are IN the codebook: code = own id, d = 0
+    val selfRows = codes.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "code", "d_q6").as[(Long, Long, Long)].collect()
+    assert(selfRows.forall { case (id, code, d) => code === id && d === 0L })
+    // ADC search: exact L2 top-5 per query (excluding self) vs ADC top-5
+    val queries = vecs.take(8).toDF("qid", "qvec")
+    val exact = (for {
+      (qid, qv) <- vecs.take(8)
+      top = vecs.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (a, b) =>
+            (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum)
+        }
+        .sortBy { case (id, d2) => (d2, id) }.take(5)
+      (id, _) <- top
+    } yield (qid, id)).toSet
+    val adc = Similarity.adcTopK(queries, corpus, k = 5,
+      centroidEvery = 10, m = 4, dim = 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(adc.size === 8 * 5)
+    // PQ keeps >= 60% of the exact-L2 top-k on clustered data (codes
+    // collapse within-cluster detail by design; clusters never confuse)
+    assert((exact intersect adc).size >= (0.6 * exact.size).toInt)
+  }
+
   test("int8TopK: searches the quantized index with high recall vs float") {
     // deterministic corpus: 100 vectors in 4 well-separated clusters
     val vecs = (0L until 100L).map { id =>

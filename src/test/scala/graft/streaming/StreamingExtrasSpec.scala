@@ -62,6 +62,32 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-window chunking equals the batch answer") {
+    // chunkTokenWindows is a stateless narrow transform, so it runs on a
+    // stream unchanged — prove streaming output == batch output.
+    val rows = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c"),
+      (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val chunked = graft.functions.Curation.chunkTokenWindows(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", window = 4, stride = 3)
+    val q = chunked.writeStream.format("memory").queryName("chunk_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_out")
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens", "chunk_fp48")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = graft.functions.Curation.chunkTokenWindows(
+        rows.toDF("doc_id", "text"), "text", "doc_id", window = 4, stride = 3)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens", "chunk_fp48")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("fanout sink: one cached batch feeds all branches") {
     val input = MemoryStream[DocEv]
     val seenA = scala.collection.mutable.ArrayBuffer[String]()
