@@ -645,6 +645,25 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // Day-over-day cohort retention: of the users active on day d, the
+    // share also active on d+1 — the standard activation/retention
+    // analytics shape. One (user, day) distinct, then a keyed self-join
+    // on (user, day+1): both shuffles are on bounded keys, no window.
+    "user_retention" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("d"), col("user_id"))
+        .distinct()
+      val act = daily.groupBy(col("d")).agg(count(lit(1)).as("active"))
+      val ret = daily.as("a")
+        .join(daily.as("b"),
+          col("a.user_id") === col("b.user_id") && col("b.d") === col("a.d") + 1)
+        .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("retained_next"))
+      act.join(ret, Seq("d"), "left")
+        .select(col("d").as("day_idx"), col("active"),
+          coalesce(col("retained_next"), lit(0L)).as("retained_next"),
+          expr("coalesce(retained_next, 0) * 1000 div active").as("retention_milli"))
+        .orderBy("day_idx")
+    },
     // HLL sketch twin of daily_active_users — the 100 TB form: fixed ~KB
     // state per day, map-side combinable, vs exact distinct's (day, user)
     // shuffle. Rows-only at the driver gate (sketches are engine-
@@ -965,6 +984,19 @@ object SparkEntry {
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "user_retention" ->
+      """WITH daily AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS d, user_id
+                        FROM events),
+          act AS (SELECT d, count(*) AS active FROM daily GROUP BY d),
+          ret AS (SELECT a.d, count(*) AS retained_next
+                  FROM daily a JOIN daily b
+                    ON b.user_id = a.user_id AND b.d = a.d + 1
+                  GROUP BY a.d)
+          SELECT act.d AS day_idx, act.active,
+                 coalesce(ret.retained_next, 0) AS retained_next,
+                 coalesce(ret.retained_next, 0) * 1000 // act.active AS retention_milli
+          FROM act LEFT JOIN ret ON ret.d = act.d
+          ORDER BY day_idx""",
     "events_enriched_by_segment" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
