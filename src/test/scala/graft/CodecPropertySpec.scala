@@ -70,4 +70,48 @@ class CodecPropertySpec extends SparkSpec {
         rows.sortBy(r => (r.id, r.timestamp))
     })
   }
+
+  test("property: token-window chunking covers every token, in order, per doc") {
+    import spark.implicits._
+    val genDoc = for {
+      n <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(n, Gen.choose(0, 9).map(i => s"t$i"))
+    } yield toks.mkString(" ")
+    val genParams = for {
+      window <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, 8)
+    } yield (window, stride)
+    runProp(Prop.forAll(Gen.listOfN(5, genDoc), genParams) {
+      case (docs, (window, stride)) =>
+        val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val chunks = graft.functions.Curation
+          .chunkTokenWindows(df, "text", "doc_id", window, stride)
+          .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens")
+          .as[(Long, Long, Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        docs.zipWithIndex.forall { case (text, i) =>
+          val n = text.split("\\s+").count(_.nonEmpty)
+          val cs = chunks.getOrElse(i.toLong, Array.empty[(Long, Long, Long, Long)])
+          if (n == 0) cs.isEmpty
+          else {
+            // chunk k starts at k*stride+1; lengths truncate at the tail
+            val shapeOk = cs.forall { case (_, k, start, len) =>
+              start == k * stride + 1 &&
+                len == math.min(window.toLong, n - start + 1)
+            }
+            val countOk = cs.length == (n - 1) / stride + 1
+            // overlapping windows (stride <= window) cover every token;
+            // sparse strides (stride > window) may legitimately skip
+            val covered = cs
+              .flatMap { case (_, _, start, len) => start until start + len }
+              .toSet
+            val all = (1L to n.toLong).toSet
+            val coverOk =
+              if (stride <= window) covered == all else covered.subsetOf(all)
+            shapeOk && countOk && coverOk
+          }
+        }
+    })
+  }
 }
