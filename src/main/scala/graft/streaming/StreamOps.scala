@@ -170,4 +170,22 @@ object StreamOps {
     l.join(r, col(key) === col(key + "_r") && col("w") === col("w_r"))
       .drop("w_r", key + "_r")
   }
+
+  /** Continuous ANN serving: every micro-batch of query vectors
+    * (`qid`, `qvec`) searches the STATIC corpus index with the unchanged
+    * batch operator (`Similarity.int8TopK`), and `emit` receives that
+    * batch's top-k results. foreachBatch is the index-batch/search-stream
+    * split (same pattern as the LM train-batch/score-stream gate): the
+    * corpus codes are fixed, the query side streams, and every batch
+    * operator doubles as its own streaming twin — no state, no rewrite.
+    */
+  def int8SearchStream(
+      queryStream: DataFrame,
+      corpus: DataFrame,
+      k: Int)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) emit(graft.functions.Similarity.int8TopK(batch.toDF(), corpus, k))
+    }
 }

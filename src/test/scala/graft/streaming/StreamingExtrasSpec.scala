@@ -88,6 +88,29 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serving: streamed queries match the batch int8 search") {
+    val vecs = (0L until 60L).map { id =>
+      (id, Array.tabulate(8)(i => (((id * 13 + i * 5) % 17) / 4.0f) - 2.0f))
+    }
+    val corpus = vecs.toDF("vec_id", "vec")
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamOps.int8SearchStream(
+      input.toDF().toDF("qid", "qvec"), corpus, k = 3) { res =>
+        got ++= res.select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+      }.start()
+    try {
+      input.addData(vecs.take(2).map { case (id, v) => (id, v) }: _*)
+      q.processAllAvailable()
+      input.addData((vecs(2)._1, vecs(2)._2))
+      q.processAllAvailable()
+      val batch = graft.functions.Similarity.int8TopK(
+        vecs.take(3).toDF("qid", "qvec"), corpus, k = 3)
+        .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet === batch && batch.size === 9)
+    } finally q.stop()
+  }
+
   test("fanout sink: one cached batch feeds all branches") {
     val input = MemoryStream[DocEv]
     val seenA = scala.collection.mutable.ArrayBuffer[String]()
