@@ -253,6 +253,18 @@ object LlmQueries {
       Similarity.adcTopK(queries, corpus, k = 5, centroidEvery = 25, m = 8, dim = 64)
         .orderBy("qid", "rank")
     },
+    // IVF+PQ composite: probe nprobe max-cosine cells, ADC-score only
+    // those cells' PQ codes — both prunings compose (probed fraction of
+    // the corpus x m codes instead of dim floats).
+    "sim_topk_ivfpq" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.ivfPqTopK(queries, corpus, k = 5,
+        centroidEvery = 25, nprobe = 3, m = 8, dim = 64)
+        .orderBy("qid", "rank")
+    },
     // Top-k search over the int8-QUANTIZED index (4x smaller scan at
     // 100 TB): integer code x quantized-query inner product, one
     // deterministic double multiply by the stored max-abs scale.
@@ -947,6 +959,45 @@ object LlmQueries {
                  FROM qsub JOIN cvv USING (j)),
           scored AS (SELECT dt.qid, codes.vec_id, CAST(sum(pd_q6) AS BIGINT) AS adc_q6
                      FROM codes JOIN dt USING (j, code)
+                     WHERE dt.qid <> codes.vec_id
+                     GROUP BY 1, 2),
+          ranked AS (SELECT qid, vec_id, adc_q6,
+                       row_number() OVER (PARTITION BY qid ORDER BY adc_q6, vec_id) AS rank
+                     FROM scored)
+          SELECT qid, vec_id, adc_q6, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
+    "sim_topk_ivfpq" ->
+      s"""WITH $pqCtes,
+          vn2 AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v),
+          cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn2 WHERE vec_id % 25 = 0),
+          assign AS (SELECT vec_id, cid AS cell FROM (
+              SELECT vn2.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY vn2.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "vn2.e")} / (c.cn * vn2.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn2 CROSS JOIN cent c) WHERE rn = 1),
+          qn AS (SELECT vec_id AS qid, e AS qe, n AS qn FROM vn2 WHERE vec_id < 20),
+          probes AS (SELECT qid, cid AS cell FROM (
+              SELECT q.qid, c.cid,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY CAST(floor(${dotSql("c.ce", "q.qe")} / (c.cn * q.qn) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM qn q CROSS JOIN cent c) WHERE rn <= 3),
+          codes AS (SELECT b.vec_id, b.j, b.cid AS code, a.cell
+                    FROM (SELECT vec_id, j, cid FROM best WHERE rn = 1) b
+                    JOIN assign a USING (vec_id)),
+          qsub AS (SELECT qid, j, qe[(j*8+1):(j*8+8)] AS qv
+                   FROM (SELECT qid, unnest(range(0, 8)) AS j, qe FROM qn)),
+          dt AS (SELECT qsub.qid, qsub.j, cvv.cid AS code,
+                   CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(generate_series(1, 8),
+                       i -> (qsub.qv[i] - cvv.cv[i]) * (qsub.qv[i] - cvv.cv[i]))),
+                     (acc, x) -> acc + x) * 1000000) AS BIGINT) AS pd_q6
+                 FROM qsub JOIN cvv USING (j)),
+          scored AS (SELECT dt.qid, codes.vec_id, CAST(sum(pd_q6) AS BIGINT) AS adc_q6
+                     FROM codes
+                     JOIN probes p ON p.cell = codes.cell
+                     JOIN dt ON dt.qid = p.qid AND dt.j = codes.j AND dt.code = codes.code
                      WHERE dt.qid <> codes.vec_id
                      GROUP BY 1, 2),
           ranked AS (SELECT qid, vec_id, adc_q6,

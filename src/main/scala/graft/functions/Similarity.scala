@@ -185,23 +185,25 @@ object Similarity {
     * read at query time. That is the PQ payoff: the hot scan shrinks
     * from dim floats to m codes per vector.
     */
-  def adcTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      centroidEvery: Int,
-      m: Int,
-      dim: Int): DataFrame = {
-    val sub = dim / m
-    val codes = pqEncode(corpus, centroidEvery, m, dim)
-      .select(col("vec_id"), col("j"), col("code"))
-    val cents = corpus.filter(col("vec_id") % centroidEvery === 0)
+  /** Per-subspace PQ codebook `(cid, j, cv)` — the seed vectors'
+    * subvectors, shared by [[pqEncode]]'s callers ([[adcTopK]],
+    * [[ivfPqTopK]]).
+    */
+  private def pqCodebook(
+      corpus: DataFrame, centroidEvery: Int, m: Int, sub: Int): DataFrame =
+    corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"),
         explode(sequence(lit(0L), lit(m - 1L))).as("j"),
         toDouble(col("vec")).as("e"))
       .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
       .drop("e")
-    val dtable = queries
+
+  /** Per-query ADC distance table `(qid, j, code, pd_q6)`: quantized
+    * squared L2 from each query subvector to every codebook entry —
+    * queries x m x k rows, broadcastable by construction.
+    */
+  private def pqDistanceTable(queries: DataFrame, cents: DataFrame, sub: Int): DataFrame =
+    queries
       .select(col("qid"), toDouble(col("qvec")).as("qe"))
       .crossJoin(cents)
       .withColumn("qv", expr(s"slice(qe, j * $sub + 1, $sub)"))
@@ -210,11 +212,8 @@ object Similarity {
           zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long"))
       .select(col("qid"), col("j"), col("cid").as("code"), col("pd_q6"))
-    val scored = codes
-      .join(broadcast(dtable), Seq("j", "code"))
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("pd_q6")).as("adc_q6"))
+
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val localW = Window
       .partitionBy(col("qid"), spark_partition_id())
       .orderBy(col("adc_q6"), col("vec_id"))
@@ -226,6 +225,73 @@ object Similarity {
       .withColumn("rank", row_number().over(globalW).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("adc_q6"), col("rank"))
+  }
+
+  def adcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    val codes = pqEncode(corpus, centroidEvery, m, dim)
+      .select(col("vec_id"), col("j"), col("code"))
+    val dtable = pqDistanceTable(queries, pqCodebook(corpus, centroidEvery, m, sub), sub)
+    val scored = codes
+      .join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd_q6")).as("adc_q6"))
+    adcRank(scored, k)
+  }
+
+  /** IVF + PQ composite (the FAISS-style big-corpus index): each query
+    * probes its `nprobe` max-cosine cells (same deterministic centroids
+    * and tie-breaks as [[ivfTopK]]) and ADC-scores ONLY the PQ codes of
+    * vectors assigned to those cells. The two prunings compose: the scan
+    * is m codes per vector instead of dim floats (PQ), over the probed
+    * fraction of the corpus instead of all of it (IVF).
+    *
+    * Plan shape for 100 TB: the probes and the distance table are tiny
+    * broadcasts, the codes scan is partition-prunable when the codes
+    * table is WRITTEN partitioned by cell id (each probe touches only
+    * its cells' files — the LayoutSpec story applied to the index), and
+    * the ADC sums stay integer partial aggregates.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      centroidEvery: Int,
+      nprobe: Int,
+      m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    val c = withNorm(corpus, "vec", "v")
+    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val cells = cellAssign(c, centroids) // (vec_id, cid)
+    val q = withNorm(queries, "qvec", "q")
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("p_score_q4").desc, col("cid"))
+    val probes = q
+      .join(broadcast(centroids))
+      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val codes = pqEncode(corpus, centroidEvery, m, dim)
+      .select(col("vec_id"), col("j"), col("code"))
+      .join(cells.withColumnRenamed("cid", "cell"), "vec_id")
+    val dtable = pqDistanceTable(queries, pqCodebook(corpus, centroidEvery, m, sub), sub)
+    val scored = codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(dtable), Seq("qid", "j", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd_q6")).as("adc_q6"))
+    adcRank(scored, k)
   }
 
   /** Deterministic IVF: centroids are the corpus vectors whose id is

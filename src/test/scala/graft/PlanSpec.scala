@@ -129,7 +129,10 @@ class PlanSpec extends SparkSpec {
       // ADC's distance table is queries x codebook (m x corpus/centroidEvery
       // rows, broadcast) — bounded by construction; the corpus-side scan
       // then equi-joins it on (j, code)
-      "sim_topk_pq"
+      "sim_topk_pq",
+      // the IVF+PQ composite adds the probe scoring (queries x centroids,
+      // both tiny) on top of the same bounded distance table
+      "sim_topk_ivfpq"
     )
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {

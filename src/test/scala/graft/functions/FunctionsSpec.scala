@@ -344,6 +344,17 @@ class FunctionsSpec extends SparkSpec {
     // PQ keeps >= 60% of the exact-L2 top-k on clustered data (codes
     // collapse within-cluster detail by design; clusters never confuse)
     assert((exact intersect adc).size >= (0.6 * exact.size).toInt)
+    // probing EVERY cell degenerates the IVF+PQ composite to pure ADC —
+    // the cell pruning is the only difference between the two operators
+    val ivfpqAll = Similarity.ivfPqTopK(queries, corpus, k = 5,
+      centroidEvery = 10, nprobe = 10, m = 4, dim = 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfpqAll === adc)
+    // with few probes it returns a (possibly smaller) subset per query
+    val ivfpq1 = Similarity.ivfPqTopK(queries, corpus, k = 5,
+      centroidEvery = 10, nprobe = 2, m = 4, dim = 16)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(ivfpq1.nonEmpty && ivfpq1.length <= 8 * 5)
   }
 
   test("int8TopK: searches the quantized index with high recall vs float") {
