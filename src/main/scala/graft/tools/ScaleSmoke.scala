@@ -196,6 +196,12 @@ object ScaleSmoke {
       Similarity.adcTopK(q, vecs.select(col("vec_id"), col("vec")),
         k = 5, centroidEvery = 200, m = 8, dim = 64).count()
     }
+    time("ivf+pq topk (100 queries)") {
+      val q = vecs.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.ivfPqTopK(q, vecs.select(col("vec_id"), col("vec")),
+        k = 5, centroidEvery = 200, nprobe = 3, m = 8, dim = 64).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))
