@@ -294,6 +294,72 @@ object Similarity {
     adcRank(scored, k)
   }
 
+  /** Materialize the IVF+PQ index to disk: the PQ codes joined with the
+    * cell assignment, WRITTEN PARTITIONED BY CELL ID. Probing then reads
+    * only the probed cells' directories — partition pruning (LayoutSpec)
+    * applied to the index itself, which is how a 100 TB corpus serves
+    * queries without scanning even the codes of unprobed cells.
+    * The written layout is (vec_id, j, code) under `cell=<cid>/`.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      path: String,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): Unit = {
+    val c = withNorm(corpus, "vec", "v")
+    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
+    pqEncode(corpus, centroidEvery, m, dim)
+      .select(col("vec_id"), col("j"), col("code"))
+      .join(cells, "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ADC top-k against a MATERIALIZED index (see [[writeIvfPqIndex]]):
+    * the probed cells become a partition filter on the codes read —
+    * unprobed cells' files are never opened. Returns the same ranking as
+    * [[ivfPqTopK]] on the same corpus/parameters (spec-proven).
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      k: Int,
+      centroidEvery: Int,
+      nprobe: Int,
+      m: Int,
+      dim: Int): DataFrame = {
+    val sub = dim / m
+    val c = withNorm(corpus, "vec", "v")
+    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val q = withNorm(queries, "qvec", "q")
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("p_score_q4").desc, col("cid"))
+    val probes = q
+      .join(broadcast(centroids))
+      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    // the probed cell ids collapse to a partition filter on the index read
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells: _*))
+    val dtable = pqDistanceTable(queries, pqCodebook(corpus, centroidEvery, m, sub), sub)
+    val scored = codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(dtable), Seq("qid", "j", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd_q6")).as("adc_q6"))
+    adcRank(scored, k)
+  }
+
   /** Deterministic IVF: centroids are the corpus vectors whose id is
     * divisible by `centroidEvery`; each corpus vector is assigned to its
     * max-cosine centroid (ties to the lower centroid id); each query

@@ -355,6 +355,30 @@ class FunctionsSpec extends SparkSpec {
       centroidEvery = 10, nprobe = 2, m = 4, dim = 16)
       .select("qid", "vec_id").as[(Long, Long)].collect()
     assert(ivfpq1.nonEmpty && ivfpq1.length <= 8 * 5)
+
+    // materialized index: same ranking, and the probe becomes a
+    // partition filter on the codes read (unprobed cells never opened)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(corpus, idx, centroidEvery = 10, m = 4, dim = 16)
+    val fromIndex = Similarity.ivfPqTopKFromIndex(spark, queries, corpus, idx,
+      k = 5, centroidEvery = 10, nprobe = 2, m = 4, dim = 16)
+    assert(fromIndex.select("qid", "vec_id", "adc_q6", "rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq ===
+      Similarity.ivfPqTopK(queries, corpus, k = 5,
+        centroidEvery = 10, nprobe = 2, m = 4, dim = 16)
+        .select("qid", "vec_id", "adc_q6", "rank")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq)
+    val phys = fromIndex.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft-ivfpq")) => f
+    }.getOrElse(fail("no index scan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "probed cells must prune index partitions at the scan")
   }
 
   test("int8TopK: searches the quantized index with high recall vs float") {
