@@ -421,4 +421,71 @@ object Dedup {
         floor(col("n_dup") * lit(1000.0) / col("n_shingles")).cast("long"))
       .select(col("doc_id"), col("n_shingles"), col("n_dup"), col("dup_frac_milli"))
   }
+
+  /** Duplicated-span REMOVAL — the acting twin of
+    * [[duplicateShingleProfile]]: rewrite each document with every
+    * cross-document duplicated n-token span cut out, keeping exactly one
+    * copy corpus-wide. This is the scalable shingle approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): instead of building a
+    * corpus suffix array (which needs a global sort of every byte), mark
+    * every n-token window whose hash occurs in >= 2 distinct documents
+    * and cut the covered tokens from every doc except the one with the
+    * smallest id (the keeper — so one instance of each span survives, as
+    * in the paper).
+    *
+    * Deterministic, engine-portable semantics:
+    *  - positional n-gram windows (start s = 1..len-n+1, 48-bit md5 hash);
+    *  - window s of doc d is a CUT window iff its hash occurs in >= 2
+    *    distinct docs and d != min(doc_id) over those docs;
+    *  - token p of doc d is dropped iff covered by a cut window
+    *    (exists cut start s in [p-n+1, p]);
+    *  - output text is the space-join of surviving tokens (whitespace
+    *    normalizes under reconstruction — standard for token-level
+    *    span dedup).
+    *
+    * Scale shape: one explode to (doc, start, hash) rows — the same
+    * volume [[duplicateShingleProfile]] already shuffles; document
+    * frequency + keeper come from one partially-aggregated groupBy on the
+    * 8-byte hash; cut starts return as one per-doc sorted list (bounded
+    * by the doc's token count); the cut itself is a narrow per-row
+    * higher-order-function pass. No pair join anywhere, so cost stays
+    * linear in total token volume at 100x. The per-token coverage test
+    * scans the doc's cut-start list (O(tokens x cuts) worst case within
+    * one row) — acceptable for document-sized rows, and it never leaves
+    * the row.
+    *
+    * Output: (doc_id, n_tokens, n_kept, clean_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // positional window hashes; empty when the doc is shorter than n tokens
+    val withHs = toks.withColumn("hs",
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => portableHash48(concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
+        .otherwise(array().cast("array<long>")))
+    val ex = withHs
+      .select(col("doc_id"), posexplode(col("hs")))
+      .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("h"))
+    val freq = ex.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+    val cutStarts = ex.join(freq, "h")
+      .where(col("df") > 1 && col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("cut_starts"))
+    withHs.join(cutStarts, Seq("doc_id"), "left")
+      .withColumn("cs", coalesce(col("cut_starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        not(exists(col("cs"), s => s <= i + lit(1) && s >= i + lit(2 - n)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

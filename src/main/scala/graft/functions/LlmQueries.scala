@@ -365,6 +365,13 @@ object LlmQueries {
       Dedup.duplicateShingleProfile(Tables.documents(s, d), "text", "doc_id", n = 3)
         .orderBy("doc_id")
     },
+    // Span REMOVAL: cleaned text with every cross-doc duplicated 3-token
+    // span cut, one copy (the min-id doc's) surviving corpus-wide — the
+    // shingle approximation of suffix-array substring dedup.
+    "dedup_span_removal" -> { (s, d) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    },
     // Same leakage check behind a Bloom prefilter on the corpus side —
     // bit-identical rows (no false negatives; the exact join verifies),
     // but the corpus shingles that shuffle into the joins shrink to
@@ -745,6 +752,34 @@ object LlmQueries {
                    AS BIGINT) AS dup_frac_milli
           FROM ex JOIN freq USING (g)
           GROUP BY 1 ORDER BY doc_id""",
+    "dedup_span_removal" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          ph AS (SELECT doc_id, toks,
+                   CASE WHEN len(toks) >= 3
+                     THEN list_transform(generate_series(1, len(toks)-2),
+                            i -> CAST(('0x' || substr(md5(
+                                   concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 12)) AS BIGINT))
+                     ELSE [] END AS hs
+                 FROM base),
+          ex AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS s, unnest(hs) AS h FROM ph),
+          freq AS (SELECT h, count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+                   FROM ex GROUP BY 1),
+          cuts AS (SELECT doc_id, list(s ORDER BY s) AS cut_starts
+                   FROM ex JOIN freq USING (h)
+                   WHERE df > 1 AND doc_id <> keeper GROUP BY 1),
+          fin AS (SELECT p.doc_id, p.toks, coalesce(c.cut_starts, []) AS cs
+                  FROM ph p LEFT JOIN cuts c USING (doc_id)),
+          kept AS (SELECT doc_id, toks,
+                     list_filter(
+                       list_transform(generate_series(1, len(toks)),
+                         p -> CASE WHEN len(list_filter(cs, s -> s <= p AND s >= p - 2)) = 0
+                                   THEN toks[p] ELSE NULL END),
+                       t -> t IS NOT NULL) AS kt
+                   FROM fin)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(kt) AS BIGINT) AS n_kept,
+                 coalesce(array_to_string(kt, ' '), '') AS clean_text
+          FROM kept ORDER BY doc_id""",
     "contamination" -> contaminationOracleSql,
     // the bloom prefilter is output-invariant, so the oracle is identical
     "contamination_bloom" -> contaminationOracleSql,

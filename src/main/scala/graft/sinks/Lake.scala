@@ -1,0 +1,140 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance operators for a partitioned parquet corpus: targeted
+  * (GDPR-style) deletion and small-file compaction, both copy-on-write
+  * and PARTITION-SCOPED — only directories that actually contain affected
+  * rows are ever read fully or rewritten, which is the property that makes
+  * these operations feasible on a 100 TB lake (the delete set is typically
+  * a few thousand ids; rewriting the whole corpus for that is not a plan).
+  *
+  * This is the same shape Delta/Iceberg implement as copy-on-write
+  * `DELETE`, expressed over plain partitioned parquet:
+  *   1. locate affected partitions with a scan whose id predicate pushes
+  *      into the parquet reader (row-group stats + dictionary skip the
+  *      untouched ones cheaply);
+  *   2. re-read ONLY those partitions (partition-pruned scan) minus the
+  *      deleted rows;
+  *   3. overwrite ONLY those partitions (dynamic partition overwrite);
+  *      untouched partition directories are never opened for write.
+  *
+  * No counterpart in the reference (batch lake maintenance is out of its
+  * streaming scope) — beyond-reference training-data-pipeline surface.
+  */
+object Lake {
+
+  /** Outcome of a [[deleteByIds]]: rows removed, partitions rewritten
+    * (of which `partitionsEmptied` ended with zero rows and had their
+    * directories dropped), and partitions left untouched on disk.
+    */
+  final case class DeleteStats(
+      rowsDeleted: Long,
+      partitionsRewritten: Long,
+      partitionsEmptied: Long,
+      partitionsUntouched: Long)
+
+  /** Copy-on-write delete of `ids` from the lake at `dir` (partitioned by
+    * string column `partCol`, id column `idCol`).
+    *
+    * The id list is broadcast-joined against the scan (a delete request is
+    * small by nature); partitions without a hit are neither re-read in
+    * full nor rewritten. A partition whose every row dies cannot be
+    * expressed by dynamic overwrite (there is nothing to write), so its
+    * directory is removed directly — the case the spec plants.
+    *
+    * The survivors of affected partitions are localCheckpoint'd before the
+    * overwrite: Spark (correctly) refuses to overwrite a path that is
+    * still an input of the plan being executed, and the checkpoint
+    * materializes exactly the affected slice — the copy-on-write cost
+    * floor any engine pays for this operation.
+    */
+  def deleteByIds(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      idCol: String,
+      ids: Seq[Long]): DeleteStats = {
+    // partition values travel as strings throughout (partition discovery
+    // may have type-inferred the column to date/int; directory names are
+    // its string form either way)
+    val lake = spark.read.parquet(dir)
+    val allParts = lake.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+
+    // 1. locate affected partitions; the isin predicate pushes into the
+    //    parquet reader, so untouched partitions cost row-group stats only
+    val hits = lake.where(col(idCol).isin(ids: _*))
+      .groupBy(col(partCol).cast("string").as(partCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hits.isEmpty)
+      return DeleteStats(0L, 0L, 0L, allParts.length.toLong)
+
+    val affected = hits.keys.toSeq
+    val rowsDeleted = hits.values.sum
+
+    // 2. partition-pruned re-read of the affected slice, minus the dead rows
+    val survivors = spark.read.parquet(dir)
+      .where(col(partCol).cast("string").isin(affected: _*))
+      .where(!col(idCol).isin(ids: _*))
+      .localCheckpoint()
+
+    val perPart = survivors
+      .groupBy(col(partCol).cast("string").as(partCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val emptied = affected.filterNot(perPart.contains)
+
+    // 3. dynamic partition overwrite touches only partitions present in
+    //    the written frame; the untouched directories keep their files
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      survivors.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    // fully-emptied partitions have nothing to overwrite with: drop them
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { p =>
+      fs.delete(new Path(dir, s"$partCol=$p"), true)
+    }
+
+    DeleteStats(rowsDeleted, affected.length.toLong, emptied.length.toLong,
+      (allParts.length - affected.length).toLong)
+  }
+
+  /** Compact the named partitions of the lake at `dir` down to
+    * `filesPerPartition` files each — the maintenance pass every
+    * streaming/micro-batch sink needs (each trigger writes a file per
+    * task; a day of 1-minute triggers is 1440+ small files whose open
+    * cost dominates scans). Rows are untouched; only the file layout
+    * changes, and only inside the named partitions.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      partitions: Seq[String],
+      filesPerPartition: Int): Unit = {
+    val raw = spark.read.parquet(dir)
+      .where(col(partCol).isin(partitions: _*))
+    // deterministic salt (row-content hash) splits each partition's rows
+    // across exactly filesPerPartition writer tasks
+    val salt = pmod(hash(raw.columns.map(col): _*), lit(filesPerPartition))
+    val slice = raw
+      .repartition(partitions.length * filesPerPartition, col(partCol), salt)
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      slice.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

@@ -40,6 +40,68 @@ class LayoutSpec extends SparkSpec {
       s"expected <=1/5 of files read, got $prunedFiles of $fullFiles")
   }
 
+  test("deleteByIds rewrites only affected partitions, drops emptied ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString
+    // 10 days x 100 rows; day 2024-01-10 will be emptied entirely
+    spark.range(1000)
+      .select(col("id"),
+        concat(lit("2024-01-"), lpad((col("id") % 10 + 1).cast("string"), 2, "0"))
+          .as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    def filesOf(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (1 to 10).map(i => f"2024-01-$i%02d").map(d => d -> filesOf(d)).toMap
+
+    // ids ending in 9 live in day 10; delete all of day 10 + two rows of day 3
+    val day10 = (0L until 1000L).filter(_ % 10 == 9)
+    val targets = day10 ++ Seq(2L, 12L) // 2,12 -> day 03
+    val stats = graft.sinks.Lake.deleteByIds(spark, dir, "day", "id", targets)
+
+    assert(stats.rowsDeleted === 102L)
+    assert(stats.partitionsRewritten === 2L)
+    assert(stats.partitionsEmptied === 1L)
+    assert(stats.partitionsUntouched === 8L)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 898L)
+    assert(after.where(col("day") === "2024-01-10").count() === 0L)
+    assert(!new java.io.File(s"$dir/day=2024-01-10").exists(),
+      "fully-emptied partition directory must be dropped")
+    assert(after.where(col("id").isin(2L, 12L)).count() === 0L)
+    assert(after.where(col("day") === "2024-01-03").count() === 98L)
+
+    // the 8 untouched partitions keep their exact files (same names+mtimes)
+    (1 to 10).filterNot(i => i == 3 || i == 10).map(i => f"2024-01-$i%02d")
+      .foreach { d =>
+        assert(filesOf(d) === before(d), s"partition $d must be untouched")
+      }
+    assert(filesOf("2024-01-03") !== before("2024-01-03"))
+  }
+
+  test("compactPartitions shrinks file count without changing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate a micro-batch sink: 16 writer tasks -> 16 files per partition
+    spark.range(2000).repartition(16)
+      .select(col("id"), (col("id") % 2).cast("string").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    def nFiles(day: String): Int =
+      new java.io.File(s"$dir/day=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("0") > 4)
+    val beforeRows = spark.read.parquet(dir).orderBy("id").collect().toSeq
+
+    graft.sinks.Lake.compactPartitions(spark, dir, "day", Seq("0"), filesPerPartition = 2)
+
+    assert(nFiles("0") <= 2 && nFiles("0") >= 1, s"day=0 got ${nFiles("0")} files")
+    assert(nFiles("1") > 4, "unnamed partition must keep its layout")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === beforeRows)
+  }
+
   test("non-partition predicates still push to the parquet reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout2").toString
     spark.range(10000)

@@ -136,6 +136,33 @@ class FunctionsSpec extends SparkSpec {
     assert(byId(3L)._3 === 6L)
   }
 
+  test("removeDuplicateSpans cuts shared spans everywhere but the min-id doc") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // keeper of the shared span
+      (2L, "x y a b c d z"),        // loses tokens covered by dup windows
+      (3L, "p q"))                  // shorter than n: untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // doc 2's dup windows are "a b c" (start 3) and "b c d" (start 4),
+    // covering tokens 3..6 ("a b c d"); doc 1 keeps its copy intact.
+    assert(got === Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 7L, 3L, "x y z"),
+      (3L, 2L, 2L, "p q")))
+  }
+
+  test("removeDuplicateSpans keeps exactly one copy among identical docs") {
+    val tpl = "one two three four five"
+    val docs = Seq((7L, tpl), (8L, tpl), (9L, tpl)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (7L, 5L, 5L, tpl),
+      (8L, 5L, 0L, ""),
+      (9L, 5L, 0L, "")))
+  }
+
   test("bm25Search: rare terms dominate, tf saturates, non-matches absent") {
     val dd = (Seq(
       (1L, "alpha alpha alpha alpha"),                       // common term only
