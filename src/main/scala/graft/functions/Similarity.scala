@@ -149,15 +149,30 @@ object Similarity {
       corpus: DataFrame,
       centroidEvery: Int,
       m: Int,
+      dim: Int): DataFrame = pqEncodeWith(corpus, corpus, centroidEvery, m, dim)
+
+  /** [[pqEncode]] with the codebook FROZEN from a separate source: encode
+    * `vectors` against codebooks derived from `codebookSource` (the base
+    * corpus). This is how a PQ index grows incrementally — codebooks
+    * train once, later arrivals encode against them unchanged (retraining
+    * per append would silently re-key every existing code).
+    */
+  def pqEncodeWith(
+      vectors: DataFrame,
+      codebookSource: DataFrame,
+      centroidEvery: Int,
+      m: Int,
       dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v = corpus.select(col("vec_id"), toDouble(col("vec")).as("e"))
+    val v = vectors.select(col("vec_id"), toDouble(col("vec")).as("e"))
     val subs = v
       .select(col("vec_id"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("e"))
       .withColumn("sv", expr(s"slice(e, j * $sub + 1, $sub)"))
       .drop("e")
-    val cents = v.filter(col("vec_id") % centroidEvery === 0)
+    val cents = codebookSource
+      .select(col("vec_id"), toDouble(col("vec")).as("e"))
+      .filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("e"))
       .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
       .drop("e")
@@ -315,6 +330,35 @@ object Similarity {
       .select(col("vec_id"), col("j"), col("code"))
       .join(cells, "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Incremental index maintenance: encode `newVecs` against the BASE
+    * corpus's frozen centroids + codebooks and append their codes to the
+    * materialized index at `path`. Appended rows land in their cells'
+    * partition directories, so probe-time partition pruning keeps working
+    * unchanged, and searching the index ([[ivfPqTopKFromIndex]] with the
+    * base corpus as the codebook source) now covers base + appended
+    * vectors. Chunking-invariant: appending in any number of batches
+    * yields the same index contents as one batch (spec-proven) — which is
+    * what makes the streaming wrapper (`StreamOps.indexAppendStream`)
+    * exactly the batch operator per micro-batch.
+    */
+  def appendToIvfPqIndex(
+      baseCorpus: DataFrame,
+      newVecs: DataFrame,
+      path: String,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): Unit = {
+    val c = withNorm(newVecs, "vec", "v")
+    val base = withNorm(baseCorpus, "vec", "v")
+    val centroids = base.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
+    pqEncodeWith(newVecs, baseCorpus, centroidEvery, m, dim)
+      .select(col("vec_id"), col("j"), col("code"))
+      .join(cells, "vec_id")
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** ADC top-k against a MATERIALIZED index (see [[writeIvfPqIndex]]):

@@ -188,4 +188,27 @@ object StreamOps {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) emit(graft.functions.Similarity.int8TopK(batch.toDF(), corpus, k))
     }
+
+  /** The write-side twin of [[int8SearchStream]]: a stream of NEW corpus
+    * vectors (`vec_id`, `vec`) grows the materialized IVF+PQ index —
+    * every micro-batch encodes against the base corpus's frozen
+    * centroids/codebooks (`Similarity.appendToIvfPqIndex`) and appends
+    * into the per-cell partition layout. Because the batch append is
+    * chunking-invariant, the stream converges to exactly the
+    * one-shot-batch index (spec-proven), and searches against the index
+    * see new vectors as soon as their micro-batch commits.
+    */
+  def indexAppendStream(
+      newVecStream: DataFrame,
+      baseCorpus: DataFrame,
+      path: String,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.Similarity.appendToIvfPqIndex(
+            baseCorpus, batch.toDF(), path, centroidEvery, m, dim)
+    }
 }

@@ -186,4 +186,50 @@ class StreamingExtrasSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("indexAppendStream converges to the one-shot batch index") {
+    import graft.functions.Similarity
+    // clustered fixture shared with the PQ batch spec: 4 clusters, 16 dims
+    val vecs = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      val v = Array.tabulate(16) { i =>
+        val base = if (i / 4 == c) 5.0f else 0.1f
+        base + ((id * 37 + i * 13) % 29) / 40.0f
+      }
+      (id, v)
+    }
+    val base = vecs.filter(_._1 < 60).toDF("vec_id", "vec")
+    val later = vecs.filter(_._1 >= 60)
+    val streamedIdx = java.nio.file.Files.createTempDirectory("graft-idx-s").toString
+    val oneshotIdx = java.nio.file.Files.createTempDirectory("graft-idx-b").toString
+
+    Similarity.writeIvfPqIndex(base, streamedIdx, centroidEvery = 10, m = 4, dim = 16)
+    Similarity.writeIvfPqIndex(base, oneshotIdx, centroidEvery = 10, m = 4, dim = 16)
+    Similarity.appendToIvfPqIndex(base, later.toDF("vec_id", "vec"), oneshotIdx,
+      centroidEvery = 10, m = 4, dim = 16)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.indexAppendStream(input.toDF().toDF("vec_id", "vec"), base,
+      streamedIdx, centroidEvery = 10, m = 4, dim = 16).start()
+    try {
+      input.addData(later.take(20): _*)
+      q.processAllAvailable()
+      input.addData(later.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def contents(p: String) = spark.read.parquet(p)
+      .select(col("cell"), col("vec_id"), col("j"), col("code"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(contents(streamedIdx) === contents(oneshotIdx))
+    assert(contents(streamedIdx).map(_._2).distinct.length === 100)
+
+    // a search against the streamed index reaches the appended vectors:
+    // query 97's cluster-mates with ids >= 60 only exist via the append
+    val queries = vecs.filter(_._1 == 97L).toDF("qid", "qvec")
+    val got = Similarity.ivfPqTopKFromIndex(spark, queries, base, streamedIdx,
+      k = 5, centroidEvery = 10, nprobe = 10, m = 4, dim = 16)
+      .select("vec_id").as[Long].collect()
+    assert(got.exists(_ >= 60L), s"appended vectors must be searchable, got ${got.toSeq}")
+  }
 }
