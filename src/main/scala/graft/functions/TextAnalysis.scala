@@ -145,9 +145,22 @@ object TextAnalysis {
     val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
       .filter(col("t").isin(queryTerms: _*)) // prune BEFORE any shuffle
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
-    tf.join(broadcast(dfq), "t")
-      .join(lens, "doc_id")
+    bm25Rank(tf.join(lens, "doc_id"), stats, k1Milli, bMilli, topK)
+  }
+
+  /** Shared BM25 scoring tail: `withLen` = (doc_id, t, tf, len) rows for
+    * the query terms only; `stats` = one (n, tot) row. Both the direct
+    * corpus path and the materialized-index path end here, which is what
+    * makes their rankings identical by construction.
+    */
+  private def bm25Rank(
+      withLen: DataFrame,
+      stats: DataFrame,
+      k1Milli: Long,
+      bMilli: Long,
+      topK: Int): DataFrame = {
+    val dfq = withLen.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
+    withLen.join(broadcast(dfq), "t")
       .crossJoin(broadcast(stats))
       .withColumn("idf_q10",
         expr(s"cast(${log2Q10Sql("n")} - ${log2Q10Sql("dfreq")} as bigint)"))
@@ -163,6 +176,71 @@ object TextAnalysis {
       .agg(sum(col("contrib_q10")).as("score_q10"))
       .orderBy(col("score_q10").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Materialize an inverted index for [[bm25Search]]: postings
+    * (t, doc_id, tf, len) partitioned by a hash bucket of the term, plus
+    * a one-row stats table (n docs, total length, bucket count).
+    *
+    * The tokenize+explode+count pass — the expensive part of every BM25
+    * query — runs ONCE at build time; at query time the query terms'
+    * buckets become a PARTITION FILTER on the postings read (unprobed
+    * buckets' files never open; within a bucket the term equality pushes
+    * into the parquet reader's dictionary/stats), the keyword-search twin
+    * of [[graft.functions.Similarity.writeIvfPqIndex]]'s cell pruning.
+    * Document length is denormalized into each posting (the classic
+    * Lucene norm-in-posting layout) so scoring needs no doc-table join.
+    * Term df is NOT stored: all postings of a term live in one bucket,
+    * so the filtered read recomputes it exactly.
+    */
+  def writeInvertedIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    val base = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+    base.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .join(lens, "doc_id")
+      .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"),
+        lit(buckets.toLong).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Driver-side twin of [[portableHash48]] (md5-prefix, same 48 bits) —
+    * lets the query side compute term buckets without a Spark job.
+    */
+  private def hash48Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString, 16)
+
+  /** BM25 against a MATERIALIZED index (see [[writeInvertedIndex]]):
+    * identical ranking to [[bm25Search]] on the indexed corpus
+    * (spec-proven — both end in the same scoring tail), but the corpus is
+    * never re-tokenized and only the query terms' bucket partitions are
+    * read.
+    */
+  def bm25SearchFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryTerms: Seq[String],
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L,
+      topK: Int = 50): DataFrame = {
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val buckets = stats.select(col("buckets")).head().getLong(0)
+    val qBuckets = queryTerms.map(t => hash48Local(t) % buckets).distinct
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(qBuckets: _*)) // partition filter
+      .filter(col("t").isin(queryTerms: _*))    // parquet-pushed within bucket
+      .select(col("doc_id"), col("t"), col("tf"), col("len"))
+    bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
   }
 
   // --- corpus-LM fluency scoring ---------------------------------------

@@ -156,6 +156,10 @@ object ScaleSmoke {
     time("span dup profile (3-gram)") {
       Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).count()
     }
+    time("span dup removal (3-gram)") {
+      Dedup.removeDuplicateSpans(docs, "text", "doc_id", 3)
+        .agg(sum(col("n_kept"))).collect()
+    }
     time("LM surprisal score") {
       TextAnalysis.lmSurprisalScore(docs, "text", "doc_id").count()
     }

@@ -184,6 +184,42 @@ class FunctionsSpec extends SparkSpec {
     assert(score(3L) < 3 * score(2L), s"saturation: ${score(3L)} vs ${score(2L)}")
   }
 
+  test("bm25SearchFromIndex: identical ranking, bucket-pruned postings read") {
+    val dd = (0L until 200L).map { i =>
+      val rare = if (i % 40 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} w${i % 13} here$rare")
+    }.toDF("doc_id", "text")
+    val direct = TextAnalysis.bm25Search(dd, "text", "doc_id",
+      Seq("alpha", "zeta"), topK = 25).as[(Long, Long)].collect().toSeq
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv").toString
+    TextAnalysis.writeInvertedIndex(dd, "text", "doc_id", idx, buckets = 16)
+    val fromIndex = TextAnalysis.bm25SearchFromIndex(spark, idx,
+      Seq("alpha", "zeta"), topK = 25)
+    assert(fromIndex.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === direct)
+
+    // the two query terms' buckets prune the postings partitions — inspect
+    // a fresh (unexecuted) plan: AQE stage-wraps scans after execution
+    val probe = TextAnalysis.bm25SearchFromIndex(spark, idx,
+      Seq("alpha", "zeta"), topK = 25)
+    val phys = probe.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }.getOrElse(fail("no postings scan in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "query-term buckets must prune index partitions at the scan")
+    val totalBuckets = new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val readBuckets = scan.selectedPartitions.partitionCount
+    assert(readBuckets > 0 && readBuckets <= 2 && totalBuckets > 4,
+      s"read $readBuckets of $totalBuckets buckets")
+  }
+
   test("lmSurprisalScore: corpus-common text scores low, gibberish high") {
     // 9 docs of ordinary repeated English fix the trigram model; one doc
     // of rare-character junk must stand out with a higher avg surprisal
