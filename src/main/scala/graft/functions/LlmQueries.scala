@@ -359,6 +359,12 @@ object LlmQueries {
       TextAnalysis.lmSurprisalScore(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")
     },
+    // Bigram collocations by PMI (integer-exact log2 sums) — multi-word
+    // units a vocab builder should fuse.
+    "text_collocations" -> { (s, d) =>
+      TextAnalysis.collocationsPmi(Tables.documents(s, d), "text", "doc_id",
+        minCount = 5L, topK = 50)
+    },
     // Span-level duplication profile: per doc, the share of its 3-gram
     // shingles that recur in other documents (template/boilerplate mass).
     "dedup_span_profile" -> { (s, d) =>
@@ -720,6 +726,29 @@ object LlmQueries {
                    AS avg_surprisal_q10
           FROM tri JOIN cnt USING (t) CROSS JOIN tot
           GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "text_collocations" -> {
+      def l1024(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + " +
+          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+      """WITH base AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+             FROM documents),
+          tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tu,
+                         CAST(sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END) AS BIGINT) AS tb
+                  FROM base),
+          uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM base) GROUP BY 1),
+          bc AS (SELECT w1, w2, count(*) AS cab FROM (
+                   SELECT unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+                          unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i+1])) AS w2
+                   FROM base WHERE len(toks) >= 2)
+                 GROUP BY 1, 2 HAVING count(*) >= 5)""" +
+        s"""
+          SELECT w1, w2, cab,
+                 CAST(${l1024("cab")} + 2 * ${l1024("tu")} - ${l1024("tb")}
+                      - ${l1024("a.c")} - ${l1024("b.c")} AS BIGINT) AS pmi_q10
+          FROM bc JOIN uc a ON bc.w1 = a.t JOIN uc b ON bc.w2 = b.t CROSS JOIN tot
+          ORDER BY pmi_q10 DESC, w1, w2 LIMIT 50"""
     },
     "semdedup_keep" ->
       s"""WITH $vnCtes,

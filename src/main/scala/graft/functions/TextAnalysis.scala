@@ -243,6 +243,56 @@ object TextAnalysis {
     bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
   }
 
+  /** Bigram collocations by pointwise mutual information — the corpus-
+    * profiling pass that surfaces multi-word units ("new york",
+    * "machine learning") a tokenizer/vocab builder should treat as one:
+    * PMI = log2(p(ab) / (p(a) p(b))), computed integer-exactly as a SUM
+    * of [[log2Q10Sql]] terms (never a log of a product — products of
+    * corpus-scale counts overflow int64 at 100 TB; sums of per-count
+    * logs cannot).
+    *
+    * Plan shape: one explode for unigram counts, one positional-pair
+    * explode for bigram counts (both partially aggregated, keyed on the
+    * term — bounded by vocabulary, not corpus), min-count filter BEFORE
+    * the count joins (rare-pair noise never shuffles twice), corpus
+    * totals as a broadcast 1-row cross join, top-k via
+    * TakeOrderedAndProject. No unigram broadcast hint: the vocabulary is
+    * unbounded at web scale (AQE broadcasts when it fits).
+    * Output: (w1, w2, cab, pmi_q10) top `topK` by (pmi desc, w1, w2).
+    */
+  def collocationsPmi(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+    val tot = base.agg(
+      sum(size(col("toks"))).cast("long").as("tu"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("long").as("tb")) // 1 row
+    val uni = base.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = base
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    bi
+      .join(uni.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_q10", expr(
+        s"cast(${log2Q10Sql("cab")} + 2 * ${log2Q10Sql("tu")} - ${log2Q10Sql("tb")}" +
+          s" - ${log2Q10Sql("ca")} - ${log2Q10Sql("cb")} as bigint)"))
+      .orderBy(col("pmi_q10").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("cab"), col("pmi_q10"))
+  }
+
   // --- corpus-LM fluency scoring ---------------------------------------
 
   /** `log2(x) * 1024`, integer-exact: bit-length gives the integer part

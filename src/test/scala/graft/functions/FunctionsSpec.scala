@@ -220,6 +220,26 @@ class FunctionsSpec extends SparkSpec {
       s"read $readBuckets of $totalBuckets buckets")
   }
 
+  test("collocationsPmi: bound pairs beat chance pairs, log identity holds") {
+    // "new" and "york" ONLY occur together; "the" pairs with everything
+    val docs = (0L until 40L).map { i =>
+      (i, s"the w${i % 8} new york the w${(i + 3) % 8} visited")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsPmi(docs, "text", "doc_id",
+      minCount = 5L, topK = 50)
+      .as[(String, String, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair.contains(("new", "york")))
+    // perfectly-bound pair: p(ab)=p(a)=p(b) -> pmi = log2(tu^2/(tb*cab));
+    // with 40 docs x 7 tokens: tu=280, tb=240, cab=40 -> pmi ~ log2(8.17)
+    val pmiNy = byPair(("new", "york"))
+    assert(pmiNy > 3L * 1024L && pmiNy < 3200L, s"got $pmiNy")
+    // "the"->"w*" pairs are chance-level: strictly below the bound pair
+    assert(got.filter(_._1 == "the").forall(_._4 < pmiNy))
+    // ranked first
+    assert((got.head._1, got.head._2) === ("new", "york"))
+  }
+
   test("lmSurprisalScore: corpus-common text scores low, gibberish high") {
     // 9 docs of ordinary repeated English fix the trigram model; one doc
     // of rare-character junk must stand out with a higher avg surprisal
