@@ -696,6 +696,21 @@ object SparkEntry {
           col("n_days"))
         .orderBy("week_start")
     },
+    // Heavy-hitter sketch twin of top_terms: DataSketches frequent-items
+    // (approx_top_k) keeps a fixed-size, map-side-combinable summary —
+    // the exact form shuffles one row per vocabulary term, the sketch
+    // ships ~k tracked items per partition regardless of vocab size.
+    // Rows-only at the gate; ApproxSpec pins exactness vs the exact twin
+    // while the vocab fits the tracked-item budget.
+    "top_terms_sketch" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("t"))
+        .agg(expr("approx_top_k(t, 20, 8192)").as("topk"))
+        .select(explode(col("topk")).as("e"))
+        .select(col("e.item").as("t"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("t"))
+    },
     // Event-stream enrichment: broadcast dimension join + rollup by segment.
     "events_enriched_by_segment" -> { (s, d) =>
       Tables.events(s, d)

@@ -74,6 +74,53 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL hashed shingles: like [[HashedShinglesExpr]] but keeps
+  * every window in start order (no dedup) — element i (0-based) is the
+  * 48-bit hash of the n-gram starting at token i+1. The span-removal
+  * operator needs window positions, and the compositional form
+  * (`transform(sequence(...), i => md5(concat_ws(...)))`) is an
+  * interpreted per-element lambda that measured ~6 us/window — 37 s per
+  * evaluation at the 10x smoke scale — where this single pass is ~20x
+  * cheaper and is evaluated once per branch.
+  */
+case class PositionalHashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_hashed_shingles"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(t: Any): Any = {
+    val text = t.asInstanceOf[UTF8String].toString
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val digest = md.digest(sb.toString.getBytes("UTF-8"))
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 60-bit SimHash from a token-hash array, in one pass.
   *
   * Replaces 60 per-bit `aggregate` higher-order folds (each re-walking the
@@ -119,6 +166,9 @@ object TextExpressions {
   def hashedShingles(text: Column, n: Int): Column =
     column(HashedShinglesExpr(expression(text), n))
 
+  def positionalHashedShingles(text: Column, n: Int): Column =
+    column(PositionalHashedShinglesExpr(expression(text), n))
+
   def simhash60(tokenHashes: Column): Column =
     column(SimHash60Expr(expression(tokenHashes)))
 
@@ -155,6 +205,11 @@ object TextExpressions {
       "hashed_shingles" -> { es: Seq[Expression] =>
         val a = arity("hashed_shingles", es, 2)
         HashedShinglesExpr(a.head, intLiteral("hashed_shingles", "n", a(1)))
+      },
+      "positional_hashed_shingles" -> { es: Seq[Expression] =>
+        val a = arity("positional_hashed_shingles", es, 2)
+        PositionalHashedShinglesExpr(a.head,
+          intLiteral("positional_hashed_shingles", "n", a(1)))
       },
       "simhash60" -> { es: Seq[Expression] =>
         SimHash60Expr(arity("simhash60", es, 1).head)

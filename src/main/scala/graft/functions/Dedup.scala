@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import TextAnalysis.{normalize, portableHash48, tokens}
+import TextAnalysis.{normalize, tokens}
 
 /** Deduplication operators for training-data pipelines, in increasing
   * sophistication: exact (hash group-by), n-gram Jaccard (exact set
@@ -447,13 +447,18 @@ object Dedup {
     * Scale shape: one explode to (doc, start, hash) rows — the same
     * volume [[duplicateShingleProfile]] already shuffles; document
     * frequency + keeper come from one partially-aggregated groupBy on the
-    * 8-byte hash; cut starts return as one per-doc sorted list (bounded
-    * by the doc's token count); the cut itself is a narrow per-row
-    * higher-order-function pass. No pair join anywhere, so cost stays
-    * linear in total token volume at 100x. The per-token coverage test
-    * scans the doc's cut-start list (O(tokens x cuts) worst case within
-    * one row) — acceptable for document-sized rows, and it never leaves
-    * the row.
+    * 8-byte hash; the cut itself is a positional ANTI JOIN — dup windows
+    * explode to their covered (doc, position) rows, token positions that
+    * survive the anti join rebuild the text with one per-doc aggregate.
+    * Everything is keyed on (doc, position) or the doc id, so cost stays
+    * linear in total token volume at 100x. Window hashes come from the
+    * native single-pass `PositionalHashedShinglesExpr` — the
+    * compositional `transform(sequence(...), i => md5(concat_ws(...)))`
+    * is an interpreted per-element lambda measured at 37 s PER EVALUATION
+    * at the 10x smoke scale, and a narrow per-row cut
+    * (`filter(toks, (t, i) => !exists(cut_starts, ...))`) is O(tokens x
+    * cuts) interpreted per row: the two together ran 108 s where this
+    * form runs ~7 s (vs ~6 s for the read-only profile op).
     *
     * Output: (doc_id, n_tokens, n_kept, clean_text).
     */
@@ -462,30 +467,38 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-    // positional window hashes; empty when the doc is shorter than n tokens
-    val withHs = toks.withColumn("hs",
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
-          i => portableHash48(concat_ws(" ",
-            (0 until n).map(j => element_at(col("toks"), i + lit(j))): _*))))
-        .otherwise(array().cast("array<long>")))
+    // positional window hashes via the native single-pass expression
+    // (empty when the doc is shorter than n tokens); `toks` tokenizes by
+    // the same \s+ convention inside the expression and out
+    val withHs = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"),
+      graft.expressions.TextExpressions.positionalHashedShingles(col(textCol), n).as("hs"))
     val ex = withHs
       .select(col("doc_id"), posexplode(col("hs")))
       .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("h"))
     val freq = ex.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
-    val cutStarts = ex.join(freq, "h")
+    // every token position covered by a cut window (s <= L-n+1, so
+    // s+n-1 never exceeds the doc length — no clamp needed)
+    val cutPos = ex.join(freq, "h")
       .where(col("df") > 1 && col("doc_id") =!= col("keeper"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("s"))).as("cut_starts"))
-    withHs.join(cutStarts, Seq("doc_id"), "left")
-      .withColumn("cs", coalesce(col("cut_starts"), array().cast("array<int>")))
-      .withColumn("kept", filter(col("toks"), (t, i) =>
-        not(exists(col("cs"), s => s <= i + lit(1) && s >= i + lit(2 - n)))))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("kept")).cast("long").as("n_kept"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+    val tokPos = withHs
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("t"))
+    val kept = tokPos.join(cutPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_n"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          e => e.getField("t"))).as("kept_text"))
+    withHs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("clean_text"))
   }
 }

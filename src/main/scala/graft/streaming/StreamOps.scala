@@ -189,6 +189,29 @@ object StreamOps {
         if (!batch.isEmpty) emit(graft.functions.Similarity.int8TopK(batch.toDF(), corpus, k))
     }
 
+  /** Keyword-search serving: every micro-batch of queries (`qid`,
+    * space-separated `terms`) runs BM25 against the MATERIALIZED inverted
+    * index (`TextAnalysis.bm25SearchFromIndex` — bucket-pruned postings
+    * read, corpus never re-tokenized) and `emit` receives that batch's
+    * ranked lists tagged by qid. The lexical twin of
+    * [[int8SearchStream]]'s vector serving.
+    */
+  def bm25SearchStream(
+      queryStream: DataFrame,
+      indexPath: String,
+      topK: Int)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val qs = batch.select("qid", "terms").collect() // one row per query
+        qs.foreach { r =>
+          val ranked = graft.functions.TextAnalysis.bm25SearchFromIndex(
+            batch.sparkSession, indexPath,
+            r.getString(1).split("\\s+").toSeq.filter(_.nonEmpty), topK = topK)
+          emit(ranked.withColumn("qid", lit(r.getLong(0))))
+        }
+    }
+
   /** The write-side twin of [[int8SearchStream]]: a stream of NEW corpus
     * vectors (`vec_id`, `vec`) grows the materialized IVF+PQ index —
     * every micro-batch encodes against the base corpus's frozen

@@ -206,6 +206,18 @@ object ScaleSmoke {
       Similarity.ivfPqTopK(q, vecs.select(col("vec_id"), col("vec")),
         k = 5, centroidEvery = 200, nprobe = 3, m = 8, dim = 64).count()
     }
+    time("inverted index build") {
+      TextAnalysis.writeInvertedIndex(docs, "text", "doc_id",
+        s"$base/invidx", buckets = 64)
+    }
+    time("bm25 from index (2 terms)") {
+      TextAnalysis.bm25SearchFromIndex(spark, s"$base/invidx",
+        Seq("w1", "w2"), topK = 50).count()
+    }
+    time("collocations PMI") {
+      TextAnalysis.collocationsPmi(docs, "text", "doc_id",
+        minCount = 5L, topK = 50).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))

@@ -23,7 +23,7 @@ class PlanSpec extends SparkSpec {
     // internals are engine-specific); each must carry its own accuracy
     // contract in a spec (ApproxSpec) and accepts the driver's rows-check
     val rowsOnly = Set("percentiles_by_type_approx", "daily_active_users_approx",
-      "value_deciles_approx", "weekly_active_users_sketch")
+      "value_deciles_approx", "weekly_active_users_sketch", "top_terms_sketch")
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")

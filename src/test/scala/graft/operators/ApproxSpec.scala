@@ -70,6 +70,16 @@ class ApproxSpec extends SparkSpec {
     assert(approx.map(_.getLong(0)).toSet === exact.keySet, "same day set")
   }
 
+  test("shipped top_terms_sketch matches the exact top_terms while under budget") {
+    // corpus vocab (~64 synthetic words) is far below the 8192 tracked
+    // items, where the frequent-items sketch is EXACT by contract
+    val exact = graft.SparkEntry.queries("top_terms")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = graft.SparkEntry.queries("top_terms_sketch")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch === exact)
+  }
+
   test("shipped weekly_active_users_sketch: day-sketch union tracks exact WAU") {
     val exact = Tables.events(spark, d)
       .groupBy(window(col("ts"), "7 days").as("w"))

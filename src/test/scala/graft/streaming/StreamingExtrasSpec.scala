@@ -187,6 +187,33 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("bm25SearchStream serves batch-identical rankings from the index") {
+    import graft.functions.TextAnalysis
+    val dd = (0L until 100L).map { i =>
+      val rare = if (i % 25 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} here$rare")
+    }.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-s").toString
+    TextAnalysis.writeInvertedIndex(dd, "text", "doc_id", idx, buckets = 8)
+    val expect = TextAnalysis.bm25SearchFromIndex(spark, idx, Seq("zeta", "alpha"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamOps.bm25SearchStream(
+      input.toDF().toDF("qid", "terms"), idx, topK = 10) { ranked =>
+      got ++= ranked.collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    }.start()
+    try {
+      input.addData((1L, "zeta alpha"))
+      q.processAllAvailable()
+      input.addData((2L, "zeta alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq === expect)
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === expect)
+  }
+
   test("indexAppendStream converges to the one-shot batch index") {
     import graft.functions.Similarity
     // clustered fixture shared with the PQ batch spec: 4 clusters, 16 dims
