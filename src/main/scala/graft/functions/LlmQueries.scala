@@ -365,6 +365,11 @@ object LlmQueries {
       TextAnalysis.collocationsPmi(Tables.documents(s, d), "text", "doc_id",
         minCount = 5L, topK = 50)
     },
+    // In-engine BPE tokenizer training: 6 merge rounds over the
+    // vocabulary-bounded word-frequency table (corpus read ONCE).
+    "bpe_merges" -> { (s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "text", merges = 6)
+    },
     // Span-level duplication profile: per doc, the share of its 3-gram
     // shingles that recur in other documents (template/boilerplate mass).
     "dedup_span_profile" -> { (s, d) =>
@@ -726,6 +731,41 @@ object LlmQueries {
                    AS avg_surprisal_q10
           FROM tri JOIN cnt USING (t) CROSS JOIN tot
           GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "bpe_merges" -> {
+      // one BPE round: pair counts over sPrev's symbols -> top-1 merge
+      // (mK) -> merged symbol strings (sK); replace applied twice, same
+      // two-pass convention as the engine (see TextAnalysis.bpeTrain)
+      def round(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""p$k AS (SELECT a, b, sum(cnt) AS pc FROM (
+                 SELECT cnt,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i])) AS a,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i+1])) AS b
+                 FROM (SELECT cnt, string_split(s, ' ') AS sy FROM $prev)
+                 WHERE len(sy) >= 2)
+               GROUP BY 1, 2),
+           m$k AS (SELECT $k AS step, a AS lhs, b AS rhs, a || b AS merged, pc AS pair_cnt
+                   FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+           s$k AS (SELECT trim(replace(replace(' ' || s || ' ',
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' '),
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' ')) AS s, cnt
+                   FROM $prev CROSS JOIN m$k m)"""
+      }
+      s"""WITH words AS (SELECT w, count(*) AS cnt FROM (
+               SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        t -> t <> '')) AS w
+               FROM documents) GROUP BY 1),
+          s0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                     i -> substr(w, i, 1)), ' ') || ' </w>' AS s, cnt
+                 FROM words),
+          ${(1 to 6).map(round).mkString(",\n")}
+          SELECT CAST(step AS BIGINT) AS step, lhs, rhs, merged,
+                 CAST(pair_cnt AS BIGINT) AS pair_cnt
+          FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL
+                SELECT * FROM m3 UNION ALL SELECT * FROM m4 UNION ALL
+                SELECT * FROM m5 UNION ALL SELECT * FROM m6)
+          ORDER BY step"""
     },
     "text_collocations" -> {
       def l1024(x: String): String =

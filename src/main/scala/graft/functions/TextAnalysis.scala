@@ -293,6 +293,79 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("cab"), col("pmi_q10"))
   }
 
+  /** Train a BPE (byte-pair-encoding) merge table ON the corpus — the
+    * tokenizer-training step of a training-data pipeline, in-engine
+    * (Sennrich et al. 2016). Exact corpus statistics, not a sample:
+    *
+    *  - ONE corpus pass builds the word-frequency table (the classic BPE
+    *    working set — VOCABULARY-bounded, so every later round touches
+    *    thousands of rows regardless of corpus size; this is why BPE
+    *    training scales: the 100 TB corpus is read once);
+    *  - each round counts adjacent symbol pairs weighted by word count
+    *    (positional explode + one partial-aggregated groupBy), takes the
+    *    top pair by (count desc, pair asc) — a 1-row action — and merges
+    *    it into the symbol strings with a literal space-delimited
+    *    replace (left-to-right non-overlapping, the standard BPE greedy
+    *    order in both engines);
+    *  - the working set is localCheckpoint'd per round so the plan stays
+    *    flat across `merges` iterations (same pattern as
+    *    [[Similarity.kmeansCentroids]]' Lloyd rounds).
+    *
+    * Deterministic and engine-portable: lowercase \s+ words, per-char
+    * symbols + a terminal `</w>`, binary string tie-breaks. The merge is
+    * a space-padded literal replace applied TWICE: a sequential
+    * left-to-right replace consumes the shared delimiter between
+    * consecutive occurrences ("a b a b" merges 1st and 3rd pair on the
+    * first pass), and after one pass the leftovers are isolated, so a
+    * second pass completes the round — identical semantics in any engine
+    * with a sequential substring replace. (On odd runs of an
+    * identical-symbol pair this picks a slightly different — still
+    * deterministic — merge alignment than symbol-list greedy BPE;
+    * documented convention, applied in both engines.)
+    * Output: (step, lhs, rhs, merged, pair_cnt) — the merge table a
+    * tokenizer runtime consumes, in training order.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var cur = words.select(
+      concat(concat_ws(" ", filter(split(col("w"), ""), c => length(c) > 0)),
+        lit(" </w>")).as("s"),
+      col("cnt")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = cur
+        .select(col("cnt"), split(col("s"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = top.head
+        out += ((step.toLong, a, b, a + b, pc))
+        def merge(c: Column): Column =
+          call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
+        cur = cur.select(
+          trim(merge(merge(concat(lit(" "), col("s"), lit(" "))))).as("s"),
+          col("cnt")).localCheckpoint()
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_cnt")
+      .orderBy("step")
+  }
+
   // --- corpus-LM fluency scoring ---------------------------------------
 
   /** `log2(x) * 1024`, integer-exact: bit-length gives the integer part

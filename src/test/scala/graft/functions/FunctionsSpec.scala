@@ -220,6 +220,33 @@ class FunctionsSpec extends SparkSpec {
       s"read $readBuckets of $totalBuckets buckets")
   }
 
+  test("bpeTrain learns the textbook merges on the low/lower corpus") {
+    // Sennrich et al.'s classic example: low x3, lower x2, newest x1
+    val docs = Seq((1L, "low low low"), (2L, "lower lower newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "l", "o", "lo", 5L),        // (l,o) ties (o,w) at 5 -> lhs asc
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "</w>", "low</w>", 3L),
+      (4L, "e", "r", "er", 2L)))       // 3-way tie at 2 -> "e" smallest
+  }
+
+  test("bpeTrain merges consecutive occurrences within one round") {
+    // "x x x x" pairs (x,x): the two-pass padded replace must fuse BOTH
+    // disjoint occurrences in the round that picks (x,x)
+    val docs = Seq((1L, "xxxx xxxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", merges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // round 1: (x,x) count 6 (3 overlapping adjacencies x 2 occurrences)
+    assert(got.head === ((1L, "x", "x", "xx", 6L)))
+    // round 2 must see "xx xx </w>" per word (BOTH disjoint pairs fused;
+    // a one-pass replace would leave "xx x x </w>" and a (x,*) pair
+    // would win): (xx,xx) ties (xx,</w>) at 2, "</w>" < "xx" binary
+    assert((got(1)._2, got(1)._3) === (("xx", "</w>")))
+  }
+
   test("collocationsPmi: bound pairs beat chance pairs, log identity holds") {
     // "new" and "york" ONLY occur together; "the" pairs with everything
     val docs = (0L until 40L).map { i =>
