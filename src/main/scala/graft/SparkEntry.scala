@@ -645,6 +645,32 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // Event-rate anomaly days: per event type, days whose volume exceeds
+    // 1.15x the trailing-7-day average — the monitoring query every event
+    // pipeline runs (threshold tuned to the corpus's daily noise so the
+    // gate checks real rows). Integer-exact: the threshold is the
+    // cross-multiplied comparison 20*n*base_n > 23*base_sum, no division
+    // anywhere. The
+    // window partitions by event type over the DAILY aggregate (rows =
+    // days x types — bounded regardless of corpus size).
+    "events_anomaly_days" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("w.start").cast("long").as("day_start"),
+          col("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_start"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("base_n", count(col("n")).over(w))
+        .withColumn("base_sum", sum(col("n")).over(w))
+        .filter(col("base_n") >= 3 &&
+          col("n") * col("base_n") * 20 > col("base_sum") * 23)
+        .select(col("event_type"), col("day_start"), col("n"),
+          col("base_sum"), col("base_n"))
+        .orderBy(col("event_type"), col("day_start"))
+    },
     // Day-over-day cohort retention: of the users active on day d, the
     // share also active on d+1 — the standard activation/retention
     // analytics shape. One (user, day) distinct, then a keyed self-join
@@ -999,6 +1025,18 @@ object SparkEntry {
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "events_anomaly_days" ->
+      """WITH daily AS (SELECT event_type, (epoch_us(ts)//86400000000)*86400 AS day_start,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+          base AS (SELECT *, count(n) OVER w AS base_n, sum(n) OVER w AS base_sum
+                   FROM daily
+                   WINDOW w AS (PARTITION BY event_type ORDER BY day_start
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, day_start, n,
+                 CAST(base_sum AS BIGINT) AS base_sum, CAST(base_n AS BIGINT) AS base_n
+          FROM base WHERE base_n >= 3 AND 20 * n * base_n > 23 * base_sum
+          ORDER BY event_type, day_start""",
     "user_retention" ->
       """WITH daily AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS d, user_id
                         FROM events),

@@ -366,6 +366,33 @@ object TextAnalysis {
       .orderBy("step")
   }
 
+  /** Apply a trained merge table ([[bpeTrain]] output, collected) to a
+    * text column: adds `bpe_syms` (the BPE symbol sequence) and `bpe_len`.
+    *
+    * The whole document is processed as ONE symbol string — safe because
+    * training counts pairs within words only, so no merge pair can span a
+    * `</w>` boundary — and each merge is the same two-pass padded literal
+    * replace as training (codegen'd StringReplace chain, no shuffle, no
+    * action: the merge table rides in as plan literals, the classic
+    * "model as literals" pattern shared with the random-projection sign
+    * matrix).
+    */
+  def bpeEncode(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val sym0 = concat_ws(" ", transform(words, w =>
+      concat(concat_ws(" ", filter(split(w, ""), c => length(c) > 0)), lit(" </w>"))))
+    val merged = merges.foldLeft(concat(lit(" "), sym0, lit(" "))) {
+      case (c, (a, b)) =>
+        val one = call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
+        call_function("replace", one, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    df.withColumn("bpe_syms", split(trim(merged), " "))
+      .withColumn("bpe_len", size(col("bpe_syms")).cast("long"))
+  }
+
   // --- corpus-LM fluency scoring ---------------------------------------
 
   /** `log2(x) * 1024`, integer-exact: bit-length gives the integer part

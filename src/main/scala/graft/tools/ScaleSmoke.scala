@@ -218,6 +218,9 @@ object ScaleSmoke {
       TextAnalysis.collocationsPmi(docs, "text", "doc_id",
         minCount = 5L, topK = 50).count()
     }
+    time("bpe train (6 merges)") {
+      TextAnalysis.bpeTrain(docs, "text", merges = 6).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))

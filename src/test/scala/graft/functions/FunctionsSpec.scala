@@ -247,6 +247,25 @@ class FunctionsSpec extends SparkSpec {
     assert((got(1)._2, got(1)._3) === (("xx", "</w>")))
   }
 
+  test("bpeEncode applies the trained merges; train+encode round-trip") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower newest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, "low lower")).toDF("doc_id", "text"), "text", merges)
+      .select("bpe_syms").as[Seq[String]].head()
+    // "low" -> low</w>; "lower" -> low er </w> under merges
+    // (l,o)(lo,w)(low,</w>)(e,r)
+    assert(enc === Seq("low</w>", "low", "er", "</w>"))
+    // unseen characters fall back to char symbols
+    val enc2 = TextAnalysis.bpeEncode(
+      Seq((1L, "zq")).toDF("doc_id", "text"), "text", merges)
+      .select("bpe_syms").as[Seq[String]].head()
+    assert(enc2 === Seq("z", "q", "</w>"))
+  }
+
   test("collocationsPmi: bound pairs beat chance pairs, log identity holds") {
     // "new" and "york" ONLY occur together; "the" pairs with everything
     val docs = (0L until 40L).map { i =>
