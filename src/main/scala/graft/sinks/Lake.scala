@@ -39,24 +39,73 @@ object Lake {
   /** Copy-on-write delete of `ids` from the lake at `dir` (partitioned by
     * string column `partCol`, id column `idCol`).
     *
-    * The id list is broadcast-joined against the scan (a delete request is
-    * small by nature); partitions without a hit are neither re-read in
-    * full nor rewritten. A partition whose every row dies cannot be
-    * expressed by dynamic overwrite (there is nothing to write), so its
-    * directory is removed directly — the case the spec plants.
-    *
-    * The survivors of affected partitions are localCheckpoint'd before the
-    * overwrite: Spark (correctly) refuses to overwrite a path that is
-    * still an input of the plan being executed, and the checkpoint
-    * materializes exactly the affected slice — the copy-on-write cost
-    * floor any engine pays for this operation.
+    * Up to [[MaxInlineIds]] the ids ride the plan as an `isin` literal
+    * list — the predicate pushes into the parquet reader, so untouched
+    * partitions cost row-group stats only. A larger delete set (a real
+    * GDPR batch can be millions of ids) would bloat the plan itself, so
+    * it switches to [[deleteMatching]]'s broadcast-join form.
     */
   def deleteByIds(
       spark: SparkSession,
       dir: String,
       partCol: String,
       idCol: String,
-      ids: Seq[Long]): DeleteStats = {
+      ids: Seq[Long]): DeleteStats =
+    if (ids.length <= MaxInlineIds)
+      deleteWhere(spark, dir, partCol, col(idCol).isin(ids: _*))
+    else {
+      import spark.implicits._
+      deleteMatching(spark, dir, partCol, idCol, ids.toDF(idCol))
+    }
+
+  /** Ids above this count go through the join path instead of plan-literal
+    * `isin` (a million-literal predicate is its own scalability bug).
+    */
+  val MaxInlineIds = 10000
+
+  /** [[deleteByIds]] with the delete set as a DataFrame (one `idCol`
+    * column) — the form that scales to arbitrarily large delete sets:
+    * hits are located with a broadcast LEFT SEMI join, survivors with a
+    * broadcast LEFT ANTI join, so the delete set never becomes plan text
+    * and never shuffles the lake.
+    */
+  def deleteMatching(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      idCol: String,
+      ids: org.apache.spark.sql.DataFrame): DeleteStats =
+    deleteImpl(spark, dir, partCol,
+      hitOf = lake => lake.join(broadcast(ids), Seq(idCol), "left_semi"),
+      surviveOf = slice => slice.join(broadcast(ids), Seq(idCol), "left_anti"))
+
+  /** Copy-on-write delete of every row matching `predicate` — the general
+    * form (`deleteWhere(..., col("user_id") === 42)`, retention cutoffs,
+    * etc.); only partitions containing a match are rewritten.
+    *
+    * The survivors of affected partitions are localCheckpoint'd before the
+    * overwrite: Spark (correctly) refuses to overwrite a path that is
+    * still an input of the plan being executed, and the checkpoint
+    * materializes exactly the affected slice — the copy-on-write cost
+    * floor any engine pays for this operation. A partition whose every
+    * row dies cannot be expressed by dynamic overwrite (there is nothing
+    * to write), so its directory is removed directly.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      predicate: org.apache.spark.sql.Column): DeleteStats =
+    deleteImpl(spark, dir, partCol,
+      hitOf = _.where(predicate), surviveOf = _.where(!predicate))
+
+  private def deleteImpl(
+      spark: SparkSession,
+      dir: String,
+      partCol: String,
+      hitOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      surviveOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : DeleteStats = {
     // partition values travel as strings throughout (partition discovery
     // may have type-inferred the column to date/int; directory names are
     // its string form either way)
@@ -64,9 +113,8 @@ object Lake {
     val allParts = lake.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0))
 
-    // 1. locate affected partitions; the isin predicate pushes into the
-    //    parquet reader, so untouched partitions cost row-group stats only
-    val hits = lake.where(col(idCol).isin(ids: _*))
+    // 1. locate affected partitions
+    val hits = hitOf(lake)
       .groupBy(col(partCol).cast("string").as(partCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (hits.isEmpty)
@@ -76,9 +124,9 @@ object Lake {
     val rowsDeleted = hits.values.sum
 
     // 2. partition-pruned re-read of the affected slice, minus the dead rows
-    val survivors = spark.read.parquet(dir)
-      .where(col(partCol).cast("string").isin(affected: _*))
-      .where(!col(idCol).isin(ids: _*))
+    val survivors = surviveOf(
+      spark.read.parquet(dir)
+        .where(col(partCol).cast("string").isin(affected: _*)))
       .localCheckpoint()
 
     val perPart = survivors

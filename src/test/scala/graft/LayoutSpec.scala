@@ -83,6 +83,32 @@ class LayoutSpec extends SparkSpec {
     assert(filesOf("2024-01-03") !== before("2024-01-03"))
   }
 
+  test("deleteMatching (join form) and deleteWhere match the isin form") {
+    import spark.implicits._
+    def mkLake(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-del2").toString
+      spark.range(400)
+        .select(col("id"), (col("id") % 4).cast("string").as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      dir
+    }
+    val targets = (0L until 400L).filter(i => i % 4 == 1 || i == 2)
+
+    val viaJoin = mkLake()
+    val s1 = graft.sinks.Lake.deleteMatching(spark, viaJoin, "day", "id",
+      targets.toDF("id"))
+    val viaPred = mkLake()
+    val s2 = graft.sinks.Lake.deleteWhere(spark, viaPred, "day",
+      col("id") % 4 === 1 || col("id") === 2)
+
+    assert(s1 === s2)
+    assert(s1.rowsDeleted === 101L && s1.partitionsEmptied === 1L)
+    val a = spark.read.parquet(viaJoin).orderBy("id").as[(Long, String)].collect().toSeq
+    val b = spark.read.parquet(viaPred).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(a === b && a.length === 299)
+    assert(!new java.io.File(s"$viaJoin/day=1").exists())
+  }
+
   test("compactPartitions shrinks file count without changing rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate a micro-batch sink: 16 writer tasks -> 16 files per partition
