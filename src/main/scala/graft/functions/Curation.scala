@@ -142,6 +142,45 @@ object Curation {
         col("containment_milli"))
   }
 
+  /** Build the bench-set shingle Bloom filter ONCE (an eager batch
+    * aggregate — a benchmark suite is a fixed few MB, so this is cheap
+    * and refreshed on its own cadence). The returned bytes ride any later
+    * plan as a literal: see [[benchHitCount]] and
+    * `StreamingCuration.contaminationGate`.
+    */
+  def benchShingleBloom(
+      bench: DataFrame,
+      textCol: String,
+      n: Int,
+      bloomItems: Long = 1L << 18,
+      bloomBits: Long = 1L << 22): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val ex = Dedup.withHashedShingles(bench, textCol, n, "sh")
+      .select(explode(col("sh")).as("g"))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("g")),
+        Literal(bloomItems), Literal(bloomBits)).toAggregateExpression())
+    ex.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Per-row count of this text's n-gram shingles that hit the bench
+    * Bloom ([[benchShingleBloom]]) — a NARROW column (bloom as a plan
+    * literal, no join, no shuffle, no state), which is what makes it
+    * usable as a per-micro-batch streaming gate. False positives only
+    * (never false negatives), so a `hits == 0` guarantee is exact.
+    */
+  def benchHitCount(text: Column, bloomBytes: Array[Byte], n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    size(filter(
+      graft.expressions.TextExpressions.hashedShingles(text, n),
+      g => ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), ColumnBridge.expression(g)))))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `hash48(id) mod 1000 < rateMilli(stratum)` — reproducible across
     * engines and runs, no RNG, and exactly mirrorable in SQL. The standard

@@ -94,4 +94,25 @@ object StreamingCuration {
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("n_tri"), expr("cast(sum_s div n_tri as bigint)").as("avg_surprisal_q10"))
   }
+
+  /** Streaming benchmark-contamination gate (build-batch / gate-stream,
+    * the same split as [[lmSurprisalStream]]): the bench-set shingle
+    * Bloom is built once on the batch tier
+    * (`Curation.benchShingleBloom`) and arriving documents are gated by
+    * a NARROW per-row hit count against it — no join, no state, no
+    * shuffle in the stream. Docs with more than `maxBenchShingles`
+    * bloom hits are held out (the bloom has no false negatives, so a
+    * kept doc truly shares at most that many shingles with the bench
+    * set — plus FP noise, which only errs toward holding out more).
+    */
+  def contaminationGate(
+      docs: DataFrame,
+      textCol: String,
+      benchBloom: Array[Byte],
+      n: Int,
+      maxBenchShingles: Int): DataFrame =
+    docs
+      .withColumn("bench_hits",
+        Curation.benchHitCount(col(textCol), benchBloom, n))
+      .filter(col("bench_hits") <= maxBenchShingles)
 }

@@ -223,4 +223,38 @@ class CurationPropertySpec extends SparkSpec {
       }, "scores non-increasing in rank")
     }
   }
+
+  test("removeDuplicateSpans invariants on random corpora") {
+    for (seed <- Seq(11L, 23L)) {
+      val docs = randomDocs(seed, 120)
+      val rows = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+        .as[(Long, Long, Long, String)].collect()
+      assert(rows.length === 120, "one output row per doc")
+      val toksIn = docs.select(col("doc_id"),
+        split(col("text"), "\\s+").as("t")).as[(Long, Seq[String])]
+        .collect().toMap
+      rows.foreach { case (id, nTok, nKept, clean) =>
+        assert(nTok === toksIn(id).length.toLong)
+        assert(nKept >= 0L && nKept <= nTok, s"doc $id: kept $nKept of $nTok")
+        val kept = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        assert(kept.length.toLong === nKept)
+        // surviving tokens are a subsequence of the input tokens
+        val it = toksIn(id).iterator
+        assert(kept.forall(k => it.contains(k)),
+          s"doc $id: output not a subsequence of input")
+      }
+      // the globally-minimal doc id keeps every shingle (it is the keeper
+      // of any duplicated window it contains); short docs (< n tokens)
+      // are never touched
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(0L)._3 === byId(0L)._2, "min-id doc must be intact")
+      rows.filter(_._2 < 3).foreach { r =>
+        assert(r._3 === r._2, s"short doc ${r._1} must be untouched")
+      }
+      // determinism: a second run is byte-identical
+      val again = Dedup.removeDuplicateSpans(docs, "text", "doc_id", n = 3)
+        .as[(Long, Long, Long, String)].collect()
+      assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+    }
+  }
 }

@@ -72,4 +72,30 @@ class StreamingCurationSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming contamination gate holds out bench-overlapping docs") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("bench_id", "text")
+    val bloom = graft.functions.Curation.benchShingleBloom(bench, "text", n = 3)
+
+    val leaky = "intro words then alpha beta gamma delta epsilon as in the benchmark"
+    val clean = "wholly unrelated content about rivers mountains and weather patterns"
+    val input = MemoryStream[CurDoc]
+    val out = StreamingCuration.contaminationGate(
+      input.toDF(), "text", bloom, n = 3, maxBenchShingles = 1)
+    val q = out.writeStream.format("memory").queryName("cont_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(CurDoc(10L, "s", leaky, t(1)), CurDoc(11L, "s", clean, t(2)))
+      q.processAllAvailable()
+      input.addData(CurDoc(12L, "s", clean + " again", t(3)))
+      q.processAllAvailable()
+      val kept = spark.table("cont_gate").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(11L, 12L), "leaky doc must be held out")
+      // the kept docs' hit counts are zero (bloom has no false negatives,
+      // and these shingle sets are disjoint from the bench)
+      val hits = spark.table("cont_gate").select("bench_hits").as[Int].collect()
+      assert(hits.forall(_ === 0))
+    } finally q.stop()
+  }
 }
