@@ -321,6 +321,90 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard_milli"))
   }
 
+  private def bandBucket(bh: Column, buckets: Int): Column =
+    pmod(conv(substring(bh, 1, 12), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Materialize an LSH dedup index: the corpus's MinHash band keys
+    * (partitioned by a hash bucket of the band key) plus its shingle
+    * sets. Built once; afterwards every NEW batch of documents checks
+    * for near-dups against the whole corpus via
+    * [[nearDupsAgainstIndex]] WITHOUT re-shingling or re-signing a
+    * single corpus document — the incremental-dedup shape a production
+    * ingest runs on every arrival, and the dedup member of the
+    * materialized-index family (IVF+PQ cells, BM25 term buckets, LSH
+    * band buckets).
+    */
+  def writeLshIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      buckets: Int = 64): Unit = {
+    bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("doc"), col("band"), col("bh"))
+      .withColumn("bucket", bandBucket(col("bh"), buckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Near-dup pairs of a NEW document batch against an indexed corpus
+    * ([[writeLshIndex]]). The new batch's band keys are computed fresh
+    * (it is the small side by nature); the corpus side comes entirely
+    * from the index — candidate generation joins the stored band table
+    * (the new batch's band-key buckets become a partition filter, which
+    * prunes hard exactly when the batch is small — the incremental
+    * case), and exact-Jaccard verification fetches only the CANDIDATE
+    * corpus docs' stored shingle sets. Intra-batch duplicates are
+    * [[minhashLshPairs]] on the batch alone; appending the batch's own
+    * keys/shingles to the index afterwards keeps it current (plain
+    * parquet append into the same layout).
+    * Output: (new_id, corpus_id, jaccard_milli).
+    */
+  def nearDupsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int,
+      buckets: Int = 64): DataFrame = {
+    val newBk = bandKeys(newDocs, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("doc"), col("band"), col("bh"))
+      .withColumn("bucket", bandBucket(col("bh"), buckets))
+    val newSh = withHashedShingles(newDocs, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val qBuckets = newBk.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq // <= `buckets` values
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .filter(col("bucket").isin(qBuckets: _*))
+    val candIds = newBk.as("x")
+      .join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .dropDuplicates("a", "b")
+    val corpusSh = spark.read.parquet(s"$indexPath/shingles")
+    candIds
+      .join(newSh.select(col("doc").as("a"), col("sh").as("sha")), "a")
+      .join(corpusSh.select(col("doc").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a").as("new_id"), col("b").as("corpus_id"), col("jaccard_milli"))
+  }
+
   /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate
     * stays positive in signed 64-bit math in any engine). Bit j of the
     * fingerprint is 1 iff the sum over tokens of (bit j of h48/60(token)

@@ -220,6 +220,36 @@ class FunctionsSpec extends SparkSpec {
       s"read $readBuckets of $totalBuckets buckets")
   }
 
+  test("nearDupsAgainstIndex finds new-vs-corpus near-dups from the index alone") {
+    val tpl = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, tpl),
+      (2L, "completely different text with other words entirely disjoint tokens here"),
+      (3L, "yet another unrelated document about mountains rivers and weather"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    Dedup.writeLshIndex(corpus, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+
+    val fresh = Seq(
+      (10L, tpl.replace("today", "tonight")),  // near-dup of corpus doc 1
+      (11L, "brand new content sharing nothing with the indexed corpus at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupsAgainstIndex(spark, fresh, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) === Seq((10L, 1L)),
+      s"expected exactly the planted near-dup, got $got")
+    assert(got.head._3 >= 700L, s"1-word-edit jaccard, got ${got.head._3}")
+
+    // the expected pairing matches the pure-batch operator on the union
+    val unionPairs = Dedup.minhashLshPairs(corpus.union(fresh), "text", "doc_id",
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(unionPairs.map(t => (t._1, t._2)) === Seq((1L, 10L)))
+    assert(unionPairs.head._3 === got.head._3, "identical exact-Jaccard verdict")
+  }
+
   test("bpeTrain learns the textbook merges on the low/lower corpus") {
     // Sennrich et al.'s classic example: low x3, lower x2, newest x1
     val docs = Seq((1L, "low low low"), (2L, "lower lower newest"))
