@@ -353,6 +353,31 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** Append a document batch's band keys + shingle sets into an existing
+    * [[writeLshIndex]] layout (band rows land in their bucket partition
+    * dirs, so later probes prune identically) — with
+    * [[nearDupsAgainstIndex]] this is the maintenance half of continuous
+    * dedup ingest (`StreamOps.dedupIngestStream`).
+    */
+  def appendToLshIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      buckets: Int = 64): Unit = {
+    bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+      .select(col("doc"), col("band"), col("bh"))
+      .withColumn("bucket", bandBucket(col("bh"), buckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/bands")
+    withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** Near-dup pairs of a NEW document batch against an indexed corpus
     * ([[writeLshIndex]]). The new batch's band keys are computed fresh
     * (it is the small side by nature); the corpus side comes entirely

@@ -212,6 +212,48 @@ object StreamOps {
         }
     }
 
+  /** Continuous dedup ingest: every micro-batch of documents (`idCol`,
+    * `textCol`) is checked for near-dups against the materialized LSH
+    * index (`Dedup.nearDupsAgainstIndex` — the corpus is never
+    * re-shingled), flagged pairs go to `emitDups`, and only the CLEAN
+    * documents are appended to the index (`Dedup.appendToLshIndex`) —
+    * so a duplicate arriving minutes after its original is caught by
+    * index rows the stream itself wrote (spec-proven). Within-batch
+    * duplicates: exact dups collapse upstream via
+    * `dropDuplicatesWithinWatermark` on a fingerprint
+    * ([[streamingDedup]]); intra-batch NEAR-dups both enter the index
+    * (caught by the batch LSH pass on the backlog — the documented
+    * batch-tier responsibility, same split as [[streamingNearDupPairs]]'
+    * window bound). `indexPath` must hold a seeded `writeLshIndex`
+    * layout (>= 1 document) before the stream starts.
+    */
+  def dedupIngestStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int,
+      buckets: Int = 64)(
+      emitDups: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint()
+          val dups = graft.functions.Dedup.nearDupsAgainstIndex(
+            b.sparkSession, b, textCol, idCol, indexPath,
+            n, bands, rowsPerBand, minJaccardMilli, buckets).localCheckpoint()
+          emitDups(dups)
+          val clean = b.join(
+            dups.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          graft.functions.Dedup.appendToLshIndex(
+            clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets)
+        }
+    }
+
   /** The write-side twin of [[int8SearchStream]]: a stream of NEW corpus
     * vectors (`vec_id`, `vec`) grows the materialized IVF+PQ index —
     * every micro-batch encodes against the base corpus's frozen

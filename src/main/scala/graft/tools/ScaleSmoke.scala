@@ -221,6 +221,17 @@ object ScaleSmoke {
     time("bpe train (6 merges)") {
       TextAnalysis.bpeTrain(docs, "text", merges = 6).count()
     }
+    time("lsh index build") {
+      Dedup.writeLshIndex(docs, "text", "doc_id", s"$base/lshidx",
+        n = 3, bands = 4, rowsPerBand = 4)
+    }
+    time("incremental neardup (500-doc batch)") {
+      Dedup.nearDupsAgainstIndex(spark,
+        docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+        "text", "doc_id", s"$base/lshidx",
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 600).count()
+    }
     time("weekly HLL sketch rollup") {
       val daily = events
         .groupBy(window(col("ts"), "1 day").as("w"))

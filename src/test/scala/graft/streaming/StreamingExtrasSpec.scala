@@ -214,6 +214,43 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === expect)
   }
 
+  test("dedupIngestStream catches dups against rows the stream itself wrote") {
+    import graft.functions.Dedup
+    val tpl = "the quick brown fox jumps over the lazy dog again and again today"
+    val idx = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    Dedup.writeLshIndex(
+      Seq((1L, "seed corpus document about entirely unrelated matters and topics"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", idx, n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+
+    val input = MemoryStream[(Long, String)]
+    val dups = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamOps.dedupIngestStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16) { d =>
+      dups ++= d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.start()
+    try {
+      input.addData((10L, tpl)) // clean vs seed -> appended
+      q.processAllAvailable()
+      assert(dups.isEmpty, s"first batch must be clean, got $dups")
+      // near-dup of doc 10 — which is in the index ONLY via the stream's
+      // own append — plus a genuinely fresh doc
+      input.addData(
+        (20L, tpl.replace("today", "tonight")),
+        (21L, "wholly new content sharing nothing with anything indexed before"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(dups.map(t => (t._1, t._2)).toSeq === Seq((20L, 10L)),
+      s"stream-written index rows must catch the later near-dup: $dups")
+    assert(dups.head._3 >= 700L)
+    // held-out dup never entered the index; clean docs did
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select("doc").as[Long].collect().toSet
+    assert(indexed === Set(1L, 10L, 21L))
+  }
+
   test("indexAppendStream converges to the one-shot batch index") {
     import graft.functions.Similarity
     // clustered fixture shared with the PQ batch spec: 4 clusters, 16 dims
