@@ -6,16 +6,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
-  *   1. A full untimed warm-up pass runs first so the timed passes measure
-  *      the engine, not JVM/class-loading, whole-stage-codegen compilation,
-  *      or parquet footer caching.
-  *   2. Each query is timed as the MEDIAN of three runs — a single timed
+  *   1. Queries run in FAMILY GROUPS of ~20 (name-sorted so prefixed
+  *      families stay together), each group in a FRESH SparkSession that
+  *      is stopped before the next group starts. One shared session
+  *      accumulates broadcast blocks, codegen classes, and heap junk from
+  *      ~100 queries: round 2 measured 18x inflation from the skew demo,
+  *      and round 5 measured up to 7x on late-run queries
+  *      (dedup_minhash_lsh 11.8s in-bench vs 1.6s in a clean session)
+  *      purely from single-JVM accumulation. Recycling the session bounds
+  *      contamination to one group.
+  *   2. Each group gets a full untimed warm-up pass in ITS session, so
+  *      timed passes measure the engine, not class-loading, whole-stage
+  *      codegen compilation, or parquet footer caching.
+  *   3. Each query is timed as the MEDIAN of three runs — a single timed
   *      run is hostage to GC pauses and host noise.
-  *   3. The 16M-row skew demonstration runs in its OWN SparkSession after
-  *      the main session is stopped, and is reported in a separate
-  *      `skew_demo` JSON block: its 32M-row working set otherwise raises
-  *      JVM heap/GC pressure for every query timed after it (measured in
-  *      round 2: up to 18x inflation on unrelated queries).
+  *   4. The 16M-row skew demonstration runs in its OWN SparkSession after
+  *      the query groups, reported in a separate `skew_demo` JSON block:
+  *      its 32M-row working set raises heap/GC pressure for anything
+  *      timed after it in the same JVM.
   */
 object Bench {
   private def newSession(cpus: String): SparkSession = {
@@ -70,16 +78,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
-    // ---- Phase 1: the shipped queries, alone in their own session. ----
-    val spark = newSession(cpus)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-    }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val (sec, ok) = timed(runs)(fn(spark, sfDir).count())
-      (name, sec, ok)
-    }
-    spark.stop()
+    // ---- Phase 1: the shipped queries, in family groups of ~20, each
+    // group in its own SparkSession (see protocol note 1 above). ----
+    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "20").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .grouped(groupSize).toSeq.flatMap { group =>
+        val spark = newSession(cpus)
+        group.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
+        }
+        val groupResults = group.map { case (name, fn) =>
+          val (sec, ok) = timed(runs)(fn(spark, sfDir).count())
+          (name, sec, ok)
+        }
+        spark.stop()
+        System.gc()
+        groupResults
+      }
 
     // ---- Phase 2: the 16M-row skew demo, in a fresh session. ----
     val spark2 = newSession(cpus)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -56,6 +56,99 @@ case class DotProductD(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Integer dot product over two `array<long>` columns (the int8/Q4
+  * quantized-code hot path). Long addition is associative modulo 2^64, so
+  * this is bit-identical to the `aggregate(zip_with(_*_), 0L, _+_)` fold
+  * it replaces — but codegen'd: the HOF form allocates a lambda frame per
+  * element and ran 4x SLOWER than the float scan it was supposed to beat
+  * (round-5 verdict). The compressed index only pays off if scanning
+  * codes is cheaper than scanning floats; this loop makes it so.
+  */
+case class DotProductL(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_product_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("xs")
+      val y = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+        long[] $x = $a.toLongArray();
+        long[] $y = $b.toLongArray();
+        int $n = Math.min($x.length, $y.length);
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Quantized squared L2 distance `floor(sum((x_i - y_i)^2) * 10^6)` over
+  * two `array<double>` columns — the PQ encode/ADC-distance-table inner
+  * loop. Strict left-to-right summation and a single `Math.floor` at the
+  * end keep it bit-identical to the
+  * `floor(aggregate(zip_with((x-y)*(x-y)), 0.0, _+_) * 1e6)` fold it
+  * replaces (and to a sequential-fold DuckDB oracle). The fold form is
+  * interpreted per element and made `sim_topk_pq` GC-bound (clean-session
+  * swings of 2.7-12s, round-5 verdict).
+  */
+case class SquaredL2Q6(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "squared_l2_q6"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.floor(s * 1000000.0).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("xs")
+      val y = ctx.freshName("ys")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+        double[] $x = $a.toDoubleArray();
+        double[] $y = $b.toDoubleArray();
+        int $n = Math.min($x.length, $y.length);
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $x[$i] - $y[$i];
+          $s += $d * $d;
+        }
+        ${ev.value} = (long) java.lang.Math.floor($s * 1.0E6);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2 norm with the same sequential summation order as the fold form. */
 case class L2NormD(child: Expression) extends UnaryExpression {
 
@@ -92,5 +185,9 @@ object VectorExpressions {
   /** Column wrappers (classic-mode Column <-> Expression bridge). */
   def dotProduct(a: Column, b: Column): Column =
     column(DotProductD(expression(a), expression(b)))
+  def dotProductL(a: Column, b: Column): Column =
+    column(DotProductL(expression(a), expression(b)))
+  def squaredL2Q6(a: Column, b: Column): Column =
+    column(SquaredL2Q6(expression(a), expression(b)))
   def l2Norm(a: Column): Column = column(L2NormD(expression(a)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.VectorExpressions.{dotProduct, l2Norm}
+import graft.expressions.VectorExpressions.{dotProduct, dotProductL, l2Norm, squaredL2Q6}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -109,9 +109,7 @@ object Similarity {
         .as("qq"))
     val scored = codes
       .join(broadcast(qq), col("qid") =!= col("vec_id"))
-      .withColumn("ip",
-        aggregate(zip_with(col("code"), col("qq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("ip", dotProductL(col("code"), col("qq")))
       .withColumn("score_q", floor(col("ip").cast("double") * col("scale")).cast("long"))
     val localW = Window
       .partitionBy(col("qid"), spark_partition_id())
@@ -177,10 +175,7 @@ object Similarity {
       .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
       .drop("e")
     subs.join(broadcast(cents), "j")
-      .withColumn("d_q6",
-        floor(aggregate(
-          zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long"))
+      .withColumn("d_q6", squaredL2Q6(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("d_q6"), col("cid"))).as("best"))
       .select(col("vec_id"), col("j"),
@@ -222,10 +217,7 @@ object Similarity {
       .select(col("qid"), toDouble(col("qvec")).as("qe"))
       .crossJoin(cents)
       .withColumn("qv", expr(s"slice(qe, j * $sub + 1, $sub)"))
-      .withColumn("pd_q6",
-        floor(aggregate(
-          zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long"))
+      .withColumn("pd_q6", squaredL2Q6(col("qv"), col("cv")))
       .select(col("qid"), col("j"), col("cid").as("code"), col("pd_q6"))
 
   private def adcRank(scored: DataFrame, k: Int): DataFrame = {

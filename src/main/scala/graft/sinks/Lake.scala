@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   *   3. overwrite ONLY those partitions (dynamic partition overwrite);
   *      untouched partition directories are never opened for write.
   *
+  * NOT crash-atomic, unlike Delta/Iceberg's snapshot-commit DELETE:
+  * dynamic partition overwrite clears each affected directory before
+  * rewriting it, and emptied-partition directories are removed after the
+  * write. A failure mid-operation can leave affected partitions truncated
+  * or partially rewritten (untouched partitions are never at risk).
+  * Snapshot or back up affected partitions before an irreversible
+  * (GDPR-style) delete; a transactional table format is the right tool
+  * when crash-atomicity is a hard requirement.
+  *
   * No counterpart in the reference (batch lake maintenance is out of its
   * streaming scope) — beyond-reference training-data-pipeline surface.
   */
@@ -90,14 +99,22 @@ object Lake {
     * floor any engine pays for this operation. A partition whose every
     * row dies cannot be expressed by dynamic overwrite (there is nothing
     * to write), so its directory is removed directly.
+    *
+    * NULL predicate results count as NOT matched (SQL `DELETE WHERE`
+    * semantics): a row whose predicate evaluates to NULL — e.g. a NULL id
+    * under an `isin` delete list — SURVIVES. Without the `coalesce`,
+    * such rows would fail both `where(p)` and `where(!p)` and silently
+    * vanish from every rewritten partition without being counted.
     */
   def deleteWhere(
       spark: SparkSession,
       dir: String,
       partCol: String,
-      predicate: org.apache.spark.sql.Column): DeleteStats =
+      predicate: org.apache.spark.sql.Column): DeleteStats = {
+    val hit = coalesce(predicate, lit(false))
     deleteImpl(spark, dir, partCol,
-      hitOf = _.where(predicate), surviveOf = _.where(!predicate))
+      hitOf = _.where(hit), surviveOf = _.where(!hit))
+  }
 
   private def deleteImpl(
       spark: SparkSession,

@@ -109,6 +109,39 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(s"$viaJoin/day=1").exists())
   }
 
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del3").toString
+    // two partitions; day=1 contains two NULL-id rows (7,9 nulled) that
+    // any id-based predicate evaluates to NULL on — and day=1 IS rewritten
+    // by this delete. DELETE WHERE semantics: NULL is not a match, so
+    // those rows must SURVIVE the rewrite and not be counted as deleted.
+    spark.range(100)
+      .select(when(col("id").isin(7L, 9L), lit(null)).otherwise(col("id")).as("id"),
+        (col("id") % 2).cast("string").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    // ids 1,3,5 hit day=1 (where the NULLs live); id 2 hits day=0
+    val stats = graft.sinks.Lake.deleteWhere(spark, dir, "day",
+      col("id").isin(1L, 2L, 3L, 5L))
+    assert(stats.rowsDeleted === 4L)
+    assert(stats.partitionsRewritten === 2L)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 96L, "only the 4 matched rows may disappear")
+    assert(after.where(col("id").isNull).count() === 2L,
+      "NULL-id rows in rewritten partitions must survive")
+
+    // and the isin fast path of deleteByIds (<= MaxInlineIds) agrees
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-del4").toString
+    spark.range(100)
+      .select(when(col("id").isin(7L, 9L), lit(null)).otherwise(col("id")).as("id"),
+        (col("id") % 2).cast("string").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir2)
+    val s2 = graft.sinks.Lake.deleteByIds(spark, dir2, "day", "id", Seq(1L, 2L, 3L, 5L))
+    assert(s2.rowsDeleted === 4L)
+    assert(spark.read.parquet(dir2).where(col("id").isNull).count() === 2L)
+  }
+
   test("compactPartitions shrinks file count without changing rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate a micro-batch sink: 16 writer tasks -> 16 files per partition
