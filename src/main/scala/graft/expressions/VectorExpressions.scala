@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
+  LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -149,6 +150,81 @@ case class SquaredL2Q6(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Static kernels callable from generated code (plain object with no
+  * companion class, so scalac emits static forwarders — `VectorKernels
+  * .quantizeD(xs)` compiles as a static call in generated Java).
+  */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** max-abs scale + `floor(x/scale*127)` codes; scale==0 -> all-zero
+    * codes (matches the fold form's `when(scale === 0.0, 0L)` guard).
+    */
+  def quantizeD(xs: Array[Double]): InternalRow = {
+    var scale = 0.0
+    var i = 0
+    while (i < xs.length) { val v = math.abs(xs(i)); if (v > scale) scale = v; i += 1 }
+    val q = new Array[Long](xs.length)
+    if (scale != 0.0) {
+      i = 0
+      while (i < xs.length) { q(i) = math.floor(xs(i) / scale * 127.0).toLong; i += 1 }
+    }
+    new GenericInternalRow(Array[Any](scale, new GenericArrayData(q)))
+  }
+
+  def quantizeF(fs: Array[Float]): InternalRow = {
+    val xs = new Array[Double](fs.length)
+    var i = 0
+    while (i < fs.length) { xs(i) = fs(i).toDouble; i += 1 }
+    quantizeD(xs)
+  }
+}
+
+/** Int8 quantization `(scale: max-abs, q_i: floor(x_i / scale * 127))` in
+  * ONE native pass. The composable form inlines the `array_max(...)`
+  * scale sub-expression INSIDE the per-element lambda after optimization,
+  * so the interpreted cost is O(dim^2) PER ROW (~4k lambda frames for a
+  * 64-dim vector — this was most of `sim_topk_int8`'s overhead, not the
+  * per-pair dot product). Accepts `array<float>` or `array<double>`;
+  * float->double widening is exact, results bit-identical to the fold
+  * form for non-empty arrays.
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_int8 needs array<float|double>, got ${other.sql}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    if (isFloat) VectorKernels.quantizeF(ad.toFloatArray())
+    else VectorKernels.quantizeD(ad.toDoubleArray())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val call =
+        if (isFloat) s"graft.expressions.VectorKernels.quantizeF($a.toFloatArray())"
+        else s"graft.expressions.VectorKernels.quantizeD($a.toDoubleArray())"
+      s"${ev.value} = $call;"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** L2 norm with the same sequential summation order as the fold form. */
 case class L2NormD(child: Expression) extends UnaryExpression {
 
@@ -189,5 +265,6 @@ object VectorExpressions {
     column(DotProductL(expression(a), expression(b)))
   def squaredL2Q6(a: Column, b: Column): Column =
     column(SquaredL2Q6(expression(a), expression(b)))
+  def quantizeInt8(a: Column): Column = column(QuantizeInt8(expression(a)))
   def l2Norm(a: Column): Column = column(L2NormD(expression(a)))
 }

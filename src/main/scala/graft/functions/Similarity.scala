@@ -32,7 +32,10 @@ object Similarity {
   /** Sequential-fold L2 norm (double array). */
   def norm(a: Column): Column = l2Norm(a)
 
-  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+  // Cast, not transform(_.cast): Cast on arrays is a native codegen'd
+  // element loop; the HOF form is interpreted per element (float->double
+  // widening is exact either way).
+  private def toDouble(a: Column): Column = a.cast("array<double>")
 
   /** Cosine similarity (inputs cast to double element-wise). */
   def cosine(a: Column, b: Column): Column = {
@@ -545,16 +548,15 @@ object Similarity {
     * zeros. Engine-portable: two IEEE ops + floor per element, identical
     * everywhere. Returns a struct (scale, q) so the caller keeps the
     * dequantization factor next to the codes.
+    *
+    * Native `QuantizeInt8` expression, not the
+    * `struct(array_max(...), transform(...))` composition: the optimizer
+    * inlines the scale sub-expression into the per-element lambda, making
+    * the interpreted cost O(dim^2) per row — measured as the dominant
+    * term of `sim_topk_int8` (round-6 plan audit).
     */
-  def quantizeInt8(vec: Column): Column = {
-    val vd = toDouble(vec)
-    val scale = array_max(transform(vd, x => abs(x)))
-    struct(
-      scale.as("scale"),
-      transform(vd, x =>
-        when(scale === 0.0, lit(0L))
-          .otherwise(floor(x / scale * lit(127.0)).cast("long"))).as("q"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    graft.expressions.VectorExpressions.quantizeInt8(vec)
 
   /** Signed random projection (Achlioptas/SimHash-style dimensionality
     * reduction): project an `inDim`-dimensional embedding onto `outDim`
