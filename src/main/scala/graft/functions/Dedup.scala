@@ -346,11 +346,13 @@ object Dedup {
     bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
       .select(col("doc"), col("band"), col("bh"))
       .withColumn("bucket", bandBucket(col("bh"), buckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("bucket", "batch").parquet(s"$path/bands")
     withHashedShingles(df, textCol, n, "sh")
       .select(col(idCol).as("doc"), col("sh"))
       .filter(size(col("sh")) > 0)
-      .write.mode("overwrite").parquet(s"$path/shingles")
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$path/shingles")
   }
 
   /** Append a document batch's band keys + shingle sets into an existing
@@ -358,6 +360,12 @@ object Dedup {
     * dirs, so later probes prune identically) — with
     * [[nearDupsAgainstIndex]] this is the maintenance half of continuous
     * dedup ingest (`StreamOps.dedupIngestStream`).
+    *
+    * IDEMPOTENT per batch id: rows land under `batch=<id>` partitions and
+    * a repeated call with the same `batchId` (foreachBatch's at-least-once
+    * replay) overwrites exactly those partitions instead of appending
+    * duplicates (see [[IndexLayout]]). Without an explicit `batchId` the
+    * next free id is allocated from the layout.
     */
   def appendToLshIndex(
       df: DataFrame,
@@ -367,15 +375,22 @@ object Dedup {
       n: Int,
       bands: Int,
       rowsPerBand: Int,
-      buckets: Int = 64): Unit = {
-    bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
-      .select(col("doc"), col("band"), col("bh"))
-      .withColumn("bucket", bandBucket(col("bh"), buckets))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/bands")
-    withHashedShingles(df, textCol, n, "sh")
-      .select(col(idCol).as("doc"), col("sh"))
-      .filter(size(col("sh")) > 0)
-      .write.mode("append").parquet(s"$path/shingles")
+      buckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
+    val id = batchId.getOrElse(
+      IndexLayout.maxBatchId(df.sparkSession, s"$path/bands") + 1)
+    IndexLayout.overwriteBatchPartitions(
+      bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+        .select(col("doc"), col("band"), col("bh"))
+        .withColumn("bucket", bandBucket(col("bh"), buckets))
+        .withColumn("batch", lit(id)),
+      s"$path/bands", Seq("bucket", "batch"))
+    IndexLayout.overwriteBatchPartitions(
+      withHashedShingles(df, textCol, n, "sh")
+        .select(col(idCol).as("doc"), col("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("batch", lit(id)),
+      s"$path/shingles", Seq("batch"))
   }
 
   /** Near-dup pairs of a NEW document batch against an indexed corpus
@@ -402,14 +417,20 @@ object Dedup {
       rowsPerBand: Int,
       minJaccardMilli: Int,
       buckets: Int = 64): DataFrame = {
+    // localCheckpoint: newBk feeds BOTH the driver-side bucket collect and
+    // the candidate join — without it the batch is re-shingled twice
     val newBk = bandKeys(newDocs, textCol, idCol, n, bands, rowsPerBand)
       .select(col("doc"), col("band"), col("bh"))
       .withColumn("bucket", bandBucket(col("bh"), buckets))
+      .localCheckpoint()
     val newSh = withHashedShingles(newDocs, textCol, n, "sh")
       .select(col(idCol).as("doc"), col("sh"))
       .filter(size(col("sh")) > 0)
+    // bounded driver read BY CONSTRUCTION: bandBucket maps into
+    // [0, buckets), so this collects <= `buckets` (default 64) rows no
+    // matter how large the batch or the index is
     val qBuckets = newBk.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq // <= `buckets` values
+      .collect().map(_.getLong(0)).toSeq
     val idxBands = spark.read.parquet(s"$indexPath/bands")
       .filter(col("bucket").isin(qBuckets: _*))
     val candIds = newBk.as("x")

@@ -324,7 +324,8 @@ object Similarity {
     pqEncode(corpus, centroidEvery, m, dim)
       .select(col("vec_id"), col("j"), col("code"))
       .join(cells, "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("cell", "batch").parquet(path)
   }
 
   /** Incremental index maintenance: encode `newVecs` against the BASE
@@ -337,6 +338,12 @@ object Similarity {
     * yields the same index contents as one batch (spec-proven) — which is
     * what makes the streaming wrapper (`StreamOps.indexAppendStream`)
     * exactly the batch operator per micro-batch.
+    *
+    * IDEMPOTENT per batch id: rows land under `cell=<c>/batch=<id>`
+    * partitions and a repeated call with the same `batchId` (foreachBatch
+    * at-least-once replay) overwrites exactly its own partitions instead
+    * of appending duplicate codes (see [[IndexLayout]]). Without an
+    * explicit `batchId` the next free id is allocated from the layout.
     */
   def appendToIvfPqIndex(
       baseCorpus: DataFrame,
@@ -344,16 +351,21 @@ object Similarity {
       path: String,
       centroidEvery: Int,
       m: Int,
-      dim: Int): Unit = {
+      dim: Int,
+      batchId: Option[Long] = None): Unit = {
     val c = withNorm(newVecs, "vec", "v")
     val base = withNorm(baseCorpus, "vec", "v")
     val centroids = base.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
     val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
-    pqEncodeWith(newVecs, baseCorpus, centroidEvery, m, dim)
-      .select(col("vec_id"), col("j"), col("code"))
-      .join(cells, "vec_id")
-      .write.mode("append").partitionBy("cell").parquet(path)
+    val id = batchId.getOrElse(
+      IndexLayout.maxBatchId(newVecs.sparkSession, path) + 1)
+    IndexLayout.overwriteBatchPartitions(
+      pqEncodeWith(newVecs, baseCorpus, centroidEvery, m, dim)
+        .select(col("vec_id"), col("j"), col("code"))
+        .join(cells, "vec_id")
+        .withColumn("batch", lit(id)),
+      path, Seq("cell", "batch"))
   }
 
   /** ADC top-k against a MATERIALIZED index (see [[writeIvfPqIndex]]):
@@ -384,7 +396,10 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("cid").as("cell"))
-    // the probed cell ids collapse to a partition filter on the index read
+    // the probed cell ids collapse to a partition filter on the index
+    // read — bounded driver read BY CONSTRUCTION: probes has exactly
+    // nprobe rows per query (row_number <= nprobe), so this collects
+    // <= queries x nprobe cell ids regardless of corpus size
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val codes = spark.read.parquet(indexPath)

@@ -239,7 +239,7 @@ object StreamOps {
       buckets: Int = 64)(
       emitDups: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint()
           val dups = graft.functions.Dedup.nearDupsAgainstIndex(
@@ -249,8 +249,12 @@ object StreamOps {
           val clean = b.join(
             dups.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
+          // batchId makes a replayed micro-batch overwrite its own index
+          // partitions instead of appending duplicates (at-least-once
+          // foreachBatch -> exactly-once index contents)
           graft.functions.Dedup.appendToLshIndex(
-            clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets)
+            clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
+            batchId = Some(batchId))
         }
     }
 
@@ -271,9 +275,10 @@ object StreamOps {
       m: Int,
       dim: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newVecStream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.functions.Similarity.appendToIvfPqIndex(
-            baseCorpus, batch.toDF(), path, centroidEvery, m, dim)
+            baseCorpus, batch.toDF(), path, centroidEvery, m, dim,
+            batchId = Some(batchId))
     }
 }

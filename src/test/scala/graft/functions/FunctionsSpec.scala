@@ -250,6 +250,61 @@ class FunctionsSpec extends SparkSpec {
     assert(unionPairs.head._3 === got.head._3, "identical exact-Jaccard verdict")
   }
 
+  test("index appends are idempotent per batch id (foreachBatch replay)") {
+    // LSH: replaying the same batch id must not duplicate band/shingle
+    // rows (a duplicate shingle row would yield duplicate near-dup pairs)
+    val corpus = Seq(
+      (1L, "seed corpus document about entirely unrelated matters and topics"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-replay").toString
+    Dedup.writeLshIndex(corpus, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    Dedup.appendToLshIndex(batch, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(0L))
+    val once = spark.read.parquet(s"$idx/bands").orderBy("doc", "band")
+      .select("doc", "band", "bh").as[(Long, Long, String)].collect().toSeq
+    val shOnce = spark.read.parquet(s"$idx/shingles").count()
+    // the at-least-once retry: same batch id, same (re-derived) rows
+    Dedup.appendToLshIndex(batch, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(0L))
+    val twice = spark.read.parquet(s"$idx/bands").orderBy("doc", "band")
+      .select("doc", "band", "bh").as[(Long, Long, String)].collect().toSeq
+    assert(twice === once, "replayed batch must not duplicate band rows")
+    assert(spark.read.parquet(s"$idx/shingles").count() === shOnce)
+    // ...and a DISTINCT batch id still accumulates (it is an append)
+    Dedup.appendToLshIndex(
+      Seq((11L, "wholly new content sharing nothing with anything indexed before"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(1L))
+    assert(spark.read.parquet(s"$idx/shingles").select("doc")
+      .as[Long].collect().toSet === Set(1L, 10L, 11L))
+
+    // IVF+PQ: duplicate codes would distort ADC top-k the same way
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.tabulate(16)(i => (if (i / 4 == (id % 4).toInt) 5.0f else 0.1f)
+        + ((id * 37 + i * 13) % 29) / 40.0f))
+    }
+    val base = vecs.filter(_._1 < 30).toDF("vec_id", "vec")
+    val later = vecs.filter(_._1 >= 30).toDF("vec_id", "vec")
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft-pq-replay").toString
+    Similarity.writeIvfPqIndex(base, pqIdx, centroidEvery = 10, m = 4, dim = 16)
+    Similarity.appendToIvfPqIndex(base, later, pqIdx,
+      centroidEvery = 10, m = 4, dim = 16, batchId = Some(0L))
+    val pqOnce = spark.read.parquet(pqIdx)
+      .select("cell", "vec_id", "j", "code")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    Similarity.appendToIvfPqIndex(base, later, pqIdx,
+      centroidEvery = 10, m = 4, dim = 16, batchId = Some(0L))
+    val pqTwice = spark.read.parquet(pqIdx)
+      .select("cell", "vec_id", "j", "code")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(pqTwice === pqOnce, "replayed append must not duplicate PQ codes")
+  }
+
   test("bpeTrain learns the textbook merges on the low/lower corpus") {
     // Sennrich et al.'s classic example: low x3, lower x2, newest x1
     val docs = Seq((1L, "low low low"), (2L, "lower lower newest"))
