@@ -160,8 +160,21 @@ object TextAnalysis {
       bMilli: Long,
       topK: Int): DataFrame = {
     val dfq = withLen.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
-    withLen.join(broadcast(dfq), "t")
-      .crossJoin(broadcast(stats))
+    bm25Contrib(
+      withLen.join(broadcast(dfq), "t").crossJoin(broadcast(stats)),
+      k1Milli, bMilli)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_q10")).as("score_q10"))
+      .orderBy(col("score_q10").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** The per-(doc, term) BM25 contribution arithmetic, shared verbatim by
+    * every scoring path (direct, from-index, multi-query) so rankings
+    * agree by construction. Input needs (tf, len, dfreq, n, tot).
+    */
+  private def bm25Contrib(rows: DataFrame, k1Milli: Long, bMilli: Long): DataFrame =
+    rows
       .withColumn("idf_q10",
         expr(s"cast(${log2Q10Sql("n")} - ${log2Q10Sql("dfreq")} as bigint)"))
       .withColumn("avgl_milli", expr("(tot * 1000) div n"))
@@ -172,11 +185,6 @@ object TextAnalysis {
         expr(s"(tf * ($k1Milli + 1000) * 1000) div " +
           s"(tf * 1000 + ($k1Milli * norm_milli) div 1000)"))
       .withColumn("contrib_q10", expr("(idf_q10 * tfn_milli) div 1000"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib_q10")).as("score_q10"))
-      .orderBy(col("score_q10").desc, col("doc_id"))
-      .limit(topK)
-  }
 
   /** Materialize an inverted index for [[bm25Search]]: postings
     * (t, doc_id, tf, len) partitioned by a hash bucket of the term, plus
@@ -241,6 +249,66 @@ object TextAnalysis {
       .filter(col("t").isin(queryTerms: _*))    // parquet-pushed within bucket
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
+  }
+
+  /** Multi-query BM25 against a materialized index: ONE bucket-pruned
+    * postings read serves the whole query batch (`queries` = (qid,
+    * space-separated terms)), instead of a Spark job per query — the
+    * serving-batch shape `StreamOps.bm25SearchStream` runs per
+    * micro-batch. Per-query rankings are identical to
+    * [[bm25SearchFromIndex]] by construction: per-term df comes from the
+    * unioned postings BEFORE the query join (corpus-wide, query-
+    * independent), the scoring tail is the same integer arithmetic, and
+    * the per-qid top-k uses the same (score desc, doc_id) order.
+    * Output: (qid, doc_id, score_q10), ordered by (qid, score desc, id).
+    *
+    * `statsRow` = (n, tot, buckets) lets a serving loop read the 1-row
+    * stats table once for the stream's lifetime instead of per batch.
+    * The driver-side term collect is bounded by the query batch's
+    * vocabulary (queries are small by nature — this is the serving path).
+    */
+  def bm25SearchManyFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k1Milli: Long = 1200L,
+      bMilli: Long = 750L,
+      topK: Int = 50,
+      statsRow: Option[(Long, Long, Long)] = None): DataFrame = {
+    val (n, tot, buckets) = statsRow.getOrElse {
+      val r = spark.read.parquet(s"$indexPath/stats").head()
+      (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
+    }
+    // qt feeds both the driver-side term collect and the postings join
+    val qt = queries.select(col("qid"),
+        explode(filter(split(lower(col("terms")), "\\s+"), t => length(t) > 0)).as("t"))
+      .distinct().localCheckpoint()
+    val terms = qt.select(col("t")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      return queries.select(col("qid"), lit(0L).as("doc_id"), lit(0L).as("score_q10"))
+        .limit(0)
+    val qBuckets = terms.map(t => hash48Local(t) % buckets).distinct
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("bucket").isin(qBuckets: _*)) // partition filter
+      .filter(col("t").isin(terms: _*))         // parquet-pushed within bucket
+      .select(col("doc_id"), col("t"), col("tf"), col("len"))
+    val dfq = postings.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
+    val statsDf = spark.range(1).select(lit(n).as("n"), lit(tot).as("tot"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_q10").desc, col("doc_id"))
+    bm25Contrib(
+      postings
+        .join(broadcast(qt), "t")
+        .join(broadcast(dfq), "t")
+        .crossJoin(broadcast(statsDf)),
+      k1Milli, bMilli)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib_q10")).as("score_q10"))
+      .withColumn("r", row_number().over(rankW))
+      .filter(col("r") <= topK)
+      .select(col("qid"), col("doc_id"), col("score_q10"))
+      .orderBy(col("qid"), col("score_q10").desc, col("doc_id"))
   }
 
   /** Bigram collocations by pointwise mutual information — the corpus-
@@ -331,6 +399,13 @@ object TextAnalysis {
     val words = df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // the checkpointed RDD behind a localCheckpoint'd frame, so each round
+    // can RELEASE the previous round's blocks — without this, executor
+    // storage grows linearly with `merges`
+    def ckptRdd(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      d.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     var cur = words.select(
       concat(concat_ws(" ", filter(split(col("w"), ""), c => length(c) > 0)),
         lit(" </w>")).as("s"),
@@ -356,9 +431,11 @@ object TextAnalysis {
         out += ((step.toLong, a, b, a + b, pc))
         def merge(c: Column): Column =
           call_function("replace", c, lit(s" $a $b "), lit(s" $a$b "))
-        cur = cur.select(
+        val next = cur.select(
           trim(merge(merge(concat(lit(" "), col("s"), lit(" "))))).as("s"),
-          col("cnt")).localCheckpoint()
+          col("cnt")).localCheckpoint() // eager: materialized before the
+        ckptRdd(cur).foreach(_.unpersist(false)) // old blocks are dropped
+        cur = next
         step += 1
       }
     }

@@ -191,26 +191,34 @@ object StreamOps {
 
   /** Keyword-search serving: every micro-batch of queries (`qid`,
     * space-separated `terms`) runs BM25 against the MATERIALIZED inverted
-    * index (`TextAnalysis.bm25SearchFromIndex` — bucket-pruned postings
-    * read, corpus never re-tokenized) and `emit` receives that batch's
-    * ranked lists tagged by qid. The lexical twin of
+    * index in ONE job for the whole batch
+    * (`TextAnalysis.bm25SearchManyFromIndex` — the union of the batch's
+    * term buckets prunes a single postings read; per-query rankings are
+    * identical to the one-query path by construction) and `emit` receives
+    * (qid, doc_id, score_q10) for the batch. The 1-row index stats are
+    * read once for the stream's lifetime, not per batch; qid passes
+    * through as a column (any type). The lexical twin of
     * [[int8SearchStream]]'s vector serving.
     */
   def bm25SearchStream(
       queryStream: DataFrame,
       indexPath: String,
       topK: Int)(
-      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the index is static for the stream's lifetime; first batch reads
+    // the 1-row stats table, later batches reuse it
+    lazy val stats = {
+      val r = queryStream.sparkSession.read.parquet(s"$indexPath/stats").head()
+      (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
+    }
     queryStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val qs = batch.select("qid", "terms").collect() // one row per query
-        qs.foreach { r =>
-          val ranked = graft.functions.TextAnalysis.bm25SearchFromIndex(
-            batch.sparkSession, indexPath,
-            r.getString(1).split("\\s+").toSeq.filter(_.nonEmpty), topK = topK)
-          emit(ranked.withColumn("qid", lit(r.getLong(0))))
-        }
+        if (!batch.isEmpty)
+          emit(graft.functions.TextAnalysis.bm25SearchManyFromIndex(
+            batch.sparkSession, indexPath, batch.toDF(), topK = topK,
+            statsRow = Some(stats)))
     }
+  }
 
   /** Continuous dedup ingest: every micro-batch of documents (`idCol`,
     * `textCol`) is checked for near-dups against the materialized LSH

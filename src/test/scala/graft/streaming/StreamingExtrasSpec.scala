@@ -202,16 +202,22 @@ class StreamingExtrasSpec extends SparkSpec {
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val q = StreamOps.bm25SearchStream(
       input.toDF().toDF("qid", "terms"), idx, topK = 10) { ranked =>
-      got ++= ranked.collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      // (qid, doc_id, score_q10), ordered (qid, score desc, doc_id)
+      got ++= ranked.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     }.start()
     try {
-      input.addData((1L, "zeta alpha"))
+      // two queries in ONE batch: the single postings read must still
+      // produce per-query rankings identical to the one-query path
+      input.addData((1L, "zeta alpha"), (3L, "zeta"))
       q.processAllAvailable()
       input.addData((2L, "zeta alpha"))
       q.processAllAvailable()
     } finally q.stop()
     assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq === expect)
     assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq === expect)
+    val expectZeta = TextAnalysis.bm25SearchFromIndex(spark, idx, Seq("zeta"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq === expectZeta)
   }
 
   test("dedupIngestStream catches dups against rows the stream itself wrote") {
