@@ -74,30 +74,81 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Replay the corpus through the ST2 transformWithState twin in
+    * `chunkSize`-event micro-batches; returns the streamed output sorted.
+    */
+  private def st2Replay(chunkSize: Int): Seq[(String, String, Long)] = {
+    val input = MemoryStream[BrowserEvent]
+    val durations = StatefulOps.actionDurationsTws(
+      input.toDS(), loginAction = "signup", logoutAction = "error")
+    val name = s"conv_st2_$chunkSize"
+    val q = durations.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      replay.toSeq.grouped(chunkSize).foreach { batch =>
+        input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+          BrowserEvent(id.toInt, user.toString, typ, tsUs)
+        })
+        q.processAllAvailable()
+      }
+      spark.table(name)
+        .select("user", "action", "durationMs").as[(String, String, Long)]
+        .collect().toSeq.sorted
+    } finally q.stop()
+  }
+
   test("ST2 streaming replay (transformWithState) converges to the batch answer") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      val batch = graft.SparkEntry.queries("st2_action_durations")(spark, d)
+        .select(col("user_id").cast("string"), col("action"), col("duration_us"))
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty)
+      // three chunkings cut users' sessions at DIFFERENT micro-batch
+      // boundaries (700 and 3701 are coprime to every session length in
+      // the corpus, so plenty of sessions split mid-flight: state carries
+      // the open action across the boundary). Convergence must not depend
+      // on where the batch boundary lands.
+      Seq(700, batchSize, 3701).foreach { chunk =>
+        val streamed = st2Replay(chunk)
+        assert(streamed === batch, s"chunk size $chunk diverged from batch")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("ST2 session split across three micro-batches (login/action/logout)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
       val input = MemoryStream[BrowserEvent]
-      val durations = StatefulOps.actionDurationsTws(
-        input.toDS(), loginAction = "signup", logoutAction = "error")
-      val q = durations.writeStream.format("memory").queryName("conv_st2")
+      val q = StatefulOps.actionDurationsTws(input.toDS())
+        .writeStream.format("memory").queryName("conv_st2_split")
         .outputMode(OutputMode.Append).start()
       try {
-        chunks(replay.toSeq).foreach { batch =>
-          input.addData(batch.map { case (id, user, typ, tsUs, _) =>
-            BrowserEvent(id.toInt, user.toString, typ, tsUs)
-          })
-          q.processAllAvailable()
-        }
-        val streamed = spark.table("conv_st2")
+        // one user's session deliberately cut at every stage boundary:
+        // Login arrives in batch 1, actions in batches 2-3, Logout in 4
+        input.addData(BrowserEvent(1, "u1", "Login", 1000L))
+        q.processAllAvailable()
+        input.addData(BrowserEvent(2, "u1", "browse", 2000L))
+        q.processAllAvailable()
+        input.addData(BrowserEvent(3, "u1", "buy", 3500L))
+        q.processAllAvailable()
+        input.addData(BrowserEvent(4, "u1", "Logout", 5000L))
+        q.processAllAvailable()
+        val got = spark.table("conv_st2_split")
           .select("user", "action", "durationMs").as[(String, String, Long)]
-          .collect().toSeq.sorted
-        val batch = graft.SparkEntry.queries("st2_action_durations")(spark, d)
-          .select(col("user_id").cast("string"), col("action"), col("duration_us"))
-          .as[(String, String, Long)].collect().toSeq.sorted
-        assert(streamed.nonEmpty)
-        assert(streamed === batch)
+          .collect().toSeq
+        // each emission is the PREVIOUS action's duration; state crossed
+        // three batch boundaries to produce them
+        assert(got === Seq(
+          ("u1", "Login", 1000L),
+          ("u1", "browse", 1500L),
+          ("u1", "buy", 1500L)))
+        // after Logout the state is cleared: a fresh action emits nothing
+        input.addData(BrowserEvent(5, "u1", "browse", 9000L))
+        q.processAllAvailable()
+        assert(spark.table("conv_st2_split").count() === 3L)
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
