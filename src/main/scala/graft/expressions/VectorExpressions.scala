@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
@@ -225,6 +225,159 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ADC sums for ALL queries at once: `codes` holds a vector's m DENSE
+  * codebook ranks (values in [0, k)); `dtabs` is EVERY query's flattened
+  * m x k distance table concatenated in qid order (Q*m*k longs, from a
+  * 1-row broadcast). Returns the Q-long array
+  * `out[q] = sum_j dtabs[q*m*k + j*k + codes[j]]` — the classic FAISS
+  * ADC table-lookup loop, batched over the query set.
+  *
+  * Why this shape: evaluating per (query, vector) PAIR forces the join
+  * to fabricate a wide row carrying the m*k table per pair (measured:
+  * slower than the (j, code)-join it replaced); evaluating per VECTOR
+  * against a single broadcast row does the identical Q*m integer adds
+  * with zero per-pair row fabrication — the pair rows only exist as the
+  * narrow posexplode output. Element access only (`getLong`), no array
+  * materialization. Long addition is exact and order-free, so sums are
+  * bit-identical to the grouped-sum formulation.
+  */
+case class AdcSumsAll(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "adc_sums_all"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val dtabs = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val q = if (m == 0) 0 else dtabs.numElements() / (m * k)
+    val out = new Array[Long](q)
+    var qi = 0
+    while (qi < q) {
+      val base = qi * m * k
+      var s = 0L
+      var j = 0
+      while (j < m) { s += dtabs.getLong(base + j * k + codes.getLong(j).toInt); j += 1 }
+      out(qi) = s
+      qi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val base = ctx.freshName("base")
+      val s = ctx.freshName("s")
+      val qi = ctx.freshName("qi")
+      val j = ctx.freshName("j")
+      s"""
+        int $m = $a.numElements();
+        int $q = ($m == 0) ? 0 : $b.numElements() / ($m * $k);
+        long[] $out = new long[$q];
+        for (int $qi = 0; $qi < $q; $qi++) {
+          int $base = $qi * $m * $k;
+          long $s = 0L;
+          for (int $j = 0; $j < $m; $j++) {
+            $s += $b.getLong($base + $j * $k + (int) $a.getLong($j));
+          }
+          $out[$qi] = $s;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PQ codebook arg-min for one subvector: `sv` is a vector's subspace-`j`
+  * slice (sub doubles), `cents` is the WHOLE codebook flattened in
+  * (subspace-major, rank-minor, dim-minor) order (m*k*sub doubles, from a
+  * 1-row broadcast), `j` selects the subspace. Scans the k candidates in
+  * rank (= centroid-id ascending) order computing the quantized squared
+  * L2 (`floor(sum((x-y)^2) * 1e6)`, strict left-to-right fold — the
+  * SquaredL2Q6 convention), keeping the first strict minimum, which
+  * reproduces `min(struct(d_q6, cid))` tie-breaking exactly. Returns
+  * struct(code: rank, d_q6).
+  *
+  * Why: the join formulation (explode x broadcast-join x
+  * `min(struct(...))`) plans a SortAggregate over corpus x m x k rows —
+  * struct mins cannot hash-aggregate, so the 10x smoke sorted 16M rows
+  * twice just to arg-min them. This computes the identical result in one
+  * narrow pass with zero post-scan shuffle.
+  */
+case class PqArgMin(first: Expression, second: Expression, third: Expression, k: Int)
+    extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", LongType, nullable = false),
+    StructField("d_q6", LongType, nullable = false)))
+  override def prettyName: String = "pq_arg_min"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val sv = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val j = c.asInstanceOf[Long].toInt
+    val sub = sv.numElements()
+    var bestD = Long.MaxValue
+    var bestR = 0L
+    var r = 0
+    while (r < k) {
+      val base = (j * k + r) * sub
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = sv.getDouble(i) - cents.getDouble(base + i)
+        acc += d * d
+        i += 1
+      }
+      val dq = math.floor(acc * 1000000.0).toLong
+      if (dq < bestD) { bestD = dq; bestR = r.toLong }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestR, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val sub = ctx.freshName("sub")
+      val bestD = ctx.freshName("bestD")
+      val bestR = ctx.freshName("bestR")
+      val r = ctx.freshName("r")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val dq = ctx.freshName("dq")
+      s"""
+        int $sub = $a.numElements();
+        long $bestD = Long.MAX_VALUE;
+        long $bestR = 0L;
+        for (int $r = 0; $r < $k; $r++) {
+          int $base = ((int) $c * $k + $r) * $sub;
+          double $acc = 0.0;
+          for (int $i = 0; $i < $sub; $i++) {
+            double $d = $a.getDouble($i) - $b.getDouble($base + $i);
+            $acc += $d * $d;
+          }
+          long $dq = (long) java.lang.Math.floor($acc * 1.0E6);
+          if ($dq < $bestD) { $bestD = $dq; $bestR = (long) $r; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{ $bestR, $bestD });
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** L2 norm with the same sequential summation order as the fold form. */
 case class L2NormD(child: Expression) extends UnaryExpression {
 
@@ -266,5 +419,9 @@ object VectorExpressions {
   def squaredL2Q6(a: Column, b: Column): Column =
     column(SquaredL2Q6(expression(a), expression(b)))
   def quantizeInt8(a: Column): Column = column(QuantizeInt8(expression(a)))
+  def adcSumsAll(codes: Column, dtabs: Column, k: Int): Column =
+    column(AdcSumsAll(expression(codes), expression(dtabs), k))
+  def pqArgMin(sv: Column, cents: Column, j: Column, k: Int): Column =
+    column(PqArgMin(expression(sv), expression(cents), expression(j), k))
   def l2Norm(a: Column): Column = column(L2NormD(expression(a)))
 }

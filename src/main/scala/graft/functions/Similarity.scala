@@ -74,19 +74,35 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("qid") =!= col("vec_id"))
       .withColumn("score_q4", q4(dotProduct(col("qd"), col("vd")), col("qn"), col("vn")))
-    // two-phase top-k: prune inside each partition before the global rank
-    val localW = Window
-      .partitionBy(col("qid"), spark_partition_id())
-      .orderBy(col("score_q4").desc, col("vec_id"))
-    val globalW = Window.partitionBy(col("qid"))
-      .orderBy(col("score_q4").desc, col("vec_id"))
+    // bounded k-heap aggregate: (score desc, id asc) == smallest (-score, id)
+    topKByPair(scored, negate = true, "score_q4", k)
+  }
+
+  /** Shared top-k tail: the k best (vec_id, score) rows per qid with a
+    * dense `rank`, via the bounded-heap aggregate
+    * ([[graft.expressions.TopKSmallestPairs]]). `negate = true` ranks by
+    * (score desc, vec_id asc) — encoded as smallest (-score, vec_id);
+    * `negate = false` ranks by (score asc, vec_id asc). Identical rows to
+    * the two-phase row_number window form, but nothing is sorted except
+    * the final k pairs per query: the scored rows hash-aggregate into
+    * queries x k heap state per partition and only those partials
+    * shuffle. (The window form sorts every scored row per partition even
+    * with WindowGroupLimit pruning.)
+    */
+  private def topKByPair(
+      scored: DataFrame,
+      negate: Boolean,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    import graft.expressions.TopKExpressions.topKSmallestPairs
+    val a = if (negate) -col(scoreCol) else col(scoreCol)
     scored
-      .select(col("qid"), col("vec_id"), col("score_q4"))
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .withColumn("rank", row_number().over(globalW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
+      .groupBy(col("qid"))
+      .agg(topKSmallestPairs(struct(a.as("a"), col("vec_id").as("b")), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "s")))
+      .select(col("qid"), col("s.b").as("vec_id"),
+        (if (negate) -col("s.a") else col("s.a")).as(scoreCol),
+        (col("r0") + 1).cast("long").as("rank"))
   }
 
   /** Top-k inner-product search over the int8-QUANTIZED corpus — search
@@ -114,18 +130,7 @@ object Similarity {
       .join(broadcast(qq), col("qid") =!= col("vec_id"))
       .withColumn("ip", dotProductL(col("code"), col("qq")))
       .withColumn("score_q", floor(col("ip").cast("double") * col("scale")).cast("long"))
-    val localW = Window
-      .partitionBy(col("qid"), spark_partition_id())
-      .orderBy(col("score_q").desc, col("vec_id"))
-    val globalW = Window.partitionBy(col("qid"))
-      .orderBy(col("score_q").desc, col("vec_id"))
-    scored
-      .select(col("qid"), col("vec_id"), col("score_q"))
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .withColumn("rank", row_number().over(globalW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("score_q"), col("rank"))
+    topKByPair(scored, negate = true, "score_q", k)
   }
 
   /** Product-quantization encode (Jegou et al. 2011): split each
@@ -164,6 +169,7 @@ object Similarity {
       centroidEvery: Int,
       m: Int,
       dim: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.pqArgMin
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val v = vectors.select(col("vec_id"), toDouble(col("vec")).as("e"))
@@ -177,12 +183,30 @@ object Similarity {
       .select(col("vec_id").as("cid"), explode(sequence(lit(0L), lit(m - 1L))).as("j"), col("e"))
       .withColumn("cv", expr(s"slice(e, j * $sub + 1, $sub)"))
       .drop("e")
-    subs.join(broadcast(cents), "j")
-      .withColumn("d_q6", squaredL2Q6(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d_q6"), col("cid"))).as("best"))
+    // Codebook ranks (cid ascending) — bounded driver read BY
+    // CONSTRUCTION: one value per codebook entry. The rank order makes
+    // the flattened-codebook scan reproduce min(struct(d_q6, cid))
+    // tie-breaking exactly (first strict minimum = lowest cid).
+    val cids = cents.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val kEntries = cids.length
+    val rank = typedLit(cids.zipWithIndex.map { case (c, r) => c -> r.toLong }.toMap)
+    val rankToCid = typedLit(cids)
+    // the WHOLE codebook as ONE broadcast row, flattened in
+    // (subspace-major, rank-minor, dim-minor) order
+    val centsOne = cents
+      .withColumn("pos", col("j") * lit(kEntries.toLong) + element_at(rank, col("cid")))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(flatten(transform(col("pc"), e => e.getField("cv"))).as("centsFlat"))
+    // arg-min over all k candidates inside ONE native expression per
+    // subvector row: no corpus x m x k join, no struct-min SortAggregate
+    // (which cannot hash-aggregate and sorted 16M rows at the 10x smoke)
+    subs.crossJoin(broadcast(centsOne)) // 1-row side
+      .withColumn("am", pqArgMin(col("sv"), col("centsFlat"), col("j"), kEntries))
       .select(col("vec_id"), col("j"),
-        col("best.cid").as("code"), col("best.d_q6").as("d_q6"))
+        element_at(rankToCid, col("am.code").cast("int") + 1).as("code"),
+        col("am.d_q6").as("d_q6"))
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-coded corpus: the query
@@ -223,19 +247,8 @@ object Similarity {
       .withColumn("pd_q6", squaredL2Q6(col("qv"), col("cv")))
       .select(col("qid"), col("j"), col("cid").as("code"), col("pd_q6"))
 
-  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
-    val localW = Window
-      .partitionBy(col("qid"), spark_partition_id())
-      .orderBy(col("adc_q6"), col("vec_id"))
-    val globalW = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_q6"), col("vec_id"))
-    scored
-      .withColumn("lr", row_number().over(localW))
-      .filter(col("lr") <= k)
-      .withColumn("rank", row_number().over(globalW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("adc_q6"), col("rank"))
-  }
+  private def adcRank(scored: DataFrame, k: Int): DataFrame =
+    topKByPair(scored, negate = false, "adc_q6", k)
 
   def adcTopK(
       queries: DataFrame,
@@ -244,15 +257,47 @@ object Similarity {
       centroidEvery: Int,
       m: Int,
       dim: Int): DataFrame = {
+    import graft.expressions.VectorExpressions.adcSumsAll
     val sub = dim / m
-    val codes = pqEncode(corpus, centroidEvery, m, dim)
-      .select(col("vec_id"), col("j"), col("code"))
-    val dtable = pqDistanceTable(queries, pqCodebook(corpus, centroidEvery, m, sub), sub)
-    val scored = codes
-      .join(broadcast(dtable), Seq("j", "code"))
+    val cents = pqCodebook(corpus, centroidEvery, m, sub)
+    // dense codebook ranks: cid -> position, so each query's distance
+    // table flattens to one m*k long array and each vector's codes to m
+    // positions — the classic ADC layout. Bounded driver read BY
+    // CONSTRUCTION: one row per codebook entry (corpus/centroidEvery).
+    val cids = cents.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val rank = typedLit(cids.zipWithIndex.map { case (c, r) => c -> r.toLong }.toMap)
+    val kEntries = cids.length
+    // one row per vector: its m codes as dense ranks, ordered by subspace
+    val codesWide = pqEncode(corpus, centroidEvery, m, dim)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("code")))).as("jc"))
+      .select(col("vec_id"),
+        transform(col("jc"), e => element_at(rank, e.getField("code"))).as("codes"))
+    // ONE row carrying every query's flattened table (qid-sorted): Q*m*k
+    // longs — broadcastable by construction (queries are the small side)
+    val dtabOne = pqDistanceTable(queries, cents, sub)
+      .withColumn("pos", col("j") * lit(kEntries.toLong) + element_at(rank, col("code")))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pd_q6")))).as("pd"))
+      .select(col("qid"), transform(col("pd"), e => e.getField("pd_q6")).as("dtab"))
+      .agg(sort_array(collect_list(struct(col("qid"), col("dtab")))).as("qd"))
+      .select(
+        transform(col("qd"), e => e.getField("qid")).as("qids"),
+        flatten(transform(col("qd"), e => e.getField("dtab"))).as("dtabs"))
+    // per corpus VECTOR (not per pair): one native loop computes all Q
+    // sums against the broadcast row; the (query, vector) rows only exist
+    // as the narrow posexplode output. A per-pair join here fabricates a
+    // row carrying the m*k table per pair — measured slower than the
+    // (j, code)-join it replaced; this shape does the identical integer
+    // adds with zero per-pair row width.
+    val scored = codesWide
+      .crossJoin(broadcast(dtabOne)) // 1-row side
+      .select(col("vec_id"), col("qids"),
+        posexplode(adcSumsAll(col("codes"), col("dtabs"), kEntries)).as(Seq("qidx", "adc_q6")))
+      .select(element_at(col("qids"), col("qidx") + 1).as("qid"),
+        col("vec_id"), col("adc_q6"))
       .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("pd_q6")).as("adc_q6"))
     adcRank(scored, k)
   }
 
@@ -477,15 +522,11 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("qid"), col("qd"), col("qn"), col("cid"))
-    val rankW = Window.partitionBy(col("qid"))
-      .orderBy(col("score_q4").desc, col("vec_id"))
-    probes
+    val scored = probes
       .join(assigned, "cid")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("score_q4", q4(dotProduct(col("qd"), col("vd")), col("qn"), col("vn")))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("score_q4"), col("rank"))
+    topKByPair(scored, negate = true, "score_q4", k)
   }
 
   /** Deterministic Lloyd refinement of the modulo-sampled centroids:

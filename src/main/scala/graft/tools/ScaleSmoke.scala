@@ -13,22 +13,27 @@ import graft.operators.CoreOps
   * the narrow/keyed-shuffle plans — the local[32] stand-in for "would this
   * hold at 1000 executors".
   *
-  * Usage: runMain graft.tools.ScaleSmoke [eventsM] [docsK] [vecsK]
+  * Usage: runMain graft.tools.ScaleSmoke [eventsM] [docsK] [vecsK] [onlyRegex]
+  *   onlyRegex: run only operator blocks whose name matches (generation
+  *   always runs) — e.g. "span|surprisal|inverted" for the 50x text-op
+  *   checkpoint without paying for the whole suite.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val eventsN = args.headOption.map(_.toInt).getOrElse(1) * 1000000L
     val docsN = args.drop(1).headOption.map(_.toInt).getOrElse(50) * 1000L
     val vecsN = args.drop(2).headOption.map(_.toInt).getOrElse(20) * 1000L
+    val onlyRe = args.drop(3).headOption.map(_.r.unanchored)
     val spark = GraftSession.local(32, "scale-smoke")
     import spark.implicits._
 
     val base = "/tmp/graft_scale"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+    def time[T](name: String)(f: => T): Unit = {
+      if (name.startsWith("gen ") || onlyRe.forall(_.matches(name))) {
+        val t0 = System.nanoTime()
+        f
+        println(f"[scale] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
 
     // --- synthesize (deterministic, seed-free arithmetic) ---------------
