@@ -121,8 +121,18 @@ object Similarity {
     */
   def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q8 = quantizeInt8(col("vec"))
-    val codes = corpus.select(col("vec_id"),
-      q8.getField("scale").as("scale"), q8.getField("q").as("code"))
+    int8TopKOverCodes(
+      corpus.select(col("vec_id"),
+        q8.getField("scale").as("scale"), q8.getField("q").as("code")),
+      queries, k)
+  }
+
+  /** The int8 scoring tail over an already-encoded codes table
+    * (vec_id, scale, code) — shared by the one-shot form and the
+    * materialized-index path, so rankings agree by construction.
+    */
+  private def int8TopKOverCodes(
+      codes: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qq = queries.select(col("qid"),
       transform(toDouble(col("qvec")), x => floor(x * lit(10000.0)).cast("long"))
         .as("qq"))
@@ -132,6 +142,56 @@ object Similarity {
       .withColumn("score_q", floor(col("ip").cast("double") * col("scale")).cast("long"))
     topKByPair(scored, negate = true, "score_q", k)
   }
+
+  /** Materialize the int8 index: one (vec_id, scale, code) row per corpus
+    * vector, written as plain parquet under `batch=<id>` partitions. This
+    * is what makes the compressed-scan argument REAL at serving time: the
+    * one-shot [[int8TopK]] still reads the float corpus to quantize it per
+    * query batch; searching the stored codes ([[int8TopKFromIndex]]) never
+    * opens the float table, and the codes scan bit-packs to a fraction of
+    * the float bytes (values in [-127, 126] dictionary/bit-pack in
+    * parquet). Unlike IVF/PQ there is no frozen global codebook — the
+    * per-vector max-abs scale makes every row self-contained, so appends
+    * are chunking-invariant by construction.
+    */
+  def writeInt8Index(corpus: DataFrame, path: String): Unit = {
+    val q8 = quantizeInt8(col("vec"))
+    corpus.select(col("vec_id"),
+        q8.getField("scale").as("scale"), q8.getField("q").as("code"))
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(path)
+  }
+
+  /** Append new vectors' codes to a [[writeInt8Index]] layout —
+    * IDEMPOTENT per batch id (same `batch=<id>` dynamic-overwrite rule as
+    * the other index families, see [[IndexLayout]]).
+    */
+  def appendToInt8Index(
+      newVecs: DataFrame,
+      path: String,
+      batchId: Option[Long] = None): Unit = {
+    val q8 = quantizeInt8(col("vec"))
+    val id = batchId.getOrElse(
+      IndexLayout.maxBatchId(newVecs.sparkSession, path) + 1)
+    IndexLayout.overwriteBatchPartitions(
+      newVecs.select(col("vec_id"),
+          q8.getField("scale").as("scale"), q8.getField("q").as("code"))
+        .withColumn("batch", lit(id)),
+      path, Seq("batch"))
+  }
+
+  /** [[int8TopK]] against the MATERIALIZED codes table: identical ranking
+    * (shared scoring tail), but the scan is the stored codes — the float
+    * corpus is never read at query time.
+    */
+  def int8TopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame,
+      indexPath: String,
+      k: Int): DataFrame =
+    int8TopKOverCodes(
+      spark.read.parquet(indexPath).select(col("vec_id"), col("scale"), col("code")),
+      queries, k)
 
   /** Product-quantization encode (Jegou et al. 2011): split each
     * `dim`-dimensional vector into `m` subvectors and replace every

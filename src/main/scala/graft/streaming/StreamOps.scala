@@ -172,21 +172,24 @@ object StreamOps {
   }
 
   /** Continuous ANN serving: every micro-batch of query vectors
-    * (`qid`, `qvec`) searches the STATIC corpus index with the unchanged
-    * batch operator (`Similarity.int8TopK`), and `emit` receives that
-    * batch's top-k results. foreachBatch is the index-batch/search-stream
-    * split (same pattern as the LM train-batch/score-stream gate): the
-    * corpus codes are fixed, the query side streams, and every batch
-    * operator doubles as its own streaming twin — no state, no rewrite.
+    * (`qid`, `qvec`) searches the MATERIALIZED int8 codes index
+    * (`Similarity.int8TopKFromIndex` — the float corpus is never read at
+    * query time; rankings identical to the one-shot `int8TopK` by shared
+    * scoring tail), and `emit` receives that batch's top-k results.
+    * foreachBatch is the index-batch/search-stream split (same pattern as
+    * the LM train-batch/score-stream gate): the corpus codes are fixed,
+    * the query side streams — no state, no rewrite. `indexPath` must hold
+    * a `writeInt8Index` layout before the stream starts.
     */
   def int8SearchStream(
       queryStream: DataFrame,
-      corpus: DataFrame,
+      indexPath: String,
       k: Int)(
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queryStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) emit(graft.functions.Similarity.int8TopK(batch.toDF(), corpus, k))
+        if (!batch.isEmpty) emit(graft.functions.Similarity.int8TopKFromIndex(
+          batch.sparkSession, batch.toDF(), indexPath, k))
     }
 
   /** Keyword-search serving: every micro-batch of queries (`qid`,

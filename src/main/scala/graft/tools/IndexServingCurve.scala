@@ -155,6 +155,24 @@ object IndexServingCurve {
 
     vecSizes.foreach { n =>
       val v = materialize(vecs(n), s"$base/vecs_$n")
+      // int8: no pruning key (flat compressed scan) — the fraction column
+      // reports BYTES (codes vs floats) instead of partitions
+      val i8 = s"$base/int8_$n"
+      val (_, i8BuildS) = time { Similarity.writeInt8Index(v, i8); 1L }
+      val q10 = materialize(
+        vecs(n).filter(col("vec_id") % (n / 10) === 0)
+          .select(col("vec_id").as("qid"), col("vec").as("qvec")),
+        s"$base/q10_$n")
+      val (_, i8OneS) = med3(Similarity.int8TopK(q10, v, k = 5).count())
+      val (i8rows, i8IdxS) = med3(
+        Similarity.int8TopKFromIndex(spark, q10, i8, k = 5).count())
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(p))
+      }
+      println(f"int8,$n,$i8BuildS%.1f,$i8OneS%.1f,$i8IdxS%.1f,${dirBytes(i8)},${dirBytes(s"$base/vecs_$n")},$i8rows")
       val queries = materialize(
         vecs(n).filter(col("vec_id") % (n / 10) === 0)
           .select(col("vec_id").as("qid"), col("vec").as("qvec")),

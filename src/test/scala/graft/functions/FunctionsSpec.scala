@@ -305,6 +305,49 @@ class FunctionsSpec extends SparkSpec {
     assert(pqTwice === pqOnce, "replayed append must not duplicate PQ codes")
   }
 
+  test("int8 index: from-index ranking == one-shot; appends idempotent; codes smaller") {
+    // near-unique float values (realistic embeddings don't dictionary-
+    // encode; a handful of repeated values would, and the size claim is
+    // about real float payloads)
+    val vecs = (0L until 1000L).map { id =>
+      (id, Array.tabulate(64)(i =>
+        (((id * 2654435761L + i * 40503L) % 100003L) / 50000.0f) - 1.0f))
+    }
+    val corpus = vecs.filter(_._1 < 800L).toDF("vec_id", "vec").coalesce(1)
+    val later = vecs.filter(_._1 >= 800L).toDF("vec_id", "vec").coalesce(1)
+    val all = vecs.toDF("vec_id", "vec").coalesce(1)
+    val queries = vecs.take(5).toDF("qid", "qvec")
+    val idx = java.nio.file.Files.createTempDirectory("graft-int8").toString
+
+    Similarity.writeInt8Index(corpus, idx)
+    Similarity.appendToInt8Index(later, idx, batchId = Some(0L))
+    // replay must not duplicate codes (duplicates distort every top-k)
+    Similarity.appendToInt8Index(later, idx, batchId = Some(0L))
+    assert(spark.read.parquet(idx).count() === 1000L)
+
+    val fromIdx = Similarity.int8TopKFromIndex(spark, queries, idx, k = 5)
+      .select("qid", "vec_id", "score_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val oneShot = Similarity.int8TopK(queries, all, k = 5)
+      .select("qid", "vec_id", "score_q", "rank")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(fromIdx === oneShot && fromIdx.nonEmpty,
+      "materialized-index search must rank identically to the one-shot form")
+
+    // the compressed-scan claim, measured: the codes layout bit-packs
+    // below the float bytes it replaces
+    val floats = java.nio.file.Files.createTempDirectory("graft-int8f").toString
+    all.write.mode("overwrite").parquet(floats)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    assert(bytes(idx) < bytes(floats),
+      s"codes ${bytes(idx)}B must scan smaller than floats ${bytes(floats)}B")
+  }
+
   test("bpeTrain learns the textbook merges on the low/lower corpus") {
     // Sennrich et al.'s classic example: low x3, lower x2, newest x1
     val docs = Seq((1L, "low low low"), (2L, "lower lower newest"))

@@ -93,10 +93,13 @@ class StreamingExtrasSpec extends SparkSpec {
       (id, Array.tabulate(8)(i => (((id * 13 + i * 5) % 17) / 4.0f) - 2.0f))
     }
     val corpus = vecs.toDF("vec_id", "vec")
+    // serving reads the MATERIALIZED codes, never the float corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft-int8-idx").toString
+    graft.functions.Similarity.writeInt8Index(corpus, idx)
     val input = MemoryStream[(Long, Array[Float])]
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     val q = StreamOps.int8SearchStream(
-      input.toDF().toDF("qid", "qvec"), corpus, k = 3) { res =>
+      input.toDF().toDF("qid", "qvec"), idx, k = 3) { res =>
         got ++= res.select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
       }.start()
     try {
