@@ -326,8 +326,10 @@ object Curation {
       // converge before the jump ever runs, so the common case pays
       // nothing; the jump's extra join only spends where a chain-shaped
       // component would otherwise need O(diameter) rounds.
+      var mid: Option[DataFrame] = None
       val next = (if (it < 3) merged else {
         val m = merged.localCheckpoint(false)
+        mid = Some(m)
         val byNode = m.select(col("node").as("pn"), col("label").as("plabel"))
         m.join(byNode, m("label") === byNode("pn"), "left")
           .select(m("node"),
@@ -335,6 +337,11 @@ object Curation {
             col("__old"))
       }).localCheckpoint(false)
       val changed = next.filter(col("label") =!= col("__old")).count()
+      // `next` is materialized by the count above; the previous round's
+      // checkpoint blocks (and the jump intermediate) are now unreachable
+      // — release them so executor storage stays flat across rounds
+      Checkpoints.unpersist(labels)
+      mid.foreach(Checkpoints.unpersist)
       labels = next.drop("__old")
       converged = changed == 0
       it += 1

@@ -399,13 +399,6 @@ object TextAnalysis {
     val words = df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
         t => length(t) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // the checkpointed RDD behind a localCheckpoint'd frame, so each round
-    // can RELEASE the previous round's blocks — without this, executor
-    // storage grows linearly with `merges`
-    def ckptRdd(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      d.queryExecution.logical.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
     var cur = words.select(
       concat(concat_ws(" ", filter(split(col("w"), ""), c => length(c) > 0)),
         lit(" </w>")).as("s"),
@@ -434,7 +427,7 @@ object TextAnalysis {
         val next = cur.select(
           trim(merge(merge(concat(lit(" "), col("s"), lit(" "))))).as("s"),
           col("cnt")).localCheckpoint() // eager: materialized before the
-        ckptRdd(cur).foreach(_.unpersist(false)) // old blocks are dropped
+        Checkpoints.unpersist(cur)      // old round's blocks are dropped
         cur = next
         step += 1
       }
