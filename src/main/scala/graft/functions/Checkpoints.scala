@@ -12,10 +12,24 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
 
-  /** The checkpointed RDD behind a localCheckpoint'd DataFrame, if any. */
+  /** The checkpointed RDD behind a localCheckpoint'd DataFrame — ONLY
+    * when the frame IS the checkpoint (optionally behind one Project,
+    * e.g. after a `.drop`). A deep search would also match checkpoints
+    * merely REFERENCED further down the plan (a filter over a shared
+    * cached working set) and release blocks other frames still need —
+    * exactly the bug this strictness prevents (a loop's `prev` on round
+    * one is usually a projection over the shared input, not a checkpoint
+    * of its own).
+    */
   def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child match {
+          case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+          case _ => None
+        }
+      case _ => None
     }
 
   def unpersist(df: DataFrame): Unit = rddOf(df).foreach(_.unpersist(false))

@@ -157,6 +157,30 @@ object LlmQueries {
   /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
     * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
     */
+  private def l1024Sql(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + " +
+      s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+
+  /** Per-doc char-trigram LM surprisal CTE chain ending in
+    * `lm_perdoc(doc_id, n_tri, avg_surprisal_q10)` — shared by
+    * `text_lm_surprisal` and the CCNet-style `quality_lm_gate`.
+    */
+  private val lmPerDocCtes: String =
+    s"""lb AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        tri AS (SELECT doc_id, unnest(CASE WHEN length(lt) >= 3
+                  THEN list_transform(generate_series(1, length(lt) - 2),
+                         i -> substring(lt, i, 3))
+                  ELSE [] END) AS t
+                FROM lb),
+        cnt AS (SELECT t, count(*) AS cnt FROM tri GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+        lm_perdoc AS (
+          SELECT doc_id, count(*) AS n_tri,
+                 CAST(sum(${l1024Sql("total")} - ${l1024Sql("cnt")}) // count(*) AS BIGINT)
+                   AS avg_surprisal_q10
+          FROM tri JOIN cnt USING (t) CROSS JOIN tot
+          GROUP BY doc_id)"""
+
   private val shinglesCte =
     s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
         sh AS (SELECT doc_id, source,
@@ -420,6 +444,37 @@ object LlmQueries {
           n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
         "a", "b")
         .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    // End-to-end near-dedup survivor list: the documents that remain
+    // after LSH near-dup clusters collapse to their min-id representative
+    // — the keep-side twin of `dedup_clusters` (the query a pipeline
+    // actually feeds downstream). Plan: clusters' non-representatives
+    // anti-join the corpus; no new shuffle shape beyond the CC rounds.
+    "dedup_keep_list" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val losers = Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b")
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      docs.select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+    // CCNet-style LM-perplexity gate: keep docs whose trigram surprisal
+    // is within 1.25x the corpus mean (head+middle of the quality
+    // distribution). Integer cross-multiplied threshold — no division,
+    // no global sort: the mean is a 1-row broadcast, the gate a narrow
+    // per-row compare.
+    "quality_lm_gate" -> { (s, d) =>
+      val sur = TextAnalysis.lmSurprisalScore(Tables.documents(s, d), "text", "doc_id")
+      val mean = sur.agg(expr("sum(avg_surprisal_q10) div count(1)").as("mean_q10"))
+      sur.crossJoin(broadcast(mean))
+        .select(col("doc_id"), col("avg_surprisal_q10"),
+          when(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125, lit(1L))
+            .otherwise(lit(0L)).as("keep"))
         .orderBy("doc_id")
     },
     // Rarity-weighted keyword extraction: top-3 terms per doc.
@@ -714,24 +769,17 @@ object LlmQueries {
           SELECT id, CAST(sum(c) AS BIGINT) AS rrf_score FROM f
           GROUP BY 1 ORDER BY rrf_score DESC, id LIMIT 20"""
     },
-    "text_lm_surprisal" -> {
-      def l1024(x: String): String =
-        s"((length(bin($x)) - 1) * 1024 + " +
-          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
-      s"""WITH lb AS (SELECT doc_id, lower(text) AS lt FROM documents),
-          tri AS (SELECT doc_id, unnest(CASE WHEN length(lt) >= 3
-                    THEN list_transform(generate_series(1, length(lt) - 2),
-                           i -> substring(lt, i, 3))
-                    ELSE [] END) AS t
-                  FROM lb),
-          cnt AS (SELECT t, count(*) AS cnt FROM tri GROUP BY 1),
-          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt)
-          SELECT doc_id, count(*) AS n_tri,
-                 CAST(sum(${l1024("total")} - ${l1024("cnt")}) // count(*) AS BIGINT)
-                   AS avg_surprisal_q10
-          FROM tri JOIN cnt USING (t) CROSS JOIN tot
-          GROUP BY doc_id ORDER BY doc_id"""
-    },
+    "text_lm_surprisal" ->
+      s"""WITH $lmPerDocCtes
+          SELECT doc_id, n_tri, avg_surprisal_q10 FROM lm_perdoc ORDER BY doc_id""",
+    "quality_lm_gate" ->
+      s"""WITH $lmPerDocCtes,
+          m AS (SELECT CAST(sum(avg_surprisal_q10) // count(*) AS BIGINT) AS mean_q10
+                FROM lm_perdoc)
+          SELECT doc_id, avg_surprisal_q10,
+                 CAST(CASE WHEN avg_surprisal_q10 * 100 <= mean_q10 * 125
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM lm_perdoc CROSS JOIN m ORDER BY doc_id""",
     "bpe_merges" -> {
       // one BPE round: pair counts over sPrev's symbols -> top-1 merge
       // (mK) -> merged symbol strings (sK); replace applied twice, same
@@ -897,6 +945,25 @@ object LlmQueries {
             SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
           SELECT node AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          losers AS (SELECT node FROM (
+                       SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+                     WHERE node <> cluster_id)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY 1""",
     "text_keywords" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
           ex AS (SELECT doc_id, unnest(toks) AS term FROM base),

@@ -636,6 +636,7 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cd"))
         .withColumn("cn", l2Norm(col("cd")))
+      val prev = cent
       cent = cent.select(col("cid"), col("cd").as("cd0"), col("cn").as("cn0"))
         .join(means, Seq("cid"), "left")
         .select(
@@ -643,6 +644,7 @@ object Similarity {
           coalesce(col("cd"), col("cd0")).as("cd"),
           coalesce(col("cn"), col("cn0")).as("cn"))
         .localCheckpoint() // cut the per-iteration lineage growth
+      Checkpoints.unpersist(prev) // release the previous iteration's blocks
     }
     cent
   }
