@@ -199,6 +199,27 @@ object Curation {
     df.filter(pmod(hash48(col(idCol)), lit(1000)) < rate)
   }
 
+  /** Deterministic train/val/test assignment, keyed on the CONTENT hash
+    * (not the id): identical documents land in the same split, so exact
+    * duplicates can never leak across the train/eval boundary — the
+    * standard splitting discipline for training corpora. Engine-portable
+    * (md5-prefix bucket in [0, 1000)); a narrow per-row map, no shuffle.
+    * Buckets `[0, testPermille)` -> test,
+    * `[testPermille, testPermille + valPermille)` -> val, rest -> train.
+    */
+  def datasetSplit(
+      df: DataFrame,
+      textCol: String,
+      valPermille: Int,
+      testPermille: Int): DataFrame = {
+    val bucket = pmod(hash48(col(textCol)), lit(1000))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < testPermille, lit("test"))
+          .when(col("bucket") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** Sequence packing: assign documents (in deterministic `idCol` order
     * per stratum) to fixed token-budget bins by running token count —
     * the contiguous-packing layout used to build training batches. A doc

@@ -477,6 +477,15 @@ object LlmQueries {
             .otherwise(lit(0L)).as("keep"))
         .orderBy("doc_id")
     },
+    // Leakage-aware train/val/test split: content-hashed buckets, so
+    // exact duplicates co-assign and cannot straddle the train/eval
+    // boundary; 5% test, 10% val.
+    "dataset_split" -> { (s, d) =>
+      Curation.datasetSplit(Tables.documents(s, d), "text",
+        valPermille = 100, testPermille = 50)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
     // Rarity-weighted keyword extraction: top-3 terms per doc.
     "text_keywords" -> { (s, d) =>
       Curation.keywordScores(Tables.documents(s, d), "text", "doc_id", k = 3)
@@ -900,6 +909,15 @@ object LlmQueries {
     "contamination" -> contaminationOracleSql,
     // the bloom prefilter is output-invariant, so the oracle is identical
     "contamination_bloom" -> contaminationOracleSql,
+    "dataset_split" ->
+      """SELECT doc_id, bucket,
+                CASE WHEN bucket < 50 THEN 'test'
+                     WHEN bucket < 150 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 AS bucket
+               FROM documents)
+         ORDER BY doc_id""",
     "stratified_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 <
