@@ -338,6 +338,19 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // The corpus a pipeline actually trains on after the leakage check:
+    // non-benchmark docs minus every contamination hit — the keep-side
+    // twin of `contamination`, same df-capped candidate generation.
+    "decontaminated_keep" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val isBench = pmod(col("doc_id"), lit(20)) === 0
+      val hits = Curation.contaminationPairs(docs, "text", "doc_id",
+          isBench = isBench, n = 3, maxShingleDf = 50, minContainMilli = 100)
+        .select(col("doc_id")).distinct()
+      docs.filter(!isBench).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
     // Exact corpus heavy hitters (the oracle twin of the Count-Min
     // library path, `functions.Sketches`): top tokens by frequency.
     "top_terms" -> { (s, d) =>
@@ -621,8 +634,12 @@ object LlmQueries {
   /** Contamination oracle — shared verbatim by `contamination` and
     * `contamination_bloom` (the bloom prefilter is output-invariant).
     */
-  private def contaminationOracleSql: String =
-    s"""WITH $shinglesCte,
+  /** Contamination candidate CTEs ending in `p(doc_id, bench_id, inter)`
+    * and `nbt(bench_id, nb)` — shared by the pair report and the
+    * decontaminated keep-list.
+    */
+  private def contaminationCtes: String =
+    s"""$shinglesCte,
         valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
         ex AS (SELECT doc_id, (doc_id % 20 = 0) AS is_bench, unnest(s) AS g FROM valid),
         freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
@@ -632,7 +649,10 @@ object LlmQueries {
                 FROM rare WHERE is_bench GROUP BY 1),
         p AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
               FROM rare c JOIN rare b ON c.g = b.g
-              WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2)
+              WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2)"""
+
+  private def contaminationOracleSql: String =
+    s"""WITH $contaminationCtes
         SELECT doc_id, bench_id, inter, nb,
                CAST(floor(inter * 1000.0 / nb) AS BIGINT) AS containment_milli
         FROM p JOIN nbt USING (bench_id)
@@ -907,6 +927,14 @@ object LlmQueries {
                  coalesce(array_to_string(kt, ' '), '') AS clean_text
           FROM kept ORDER BY doc_id""",
     "contamination" -> contaminationOracleSql,
+    "decontaminated_keep" ->
+      s"""WITH $contaminationCtes,
+          hits AS (SELECT DISTINCT doc_id FROM p JOIN nbt USING (bench_id)
+                   WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100)
+          SELECT doc_id FROM documents
+          WHERE doc_id % 20 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM hits)
+          ORDER BY 1""",
     // the bloom prefilter is output-invariant, so the oracle is identical
     "contamination_bloom" -> contaminationOracleSql,
     "dataset_split" ->
