@@ -278,6 +278,22 @@ object StreamOps {
     * one-shot-batch index (spec-proven), and searches against the index
     * see new vectors as soon as their micro-batch commits.
     */
+  /** Write-side twin of [[int8SearchStream]]: a stream of new corpus
+    * vectors grows the materialized int8 codes index. Each vector's
+    * max-abs scale is self-contained (no frozen codebook), so the append
+    * is chunking-invariant by construction, and the batch-id partition
+    * rule makes foreachBatch replays idempotent.
+    */
+  def int8AppendStream(
+      newVecStream: DataFrame,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.functions.Similarity.appendToInt8Index(
+            batch.toDF(), path, batchId = Some(batchId))
+    }
+
   def indexAppendStream(
       newVecStream: DataFrame,
       baseCorpus: DataFrame,

@@ -114,6 +114,41 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("int8AppendStream converges to the one-shot batch index") {
+    import graft.functions.Similarity
+    val vecs = (0L until 80L).map { id =>
+      (id, Array.tabulate(16)(i =>
+        (((id * 2654435761L + i * 40503L) % 1009L) / 500.0f) - 1.0f))
+    }
+    val base = vecs.filter(_._1 < 50).toDF("vec_id", "vec")
+    val later = vecs.filter(_._1 >= 50)
+    val streamedIdx = java.nio.file.Files.createTempDirectory("graft-i8-s").toString
+    val oneshotIdx = java.nio.file.Files.createTempDirectory("graft-i8-b").toString
+    Similarity.writeInt8Index(base, streamedIdx)
+    Similarity.writeInt8Index(vecs.toDF("vec_id", "vec"), oneshotIdx)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.int8AppendStream(
+      input.toDF().toDF("vec_id", "vec"), streamedIdx).start()
+    try {
+      input.addData(later.take(15): _*)
+      q.processAllAvailable()
+      input.addData(later.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def contents(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("scale"), col("code"))
+      .as[(Long, Double, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(contents(streamedIdx) === contents(oneshotIdx))
+    assert(contents(streamedIdx).length === 80)
+    // appended vectors are immediately searchable
+    val got = Similarity.int8TopKFromIndex(spark,
+      vecs.take(1).toDF("qid", "qvec"), streamedIdx, k = 79)
+      .select("vec_id").as[Long].collect()
+    assert(got.exists(_ >= 50L))
+  }
+
   test("fanout sink: one cached batch feeds all branches") {
     val input = MemoryStream[DocEv]
     val seenA = scala.collection.mutable.ArrayBuffer[String]()
