@@ -482,7 +482,11 @@ object LlmQueries {
     // no global sort: the mean is a 1-row broadcast, the gate a narrow
     // per-row compare.
     "quality_lm_gate" -> { (s, d) =>
+      // localCheckpoint: the per-doc surprisal feeds BOTH the 1-row mean
+      // and the gate projection — without it the trigram pipeline runs
+      // twice
       val sur = TextAnalysis.lmSurprisalScore(Tables.documents(s, d), "text", "doc_id")
+        .localCheckpoint()
       val mean = sur.agg(expr("sum(avg_surprisal_q10) div count(1)").as("mean_q10"))
       sur.crossJoin(broadcast(mean))
         .select(col("doc_id"), col("avg_surprisal_q10"),
