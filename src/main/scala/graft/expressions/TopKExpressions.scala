@@ -75,13 +75,26 @@ case class TopKSmallestPairs(
     StructField("b", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "top_k_smallest_pairs"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(Array(StructField(_, LongType, _, _), StructField(_, LongType, _, _))) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k_smallest_pairs needs struct<long,long>, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): LongPairHeap = new LongPairHeap(k)
 
   override def update(buf: LongPairHeap, input: InternalRow): LongPairHeap = {
     val s = child.eval(input)
     if (s != null) {
       val row = s.asInstanceOf[InternalRow]
-      buf.offer(row.getLong(0), row.getLong(1))
+      // Skip pairs with a null field — the row_number window form this
+      // replaces sorts nulls last, so they never make the top k either.
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        buf.offer(row.getLong(0), row.getLong(1))
+      }
     }
     buf
   }

@@ -19,20 +19,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
   * formulation and to external oracles using a sequential reduce).
   *
   * Inputs must already be `array<double>` — cast upstream (float->double
-  * widening is exact).
+  * widening is exact). A length mismatch yields NULL, matching the
+  * `zip_with` fold these replace (zip_with pads the shorter side with
+  * nulls, so the fold's sum goes null) — a malformed row surfaces as null
+  * rather than a silently truncated score.
   */
 case class DotProductD(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product_d"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -40,16 +44,18 @@ case class DotProductD(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("xs")
       val y = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
         double[] $x = $a.toDoubleArray();
         double[] $y = $b.toDoubleArray();
-        int $n = Math.min($x.length, $y.length);
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
-        ${ev.value} = $s;
+        if ($x.length != $y.length) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $x.length; $i++) { $s += $x[$i] * $y[$i]; }
+          ${ev.value} = $s;
+        }
       """
     })
 
@@ -68,15 +74,16 @@ case class DotProductD(left: Expression, right: Expression) extends BinaryExpres
 case class DotProductL(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product_l"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toLongArray()
     val y = b.asInstanceOf[ArrayData].toLongArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
 
@@ -84,16 +91,18 @@ case class DotProductL(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("xs")
       val y = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
         long[] $x = $a.toLongArray();
         long[] $y = $b.toLongArray();
-        int $n = Math.min($x.length, $y.length);
-        long $s = 0L;
-        for (int $i = 0; $i < $n; $i++) { $s += $x[$i] * $y[$i]; }
-        ${ev.value} = $s;
+        if ($x.length != $y.length) {
+          ${ev.isNull} = true;
+        } else {
+          long $s = 0L;
+          for (int $i = 0; $i < $x.length; $i++) { $s += $x[$i] * $y[$i]; }
+          ${ev.value} = $s;
+        }
       """
     })
 
@@ -113,15 +122,16 @@ case class DotProductL(left: Expression, right: Expression) extends BinaryExpres
 case class SquaredL2Q6(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "squared_l2_q6"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
     val y = b.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
     math.floor(s * 1000000.0).toLong
   }
 
@@ -129,20 +139,22 @@ case class SquaredL2Q6(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("xs")
       val y = ctx.freshName("ys")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       s"""
         double[] $x = $a.toDoubleArray();
         double[] $y = $b.toDoubleArray();
-        int $n = Math.min($x.length, $y.length);
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $d = $x[$i] - $y[$i];
-          $s += $d * $d;
+        if ($x.length != $y.length) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $x.length; $i++) {
+            double $d = $x[$i] - $y[$i];
+            $s += $d * $d;
+          }
+          ${ev.value} = (long) java.lang.Math.floor($s * 1.0E6);
         }
-        ${ev.value} = (long) java.lang.Math.floor($s * 1.0E6);
       """
     })
 

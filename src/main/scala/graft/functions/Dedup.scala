@@ -405,6 +405,14 @@ object Dedup {
     * keys/shingles to the index afterwards keeps it current (plain
     * parquet append into the same layout).
     * Output: (new_id, corpus_id, jaccard_milli).
+    *
+    * `excludeBatchId` makes the read replay-deterministic for a caller
+    * that is about to append this batch under that id: a foreachBatch
+    * replay after a committed-but-uncheckpointed attempt would otherwise
+    * see the batch's OWN index rows and score against a different corpus
+    * than attempt 1 did. Filtering `batch=<id>` out (a partition-pruned
+    * predicate — `batch` is a partition column) means every attempt
+    * scores against exactly the pre-batch index.
     */
   def nearDupsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -416,7 +424,8 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       minJaccardMilli: Int,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     // localCheckpoint: newBk feeds BOTH the driver-side bucket collect and
     // the candidate join — without it the batch is re-shingled twice
     val newBk = bandKeys(newDocs, textCol, idCol, n, bands, rowsPerBand)
@@ -431,15 +440,18 @@ object Dedup {
     // matter how large the batch or the index is
     val qBuckets = newBk.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    val notOwnBatch = excludeBatchId
+      .map(id => col("batch") =!= lit(id))
+      .getOrElse(lit(true))
     val idxBands = spark.read.parquet(s"$indexPath/bands")
-      .filter(col("bucket").isin(qBuckets: _*))
+      .filter(col("bucket").isin(qBuckets: _*) && notOwnBatch)
     val candIds = newBk.as("x")
       .join(idxBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") =!= col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
-    val corpusSh = spark.read.parquet(s"$indexPath/shingles")
+    val corpusSh = spark.read.parquet(s"$indexPath/shingles").filter(notOwnBatch)
     candIds
       .join(newSh.select(col("doc").as("a"), col("sh").as("sha")), "a")
       .join(corpusSh.select(col("doc").as("b"), col("sh").as("shb")), "b")

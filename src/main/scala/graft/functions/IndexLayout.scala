@@ -52,14 +52,13 @@ private[graft] object IndexLayout {
     * append primitive. `partCols` must end with `batch`.
     */
   def overwriteBatchPartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Per-write option (not a session-conf toggle): overrides the conf for
+    // exactly this write without mutating state shared with concurrent
+    // writers on the same SparkSession.
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
   }
 }

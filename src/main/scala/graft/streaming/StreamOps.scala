@@ -253,9 +253,13 @@ object StreamOps {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF().localCheckpoint()
+          // excludeBatchId: a replay of this micro-batch must score
+          // against exactly the index attempt 1 saw — never against the
+          // batch's own (possibly half-committed) index rows
           val dups = graft.functions.Dedup.nearDupsAgainstIndex(
             b.sparkSession, b, textCol, idCol, indexPath,
-            n, bands, rowsPerBand, minJaccardMilli, buckets).localCheckpoint()
+            n, bands, rowsPerBand, minJaccardMilli, buckets,
+            excludeBatchId = Some(batchId)).localCheckpoint()
           emitDups(dups)
           val clean = b.join(
             dups.select(col("new_id").as(idCol)).distinct(),

@@ -1,0 +1,73 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the native vector expressions: a length mismatch is
+  * a malformed row and must surface as NULL (the zip_with/aggregate fold
+  * these replace pads the shorter array with nulls, nulling the sum),
+  * never as a silently truncated score.
+  */
+class VectorEdgeSpec extends SparkSpec {
+  import VectorExpressions._
+
+  private def pairDf(xs: Seq[Double], ys: Seq[Double]) = {
+    val s = spark
+    import s.implicits._
+    Seq((xs, ys)).toDF("x", "y")
+      .select(col("x").cast("array<double>").as("x"),
+        col("y").cast("array<double>").as("y"))
+  }
+
+  test("dot_product_d: equal lengths score, mismatched lengths are NULL") {
+    val ok = pairDf(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
+      .select(dotProduct(col("x"), col("y"))).head()
+    assert(ok.getDouble(0) == 32.0)
+    val bad = pairDf(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))
+      .select(dotProduct(col("x"), col("y"))).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("squared_l2_q6: mismatched lengths are NULL, not a truncated distance") {
+    val ok = pairDf(Seq(1.0, 3.0), Seq(2.0, 5.0))
+      .select(squaredL2Q6(col("x"), col("y"))).head()
+    assert(ok.getLong(0) == 5000000L)
+    val bad = pairDf(Seq(1.0, 3.0), Seq(2.0))
+      .select(squaredL2Q6(col("x"), col("y"))).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("dot_product_l: mismatched lengths are NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(3L, 4L)), (Seq(1L, 2L), Seq(3L)))
+      .toDF("x", "y")
+    val rows = df.select(dotProductL(col("x"), col("y"))).collect()
+    assert(rows(0).getLong(0) == 11L)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("top_k_smallest_pairs: rejects non-long structs at analysis time") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("x", 1L)).toDF("a", "b")
+    val err = intercept[Exception] {
+      df.agg(graft.expressions.TopKExpressions
+        .topKSmallestPairs(struct(col("a"), col("b")), 3)).collect()
+    }
+    assert(err.getMessage.contains("top_k_smallest_pairs") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("top_k_smallest_pairs: null struct fields are skipped (nulls-last)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(5L), 50L), (None, 0L), (Some(2L), 20L), (Some(9L), 90L))
+      .toDF("a", "b")
+    val out = df.agg(graft.expressions.TopKExpressions
+      .topKSmallestPairs(struct(col("a"), col("b")), 2).as("tk"))
+      .selectExpr("explode(tk) p").select("p.a", "p.b").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L), (5L, 50L)))
+  }
+}

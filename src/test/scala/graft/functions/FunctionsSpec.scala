@@ -305,6 +305,53 @@ class FunctionsSpec extends SparkSpec {
     assert(pqTwice === pqOnce, "replayed append must not duplicate PQ codes")
   }
 
+  test("nearDupsAgainstIndex replay is deterministic when excluding the own batch") {
+    // the at-least-once hazard: attempt 1 commits its index append but the
+    // checkpoint is lost; the replay re-derives the dup verdicts — if it
+    // can see the batch's OWN index rows, an intra-batch near-dup pair is
+    // suddenly flagged against its indexed copy and the verdicts diverge
+    val tpl = "the quick brown fox jumps over the lazy dog again and again today"
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-det").toString
+    Dedup.writeLshIndex(
+      Seq((1L, "seed corpus document about entirely unrelated matters and topics"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", idx, n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    // docs 30/31 are intra-batch near-dups (clean vs the pre-batch index:
+    // both enter — the documented batch-tier responsibility); 32 is fresh
+    val batch = Seq(
+      (30L, tpl), (31L, tpl.replace("today", "tonight")),
+      (32L, "wholly new content sharing nothing with anything indexed before"))
+      .toDF("doc_id", "text")
+
+    def verdicts(exclude: Option[Long]) =
+      Dedup.nearDupsAgainstIndex(spark, batch, "text", "doc_id", idx,
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16,
+        excludeBatchId = exclude)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+
+    val attempt1 = verdicts(Some(7L))
+    assert(attempt1.isEmpty, s"clean vs the seed index, got $attempt1")
+    Dedup.appendToLshIndex(batch, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(7L))
+
+    // replay AFTER the append committed: same verdicts as attempt 1
+    assert(verdicts(Some(7L)) === attempt1,
+      "replay must score against exactly the index attempt 1 saw")
+    // ...and the hazard is real: without the exclusion the replay would
+    // flag 30/31 against their own indexed copies
+    assert(verdicts(None).nonEmpty,
+      "fixture must actually exercise the own-rows hazard")
+
+    // the replayed append then reproduces identical index contents
+    val once = spark.read.parquet(s"$idx/shingles").select("doc")
+      .as[Long].collect().toSet
+    Dedup.appendToLshIndex(batch, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(7L))
+    assert(spark.read.parquet(s"$idx/shingles").select("doc")
+      .as[Long].collect().toSet === once)
+    assert(once === Set(1L, 30L, 31L, 32L))
+  }
+
   test("int8 index: from-index ranking == one-shot; appends idempotent; codes smaller") {
     // near-unique float values (realistic embeddings don't dictionary-
     // encode; a handful of repeated values would, and the size claim is
