@@ -126,11 +126,13 @@ object Dedup {
     *    worst-case fan-out per shingle is maxShingleDf^2. Jaccard is then
     *    computed over the capped shingle universe, the standard
     *    stopword-removal semantics for near-dup mining.
-    * Plan shape: the df-filter is a window count partitioned by
-    * (block, shingle), which leaves the rows partitioned exactly on the
-    * subsequent join's key — one wide shuffle total, then the pair
-    * aggregation; per-doc set sizes re-attach to the (small) surviving
-    * pair list, AQE choosing broadcast when it fits.
+    * Plan shape: the df-filter is a groupBy(block, shingle) count — which
+    * PARTIAL-aggregates map-side before its shuffle, unlike the unordered
+    * window count it replaces (that form buffered every (block, shingle)
+    * partition's rows in full) — semi-joined back onto the exploded rows
+    * on the same (block, shingle) key the pair join then reuses; per-doc
+    * set sizes re-attach to the (small) surviving pair list, AQE choosing
+    * broadcast when it fits.
     * Output: (a, b, inter, uni, jaccard_milli).
     */
   def ngramJaccardPairs(
@@ -141,15 +143,15 @@ object Dedup {
       n: Int,
       minJaccardMilli: Int,
       maxShingleDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = withHashedShingles(df, textCol, n, "sh")
       .select(col(idCol).as("doc"), col(blockCol).as("blk"), col("sh"))
       .filter(size(col("sh")) > 0)
     val exploded = sh.select(col("doc"), col("blk"), explode(col("sh")).as("s"))
-    val rare = exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("blk"), col("s"))))
+    val rareKeys = exploded.groupBy(col("blk"), col("s"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
-      .drop("df")
+      .select(col("blk"), col("s"))
+    val rare = exploded.join(rareKeys, Seq("blk", "s"), "left_semi")
     // rare-shingle set size per doc (docs whose shingles are all capped
     // out never become candidates)
     val docSizes = rare.groupBy(col("doc")).agg(count(lit(1)).as("nd"))
