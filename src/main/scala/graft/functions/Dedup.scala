@@ -529,6 +529,117 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Per-token 60-bit hashes for fingerprint half `half`: half 0 is the
+    * unsalted [[tokenHashes60]] stream (so half 0 of the wide print IS
+    * [[simhash60]]); half i >= 1 salts each token with `#i` before
+    * hashing, giving an independent 60-bit draw per half.
+    */
+  private def saltedTokenHashes60(toks: Column, half: Int): Column =
+    transform(toks, t =>
+      conv(substring(md5(if (half == 0) t else concat(t, lit(s"#$half"))), 1, 15),
+        16, 10).cast("long"))
+
+  /** `array<long>` of `halves` 60-bit SimHash fingerprints — a
+    * `60 * halves`-bit wide fingerprint. Takes a MATERIALIZED token-array
+    * column (stage with `withColumn` first — see [[shinglesFromTokens]]'s
+    * perf note on HOF subexpression sharing).
+    */
+  def simhashWideFromTokens(toks: Column, halves: Int): Column =
+    array((0 until halves).map(h =>
+      simhash60FromHashes(saltedTokenHashes60(toks, h))): _*)
+
+  /** Width chosen so [[simhashPairsWide]]'s candidate volume stays linear
+    * at block size `n`: the smallest `halves` whose band width
+    * (`60 / ceil((maxHamming+1) / halves)` bits) is >= log2(n) + 5 — the
+    * same rule the sign-LSH near-dup path applies (`rowsPerBand ~ log2 n`).
+    * With band space >= 32 * n, a random pair collides on some band with
+    * probability <= bands * n / 2^(width) = O(bands / 32), so expected
+    * random candidates are O(n) and the measured cand/item stays flat
+    * (SCALING.md §candidate-volume). Caps at 11 halves (660 bits, 60-bit
+    * bands) — enough for blocks up to ~2^55 documents.
+    */
+  def simhashHalvesFor(n: Long, maxHamming: Int = 10): Int = {
+    val target = math.log(math.max(n, 2L).toDouble) / math.log(2.0) + 5.0
+    (1 to 11).find { h =>
+      val bandsPerHalf = ((maxHamming + 1) + h - 1) / h
+      h == 11 || 60.0 / bandsPerHalf >= target
+    }.get
+  }
+
+  /** Scale-safe SimHash near-dup pairs over a WIDE fingerprint
+    * (`60 * halves` bits, [[simhashWideFromTokens]]) — the fix for the
+    * fixed-width banding trap of [[simhashPairs]].
+    *
+    * The trap: banding a 60-bit print for hamming <= 10 forces 11 bands
+    * of ~5.5 bits (pigeonhole), so a RANDOM pair collides on some band
+    * with probability ~11/2^5.5 — candidate volume grows as ~n^2/4 per
+    * block, quadratic no matter how the corpus is blocked. Correct at
+    * small blocks, a scale-killer at 100 TB. The escape is the same one
+    * the sign-LSH path uses: keep the absolute hamming budget fixed and
+    * WIDEN the fingerprint, so each of the `maxHamming + 1` pigeonhole
+    * bands carries ~`60 * halves / (maxHamming + 1)` bits and random
+    * band collisions die off as 2^-width. [[simhashHalvesFor]] picks the
+    * width for a block size; at `halves = 6` (360-bit print, 30-bit
+    * bands) random collisions are ~2^-26 per band per pair.
+    *
+    * Banding: each 60-bit half is tiled by `ceil((maxHamming+1)/halves)`
+    * contiguous bands (total bands >= maxHamming + 1 across halves, so by
+    * pigeonhole any pair within the hamming budget agrees exactly on at
+    * least one band — recall 1.0 by construction, spec-gated). Verified
+    * hamming is `sum_h bit_count(xor(half_h))` over the full print.
+    * Semantics note: hamming <= 10 over a wider print is a STRICTER
+    * near-dup notion than over 60 bits (10/360 vs 10/60 of the bits) —
+    * the wide form is the production dedup setting, the 60-bit form the
+    * small-block/compat one.
+    *
+    * `verifyMaxHamming` (default: `maxHamming`) separates the banding
+    * budget from the verification threshold — the scale-curve tool opens
+    * it to `60 * halves` to count raw band-collision candidates.
+    * Output: (a, b, hamming) — hamming over the full wide print.
+    */
+  def simhashPairsWide(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      maxHamming: Int,
+      halves: Int,
+      verifyMaxHamming: Int = -1): DataFrame = {
+    require(halves >= 1 && halves <= 11, s"halves must be in [1, 11], got $halves")
+    val bandsPerHalf = ((maxHamming + 1) + halves - 1) / halves
+    require(bandsPerHalf >= 1 && bandsPerHalf <= 60,
+      s"maxHamming=$maxHamming needs $bandsPerHalf bands/half, max 60")
+    val verify = if (verifyMaxHamming < 0) maxHamming else verifyMaxHamming
+    val baseLen = 60 / bandsPerHalf
+    val rem = 60 % bandsPerHalf
+    val lens = Seq.tabulate(bandsPerHalf)(i => baseLen + (if (i < rem) 1 else 0))
+    val offs = lens.scanLeft(0)(_ + _)
+    val f = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        simhashWideFromTokens(col("_toks"), halves).as("shs"))
+    val bandStructs = for { h <- 0 until halves; k <- 0 until bandsPerHalf } yield
+      struct(
+        lit(h * bandsPerHalf + k).as("band"),
+        shiftright(element_at(col("shs"), h + 1), offs(k))
+          .bitwiseAND(lit((1L << lens(k)) - 1)).as("bv"))
+    val banded = f.select(col("doc"), col("blk"), col("shs"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("blk"), col("shs"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val ham = (0 until halves).map { h =>
+      bit_count(element_at(col("x.shs"), h + 1)
+        .bitwiseXOR(element_at(col("y.shs"), h + 1)))
+    }.reduce(_ + _).cast("long")
+    banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"), ham.as("hamming"))
+      .filter(col("hamming") <= verify) // verify BEFORE dedup: shrinks the shuffle
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Per-document duplicated-substring profile: for every document, how
     * many of its distinct hashed n-gram shingles also occur in at least
     * one OTHER document (corpus document frequency > 1), and the

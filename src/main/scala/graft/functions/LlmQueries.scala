@@ -228,6 +228,17 @@ object LlmQueries {
         blockCol = "source", maxHamming = 10)
         .orderBy("a", "b")
     },
+    // the scale-safe wide-fingerprint form (120-bit here; production picks
+    // halves from the block size via Dedup.simhashHalvesFor). Run
+    // UN-blocked — wide bands make whole-corpus candidate generation
+    // affordable, which is the point: it also catches the cross-source
+    // near-dups that source-blocking by construction misses.
+    "dedup_simhash_wide" -> { (s, d) =>
+      Dedup.simhashPairsWide(
+        Tables.documents(s, d).withColumn("corpus", lit(0L)),
+        "text", "doc_id", blockCol = "corpus", maxHamming = 10, halves = 2)
+        .orderBy("a", "b")
+    },
     "dedup_embedding_pairs" -> { (s, d) =>
       Similarity.cosineNearDupPairs(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("vec")),
@@ -500,6 +511,44 @@ object LlmQueries {
     "dataset_split" -> { (s, d) =>
       Curation.datasetSplit(Tables.documents(s, d), "text",
         valPermille = 100, testPermille = 50)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+    // The full curation DAG as ONE query — the query a training-data
+    // pipeline actually runs: CCNet-style quality gate AND near-dedup
+    // survivor AND decontamination, then the leakage-aware split on
+    // whatever survives. Every stage reuses its standalone twin's
+    // machinery verbatim (quality_lm_gate / dedup_keep_list /
+    // decontaminated_keep / dataset_split) over ONE localCheckpointed
+    // corpus pass; the stage keep-sets compose as semi/anti joins on the
+    // thin doc_id column, so the composition adds no new shuffle shape.
+    "pipeline_keep" -> { (s, d) =>
+      val docs = Tables.documents(s, d).localCheckpoint()
+      val isBench = pmod(col("doc_id"), lit(20)) === 0
+      // stage 1 — quality: surprisal within 1.25x the corpus mean
+      val sur = TextAnalysis.lmSurprisalScore(docs, "text", "doc_id")
+        .localCheckpoint()
+      val mean = sur.agg(expr("sum(avg_surprisal_q10) div count(1)").as("mean_q10"))
+      val qual = sur.crossJoin(broadcast(mean))
+        .filter(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125)
+        .select(col("doc_id"))
+      // stage 2 — near-dedup: LSH cluster non-representatives lose
+      val losers = Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b")
+        .filter(col("node") =!= col("cluster_id"))
+        .select(col("node").as("doc_id"))
+      // stage 3 — decontamination: benchmark docs and their leaks drop
+      val hits = Curation.contaminationPairs(docs, "text", "doc_id",
+          isBench = isBench, n = 3, maxShingleDf = 50, minContainMilli = 100)
+        .select(col("doc_id")).distinct()
+      // stage 4 — leakage-aware split of the surviving corpus
+      val kept = docs.filter(!isBench)
+        .join(qual, Seq("doc_id"), "left_semi")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(hits, Seq("doc_id"), "left_anti")
+      Curation.datasetSplit(kept, "text", valPermille = 100, testPermille = 50)
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")
     },
@@ -1014,6 +1063,54 @@ object LlmQueries {
                      WHERE node <> cluster_id)
           SELECT doc_id FROM documents
           WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY 1""",
+    // chains the SAME CTE fragments as the four standalone stage oracles:
+    // minhash CC losers + contamination hits + lm gate + md5-bucket split
+    "pipeline_keep" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          losers AS (SELECT node FROM (
+                       SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1)
+                     WHERE node <> cluster_id),
+          ex AS (SELECT doc_id, (doc_id % 20 = 0) AS is_bench, unnest(s) AS g FROM valid),
+          freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+          rare AS (SELECT ex.doc_id, ex.is_bench, ex.g
+                   FROM ex JOIN freq USING (g) WHERE freq.df <= 50),
+          nbt AS (SELECT doc_id AS bench_id, count(*) AS nb
+                  FROM rare WHERE is_bench GROUP BY 1),
+          p AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
+                FROM rare c JOIN rare b ON c.g = b.g
+                WHERE NOT c.is_bench AND b.is_bench GROUP BY 1, 2),
+          hits AS (SELECT DISTINCT doc_id FROM p JOIN nbt USING (bench_id)
+                   WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100),
+          $lmPerDocCtes,
+          m AS (SELECT CAST(sum(avg_surprisal_q10) // count(*) AS BIGINT) AS mean_q10
+                FROM lm_perdoc),
+          qual AS (SELECT doc_id FROM lm_perdoc CROSS JOIN m
+                   WHERE avg_surprisal_q10 * 100 <= mean_q10 * 125),
+          keep AS (SELECT doc_id FROM documents
+                   WHERE doc_id % 20 <> 0
+                     AND doc_id IN (SELECT doc_id FROM qual)
+                     AND doc_id NOT IN (SELECT node FROM losers)
+                     AND doc_id NOT IN (SELECT doc_id FROM hits))
+          SELECT doc_id, bucket,
+                 CASE WHEN bucket < 50 THEN 'test'
+                      WHEN bucket < 150 THEN 'val'
+                      ELSE 'train' END AS split
+          FROM (SELECT doc_id,
+                  CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 AS bucket
+                FROM documents JOIN keep USING (doc_id))
+          ORDER BY doc_id""",
     "text_keywords" ->
       s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
           ex AS (SELECT doc_id, unnest(toks) AS term FROM base),
@@ -1121,6 +1218,30 @@ object LlmQueries {
                  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
           FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= 10
+          ORDER BY a, b""",
+    "dedup_simhash_wide" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          h AS (SELECT doc_id,
+                  list_transform(toks, t ->
+                    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs0,
+                  list_transform(toks, t ->
+                    CAST(('0x' || substr(md5(t || '#1'), 1, 15)) AS BIGINT)) AS hs1
+                FROM base),
+          f AS (SELECT doc_id,
+                  CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                    CASE WHEN list_sum(list_transform(hs0, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                    AS BIGINT) AS sh0,
+                  CAST(list_sum(list_transform(generate_series(0, 59), j ->
+                    CASE WHEN list_sum(list_transform(hs1, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                    AS BIGINT) AS sh1
+                FROM h)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1))
+                   AS BIGINT) AS hamming
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) <= 10
           ORDER BY a, b""",
     "dedup_embedding_pairs" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

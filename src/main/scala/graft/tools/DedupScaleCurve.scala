@@ -100,6 +100,31 @@ object DedupScaleCurve {
           isBench = pmod(col("doc_id"), lit(1000)) === 0,
           n = 3, maxShingleDf = 50, minContainMilli = 500).count())
       report("contamination", n, ccand, csc, cver, csv)
+
+      // SimHash, whole corpus as ONE block (the adversarial setting —
+      // blocking only bounds the quadratic, it doesn't fix it).
+      // 60-bit banding (halves=1): ~5.5-bit bands collide at random, so
+      // candidates grow ~n^2/4 — measured only up to 50k docs because the
+      // trap is the point. The width-scaled form (simhashHalvesFor) keeps
+      // band space >= 32n and stays planted-dup-dominated.
+      val db = d.withColumn("blk", lit(0L))
+      if (n <= 50000) {
+        val (scand, ssc) = time(
+          Dedup.simhashPairsWide(db, "text", "doc_id", "blk", maxHamming = 10,
+            halves = 1, verifyMaxHamming = 60).count())
+        val (sver, ssv) = time(
+          Dedup.simhashPairsWide(db, "text", "doc_id", "blk", maxHamming = 10,
+            halves = 1).count())
+        report("simhash60", n, scand, ssc, sver, ssv)
+      }
+      val h = Dedup.simhashHalvesFor(n)
+      val (wcand, wsc) = time(
+        Dedup.simhashPairsWide(db, "text", "doc_id", "blk", maxHamming = 10,
+          halves = h, verifyMaxHamming = 60 * h).count())
+      val (wver, wsv) = time(
+        Dedup.simhashPairsWide(db, "text", "doc_id", "blk", maxHamming = 10,
+          halves = h).count())
+      report(s"simhash_wide(h=$h)", n, wcand, wsc, wver, wsv)
     }
 
     vecSizes.foreach { n =>

@@ -53,6 +53,50 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)))
   }
 
+  test("simhashPairsWide: pigeonhole-complete vs brute force; halves=1 == 60-bit") {
+    // a corpus big enough for the bands to actually split work: 120 docs
+    // in 2 blocks, every 10th doc a 1-token edit of its predecessor
+    val wide = (0L until 120L).map { i =>
+      val cid = if (i % 10 == 0 && i > 0) i - 1 else i
+      val tail = if (cid == i) "" else " edited"
+      (i, s"blk${i % 2}",
+        (0 until 30).map(j => s"tok${(cid * 31 + j * 7) % 97}").mkString(" ") + tail)
+    }.toDF("doc_id", "source", "text")
+
+    def brute(halves: Int): Set[(Long, Long, Long)] = {
+      val f = wide.withColumn("_toks", graft.functions.TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          Dedup.simhashWideFromTokens(col("_toks"), halves).as("shs"))
+      f.as("x").join(f.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          (0 until halves).map(h => bit_count(element_at(col("x.shs"), h + 1)
+            .bitwiseXOR(element_at(col("y.shs"), h + 1)))).reduce(_ + _).cast("long"))
+        .as[(Long, Long, Long)].collect().filter(_._3 <= 10).toSet
+    }
+
+    for (halves <- Seq(1, 2, 3)) {
+      val banded = Dedup.simhashPairsWide(wide, "text", "doc_id", "source",
+        maxHamming = 10, halves = halves)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded === brute(halves),
+        s"banding must lose nothing vs all-pairs at halves=$halves")
+      assert(banded.nonEmpty, "fixture must contain near-dups")
+    }
+
+    // halves=1 is exactly the 60-bit operator's semantics
+    val h1 = Dedup.simhashPairsWide(wide, "text", "doc_id", "source",
+      maxHamming = 10, halves = 1).as[(Long, Long, Long)].collect().toSet
+    val h60 = Dedup.simhashPairs(wide, "text", "doc_id", "source", maxHamming = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(h1 === h60)
+
+    // the width rule: bands widen as blocks grow, capped at 60-bit bands
+    assert(Dedup.simhashHalvesFor(500L) >= 2)
+    assert(Dedup.simhashHalvesFor(500000L) === 6)
+    assert(Dedup.simhashHalvesFor(1L << 58) === 11)
+  }
+
   test("brute-force top-k: identical vector ranks first with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
