@@ -320,7 +320,8 @@ object Curation {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -367,6 +368,7 @@ object Curation {
       converged = changed == 0
       it += 1
     }
+    roundsOut.foreach(_.set(it))
     // A silent exit via the iteration cap would hand the caller unmerged
     // (wrong) cluster labels; a chain-shaped component longer than
     // maxIters must fail loudly, not quietly.

@@ -125,6 +125,20 @@ object DedupScaleCurve {
         Dedup.simhashPairsWide(db, "text", "doc_id", "blk", maxHamming = 10,
           halves = h).count())
       report(s"simhash_wide(h=$h)", n, wcand, wsc, wver, wsv)
+
+      // Connected components over the verified LSH pairs — the
+      // dedup_keep_list tail: label propagation + pointer jumping.
+      // Planted dups are predecessor pairs (2-cliques, the dominant
+      // real near-dup topology; the 60-node-chain spec pins the
+      // pathological-diameter bound at ~3+log2 d). Columns here:
+      // candidates=nodes, verified=clusters, secs_cand=full CC time.
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val (ccNodes, ccSec) = time(
+        Curation.connectedComponents(
+          Dedup.minhashLshPairs(d, "text", "doc_id", 3, 4, 4,
+            minJaccardMilli = 500),
+          "a", "b", roundsOut = Some(rounds)).count())
+      report(s"cc_label_prop(rounds=${rounds.get})", n, ccNodes, ccSec, ccNodes, 0.0)
     }
 
     vecSizes.foreach { n =>
