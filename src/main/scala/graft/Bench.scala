@@ -24,6 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      the query groups, reported in a separate `skew_demo` JSON block:
   *      its 32M-row working set raises heap/GC pressure for anything
   *      timed after it in the same JVM.
+  *   5. From-index SERVING forms (`served` block): the int8 / IVF+PQ /
+  *      BM25 indexes are built once untimed, then the from-index queries
+  *      are timed — the query-priced cost a production search path pays,
+  *      vs the one-shot forms that re-encode the corpus per run.
+  *   6. Clean-session RE-TIMING (`retimed` block): queries whose medians
+  *      moved >15% vs the previous BENCH_FULL.json are re-timed in a
+  *      fresh session, so group-boundary placement artifacts are
+  *      separable from real engine deltas without re-running anything by
+  *      hand.
   */
 object Bench {
   private def newSession(cpus: String): SparkSession = {
@@ -73,10 +82,27 @@ object Bench {
       graft.operators.CoreOps.sessionSummaryChunked(
         skewCorpus(spark, n), "user_id", "ts", 14400000000L, 21600000000L, "value")))
 
+  /** Per-query seconds out of a prior BENCH_FULL.json (the `"queries"`
+    * object) — names are `[a-z0-9_]+`, so a regex scan is a full parser.
+    */
+  private def prevQuerySeconds(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+        """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // the previous round's numbers — read BEFORE this run overwrites them
+    val prev = prevQuerySeconds(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
 
     // ---- Phase 1: the shipped queries, in family groups of ~20, each
     // group in its own SparkSession (see protocol note 1 above). ----
@@ -96,6 +122,46 @@ object Bench {
         groupResults
       }
 
+    // ---- Phase 1.5: from-index SERVING forms. The one-shot bench
+    // queries above re-encode the corpus per run (build-priced); a
+    // production search path builds the index ONCE and each query pays
+    // only the partition-pruned index read (query-priced). Build untimed,
+    // time the served queries — ranking parity with the one-shot forms is
+    // spec-proven, so these are bench-only entries (no oracle row). ----
+    val sparkSrv = newSession(cpus)
+    val servedResults = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{Similarity, TextAnalysis}
+      val emb = graft.sources.Tables.embeddings(sparkSrv, sfDir)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+      Similarity.writeInt8Index(corpus, s"$idx/int8")
+      Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq", centroidEvery = 25, m = 8, dim = 64)
+      TextAnalysis.writeInvertedIndex(graft.sources.Tables.documents(sparkSrv, sfDir),
+        "text", "doc_id", s"$idx/bm25")
+      val served: Seq[(String, () => DataFrame)] = Seq(
+        "sim_topk_int8_served" -> (() =>
+          Similarity.int8TopKFromIndex(sparkSrv, queries, s"$idx/int8", k = 5)),
+        "sim_topk_ivfpq_served" -> (() =>
+          Similarity.ivfPqTopKFromIndex(sparkSrv, queries, corpus, s"$idx/ivfpq",
+            k = 5, centroidEvery = 25, nprobe = 3, m = 8, dim = 64)),
+        "search_bm25_served" -> (() =>
+          TextAnalysis.bm25SearchFromIndex(sparkSrv, s"$idx/bm25",
+            Seq("window", "hash", "stream", "dup"), topK = 50)))
+      served.foreach { case (_, fn) =>
+        try fn().count() catch { case _: Throwable => () } // warm-up
+      }
+      served.map { case (name, fn) =>
+        val (sec, ok) = timed(runs)(fn().count())
+        (name, sec, ok)
+      }
+    }
+    sparkSrv.stop()
+    System.gc()
+
     // ---- Phase 2: the 16M-row skew demo, in a fresh session. ----
     val spark2 = newSession(cpus)
     skewPair(spark2, 2000000L).foreach { case (_, fn) =>
@@ -106,6 +172,33 @@ object Bench {
       (name, sec, ok)
     }
     spark2.stop()
+    System.gc()
+
+    // ---- Phase 3: clean-session re-timing of round-over-round deltas.
+    // A query's group placement shades its median (group-boundary
+    // artifacts measured at ±30% on unchanged code), so any query whose
+    // delta vs the previous BENCH_FULL exceeds 15% (and is big enough
+    // for the delta to mean anything) is re-timed TimeQ-style in one
+    // fresh session; both numbers land in the artifact so a reader can
+    // separate engine changes from harness placement. ----
+    val retimed: Seq[(String, Double)] = {
+      val flagged = results.collect {
+        case (name, sec, true) if prev.get(name).exists(p =>
+          math.max(p, sec) > 0.2 && math.abs(sec - p) / p > 0.15) => name
+      }
+      if (flagged.isEmpty) Nil
+      else {
+        val s3 = newSession(cpus)
+        val out = flagged.map { name =>
+          val fn = SparkEntry.queries(name)
+          try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
+          val (sec, _) = timed(runs)(fn(s3, sfDir).count())
+          (name, sec)
+        }
+        s3.stop()
+        out
+      }
+    }
 
     // ---- Reporting. The driver captures only the LAST ~2000 chars of
     // stdout and parses one JSON line out of it (sbt appends ~70 chars of
@@ -118,13 +211,16 @@ object Bench {
     def entries(rs: Seq[(String, Double, Boolean)]): Seq[String] =
       rs.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
     val skewQs = entries(skewResults).mkString("{", ",", "}")
-    val errors = (results ++ skewResults).collect { case (k, _, false) => "\"" + k + "\"" }
+    val servedQs = entries(servedResults).mkString("{", ",", "}")
+    val retimedQs = retimed.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val errors = (results ++ servedResults ++ skewResults)
+      .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(results).mkString("{", ",", "}")},"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(results).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -137,7 +233,7 @@ object Bench {
     val budgetTotal = 1750
     val slowestFirst = entries(results.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"skew_demo":$skew,"runs_per_query":$runs,"errors":$errs,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":$runs,"errors":$errs,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
       .map { case (sk, er) =>
         val room = budgetTotal - mk(Nil, sk, er).length
