@@ -75,6 +75,40 @@ object DataGenerators {
     }
   }
 
+  private val docTemplates = Seq(
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "this is a wholly new document about storage engines and their many compaction strategies",
+    "a different tale of rivers and mountains told slowly by the old storyteller at dusk",
+    "engineers at the plant reviewed the turbine logs and filed a careful report on friday")
+
+  /** Document CSV files (`"doc_id","source","text"`), one per file, for
+    * the streaming-curation pipeline: rotates sentence templates, emits a
+    * near-duplicate (last word swapped) every 4th record and a junk doc
+    * (fails the quality gate) every 7th — so the pipeline has something
+    * to gate, dedup and index.
+    */
+  def docFiles(dir: String, records: Int = 40, intervalMs: Long = 50, seed: Long = 11): Handle = {
+    Files.createDirectories(Paths.get(dir))
+    spawn { flag =>
+      val rnd = new Random(seed)
+      var i = 0
+      while (flag.get() && i < records) {
+        val text =
+          if (i % 7 == 6) "@@@@ #### $$$$ !!!! ???? %%%%"
+          else {
+            val base = docTemplates(rnd.nextInt(docTemplates.size))
+            if (i % 4 == 3) base.reverse.dropWhile(_ != ' ').reverse + "tomorrow"
+            else base
+          }
+        val row = Seq(i.toString, s"src${i % 3}", text)
+          .map(v => "\"" + v + "\"").mkString(",")
+        atomicWrite(Paths.get(dir, s"doc_$i.csv"), row)
+        i += 1
+        Thread.sleep(intervalMs)
+      }
+    }
+  }
+
   /** Write-then-rename so the streaming file source never reads a partial
     * file (the reference writes in place, racy on purpose-built FS only).
     */

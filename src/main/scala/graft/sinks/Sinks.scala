@@ -116,6 +116,22 @@ object Sinks {
       finally { b.unpersist(); () }
     }
 
+  /** [[fanoutSink]] with the micro-batch id passed through to every
+    * branch — for branches whose writes are idempotent PER BATCH ID
+    * (batch-partition sinks, index appends): one cached source read feeds
+    * all branches AND a replayed micro-batch overwrites its own output
+    * instead of duplicating it (exactly-once contents under
+    * foreachBatch's at-least-once replay).
+    */
+  def fanoutSinkById(
+      df: DataFrame,
+      branches: Seq[(String, (DataFrame, Long) => Unit)]): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+      val b = batch.toDF().persist()
+      try branches.foreach { case (_, handle) => handle(b, id) }
+      finally { b.unpersist(); () }
+    }
+
   /** Test sink: named in-memory table. */
   def memorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): DataStreamWriter[Row] =
     df.writeStream.format("memory").queryName(name).outputMode(mode)
