@@ -304,6 +304,114 @@ object Curation {
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
   }
 
+  /** Deterministic training-order shard assignment: every document gets a
+    * `(shard, pos)` — a pseudo-random but reproducible global shuffle,
+    * sharded for parallel dataloaders. `hkey` (48-bit salted md5 of the
+    * id) IS the shuffle: ordering by it inside each shard is the
+    * permutation, no RNG state anywhere.
+    *
+    * Dense positions are computed WITHOUT a per-shard global sort: hkey
+    * ranges are pre-chunked (`chunkDiv` — a monotone function of hkey, so
+    * chunk order = hkey order), per-(shard, chunk) counts — a tiny
+    * summary — are prefix-summed with a broadcast range self-join, and
+    * only the within-chunk remainder uses a window PARTITIONED by
+    * (shard, chunk). The same two-pass shape as [[packSequencesChunked]]:
+    * no reducer ever sorts more than one chunk of one shard, at any
+    * corpus size.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      chunkDiv: Long = 1L << 40): DataFrame = {
+    val base = df
+      .withColumn("__hkey", hash48(concat(lit("shuffle:"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("__hkey"), lit(shards.toLong)))
+      .withColumn("__chunk", longDiv(col("__hkey"), chunkDiv))
+    val chunkCounts = base.groupBy(col("shard"), col("__chunk"))
+      .agg(count(lit(1)).as("__ccnt"))
+    val prevCounts = chunkCounts
+      .join(
+        broadcast(chunkCounts.select(col("shard").as("__ps"),
+          col("__chunk").as("__pc"), col("__ccnt").as("__pcnt"))),
+        col("__ps") === col("shard") && col("__pc") < col("__chunk"), "left")
+      .groupBy(col("shard"), col("__chunk"))
+      .agg(sum(col("__pcnt")).as("__prev_cnt"))
+    val w = Window.partitionBy(col("shard"), col("__chunk"))
+      .orderBy(col("__hkey"), col(idCol))
+    base
+      .join(broadcast(prevCounts), Seq("shard", "__chunk"))
+      .withColumn("pos", coalesce(col("__prev_cnt"), lit(0L)) + row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Token-budget corpus selection (the data-mixing primitive): per
+    * `srcCol` stratum, keep the highest-quality documents whose running
+    * token total stays within `budgetTokens` — rank by
+    * (quality_milli DESC, id ASC), keep while the inclusive cumulative
+    * token count is <= budget.
+    *
+    * Scale shape: NO per-source global sort. quality_milli is an integer
+    * in [0, 1000], so the rank order is two nested prefix sums over
+    * bounded summaries:
+    *   1. per-(source, quality) token totals (<= sources x 1001 rows)
+    *      prefix-summed over strictly-better quality via broadcast
+    *      self-join;
+    *   2. within one (source, quality) cell, per-id-chunk totals
+    *      (`chunkDiv` on the id) prefix-summed the same way, with only
+    *      the within-chunk remainder in a window PARTITIONED by
+    *      (source, quality, chunk).
+    * Every shuffle key set is bounded; the widest window partition is one
+    * id-chunk of one quality cell.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      budgetTokens: Long,
+      chunkDiv: Long = 100000L): DataFrame = {
+    val base = df
+      .withColumn("quality_milli", TextAnalysis.qualityMilli(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__chunk", longDiv(col(idCol).cast("long"), chunkDiv))
+    // 1. tokens in strictly-better quality levels, per source
+    val perQ = base.groupBy(col(srcCol), col("quality_milli"))
+      .agg(sum(col("n_tokens")).as("__qsum"))
+    val betterQ = perQ
+      .join(
+        broadcast(perQ.select(col(srcCol).as("__bs"),
+          col("quality_milli").as("__bq"), col("__qsum").as("__bsum"))),
+        col("__bs") === col(srcCol) && col("__bq") > col("quality_milli"), "left")
+      .groupBy(col(srcCol), col("quality_milli"))
+      .agg(sum(col("__bsum")).as("__better_sum"))
+    // 2. tokens in earlier id-chunks of the SAME quality level
+    val perChunk = base.groupBy(col(srcCol), col("quality_milli"), col("__chunk"))
+      .agg(sum(col("n_tokens")).as("__csum"))
+    val prevChunk = perChunk
+      .join(
+        broadcast(perChunk.select(col(srcCol).as("__ps"),
+          col("quality_milli").as("__pq"), col("__chunk").as("__pc"),
+          col("__csum").as("__psum"))),
+        col("__ps") === col(srcCol) && col("__pq") === col("quality_milli") &&
+          col("__pc") < col("__chunk"), "left")
+      .groupBy(col(srcCol), col("quality_milli"), col("__chunk"))
+      .agg(sum(col("__psum")).as("__prev_sum"))
+    // 3. within-chunk inclusive running total, then the budget gate
+    val w = Window.partitionBy(col(srcCol), col("quality_milli"), col("__chunk"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(betterQ), Seq(srcCol, "quality_milli"))
+      .join(broadcast(prevChunk), Seq(srcCol, "quality_milli", "__chunk"))
+      .withColumn("cum_tokens",
+        coalesce(col("__better_sum"), lit(0L)) +
+          coalesce(col("__prev_sum"), lit(0L)) + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(srcCol), col("quality_milli"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every
     * node is labelled with the minimum id reachable from it.

@@ -460,6 +460,20 @@ object LlmQueries {
         4096, chunkCol = floor(col("doc_id") / 100))
         .orderBy("doc_id")
     },
+    // Deterministic training-order shuffle: (shard, pos) per doc, dense
+    // positions via chunked prefix counts — never a per-shard global sort.
+    "shuffle_shards" -> { (s, d) =>
+      Curation.shuffleShards(Tables.documents(s, d), "doc_id",
+        shards = 8, chunkDiv = 1L << 44)
+        .orderBy("shard", "pos")
+    },
+    // Token-budget selection: per source, highest-quality docs whose
+    // inclusive running token total stays within budget.
+    "token_budget_select" -> { (s, d) =>
+      Curation.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "text",
+        "source", budgetTokens = 700L, chunkDiv = 50L)
+        .orderBy("source", "doc_id")
+    },
     // Duplicate clusters: connected components over MinHash-LSH verified
     // pairs (jaccard >= 0.5), labelled by minimum reachable doc id.
     "dedup_clusters" -> { (s, d) =>
@@ -1028,6 +1042,31 @@ object LlmQueries {
                  CAST(cum_before // 4096 AS BIGINT) AS bin,
                  CAST(cum_before % 4096 AS BIGINT) AS bin_offset
           FROM c ORDER BY doc_id""",
+    "shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hkey
+               FROM documents)
+          SELECT doc_id, hkey % 8 AS shard,
+                 CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) AS BIGINT) AS pos
+          FROM h ORDER BY shard, pos""",
+    "token_budget_select" ->
+      s"""WITH base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+          m AS (SELECT doc_id, source, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          q AS (SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
+                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
+                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
+                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
+                    AS quality_milli
+                FROM m),
+          c AS (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY quality_milli DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                FROM q)
+          SELECT doc_id, source, quality_milli, n_tokens, cum_tokens
+          FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
           $minhashCandCtes,

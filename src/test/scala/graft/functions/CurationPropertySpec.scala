@@ -257,4 +257,70 @@ class CurationPropertySpec extends SparkSpec {
       assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
     }
   }
+
+  test("shuffleShards: dense per-shard positions, invariant across chunkings") {
+    val docs = randomDocs(41L, 700)
+    // chunkDiv choices spanning one-chunk-per-shard to many: the chunked
+    // prefix must be invisible in the output
+    val runs = Seq(1L << 48, 1L << 44, (1L << 44) + 12345L).map { div =>
+      Curation.shuffleShards(docs, "doc_id", shards = 8, chunkDiv = div)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    }
+    assert(runs(0) === runs(1) && runs(1) === runs(2),
+      "shard/pos must not depend on the chunking")
+    val rows = runs.head
+    assert(rows.map(_._1).distinct.size === 700, "every doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, in) =>
+      assert(in.map(_._3).sorted === (1L to in.size.toLong),
+        s"shard $shard: positions must be dense 1..n")
+    }
+    // the permutation is the hkey order: deterministic re-run identical
+    val again = Curation.shuffleShards(docs, "doc_id", shards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(again === rows)
+  }
+
+  test("tokenBudgetSelect: budget respected, rank-prefix closed, chunking-invariant") {
+    val docs = randomDocs(42L, 600)
+    val budget = 1500L
+    val runs = Seq(1000000L, 50L, 37L).map { div =>
+      Curation.tokenBudgetSelect(docs, "doc_id", "text", "source", budget, chunkDiv = div)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(runs(0) === runs(1) && runs(1) === runs(2),
+      "selection must not depend on the chunking")
+    val rows = runs.head
+    val full = docs
+      .withColumn("q", TextAnalysis.qualityMilli(col("text")))
+      .withColumn("t", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .select("doc_id", "source", "q", "t")
+      .as[(Long, String, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (src, kept) =>
+      // inclusive running total in (quality desc, id asc) order stays
+      // within budget and reconstructs the reported cum_tokens
+      val order = kept.sortBy(r => (-r._3, r._1))
+      var cum = 0L
+      order.foreach { r =>
+        cum += r._4
+        assert(r._5 === cum, s"$src doc ${r._1}: cum mismatch")
+      }
+      assert(cum <= budget, s"$src: budget exceeded ($cum)")
+      // prefix-closed: everything ranked better than a kept doc is kept
+      val keptIds = kept.map(_._1).toSet
+      val bestKept = order.lastOption
+      bestKept.foreach { worst =>
+        full.filter(f => f._2 == src &&
+            (f._3 > worst._3 || (f._3 == worst._3 && f._1 < worst._1)))
+          .foreach(f => assert(keptIds.contains(f._1),
+            s"$src: better-ranked doc ${f._1} missing from the keep set"))
+      }
+      // maximal: the next doc in rank order would blow the budget
+      val rejected = full.filter(f => f._2 == src && !keptIds.contains(f._1))
+      if (rejected.nonEmpty) {
+        val next = rejected.sortBy(f => (-f._3, f._1)).head
+        assert(cum + next._4 > budget,
+          s"$src: doc ${next._1} would still fit (${cum + next._4} <= $budget)")
+      }
+    }
+  }
 }
