@@ -345,24 +345,33 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
-  /** Token-budget corpus selection (the data-mixing primitive): per
-    * `srcCol` stratum, keep the highest-quality documents whose running
-    * token total stays within `budgetTokens` — rank by
-    * (quality_milli DESC, id ASC), keep while the inclusive cumulative
-    * token count is <= budget.
+  /** Token-budget corpus selection by QUALITY RANK: per `srcCol` stratum,
+    * keep the highest-quality documents whose running token total stays
+    * within `budgetTokens` — rank by (quality_milli DESC, id ASC), keep
+    * while the inclusive cumulative token count is <= budget.
+    * ([[tokenBudgetSample]] is the arrival-order cousin — it fills each
+    * stratum's budget in id order; this op SELECTS the best docs first,
+    * which needs the rank order and therefore the bounded-prefix plan
+    * below instead of a plain per-stratum running sum.)
     *
     * Scale shape: NO per-source global sort. quality_milli is an integer
     * in [0, 1000], so the rank order is two nested prefix sums over
-    * bounded summaries:
+    * bounded SUMMARY frames (never the raw rows):
     *   1. per-(source, quality) token totals (<= sources x 1001 rows)
-    *      prefix-summed over strictly-better quality via broadcast
-    *      self-join;
+    *      prefix-summed over strictly-better quality by a window
+    *      partitioned by source — a partition is <= 1001 summary rows;
     *   2. within one (source, quality) cell, per-id-chunk totals
-    *      (`chunkDiv` on the id) prefix-summed the same way, with only
-    *      the within-chunk remainder in a window PARTITIONED by
-    *      (source, quality, chunk).
-    * Every shuffle key set is bounded; the widest window partition is one
-    * id-chunk of one quality cell.
+    *      (`chunkDiv` on the id) prefix-summed by a window partitioned
+    *      by (source, quality) — a partition is that cell's chunk list,
+    *      with only the within-chunk remainder in a window PARTITIONED
+    *      by (source, quality, chunk) over the raw rows.
+    * Every window partition is bounded; the widest raw-row partition is
+    * one id-chunk of one quality cell. (An earlier form prefix-summed the
+    * summaries via broadcast self-joins on an inequality — Spark plans
+    * the `<` as a per-probe-row scan of the matching hash bucket, which
+    * is O(chunks^2) per cell: measured 31 s at the 10x smoke vs linear
+    * for this window form. The summaries are small; the windows over
+    * them are the right tool.)
     */
   def tokenBudgetSelect(
       df: DataFrame,
@@ -371,32 +380,40 @@ object Curation {
       srcCol: String,
       budgetTokens: Long,
       chunkDiv: Long = 100000L): DataFrame = {
+    // quality_milli is a grouping/join/window key for every frame below,
+    // and its stopword filter is an interpreted HOF — left lazy it
+    // re-evaluates once per consumer (measured 3 s/pass at the 10x
+    // smoke, ~5 passes). Materialize the 5 narrow columns once; the text
+    // column never leaves this scan.
     val base = df
       .withColumn("quality_milli", TextAnalysis.qualityMilli(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("__chunk", longDiv(col(idCol).cast("long"), chunkDiv))
-    // 1. tokens in strictly-better quality levels, per source
+      .select(col(idCol), col(srcCol), col("quality_milli"),
+        col("n_tokens"), col("__chunk"))
+      .localCheckpoint()
+    // 1. tokens in strictly-better quality levels, per source: a window
+    // over the <= 1001-row-per-source SUMMARY (quality values are unique
+    // after the groupBy, so "rows up to the previous one" under a DESC
+    // order is exactly the strictly-better set)
     val perQ = base.groupBy(col(srcCol), col("quality_milli"))
       .agg(sum(col("n_tokens")).as("__qsum"))
+    val wq = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val betterQ = perQ
-      .join(
-        broadcast(perQ.select(col(srcCol).as("__bs"),
-          col("quality_milli").as("__bq"), col("__qsum").as("__bsum"))),
-        col("__bs") === col(srcCol) && col("__bq") > col("quality_milli"), "left")
-      .groupBy(col(srcCol), col("quality_milli"))
-      .agg(sum(col("__bsum")).as("__better_sum"))
-    // 2. tokens in earlier id-chunks of the SAME quality level
+      .select(col(srcCol), col("quality_milli"),
+        sum(col("__qsum")).over(wq).as("__better_sum"))
+    // 2. tokens in earlier id-chunks of the SAME quality level: same
+    // window shape over the per-cell chunk summary
     val perChunk = base.groupBy(col(srcCol), col("quality_milli"), col("__chunk"))
       .agg(sum(col("n_tokens")).as("__csum"))
+    val wc = Window.partitionBy(col(srcCol), col("quality_milli"))
+      .orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prevChunk = perChunk
-      .join(
-        broadcast(perChunk.select(col(srcCol).as("__ps"),
-          col("quality_milli").as("__pq"), col("__chunk").as("__pc"),
-          col("__csum").as("__psum"))),
-        col("__ps") === col(srcCol) && col("__pq") === col("quality_milli") &&
-          col("__pc") < col("__chunk"), "left")
-      .groupBy(col(srcCol), col("quality_milli"), col("__chunk"))
-      .agg(sum(col("__psum")).as("__prev_sum"))
+      .select(col(srcCol), col("quality_milli"), col("__chunk"),
+        sum(col("__csum")).over(wc).as("__prev_sum"))
     // 3. within-chunk inclusive running total, then the budget gate
     val w = Window.partitionBy(col(srcCol), col("quality_milli"), col("__chunk"))
       .orderBy(col(idCol))

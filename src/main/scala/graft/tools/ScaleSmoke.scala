@@ -146,6 +146,16 @@ object ScaleSmoke {
       graft.functions.Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
         Map("src0" -> 100000L), 50000L).count()
     }
+    // budget scaled to keep ~half of each 120-token-doc stratum; chunkDiv
+    // sized for ~50 chunks per (source, quality) cell at the 10x point
+    time("token-budget select (by quality)") {
+      graft.functions.Curation.tokenBudgetSelect(docs, "doc_id", "text", "source",
+        budgetTokens = docsN * 3L, chunkDiv = math.max(docsN / 1000L, 1L)).count()
+    }
+    time("shard shuffle (64 shards)") {
+      graft.functions.Curation.shuffleShards(docs, "doc_id", shards = 64,
+        chunkDiv = 1L << 40).count()
+    }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))
