@@ -429,6 +429,61 @@ object Curation {
         col("n_tokens"), col("cum_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under the TARGET
+    * distribution (docs matching `targetPred` — the "looks like
+    * Wikipedia" side) than under the RAW corpus distribution. Selection
+    * is then a threshold/top-fraction filter on the weight — the
+    * data-mixing primitive for "make the corpus look like the target".
+    *
+    * Per-occurrence contribution for a trigram hashing to bucket b:
+    * `log2 p_tgt(b) - log2 p_raw(b)` with add-one smoothing over
+    * `buckets` features; the per-doc weight is the sum over its trigram
+    * occurrences. All integer Q10 log2 (see [[TextAnalysis.log2Q10Sql]]),
+    * so the DuckDB oracle matches bit-for-bit. With `targetPred` true for
+    * every doc the two models coincide and every weight is exactly 0 —
+    * spec-gated.
+    *
+    * Scale shape: one corpus-sized trigram explode collapsed immediately
+    * to per-(doc, bucket) multiplicities (lazily checkpointed — both
+    * models and the scorer share it); the model frame is <= `buckets`
+    * rows and the totals one row, both broadcast back; the weight is one
+    * per-doc re-aggregate. Nothing scales worse than the corpus itself.
+    *
+    * Output: `(doc_id, n_tri, dsir_w_q10)`, one row per doc with >= 1
+    * trigram.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      targetPred.cast("boolean").as("__tgt"))
+    val td = TextAnalysis.charTrigrams(base, "__text", "doc_id", carryCols = Seq("__tgt"))
+      .withColumn("b", pmod(TextAnalysis.portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    // target and raw bucket models in ONE re-aggregate of the shared frame
+    val model = td.groupBy(col("b"))
+      .agg(sum(when(col("__tgt"), col("k")).otherwise(lit(0L))).as("ct"),
+        sum(col("k")).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val l = TextAnalysis.log2Q10Sql _
+    td.join(broadcast(model), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("t1",
+        col("k") * expr(s"${l("(ct + 1)")} - ${l("(cr + 1)")}"))
+      .groupBy(col("doc_id"), col("tt"), col("tr"))
+      .agg(sum(col("t1")).as("s1"), sum(col("k")).as("n_tri"))
+      .withColumn("dsir_w_q10", expr(
+        s"cast(s1 + n_tri * (${l(s"(tr + $buckets)")} - ${l(s"(tt + $buckets)")}) as bigint)"))
+      .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
+  }
+
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every
     * node is labelled with the minimum id reachable from it.

@@ -407,6 +407,28 @@ object LlmQueries {
       TextAnalysis.lmSurprisalScore(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")
     },
+    // Trained Naive Bayes language classifier (the fastText-style
+    // curation classifier): content-hash train split, hashed-trigram
+    // features, integer-exact log2 scores; every doc scored, prediction
+    // next to the actual label and the split side.
+    "nb_langid" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
+        .join(docs.select(col("doc_id"), col("lang"),
+          (pmod(Curation.hash48(col("text")), lit(1000)) < 800).as("__tr")), "doc_id")
+        .select(col("doc_id"), col("pred_label").as("pred_lang"), col("score_q10"),
+          col("lang"),
+          when(col("__tr"), lit(1L)).otherwise(lit(0L)).as("is_train"),
+          when(col("pred_label") === col("lang"), lit(1L)).otherwise(lit(0L)).as("hit"))
+        .orderBy("doc_id")
+    },
+    // DSIR importance weights against an English target distribution —
+    // the data-selection primitive: weight > 0 means "more target-like
+    // than the raw corpus", selection is a filter on the weight.
+    "dsir_weights" -> { (s, d) =>
+      Curation.dsirWeights(Tables.documents(s, d), "text", "doc_id",
+        col("lang") === "en").orderBy("doc_id")
+    },
     // Bigram collocations by PMI (integer-exact log2 sums) — multi-word
     // units a vocab builder should fuse.
     "text_collocations" -> { (s, d) =>
@@ -868,6 +890,63 @@ object LlmQueries {
     "text_lm_surprisal" ->
       s"""WITH $lmPerDocCtes
           SELECT doc_id, n_tri, avg_surprisal_q10 FROM lm_perdoc ORDER BY doc_id""",
+    "nb_langid" ->
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt, lang,
+                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 < 800 AS tr
+               FROM documents),
+          tri AS (SELECT doc_id, lang, tr, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM base),
+          td AS (SELECT doc_id, lang, tr,
+                   CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
+                   count(*) AS k
+                 FROM tri GROUP BY 1, 2, 3, 4),
+          m AS (SELECT lang AS c, b, CAST(sum(k) AS BIGINT) AS n_cb
+                FROM td WHERE tr GROUP BY 1, 2),
+          ctot AS (SELECT c, CAST(sum(n_cb) AS BIGINT) AS n_c FROM m GROUP BY 1),
+          pri AS (SELECT lang AS c, count(*) AS d_c FROM base WHERE tr GROUP BY 1),
+          cls AS (SELECT c, n_c, d_c FROM ctot JOIN pri USING (c)),
+          sc AS (SELECT t.doc_id, cls.c,
+                   CAST(${l1024Sql("d_c")} +
+                        sum(t.k * ${l1024Sql("(coalesce(m.n_cb, 0) + 1)")}) -
+                        sum(t.k) * ${l1024Sql("(n_c + 4096)")} AS BIGINT) AS score_q10
+                 FROM (SELECT doc_id, b, k FROM td) t
+                 CROSS JOIN cls
+                 LEFT JOIN m ON m.c = cls.c AND m.b = t.b
+                 GROUP BY t.doc_id, cls.c, cls.n_c, cls.d_c),
+          p AS (SELECT doc_id, c AS pred_lang, score_q10,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_q10 DESC, c) AS rn
+                FROM sc)
+          SELECT p.doc_id, p.pred_lang, p.score_q10, base.lang,
+                 CAST(CASE WHEN base.tr THEN 1 ELSE 0 END AS BIGINT) AS is_train,
+                 CAST(CASE WHEN p.pred_lang = base.lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+          FROM p JOIN base USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
+    "dsir_weights" ->
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt, lang = 'en' AS tg
+               FROM documents),
+          tri AS (SELECT doc_id, tg, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM base),
+          td AS (SELECT doc_id, tg,
+                   CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
+                   count(*) AS k
+                 FROM tri GROUP BY 1, 2, 3),
+          m AS (SELECT b, CAST(sum(CASE WHEN tg THEN k ELSE 0 END) AS BIGINT) AS ct,
+                  CAST(sum(k) AS BIGINT) AS cr
+                FROM td GROUP BY 1),
+          tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                    CAST(sum(cr) AS BIGINT) AS tr FROM m)
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tri,
+                 CAST(sum(k * (${l1024Sql("(ct + 1)")} - ${l1024Sql("(cr + 1)")})) +
+                      sum(k) * (${l1024Sql("(tr + 4096)")} - ${l1024Sql("(tt + 4096)")})
+                   AS BIGINT) AS dsir_w_q10
+          FROM td JOIN m USING (b) CROSS JOIN tot
+          GROUP BY doc_id, tt, tr ORDER BY doc_id""",
     "quality_lm_gate" ->
       s"""WITH $lmPerDocCtes,
           m AS (SELECT CAST(sum(avg_surprisal_q10) // count(*) AS BIGINT) AS mean_q10

@@ -473,7 +473,7 @@ object TextAnalysis {
     * nondeterminism that breaks bit-for-bit oracle parity. Pure
     * bit-length/shift/`div` arithmetic is identical everywhere.
     */
-  private def log2Q10Sql(x: String): String =
+  private[graft] def log2Q10Sql(x: String): String =
     s"((length(bin($x)) - 1) * 1024 + " +
       s"(shiftleft($x, 10) div shiftleft(cast(1 as bigint), length(bin($x)) - 1)) - 1024)"
 
@@ -564,5 +564,72 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_tri"), sum(col("k") * col("s_q10")).as("sum_s"))
       .withColumn("avg_surprisal_q10", expr("cast(sum_s div n_tri as bigint)"))
       .select(col("doc_id"), col("n_tri"), col("avg_surprisal_q10"))
+  }
+
+  /** Trained Naive Bayes text classifier — the in-engine analog of the
+    * fastText-style curation classifiers (language ID, domain routing,
+    * quality gating) every large training-data pipeline runs: hashed
+    * char-trigram bag features (`buckets`-way), add-one smoothing,
+    * integer-exact log2 scores (see [[log2Q10Sql]] — no libm, so the
+    * DuckDB oracle reproduces every score bit-for-bit).
+    *
+    * Trains on the content-hash split `md5(text) % 1000 < trainPermille`
+    * (the `Curation.datasetSplit` convention — exact dups co-assign, so
+    * the held-out side is leakage-free by construction) and scores EVERY
+    * doc with >= 1 trigram:
+    * `argmax_c [ log2(d_c) + sum_b k_b log2(n_cb + 1) - n log2(n_c + B) ]`
+    * (`d_c` = train docs of class c, `n_cb` = train count of bucket b in
+    * class c, `n_c` = class token total, `n` = the doc's trigram count),
+    * ties broken by label order.
+    *
+    * Scale shape: the trigram explode is the one corpus-sized pass,
+    * collapsed immediately to per-(doc, bucket) multiplicities and
+    * lazily checkpointed — the model and the scorer share that frame.
+    * The model is <= |classes| x `buckets` rows and the class table
+    * <= |classes| rows, both broadcast; scoring fans each (doc, bucket)
+    * row out exactly |classes| ways, re-aggregates per (doc, class), and
+    * picks the argmax with a window over |classes| rows per doc — no
+    * global sort, no all-pairs join, nothing proportional to corpus^2.
+    *
+    * Output: `(doc_id, pred_label, score_q10)`, one row per scored doc.
+    */
+  def nbClassify(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      trainPermille: Int = 800,
+      buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      col(labelCol).as("__label"),
+      (pmod(Curation.hash48(col(textCol)), lit(1000)) < trainPermille).as("__train"))
+    val td = charTrigrams(base, "__text", "doc_id", carryCols = Seq("__train", "__label"))
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("__label"), col("__train"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(false)
+    val m = td.filter(col("__train"))
+      .groupBy(col("__label").as("c"), col("b"))
+      .agg(sum(col("k")).as("n_cb"))
+    val classTot = m.groupBy(col("c")).agg(sum(col("n_cb")).as("n_c"))
+    // priors count ALL train docs of the class (trigram-less docs still
+    // vote for their class's prior), a second narrow pass over the scan
+    val priors = base.filter(col("__train"))
+      .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c"))
+    val classes = classTot.join(priors, "c")
+    val scored = td.select(col("doc_id"), col("b"), col("k"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(m), Seq("c", "b"), "left")
+      .withColumn("t1", col("k") * expr(log2Q10Sql("(coalesce(n_cb, 0) + 1)")))
+      .groupBy(col("doc_id"), col("c"), col("n_c"), col("d_c"))
+      .agg(sum(col("t1")).as("s1"), sum(col("k")).as("n_occ"))
+      .withColumn("score_q10",
+        expr(s"cast(${log2Q10Sql("d_c")} + s1 - n_occ * ${log2Q10Sql(s"(n_c + $buckets)")} as bigint)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q10").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("c").as("pred_label"), col("score_q10"))
   }
 }

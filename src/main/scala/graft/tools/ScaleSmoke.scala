@@ -156,6 +156,20 @@ object ScaleSmoke {
       graft.functions.Curation.shuffleShards(docs, "doc_id", shards = 64,
         chunkDiv = 1L << 40).count()
     }
+    // NB scoring cost is classes x corpus by design: 5 classes is the
+    // langid shape, 20 classes the heaviest legitimate (domain routing)
+    time("nb classify (5 classes)") {
+      TextAnalysis.nbClassify(
+        docs.withColumn("lang5", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
+        "text", "doc_id", "lang5").count()
+    }
+    time("nb classify (20 classes)") {
+      TextAnalysis.nbClassify(docs, "text", "doc_id", "source").count()
+    }
+    time("dsir weights") {
+      graft.functions.Curation.dsirWeights(docs, "text", "doc_id",
+        col("source") === "src0").count()
+    }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))

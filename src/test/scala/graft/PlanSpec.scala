@@ -132,7 +132,12 @@ class PlanSpec extends SparkSpec {
       "sim_topk_pq",
       // the IVF+PQ composite adds the probe scoring (queries x centroids,
       // both tiny) on top of the same bounded distance table
-      "sim_topk_ivfpq"
+      "sim_topk_ivfpq",
+      // NB scoring deliberately fans each (doc, bucket) row out once per
+      // class: the class table is bounded by the label DOMAIN (a handful
+      // of rows) and broadcast; the fan-out is the classifier's documented
+      // scoring cost, linear in the corpus
+      "nb_langid"
     )
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {

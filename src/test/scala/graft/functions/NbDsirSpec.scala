@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-fixture coverage for the trained NB classifier and the DSIR
+  * importance weights. The synthetic corpus's `lang` column is
+  * uncorrelated metadata (every doc is the same English-ish word soup),
+  * so — like the PII fixture — learning-quality assertions need planted
+  * data with genuinely distinct class distributions; the corpus queries
+  * (`nb_langid`, `dsir_weights`) gate arithmetic correctness via the
+  * DuckDB oracle.
+  */
+class NbDsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val enWords = Seq("the", "quick", "brown", "fox", "jumps", "over",
+    "lazy", "dog", "river", "stone")
+  private val frWords = Seq("le", "chat", "noir", "mange", "une", "pomme",
+    "verte", "jolie", "souvent", "fenetre")
+  private val zhWords = Seq("中文", "数据", "处理", "模型", "训练", "语料",
+    "质量", "分词", "索引", "查询")
+
+  /** 20 docs per class, 12 words each, deterministic word rotation so
+    * texts vary (the content-hash split needs distinct texts).
+    */
+  private def planted = {
+    def mk(words: Seq[String], label: String, base: Long) =
+      (0 until 20).map { i =>
+        val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+          .mkString(" ")
+        (base + i, txt, label)
+      }
+    (mk(enWords, "en", 0L) ++ mk(frWords, "fr", 100L) ++ mk(zhWords, "zh", 200L))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("nbClassify separates planted languages and scores every doc once") {
+    val docs = planted
+    val out = TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select("doc_id", "pred_label", "lang")
+      .as[(Long, String, String)].collect()
+    assert(out.length === 60, "every doc has >= 1 trigram and exactly one prediction")
+    assert(out.map(_._1).distinct.length === 60)
+    val acc = out.count(r => r._2 === r._3).toDouble / out.length
+    assert(acc >= 0.9, s"disjoint vocabularies must separate cleanly (acc=$acc)")
+  }
+
+  test("nbClassify breaks exact score ties by label order") {
+    // two labels with literally identical text sets -> identical priors
+    // and models -> every score ties -> the min label must win
+    val df = Seq(
+      (1L, "x y z x y z", "bb"), (2L, "x y z x y z", "aa"),
+      (3L, "p q r p q r", "bb"), (4L, "p q r p q r", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.nbClassify(df, "text", "doc_id", "lang",
+      trainPermille = 1000)
+      .select("doc_id", "pred_label").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "aa", 2L -> "aa", 3L -> "aa", 4L -> "aa"))
+  }
+
+  test("dsirWeights is exactly zero when the target is the whole corpus") {
+    // target model == raw model -> every per-occurrence log-ratio is 0
+    // and the totals term cancels: an exact integer invariant, not an
+    // approximation
+    val weights = Curation.dsirWeights(planted, "text", "doc_id", lit(true))
+      .select("dsir_w_q10").as[Long].collect()
+    assert(weights.length === 60)
+    assert(weights.forall(_ === 0L), s"got nonzero: ${weights.filter(_ != 0L).take(5).toSeq}")
+  }
+
+  test("dsirWeights ranks target-like docs strictly above the rest") {
+    val docs = planted
+    val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select("lang", "dsir_w_q10").as[(String, Long)].collect()
+    val en = w.filter(_._1 == "en").map(_._2)
+    val rest = w.filter(_._1 != "en").map(_._2)
+    // disjoint vocabularies: every en trigram mass sits in the target
+    // model (weight > 0), every fr/zh bucket is absent from it (weight < 0)
+    assert(en.min > 0L, s"en min ${en.min}")
+    assert(rest.max < 0L, s"rest max ${rest.max}")
+  }
+}
