@@ -484,6 +484,70 @@ object Curation {
       .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
   }
 
+  /** Train-half of [[dsirWeights]]: the frozen target/raw bucket model
+    * `(b, ct, cr)` — at most `buckets` rows, broadcastable — plus its
+    * totals via [[dsirModelTotals]]. The serving split (see
+    * `graft.streaming.StreamingCuration.dsirWeightStream`): estimate the
+    * two hashed-trigram distributions ONCE on the batch tier, score
+    * arriving docs with one broadcast lookup per trigram.
+    */
+  def dsirTrainModel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      targetPred.cast("boolean").as("__tgt"))
+    TextAnalysis.charTrigrams(base, "__text", "doc_id", carryCols = Seq("__tgt"))
+      .withColumn("b", pmod(TextAnalysis.portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__tgt"), lit(1L)).otherwise(lit(0L))).as("ct"),
+        count(lit(1)).as("cr"))
+  }
+
+  /** Totals of a [[dsirTrainModel]] frame — a bounded driver read BY
+    * CONSTRUCTION (the model is one row per bucket, the agg is 1 row).
+    */
+  def dsirModelTotals(model: DataFrame): (Long, Long) = {
+    val r = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")).head()
+    (r.getAs[Long]("tt"), r.getAs[Long]("tr"))
+  }
+
+  /** Score-half of [[dsirWeights]]: weight `docs` against a FROZEN model.
+    * Buckets the model never saw count as 0 in both distributions (the
+    * add-one smoothing absorbs them), so out-of-corpus text degrades
+    * gracefully. Totals are Scala Longs ([[TextAnalysis.log2Q10]] is
+    * bit-identical to the SQL form), so the scorer is a single narrow
+    * pass + broadcast join + one per-doc aggregate — no crossJoin, which
+    * is what lets the streaming twin run it as one watermarked agg.
+    * Scoring the training corpus against its own model reproduces
+    * [[dsirWeights]] exactly (spec-gated).
+    */
+  def dsirScoreAgainst(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: DataFrame,
+      targetTotal: Long,
+      rawTotal: Long,
+      buckets: Int = 4096): DataFrame = {
+    val l = TextAnalysis.log2Q10Sql _
+    val perDocConst =
+      TextAnalysis.log2Q10(rawTotal + buckets) - TextAnalysis.log2Q10(targetTotal + buckets)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    TextAnalysis.charTrigrams(base, "__text", "doc_id")
+      .withColumn("b", pmod(TextAnalysis.portableHash48(col("t")), lit(buckets)))
+      .join(broadcast(model), Seq("b"), "left")
+      .withColumn("s1", expr(
+        s"${l("(coalesce(ct, 0) + 1)")} - ${l("(coalesce(cr, 0) + 1)")}"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s1")).as("sum_s"))
+      .withColumn("dsir_w_q10",
+        expr(s"cast(sum_s + n_tri * $perDocConst as bigint)"))
+      .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
+  }
+
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every
     * node is labelled with the minimum id reachable from it.

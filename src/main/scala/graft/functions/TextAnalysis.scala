@@ -618,9 +618,73 @@ object TextAnalysis {
     val priors = base.filter(col("__train"))
       .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c"))
     val classes = classTot.join(priors, "c")
-    val scored = td.select(col("doc_id"), col("b"), col("k"))
+    nbScoreCore(td.select(col("doc_id"), col("b"), col("k")), m, classes, buckets)
+  }
+
+  /** Train-half of [[nbClassify]] — the model a serving tier freezes
+    * (see `graft.streaming.StreamingCuration.nbClassifyStream`): the
+    * per-(class, bucket) trigram counts `(c, b, n_cb)` and the class
+    * table `(c, n_c, d_c)`, both bounded by |classes| x `buckets` /
+    * |classes| rows (broadcastable by construction). Same content-hash
+    * train split and arithmetic as [[nbClassify]]; the trigram pass here
+    * skips the per-doc collapse (the model only needs per-(class,
+    * bucket) occurrence totals, and summing per-doc multiplicities is
+    * the same integer).
+    */
+  def nbTrainModel(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      trainPermille: Int = 800,
+      buckets: Int = 4096): (DataFrame, DataFrame) = {
+    val base = df.select(col(textCol).as("__text"), col(labelCol).as("__label"))
+      .filter(pmod(Curation.hash48(col("__text")), lit(1000)) < trainPermille)
+    val m = charTrigrams(base.withColumn("__id", col("__label")), "__text", "__id")
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id").as("c"), col("b"))
+      .agg(count(lit(1)).as("n_cb"))
+    val classTot = m.groupBy(col("c")).agg(sum(col("n_cb")).as("n_c"))
+    val priors = base.groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c"))
+    (m, classTot.join(priors, "c"))
+  }
+
+  /** Score-half of [[nbClassify]]: classify `docs` against a FROZEN
+    * model (the `(model, classes)` pair from [[nbTrainModel]]). Buckets
+    * absent from the model score via the same add-one smoothing, so
+    * out-of-vocabulary text degrades gracefully instead of erroring.
+    * Scoring the training corpus against its own model reproduces
+    * [[nbClassify]] exactly (spec-gated) — the batch/serving split
+    * changes WHEN the model is built, never a score bit.
+    */
+  def nbScoreAgainst(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      model: DataFrame,
+      classes: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val td = charTrigrams(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+      "__text", "doc_id")
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    nbScoreCore(td, model, classes, buckets)
+  }
+
+  /** Shared scoring kernel: fan each (doc, bucket, k) row out |classes|
+    * ways (class table broadcast), left-join the broadcast model,
+    * re-aggregate per (doc, class), argmax with label-order tie-break.
+    */
+  private def nbScoreCore(
+      td: DataFrame,
+      model: DataFrame,
+      classes: DataFrame,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = td
       .crossJoin(broadcast(classes))
-      .join(broadcast(m), Seq("c", "b"), "left")
+      .join(broadcast(model), Seq("c", "b"), "left")
       .withColumn("t1", col("k") * expr(log2Q10Sql("(coalesce(n_cb, 0) + 1)")))
       .groupBy(col("doc_id"), col("c"), col("n_c"), col("d_c"))
       .agg(sum(col("t1")).as("s1"), sum(col("k")).as("n_occ"))

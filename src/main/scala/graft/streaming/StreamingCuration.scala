@@ -95,6 +95,79 @@ object StreamingCuration {
         col("n_tri"), expr("cast(sum_s div n_tri as bigint)").as("avg_surprisal_q10"))
   }
 
+  /** Train-batch / score-stream NB classification (the fastText-style
+    * routing classifier in serving position): the model is frozen by
+    * [[graft.functions.TextAnalysis.nbTrainModel]] on the batch tier,
+    * and every micro-batch of documents is classified by the unchanged
+    * batch scorer ([[graft.functions.TextAnalysis.nbScoreAgainst]]) —
+    * the foreachBatch serving pattern of `StreamOps.bm25SearchStream` /
+    * `int8SearchStream`, because argmax-over-classes is two chained
+    * aggregations (score, then rank), which append-mode streaming can't
+    * express as one watermarked agg. Both model frames are bounded
+    * (|classes| x buckets / |classes| rows) and broadcast per batch; the
+    * stream pays one narrow trigram explode + two bounded-fanout aggs
+    * per micro-batch, no cross-batch state. Predictions converge exactly
+    * to the batch [[graft.functions.TextAnalysis.nbClassify]] when the
+    * stream replays the model's own training corpus (NbDsirSpec).
+    * `emit` receives (doc_id, pred_label, score_q10) per batch.
+    */
+  def nbClassifyStream(
+      docs: DataFrame,
+      model: DataFrame,
+      classes: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 4096)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          emit(TextAnalysis.nbScoreAgainst(
+            batch.toDF(), textCol, idCol, model, classes, buckets))
+    }
+
+  /** Train-batch / score-stream DSIR importance weighting (the same
+    * split as [[lmSurprisalStream]], and a TRUE streaming query — one
+    * watermarked aggregate, no foreachBatch): the target/raw bucket
+    * model is frozen by [[graft.functions.Curation.dsirTrainModel]] (+
+    * [[graft.functions.Curation.dsirModelTotals]]) on the batch tier;
+    * arriving docs pay a narrow trigram explode, one broadcast bucket
+    * lookup per occurrence, and a per-(window, doc) sum. Unseen buckets
+    * count 0 in both distributions (add-one smoothing absorbs them).
+    * Weights converge exactly to the batch
+    * [[graft.functions.Curation.dsirWeights]] on the training corpus
+    * (NbDsirSpec). Output: (window_start, doc_id, n_tri, dsir_w_q10) —
+    * downstream selection is a threshold filter on the weight, exactly
+    * as in batch.
+    */
+  def dsirWeightStream(
+      docs: DataFrame,
+      model: DataFrame,
+      targetTotal: Long,
+      rawTotal: Long,
+      textCol: String,
+      idCol: String,
+      tsCol: String,
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute",
+      buckets: Int = 4096): DataFrame = {
+    val l = TextAnalysis.log2Q10Sql _
+    val perDocConst = TextAnalysis.log2Q10(rawTotal + buckets) -
+      TextAnalysis.log2Q10(targetTotal + buckets)
+    TextAnalysis.charTrigrams(docs, textCol, idCol, carryCols = Seq(tsCol))
+      .withColumn("b",
+        pmod(TextAnalysis.portableHash48(col("t")), lit(buckets)))
+      .withWatermark(tsCol, horizon)
+      .join(broadcast(model), Seq("b"), "left")
+      .withColumn("s1", expr(
+        s"${l("(coalesce(ct, 0) + 1)")} - ${l("(coalesce(cr, 0) + 1)")}"))
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s1")).as("sum_s"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tri"),
+        expr(s"cast(sum_s + n_tri * $perDocConst as bigint)").as("dsir_w_q10"))
+  }
+
   /** Streaming benchmark-contamination gate (build-batch / gate-stream,
     * the same split as [[lmSurprisalStream]]): the bench-set shingle
     * Bloom is built once on the batch tier

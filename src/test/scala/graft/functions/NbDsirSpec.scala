@@ -71,6 +71,102 @@ class NbDsirSpec extends SparkSpec {
     assert(weights.forall(_ === 0L), s"got nonzero: ${weights.filter(_ != 0L).take(5).toSeq}")
   }
 
+  test("nbScoreAgainst on a frozen model reproduces nbClassify bit-for-bit") {
+    val docs = planted
+    val (model, classes) = TextAnalysis.nbTrainModel(docs, "text", "lang")
+    val viaModel = TextAnalysis.nbScoreAgainst(docs, "text", "doc_id", model, classes)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val direct = TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(viaModel.nonEmpty)
+    assert(viaModel === direct)
+  }
+
+  test("nbScoreAgainst smooths unseen buckets instead of erroring") {
+    val (model, classes) = TextAnalysis.nbTrainModel(planted, "text", "lang")
+    val oov = Seq((999L, "zzqj xvwk bbfg qqpl")).toDF("doc_id", "text")
+    val out = TextAnalysis.nbScoreAgainst(oov, "text", "doc_id", model, classes)
+      .as[(Long, String, Long)].collect()
+    assert(out.length === 1, "out-of-vocabulary text still gets one prediction")
+  }
+
+  test("dsirScoreAgainst on a frozen model reproduces dsirWeights bit-for-bit") {
+    val docs = planted
+    val model = Curation.dsirTrainModel(docs, "text", "doc_id", col("lang") === "en")
+      .cache()
+    val (tt, tr) = Curation.dsirModelTotals(model)
+    val viaModel = Curation.dsirScoreAgainst(docs, "text", "doc_id", model, tt, tr)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val direct = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaModel.nonEmpty)
+    assert(viaModel === direct)
+    model.unpersist()
+  }
+
+  test("streamed NB classification converges to the batch classifier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = planted
+    val (model, classes) =
+      TextAnalysis.nbTrainModel(docs, "text", "lang") match {
+        case (m, c) => (m.cache(), c.cache())
+      }
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = graft.streaming.StreamingCuration.nbClassifyStream(
+      input.toDF().toDF("doc_id", "text"), model, classes, "text", "doc_id") {
+      out => got ++= out.as[(Long, String, Long)](
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .collect()
+    }.start()
+    try {
+      rows.grouped(25).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val batch = TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.sortBy(_._1).toArray === batch)
+    } finally { q.stop(); model.unpersist(); classes.unpersist() }
+  }
+
+  test("streamed DSIR weights converge to the batch weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = planted
+    val model = Curation.dsirTrainModel(docs, "text", "doc_id",
+      col("lang") === "en").cache()
+    val (tt, tr) = Curation.dsirModelTotals(model)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val base = 1700000000000000L
+    val input = MemoryStream[(Long, String, Long)]
+    val scored = graft.streaming.StreamingCuration.dsirWeightStream(
+      input.toDF().toDF("doc_id", "text", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      model, tt, tr, "text", "doc_id", "ts",
+      horizon = "1 second", windowDur = "1 minute")
+    val q = scored.writeStream.format("memory").queryName("conv_dsir")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(25).foreach { b =>
+        input.addData(b.map { case (id, t) => (id, t, base + id) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "flush sentinel document", base + 365L * 86400000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_dsir").filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val batch = Curation.dsirWeights(docs, "text", "doc_id",
+        col("lang") === "en")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("dsirWeights ranks target-like docs strictly above the rest") {
     val docs = planted
     val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
