@@ -379,54 +379,74 @@ object Curation {
       textCol: String,
       srcCol: String,
       budgetTokens: Long,
+      chunkDiv: Long = 100000L): DataFrame =
+    // quality_milli is a grouping/join/window key for every frame in the
+    // selection core, and its stopword filter is an interpreted HOF —
+    // left lazy it re-evaluates once per consumer (measured 3 s/pass at
+    // the 10x smoke, ~5 passes). The core's checkpoint materializes the
+    // 5 narrow columns once; the text column never leaves this scan.
+    tokenBudgetSelectByQuality(
+      df.withColumn("quality_milli", TextAnalysis.qualityMilli(col(textCol)))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long")),
+      idCol, srcCol, "quality_milli", "n_tokens", budgetTokens, chunkDiv)
+
+  /** [[tokenBudgetSelect]] with a CALLER-SUPPLIED integer quality column
+    * in [0, 1000] — the hook that lets any scorer drive the selection
+    * (DSIR weights, NB confidence, LM surprisal buckets) while reusing
+    * the bounded-prefix plan unchanged. `qualityCol` MUST be bounded:
+    * the per-(source, quality) summary frame, and with it every window
+    * partition below, is bounded BY the quality domain — an unbounded
+    * score column would re-create the per-source global sort this plan
+    * exists to avoid. `tokensCol` is the per-doc token count.
+    */
+  def tokenBudgetSelectByQuality(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      qualityCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
       chunkDiv: Long = 100000L): DataFrame = {
-    // quality_milli is a grouping/join/window key for every frame below,
-    // and its stopword filter is an interpreted HOF — left lazy it
-    // re-evaluates once per consumer (measured 3 s/pass at the 10x
-    // smoke, ~5 passes). Materialize the 5 narrow columns once; the text
-    // column never leaves this scan.
     val base = df
-      .withColumn("quality_milli", TextAnalysis.qualityMilli(col(textCol)))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .withColumn("__chunk", longDiv(col(idCol).cast("long"), chunkDiv))
-      .select(col(idCol), col(srcCol), col("quality_milli"),
-        col("n_tokens"), col("__chunk"))
+      .select(col(idCol), col(srcCol), col(qualityCol),
+        col(tokensCol), col("__chunk"))
       .localCheckpoint()
     // 1. tokens in strictly-better quality levels, per source: a window
     // over the <= 1001-row-per-source SUMMARY (quality values are unique
     // after the groupBy, so "rows up to the previous one" under a DESC
     // order is exactly the strictly-better set)
-    val perQ = base.groupBy(col(srcCol), col("quality_milli"))
-      .agg(sum(col("n_tokens")).as("__qsum"))
+    val perQ = base.groupBy(col(srcCol), col(qualityCol))
+      .agg(sum(col(tokensCol)).as("__qsum"))
     val wq = Window.partitionBy(col(srcCol))
-      .orderBy(col("quality_milli").desc)
+      .orderBy(col(qualityCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val betterQ = perQ
-      .select(col(srcCol), col("quality_milli"),
+      .select(col(srcCol), col(qualityCol),
         sum(col("__qsum")).over(wq).as("__better_sum"))
     // 2. tokens in earlier id-chunks of the SAME quality level: same
     // window shape over the per-cell chunk summary
-    val perChunk = base.groupBy(col(srcCol), col("quality_milli"), col("__chunk"))
-      .agg(sum(col("n_tokens")).as("__csum"))
-    val wc = Window.partitionBy(col(srcCol), col("quality_milli"))
+    val perChunk = base.groupBy(col(srcCol), col(qualityCol), col("__chunk"))
+      .agg(sum(col(tokensCol)).as("__csum"))
+    val wc = Window.partitionBy(col(srcCol), col(qualityCol))
       .orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevChunk = perChunk
-      .select(col(srcCol), col("quality_milli"), col("__chunk"),
+      .select(col(srcCol), col(qualityCol), col("__chunk"),
         sum(col("__csum")).over(wc).as("__prev_sum"))
     // 3. within-chunk inclusive running total, then the budget gate
-    val w = Window.partitionBy(col(srcCol), col("quality_milli"), col("__chunk"))
+    val w = Window.partitionBy(col(srcCol), col(qualityCol), col("__chunk"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .join(broadcast(betterQ), Seq(srcCol, "quality_milli"))
-      .join(broadcast(prevChunk), Seq(srcCol, "quality_milli", "__chunk"))
+      .join(broadcast(betterQ), Seq(srcCol, qualityCol))
+      .join(broadcast(prevChunk), Seq(srcCol, qualityCol, "__chunk"))
       .withColumn("cum_tokens",
         coalesce(col("__better_sum"), lit(0L)) +
-          coalesce(col("__prev_sum"), lit(0L)) + sum(col("n_tokens")).over(w))
+          coalesce(col("__prev_sum"), lit(0L)) + sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
-      .select(col(idCol), col(srcCol), col("quality_milli"),
-        col("n_tokens"), col("cum_tokens"))
+      .select(col(idCol), col(srcCol), col(qualityCol),
+        col(tokensCol), col("cum_tokens"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
@@ -546,6 +566,120 @@ object Curation {
       .withColumn("dsir_w_q10",
         expr(s"cast(sum_s + n_tri * $perDocConst as bigint)"))
       .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
+  }
+
+  /** Gopher-style composite quality gate (Rae et al. 2021, Table A1):
+    * the named per-document rules a web-scale pipeline applies before
+    * any model-based scoring, each an INTEGER-EXACT flag (ratio bounds
+    * are cross-multiplied, never divided, so the oracle agrees
+    * bit-for-bit):
+    *
+    *   - `r_nwords`:  50 <= word count <= 100000
+    *   - `r_wordlen`: mean word length in [3, 10]  (3n <= chars <= 10n)
+    *   - `r_alpha`:   >= 80% of words contain an alphabetic character
+    *   - `r_stop`:    >= 2 distinct stopwords from the Gopher list
+    *   - `r_rep`:     most frequent word <= 20% of all words
+    *
+    * (The bullet-line / ellipsis-line rules need line structure the
+    * corpus doesn't carry — one line per doc makes them vacuous — so
+    * they are deliberately absent rather than always-true.)
+    *
+    * Scale shape: every flag except `r_rep` is a narrow per-row
+    * projection; `r_rep` is one explode collapsed to per-(doc, term)
+    * counts and a per-doc max — the `repetitionStats` shape, linear.
+    * Output: (doc_id, n_words, r_nwords, r_wordlen, r_alpha, r_stop,
+    * r_rep, keep), flags as 0/1 BIGINTs.
+    */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = TextAnalysis.tokens(col("__text"))
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("n_words", size(words).cast("long"))
+      // sum of word lengths == non-whitespace chars: a codegen'd regex
+      // strip, not a per-element lambda fold
+      .withColumn("sum_chars",
+        length(regexp_replace(col("__text"), "\\s", "")).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(words, t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop",
+        stopwords.map(w => flag(array_contains(words, w))).reduce(_ + _))
+    val topTf = base
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id")).agg(max(col("k")).as("top_tf"))
+    base.join(topTf, Seq("doc_id"), "left")
+      .withColumn("top_tf", coalesce(col("top_tf"), lit(0L)))
+      .select(
+        col("doc_id"), col("n_words"),
+        flag(col("n_words") >= 50 && col("n_words") <= 100000).as("r_nwords"),
+        flag(lit(3) * col("n_words") <= col("sum_chars") &&
+          col("sum_chars") <= lit(10) * col("n_words")).as("r_wordlen"),
+        flag(lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("r_alpha"),
+        flag(col("n_stop") >= 2).as("r_stop"),
+        flag(lit(5) * col("top_tf") <= col("n_words")).as("r_rep"))
+      .withColumn("keep",
+        col("r_nwords") * col("r_wordlen") * col("r_alpha") *
+          col("r_stop") * col("r_rep"))
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. 2020): split each source's
+    * documents into head / middle / tail thirds by corpus-LM surprisal
+    * ([[TextAnalysis.lmSurprisalScore]]) — the mixture knob web-scale
+    * pipelines tune ("train on head+middle, drop tail").
+    *
+    * Terciles are VALUE thresholds, not ranks: per source,
+    * `t_i = min { s : |{docs with surprisal <= s}| >= i*n/3 }` (integer
+    * floor division), docs with surprisal <= t1 are `head`, <= t2
+    * `middle`, else `tail`. Ties at a threshold all land in the earlier
+    * bucket — the histogram-percentile convention, deterministic in any
+    * engine, and the form that stays sort-free at scale: a rank-based
+    * tercile would need a per-source GLOBAL sort (one fat partition per
+    * source — the skew trap), whereas thresholds need only bounded
+    * prefix sums, the `tokenBudgetSelect` pattern:
+    *
+    * Scale shape: surprisal frame checkpointed once (thresholds +
+    * assignment share it); per-(source, surprisal-value) counts collapse
+    * to per-(source, 64-wide cell) counts; ONE window over cells per
+    * source (partition <= surprisal-range/64 rows, a few hundred) plus
+    * ONE window inside each (source, cell) (partition <= 64 distinct
+    * values); thresholds are a 2-column-per-source broadcast back.
+    * Output: (doc_id, source, avg_surprisal_q10, ppl_bucket).
+    */
+  def ccnetBuckets(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): DataFrame = {
+    val sc = TextAnalysis.lmSurprisalScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
+      .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s"))
+      .localCheckpoint(false)
+    val perVal = sc.groupBy(col("src"), col("s")).agg(count(lit(1)).as("n_s"))
+      .withColumn("cell", expr("s div 64"))
+    val perCell = perVal.groupBy(col("src"), col("cell"))
+      .agg(sum(col("n_s")).as("n_cell"))
+    val wCell = Window.partitionBy(col("src")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellPre = perCell
+      .withColumn("pre", coalesce(sum(col("n_cell")).over(wCell), lit(0L)))
+      .select(col("src"), col("cell"), col("pre"))
+    val wVal = Window.partitionBy(col("src"), col("cell")).orderBy(col("s"))
+    val cum = perVal.join(cellPre, Seq("src", "cell"))
+      .withColumn("cum", col("pre") + sum(col("n_s")).over(wVal))
+    val tot = sc.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val th = cum.join(broadcast(tot), "src")
+      .groupBy(col("src"))
+      .agg(
+        min(when(col("cum") >= expr("n div 3"), col("s"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n) div 3"), col("s"))).as("t2"))
+    sc.join(broadcast(th), "src")
+      .select(col("doc_id"), col("src").as("source"),
+        col("s").as("avg_surprisal_q10"),
+        when(col("s") <= col("t1"), lit("head"))
+          .when(col("s") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
   /** Connected components over an undirected pair list (the

@@ -181,6 +181,34 @@ object LlmQueries {
           FROM tri JOIN cnt USING (t) CROSS JOIN tot
           GROUP BY doc_id)"""
 
+  /** DSIR weight CTE chain ending in `dsirw(doc_id, n_tri, dsir_w_q10)`
+    * — shared by `dsir_weights` and the `dsir_budget_select` composition.
+    */
+  private val dsirCtes: String =
+    s"""dsb AS (SELECT doc_id, lower(text) AS lt, lang = 'en' AS tg
+             FROM documents),
+        dstri AS (SELECT doc_id, tg, unnest(CASE WHEN length(lt) >= 3
+                  THEN list_transform(generate_series(1, length(lt) - 2),
+                         i -> substring(lt, i, 3))
+                  ELSE [] END) AS t
+                FROM dsb),
+        dstd AS (SELECT doc_id, tg,
+                 CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
+                 count(*) AS k
+               FROM dstri GROUP BY 1, 2, 3),
+        dsm AS (SELECT b, CAST(sum(CASE WHEN tg THEN k ELSE 0 END) AS BIGINT) AS ct,
+                CAST(sum(k) AS BIGINT) AS cr
+              FROM dstd GROUP BY 1),
+        dstot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                  CAST(sum(cr) AS BIGINT) AS tr FROM dsm),
+        dsirw AS (
+          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tri,
+                 CAST(sum(k * (${l1024Sql("(ct + 1)")} - ${l1024Sql("(cr + 1)")})) +
+                      sum(k) * (${l1024Sql("(tr + 4096)")} - ${l1024Sql("(tt + 4096)")})
+                   AS BIGINT) AS dsir_w_q10
+          FROM dstd JOIN dsm USING (b) CROSS JOIN dstot
+          GROUP BY doc_id, tt, tr)"""
+
   private val shinglesCte =
     s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
         sh AS (SELECT doc_id, source,
@@ -429,6 +457,18 @@ object LlmQueries {
       Curation.dsirWeights(Tables.documents(s, d), "text", "doc_id",
         col("lang") === "en").orderBy("doc_id")
     },
+    // Gopher rule gate: the named integer-exact quality rules, one flag
+    // column each plus the composite keep bit.
+    "gopher_rules" -> { (s, d) =>
+      Curation.gopherRules(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+    // CCNet perplexity buckets: per-source head/middle/tail by corpus-LM
+    // surprisal, sort-free value thresholds (see Curation.ccnetBuckets).
+    "ccnet_buckets" -> { (s, d) =>
+      Curation.ccnetBuckets(Tables.documents(s, d), "text", "doc_id", "source")
+        .orderBy("doc_id")
+    },
     // Bigram collocations by PMI (integer-exact log2 sums) — multi-word
     // units a vocab builder should fuse.
     "text_collocations" -> { (s, d) =>
@@ -494,6 +534,23 @@ object LlmQueries {
     "token_budget_select" -> { (s, d) =>
       Curation.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "text",
         "source", budgetTokens = 700L, chunkDiv = 50L)
+        .orderBy("source", "doc_id")
+    },
+    // DSIR-weighted token-budget selection — the full data-mixing loop:
+    // score docs by target-likeness (dsirWeights), map the per-trigram
+    // average log-ratio onto the bounded [0, 1000] quality grid
+    // (+-0.5 bits, saturating; numerator made positive BEFORE the
+    // integer division so truncating and flooring engines agree), then
+    // keep the most target-like docs per source within the token budget.
+    "dsir_budget_select" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+      val q = docs.join(w, "doc_id")
+        .withColumn("dsir_qmilli", greatest(lit(0L), least(lit(1000L),
+          expr("((dsir_w_q10 + 512 * n_tri) * 1000) div (1024 * n_tri)"))))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Curation.tokenBudgetSelectByQuality(q, "doc_id", "source",
+        "dsir_qmilli", "n_tokens", budgetTokens = 700L, chunkDiv = 50L)
         .orderBy("source", "doc_id")
     },
     // Duplicate clusters: connected components over MinHash-LSH verified
@@ -925,28 +982,72 @@ object LlmQueries {
                  CAST(CASE WHEN p.pred_lang = base.lang THEN 1 ELSE 0 END AS BIGINT) AS hit
           FROM p JOIN base USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
     "dsir_weights" ->
-      s"""WITH base AS (SELECT doc_id, lower(text) AS lt, lang = 'en' AS tg
+      s"""WITH $dsirCtes
+          SELECT doc_id, n_tri, dsir_w_q10 FROM dsirw ORDER BY doc_id""",
+    "dsir_budget_select" ->
+      s"""WITH $dsirCtes,
+          sel AS (SELECT w.doc_id, d.source,
+                    CAST(greatest(0, least(1000,
+                      ((w.dsir_w_q10 + 512 * w.n_tri) * 1000) // (1024 * w.n_tri)))
+                      AS BIGINT) AS dsir_qmilli,
+                    CAST(len($toksSql) AS BIGINT) AS n_tokens
+                  FROM dsirw w JOIN documents d USING (doc_id)),
+          c AS (SELECT *, sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY dsir_qmilli DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                FROM sel)
+          SELECT doc_id, source, dsir_qmilli, n_tokens, cum_tokens
+          FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""",
+    "gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS toks,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS sum_chars
                FROM documents),
-          tri AS (SELECT doc_id, tg, unnest(CASE WHEN length(lt) >= 3
-                    THEN list_transform(generate_series(1, length(lt) - 2),
-                           i -> substring(lt, i, 3))
-                    ELSE [] END) AS t
-                  FROM base),
-          td AS (SELECT doc_id, tg,
-                   CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
-                   count(*) AS k
-                 FROM tri GROUP BY 1, 2, 3),
-          m AS (SELECT b, CAST(sum(CASE WHEN tg THEN k ELSE 0 END) AS BIGINT) AS ct,
-                  CAST(sum(k) AS BIGINT) AS cr
-                FROM td GROUP BY 1),
-          tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
-                    CAST(sum(cr) AS BIGINT) AS tr FROM m)
-          SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tri,
-                 CAST(sum(k * (${l1024Sql("(ct + 1)")} - ${l1024Sql("(cr + 1)")})) +
-                      sum(k) * (${l1024Sql("(tr + 4096)")} - ${l1024Sql("(tt + 4096)")})
-                   AS BIGINT) AS dsir_w_q10
-          FROM td JOIN m USING (b) CROSS JOIN tot
-          GROUP BY doc_id, tt, tr ORDER BY doc_id""",
+          tf AS (SELECT doc_id, unnest(toks) AS term FROM base),
+          tf2 AS (SELECT doc_id, term, count(*) AS k FROM tf GROUP BY 1, 2),
+          top AS (SELECT doc_id, max(k) AS top_tf FROM tf2 GROUP BY 1),
+          m AS (SELECT b.doc_id, len(toks) AS n_words, sum_chars,
+                  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+                  ((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END) +
+                   (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)) AS n_stop,
+                  coalesce(top_tf, 0) AS top_tf
+                FROM base b LEFT JOIN top ON b.doc_id = top.doc_id)
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                 CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_nwords,
+                 CAST(CASE WHEN 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+                   THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+                 CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+                 CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+                 CAST(CASE WHEN 5 * top_tf <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_rep,
+                 CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                        AND 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+                        AND 5 * n_alpha >= 4 * n_words
+                        AND n_stop >= 2
+                        AND 5 * top_tf <= n_words
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM m ORDER BY doc_id""",
+    "ccnet_buckets" ->
+      s"""WITH $lmPerDocCtes,
+          j AS (SELECT p.doc_id, d.source AS src, p.avg_surprisal_q10 AS s
+                FROM lm_perdoc p JOIN documents d USING (doc_id)),
+          v AS (SELECT src, s, count(*) AS n_s FROM j GROUP BY 1, 2),
+          c AS (SELECT src, s, sum(n_s) OVER (PARTITION BY src ORDER BY s) AS cum
+                FROM v),
+          t AS (SELECT src, count(*) AS n FROM j GROUP BY 1),
+          th AS (SELECT c.src,
+                   min(CASE WHEN cum >= n // 3 THEN s END) AS t1,
+                   min(CASE WHEN cum >= (2 * n) // 3 THEN s END) AS t2
+                 FROM c JOIN t USING (src) GROUP BY 1)
+          SELECT j.doc_id, j.src AS source, j.s AS avg_surprisal_q10,
+                 CASE WHEN j.s <= t1 THEN 'head'
+                      WHEN j.s <= t2 THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket
+          FROM j JOIN th USING (src) ORDER BY doc_id""",
     "quality_lm_gate" ->
       s"""WITH $lmPerDocCtes,
           m AS (SELECT CAST(sum(avg_surprisal_q10) // count(*) AS BIGINT) AS mean_q10

@@ -170,6 +170,13 @@ object ScaleSmoke {
       graft.functions.Curation.dsirWeights(docs, "text", "doc_id",
         col("source") === "src0").count()
     }
+    time("gopher rules") {
+      graft.functions.Curation.gopherRules(docs, "text", "doc_id").count()
+    }
+    time("ccnet buckets") {
+      graft.functions.Curation.ccnetBuckets(docs, "text", "doc_id", "source")
+        .count()
+    }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))

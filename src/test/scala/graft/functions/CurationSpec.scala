@@ -24,6 +24,60 @@ class CurationSpec extends SparkSpec {
     assert(out(2) === ((3L, "two mails <EMAIL> <EMAIL> and <URL>", 2L, 1L, 0L)))
   }
 
+  test("gopherRules fails exactly the planted rule per document") {
+    // one doc per rule, each violating ONLY its target rule; the base
+    // vocabulary is 60 distinct 4-6 char alpha words incl. 2 stopwords
+    def goodWords(n: Int): String =
+      (Seq("the", "with") ++ (0 until n - 2).map(i => s"word${('a' + i % 26).toChar}${i / 26}"))
+        .mkString(" ")
+    val df = Seq(
+      (1L, goodWords(60)),                                     // all pass
+      (2L, goodWords(10)),                                     // too few words
+      (3L, (Seq("to", "of") ++ (0 until 58).map(i => s"${('a' + i % 26).toChar}${i % 10}")).mkString(" ")), // mean len < 3
+      (4L, (Seq("the", "with") ++ (0 until 58).map(i => (1000 + i).toString)).mkString(" ")), // digits: alpha < 80%
+      (5L, (0 until 60).map(i => s"word${('a' + i % 26).toChar}${i / 26}").mkString(" ")), // no stopwords
+      (6L, (Seq.fill(20)("the") ++ Seq("with") ++ (0 until 39).map(i => s"word${('a' + i % 26).toChar}${i / 26}")).mkString(" "))) // top word 20/60 > 20%
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "text", "doc_id")
+      .select("doc_id", "r_nwords", "r_wordlen", "r_alpha", "r_stop", "r_rep", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(1) === ((2L, 0L, 1L, 1L, 1L, 1L, 0L)))
+    assert(out(2) === ((3L, 1L, 0L, 1L, 1L, 1L, 0L)))
+    assert(out(3) === ((4L, 1L, 1L, 0L, 1L, 1L, 0L)))
+    assert(out(4) === ((5L, 1L, 1L, 1L, 0L, 1L, 0L)))
+    assert(out(5) === ((6L, 1L, 1L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("ccnetBuckets thresholds are minimal value-cuts and buckets are ordered") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.ccnetBuckets(docs, "text", "doc_id", "source")
+      .select("doc_id", "source", "avg_surprisal_q10", "ppl_bucket")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "one bucket per doc")
+    for ((_, group) <- out.groupBy(_._2)) {
+      val n = group.length
+      val byBucket = group.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      val head = byBucket.getOrElse("head", Array.empty[Long])
+      val mid = byBucket.getOrElse("middle", Array.empty[Long])
+      val tail = byBucket.getOrElse("tail", Array.empty[Long])
+      // buckets are value-ordered: every head surprisal < every middle
+      // < every tail (value thresholds make the ranges disjoint)
+      if (head.nonEmpty && mid.nonEmpty) assert(head.max < mid.min)
+      if (mid.nonEmpty && tail.nonEmpty) assert(mid.max < tail.min)
+      if (head.nonEmpty && tail.nonEmpty) assert(head.max < tail.min)
+      // threshold minimality: head holds at least n/3 docs (ties may
+      // overfill), but strictly fewer than n/3 sit BELOW the cut value
+      val h1 = n / 3
+      assert(head.length >= h1, s"head ${head.length} < $h1 of $n")
+      if (head.nonEmpty)
+        assert(head.count(_ < head.max) < math.max(h1, 1),
+          "t1 is not the minimal value reaching the tercile")
+      assert(head.length + mid.length >= 2 * n / 3)
+    }
+  }
+
   test("connectedComponents labels a chain, a clique and a singleton pair") {
     // chain 1-2-3-4, clique 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
