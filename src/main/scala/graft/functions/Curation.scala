@@ -220,6 +220,62 @@ object Curation {
           .otherwise(lit("train")))
   }
 
+  /** The full curation DAG as one composition — the keep-side query a
+    * training-data pipeline actually runs before tokenization: CCNet-style
+    * LM-quality gate AND near-dedup survivorship AND benchmark
+    * decontamination, then the leakage-aware [[datasetSplit]] on whatever
+    * survives. Each stage reuses its standalone operator verbatim
+    * (`lmSurprisalScore` / `minhashLshPairs`+[[connectedComponents]] /
+    * [[contaminationPairs]] / [[datasetSplit]]) over ONE localCheckpointed
+    * corpus pass; the stage keep-sets compose as semi/anti joins on the
+    * thin doc_id column, so the composition adds no shuffle shape beyond
+    * its stages' own (each measured separately in SCALING.md — the DAG's
+    * cost is their sum plus three id-only joins).
+    *
+    * Output: (doc_id, bucket, split) for every surviving document.
+    */
+  def curationKeep(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isBench: Column,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minJaccardMilli: Int = 500,
+      maxShingleDf: Int = 50,
+      minContainMilli: Int = 100,
+      valPermille: Int = 100,
+      testPermille: Int = 50): DataFrame = {
+    // one corpus pass shared by all three gates + the final split
+    val d = docs.localCheckpoint()
+    // stage 1 — quality: surprisal within 1.25x the corpus mean
+    val sur = TextAnalysis.lmSurprisalScore(d, textCol, idCol)
+      .localCheckpoint()
+    val mean = sur.agg(expr("sum(avg_surprisal_q10) div count(1)").as("mean_q10"))
+    val qual = sur.crossJoin(broadcast(mean))
+      .filter(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125)
+      .select(col("doc_id").as(idCol))
+    // stage 2 — near-dedup: LSH cluster non-representatives lose
+    val losers = connectedComponents(
+      Dedup.minhashLshPairs(d, textCol, idCol, n, bands, rowsPerBand,
+        minJaccardMilli),
+      "a", "b")
+      .filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as(idCol))
+    // stage 3 — decontamination: benchmark docs and their leaks drop
+    val hits = contaminationPairs(d, textCol, idCol,
+        isBench = isBench, n = n, maxShingleDf = maxShingleDf,
+        minContainMilli = minContainMilli)
+      .select(col("doc_id").as(idCol)).distinct()
+    // stage 4 — leakage-aware split of the surviving corpus
+    val kept = d.filter(!isBench)
+      .join(qual, Seq(idCol), "left_semi")
+      .join(losers, Seq(idCol), "left_anti")
+      .join(hits, Seq(idCol), "left_anti")
+    datasetSplit(kept, textCol, valPermille, testPermille)
+  }
+
   /** Sequence packing: assign documents (in deterministic `idCol` order
     * per stratum) to fixed token-budget bins by running token count —
     * the contiguous-packing layout used to build training batches. A doc
@@ -656,6 +712,20 @@ object Curation {
       .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
       .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s"))
       .localCheckpoint(false)
+    sc.join(broadcast(surprisalTerciles(sc)), "src")
+      .select(col("doc_id"), col("src").as("source"),
+        col("s").as("avg_surprisal_q10"),
+        when(col("s") <= col("t1"), lit("head"))
+          .when(col("s") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** Per-source tercile value-cuts over a `(doc_id, src, s)` surprisal
+    * frame: `t_i = min { s : |{docs with s' <= s}| >= i*n/3 }` — the
+    * sort-free two-level bounded prefix-sum shape documented at
+    * [[ccnetBuckets]]. Output: (src, t1, t2), one row per source.
+    */
+  private def surprisalTerciles(sc: DataFrame): DataFrame = {
     val perVal = sc.groupBy(col("src"), col("s")).agg(count(lit(1)).as("n_s"))
       .withColumn("cell", expr("s div 64"))
     val perCell = perVal.groupBy(col("src"), col("cell"))
@@ -669,18 +739,29 @@ object Curation {
     val cum = perVal.join(cellPre, Seq("src", "cell"))
       .withColumn("cum", col("pre") + sum(col("n_s")).over(wVal))
     val tot = sc.groupBy(col("src")).agg(count(lit(1)).as("n"))
-    val th = cum.join(broadcast(tot), "src")
+    cum.join(broadcast(tot), "src")
       .groupBy(col("src"))
       .agg(
         min(when(col("cum") >= expr("n div 3"), col("s"))).as("t1"),
         min(when(col("cum") >= expr("(2 * n) div 3"), col("s"))).as("t2"))
-    sc.join(broadcast(th), "src")
-      .select(col("doc_id"), col("src").as("source"),
-        col("s").as("avg_surprisal_q10"),
-        when(col("s") <= col("t1"), lit("head"))
-          .when(col("s") <= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
   }
+
+  /** The CCNet tercile cuts as a standalone train-tier artifact:
+    * (src, t1, t2) per source, frozen from a reference corpus so
+    * [[graft.streaming.StreamingCuration.ccnetAssignStream]] can bucket
+    * arriving documents against them (one bounded row per source —
+    * broadcastable at any corpus size). Cuts computed on a corpus equal
+    * the cuts [[ccnetBuckets]] derives internally on the same corpus.
+    */
+  def ccnetThresholds(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): DataFrame =
+    surprisalTerciles(
+      TextAnalysis.lmSurprisalScore(docs, textCol, idCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
+        .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s")))
 
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every

@@ -616,32 +616,8 @@ object LlmQueries {
     // corpus pass; the stage keep-sets compose as semi/anti joins on the
     // thin doc_id column, so the composition adds no new shuffle shape.
     "pipeline_keep" -> { (s, d) =>
-      val docs = Tables.documents(s, d).localCheckpoint()
-      val isBench = pmod(col("doc_id"), lit(20)) === 0
-      // stage 1 — quality: surprisal within 1.25x the corpus mean
-      val sur = TextAnalysis.lmSurprisalScore(docs, "text", "doc_id")
-        .localCheckpoint()
-      val mean = sur.agg(expr("sum(avg_surprisal_q10) div count(1)").as("mean_q10"))
-      val qual = sur.crossJoin(broadcast(mean))
-        .filter(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125)
-        .select(col("doc_id"))
-      // stage 2 — near-dedup: LSH cluster non-representatives lose
-      val losers = Curation.connectedComponents(
-        Dedup.minhashLshPairs(docs, "text", "doc_id",
-          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
-        "a", "b")
-        .filter(col("node") =!= col("cluster_id"))
-        .select(col("node").as("doc_id"))
-      // stage 3 — decontamination: benchmark docs and their leaks drop
-      val hits = Curation.contaminationPairs(docs, "text", "doc_id",
-          isBench = isBench, n = 3, maxShingleDf = 50, minContainMilli = 100)
-        .select(col("doc_id")).distinct()
-      // stage 4 — leakage-aware split of the surviving corpus
-      val kept = docs.filter(!isBench)
-        .join(qual, Seq("doc_id"), "left_semi")
-        .join(losers, Seq("doc_id"), "left_anti")
-        .join(hits, Seq("doc_id"), "left_anti")
-      Curation.datasetSplit(kept, "text", valPermille = 100, testPermille = 50)
+      Curation.curationKeep(Tables.documents(s, d), "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(20)) === 0)
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")
     },

@@ -188,4 +188,74 @@ object StreamingCuration {
       .withColumn("bench_hits",
         Curation.benchHitCount(col(textCol), benchBloom, n))
       .filter(col("bench_hits") <= maxBenchShingles)
+
+  /** Streaming Gopher rule gate: every micro-batch of documents is
+    * flagged by the unchanged batch [[graft.functions.Curation.gopherRules]]
+    * — the foreachBatch serving pattern of [[nbClassifyStream]], because
+    * the top-word repetition rule is two chained per-doc aggregations
+    * (term counts, then their max), which append-mode streaming can't
+    * express as one watermarked agg. All state is batch-local (each
+    * doc's flags depend only on its own text — no cross-batch or corpus
+    * state), so streamed flags equal the batch flags row-for-row
+    * (StreamingExtrasSpec). `emit` receives the full flag frame
+    * (doc_id, n_words, r_*, keep) per micro-batch.
+    */
+  def gopherGateStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          emit(Curation.gopherRules(batch.toDF(), textCol, idCol))
+    }
+
+  /** Train-batch / score-stream CCNet perplexity bucketing (the same
+    * split as [[lmSurprisalStream]], and a TRUE streaming query — one
+    * watermarked aggregate, no foreachBatch): the trigram LM
+    * ([[graft.functions.TextAnalysis.trigramModel]]) AND the per-source
+    * tercile cuts ([[graft.functions.Curation.ccnetThresholds]], one
+    * (t1, t2) row per source) are frozen on the batch tier; arriving
+    * documents pay a narrow trigram explode, one broadcast model lookup
+    * per occurrence, a per-(window, doc, source) aggregate, and a
+    * broadcast join against the cuts. This is how CCNet actually runs
+    * in production: the reference corpus defines the buckets, the
+    * ingest stream is assigned against them — re-deriving terciles per
+    * micro-batch would make a document's bucket depend on its batch
+    * siblings. Assignments converge exactly to the batch
+    * [[graft.functions.Curation.ccnetBuckets]] when the stream replays
+    * the corpus the artifacts were frozen from (StreamingExtrasSpec).
+    * Output: (window_start, doc_id, source, avg_surprisal_q10,
+    * ppl_bucket).
+    */
+  def ccnetAssignStream(
+      docs: DataFrame,
+      model: DataFrame,
+      modelTotal: Long,
+      thresholds: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      tsCol: String,
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute"): DataFrame = {
+    val tri = TextAnalysis.charTrigrams(docs, textCol, idCol,
+      carryCols = Seq(tsCol, srcCol))
+    val th = thresholds.select(col("src").as("__th_src"), col("t1"), col("t2"))
+    tri
+      .withWatermark(tsCol, horizon)
+      .join(broadcast(model), Seq("t"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
+      .withColumn("s_q10", TextAnalysis.surprisalQ10("cnt", modelTotal))
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"), col(srcCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s_q10")).as("sum_s"))
+      .withColumn("s", expr("cast(sum_s div n_tri as bigint)"))
+      .join(broadcast(th), col(srcCol) === col("__th_src"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col(srcCol).as("source"), col("s").as("avg_surprisal_q10"),
+        when(col("s") <= col("t1"), lit("head"))
+          .when(col("s") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 }

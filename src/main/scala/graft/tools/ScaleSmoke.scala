@@ -177,6 +177,11 @@ object ScaleSmoke {
       graft.functions.Curation.ccnetBuckets(docs, "text", "doc_id", "source")
         .count()
     }
+    time("full curation DAG (keep+split)") {
+      graft.functions.Curation.curationKeep(docs, "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(1000)) === 0)
+        .groupBy(col("split")).agg(count(lit(1))).collect()
+    }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))

@@ -295,6 +295,69 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(indexed === Set(1L, 10L, 21L))
   }
 
+  test("gopherGateStream flags equal the batch gopherRules row-for-row") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+    val q = StreamingCuration.gopherGateStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id") { out =>
+      got ++= out.select("doc_id", "n_words", "r_nwords", "r_wordlen",
+        "r_alpha", "r_stop", "r_rep", "keep")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    }.start()
+    try {
+      rows.grouped(40).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val batch = graft.functions.Curation.gopherRules(docs, "text", "doc_id")
+        .select("doc_id", "n_words", "r_nwords", "r_wordlen",
+          "r_alpha", "r_stop", "r_rep", "keep")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.nonEmpty)
+      assert(got.sortBy(_._1).toArray === batch)
+    } finally q.stop()
+  }
+
+  test("ccnetAssignStream buckets equal the batch ccnetBuckets on the frozen corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text").localCheckpoint()
+    // train tier: freeze the trigram LM + the per-source tercile cuts
+    val model = graft.functions.TextAnalysis
+      .trigramModel(docs, "text", "doc_id").cache()
+    val total = model.agg(sum(col("cnt"))).as[Long].head()
+    val cuts = graft.functions.Curation
+      .ccnetThresholds(docs, "text", "doc_id", "source").localCheckpoint()
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val base = 1704067200000000L
+    val input = MemoryStream[(Long, String, String, Long)]
+    val assigned = StreamingCuration.ccnetAssignStream(
+      input.toDF().toDF("doc_id", "source", "text", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      model, total, cuts, "text", "doc_id", "source", "ts",
+      horizon = "1 second", windowDur = "1 minute")
+    val q = assigned.writeStream.format("memory").queryName("ccnet_assign")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(40).foreach { b =>
+        input.addData(b.map { case (id, src, txt) => (id, src, txt, base + id) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "src0", "flush sentinel document",
+        base + 365L * 86400000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("ccnet_assign").filter(col("doc_id") >= 0)
+        .select("doc_id", "source", "avg_surprisal_q10", "ppl_bucket")
+        .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      val batch = graft.functions.Curation
+        .ccnetBuckets(docs, "text", "doc_id", "source")
+        .select("doc_id", "source", "avg_surprisal_q10", "ppl_bucket")
+        .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("indexAppendStream converges to the one-shot batch index") {
     import graft.functions.Similarity
     // clustered fixture shared with the PQ batch spec: 4 clusters, 16 dims
