@@ -160,8 +160,58 @@ case class SimHash60Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All 3-character windows of a string in ONE linear byte walk.
+  *
+  * Why not `substring(lt, i, 3)` exploded over positions? UTF8String's
+  * by-character substring has to walk from byte 0 to find character i
+  * (UTF-8 is variable-width), so extracting every window that way is
+  * O(len) PER WINDOW — O(len^2) per document. Measured on sf0.1 docs
+  * concatenated to 2x/4x/8x length: 5.9 s / 23 s / 88 s — a perfect
+  * quadratic, and a scale-killer for real web documents (10-100 KB).
+  * This expression computes the character start offsets once and wraps
+  * each 3-char byte range without copying — O(len), any document size.
+  *
+  * Output order and content are identical to the substring form
+  * (windows at char positions 1..n-2, by code point); `< 3` chars yields
+  * an empty array (the explode then drops the doc, as before).
+  */
+case class CharTrigramsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var nc = 0
+    var i = 0
+    while (i < nb) { nc += 1; i += UTF8String.numBytesForFirstByte(bytes(i)) }
+    if (nc < 3) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](nc + 1)
+    i = 0
+    var c = 0
+    while (i < nb) { offs(c) = i; c += 1; i += UTF8String.numBytesForFirstByte(bytes(i)) }
+    offs(nc) = nb
+    val out = new Array[Any](nc - 2)
+    var j = 0
+    while (j < nc - 2) {
+      out(j) = UTF8String.fromBytes(bytes, offs(j), offs(j + 3) - offs(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def charTrigramWindows(text: Column): Column =
+    column(CharTrigramsExpr(expression(text)))
 
   def hashedShingles(text: Column, n: Int): Column =
     column(HashedShinglesExpr(expression(text), n))
@@ -213,6 +263,9 @@ object TextExpressions {
       },
       "simhash60" -> { es: Seq[Expression] =>
         SimHash60Expr(arity("simhash60", es, 1).head)
+      },
+      "char_trigrams" -> { es: Seq[Expression] =>
+        CharTrigramsExpr(arity("char_trigrams", es, 1).head)
       })
   }
 

@@ -489,15 +489,15 @@ object TextAnalysis {
       idCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
     val carry = carryCols.map(col)
+    // one linear-pass window extraction per doc (CharTrigramsExpr), then
+    // a plain explode — the position-explode + substring(lt, i, 3) form
+    // this replaces was O(len^2) per document (UTF8String's by-char
+    // substring walks from byte 0 every call); same rows, same order
     df
-      .select(col(idCol).as("doc_id") +: lower(col(textCol)).as("lt") +: carry: _*)
-      .select(col("doc_id") +: col("lt") +:
-        // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
-        // docs under 3 chars need the explicit empty branch
-        explode(when(length(col("lt")) >= 3,
-          sequence(lit(1), length(col("lt")) - 2))
-          .otherwise(array().cast("array<int>"))).as("i") +: carry: _*)
-      .select(col("doc_id") +: expr("substring(lt, i, 3)").as("t") +: carry: _*)
+      .select(col(idCol).as("doc_id") +:
+        graft.expressions.TextExpressions.charTrigramWindows(
+          lower(col(textCol))).as("ws") +: carry: _*)
+      .select(col("doc_id") +: explode(col("ws")).as("t") +: carry: _*)
   }
 
   /** Corpus character-trigram model `(t, cnt)` — the batch-trained side

@@ -19,6 +19,31 @@ class VectorEdgeSpec extends SparkSpec {
         col("y").cast("array<double>").as("y"))
   }
 
+  test("char_trigrams: windows equal the substring form on corpus + edge cases") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq((9001L, ""), (9002L, "a"), (9003L, "ab"), (9004L, "abc"),
+      (9005L, "héllo wörld"), (9006L, "日本語のテキスト"), (9007L, "a\tb\nc d"))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").unionAll(edge)
+    // the old positional-substring form, verbatim
+    val old = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), col("lt"),
+        explode(when(length(col("lt")) >= 3,
+          sequence(lit(1), length(col("lt")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), expr("substring(lt, i, 3)").as("t"))
+      .groupBy("doc_id", "t").count()
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val neu = graft.functions.TextAnalysis.charTrigrams(docs, "text", "doc_id")
+      .groupBy("doc_id", "t").count()
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(neu.nonEmpty)
+    assert(neu === old)
+  }
+
   test("dot_product_d: equal lengths score, mismatched lengths are NULL") {
     val ok = pairDf(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
       .select(dotProduct(col("x"), col("y"))).head()
