@@ -137,10 +137,102 @@ case class TopKSmallestPairs(
     copy(child = newChildren.head)
 }
 
+/** Element-wise `sum(k * arr)` over long arrays — one fixed-width
+  * accumulator per group.
+  *
+  * This is the "classes ride in a vector" aggregate for the NB scorer:
+  * the row form (`crossJoin(classes)` then `groupBy(doc, class)`)
+  * materializes docs x buckets x |classes| rows through the join and
+  * hash-agg machinery — 3 BILLION rows at the 50x smoke with 20 classes,
+  * and linear in |classes|. Here each (doc, bucket) row contributes its
+  * whole per-class weight column with one multiply-add loop, so the
+  * aggregated row count stays docs x buckets no matter how many classes
+  * (a fastText-style 176-language router pays arithmetic, not rows).
+  *
+  * A null/absent array contributes nothing (matching the row form, where
+  * an unseen bucket's `log2(0 + 1) = 0` terms vanish); elements past
+  * `numElems` are ignored, shorter arrays count as zero-padded.
+  */
+case class SumScaledLongArrays(
+    kChild: Expression,
+    arrChild: Expression,
+    numElems: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numElems >= 1, "sum_scaled_long_arrays needs numElems >= 1")
+
+  override def children: Seq[Expression] = Seq(kChild, arrChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sum_scaled_long_arrays"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (kChild.dataType, arrChild.dataType) match {
+      case (LongType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sum_scaled_long_arrays needs (bigint, array<bigint>), got $other")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numElems)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val kv = kChild.eval(input)
+    val av = arrChild.eval(input)
+    if (kv != null && av != null) {
+      val k = kv.asInstanceOf[Long]
+      val arr = av.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(numElems, arr.numElements())
+      var i = 0
+      while (i < n) { buf(i) += k * arr.getLong(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numElems) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * numElems)
+    var i = 0
+    while (i < numElems) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](numElems)
+    var i = 0
+    while (i < numElems) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SumScaledLongArrays =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SumScaledLongArrays =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(kChild = newChildren(0), arrChild = newChildren(1))
+}
+
 object TopKExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** `array<struct<a,b>>` of the k smallest (a, b) pairs, ascending. */
   def topKSmallestPairs(pair: Column, k: Int): Column =
     column(TopKSmallestPairs(expression(pair), k).toAggregateExpression())
+
+  /** Element-wise `sum(k * arr)` as a length-`numElems` long array. */
+  def sumScaledLongArrays(k: Column, arr: Column, numElems: Int): Column =
+    column(SumScaledLongArrays(expression(k), expression(arr), numElems)
+      .toAggregateExpression())
 }

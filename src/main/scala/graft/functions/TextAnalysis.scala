@@ -676,18 +676,59 @@ object TextAnalysis {
     * ways (class table broadcast), left-join the broadcast model,
     * re-aggregate per (doc, class), argmax with label-order tie-break.
     */
+  /** Class scores WITHOUT the per-class row fan-out: the model pivots to
+    * ONE class-indexed weight array per bucket (`mvec`, <= `buckets`
+    * broadcast rows), each (doc, bucket) row multiply-adds its whole
+    * weight column into a fixed-width accumulator
+    * ([[graft.expressions.SumScaledLongArrays]]), and only the final
+    * per-doc score array explodes back to |classes| rows for the argmax.
+    * The row form (`crossJoin(classes)` + `groupBy(doc, class)`) put
+    * docs x buckets x |classes| rows through the join — 3 BILLION at the
+    * 50x smoke with 20 classes, linear in |classes|; here the aggregated
+    * volume is docs x buckets regardless of class count. Scores are the
+    * same integers term-for-term (an unseen (class, bucket) weighs
+    * `log2Q10(0 + 1) = 0` — exactly the pivot's fill value).
+    *
+    * The two `collect()`s are bounded BY CONSTRUCTION: `classes` is one
+    * row per class label (|C| rows — the broadcastable class table).
+    */
   private def nbScoreCore(
       td: DataFrame,
       model: DataFrame,
       classes: DataFrame,
       buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = td
-      .crossJoin(broadcast(classes))
-      .join(broadcast(model), Seq("c", "b"), "left")
-      .withColumn("t1", col("k") * expr(log2Q10Sql("(coalesce(n_cb, 0) + 1)")))
-      .groupBy(col("doc_id"), col("c"), col("n_c"), col("d_c"))
-      .agg(sum(col("t1")).as("s1"), sum(col("k")).as("n_occ"))
+    val spark = td.sparkSession
+    import spark.implicits._
+    val cls = classes.select(col("c"), col("n_c"), col("d_c"))
+      .orderBy("c").collect()
+    if (cls.isEmpty)
+      return td.select(col("doc_id"), lit("").as("pred_label"),
+        lit(0L).as("score_q10")).limit(0)
+    val numC = cls.length
+    val clsIdx = cls.map(_.getString(0)).zipWithIndex.toSeq.toDF("c", "ci")
+    val clsMeta = cls.zipWithIndex.map { case (r, i) =>
+      (i, r.getString(0), r.getLong(1), r.getLong(2))
+    }.toSeq.toDF("ci", "c", "n_c", "d_c")
+    // pivot: per-bucket weight array, class-indexed; absent (c, b) pairs
+    // fill 0 = log2Q10(0 + 1). 4096-ish rows, interpreted HOF is fine.
+    val mvec = model.join(broadcast(clsIdx), "c")
+      .withColumn("w", expr(log2Q10Sql("(n_cb + 1)")))
+      .groupBy(col("b"))
+      .agg(map_from_entries(collect_list(struct(col("ci"), col("w")))).as("m"))
+      .select(col("b"), transform(sequence(lit(0), lit(numC - 1)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("warr"))
+    // buckets NO training doc hit have no mvec row: left join + null-skip
+    // in the aggregate = the zero contribution the row form computed
+    val scored = td.join(broadcast(mvec), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        graft.expressions.TopKExpressions
+          .sumScaledLongArrays(col("k"), col("warr"), numC).as("s1arr"),
+        sum(col("k")).as("n_occ"))
+      .select(col("doc_id"), col("n_occ"),
+        posexplode(col("s1arr")).as(Seq("ci", "s1")))
+      .join(broadcast(clsMeta), "ci")
       .withColumn("score_q10",
         expr(s"cast(${log2Q10Sql("d_c")} + s1 - n_occ * ${log2Q10Sql(s"(n_c + $buckets)")} as bigint)"))
     val w = Window.partitionBy(col("doc_id"))

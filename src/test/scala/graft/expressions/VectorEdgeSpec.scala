@@ -44,6 +44,23 @@ class VectorEdgeSpec extends SparkSpec {
     assert(neu === old)
   }
 
+  test("sum_scaled_long_arrays: null arrays skip, short arrays zero-pad") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 2L, Some(Seq(10L, 20L, 30L))),
+      (1L, 3L, None),                      // null array: contributes nothing
+      (1L, 1L, Some(Seq(5L))),             // short: elements past 0 are zero
+      (2L, 1L, Some(Seq(1L, 2L, 3L)))).toDF("g", "k", "arr")
+      .select(col("g"), col("k"), col("arr").cast("array<bigint>").as("arr"))
+    val out = df.groupBy(col("g"))
+      .agg(graft.expressions.TopKExpressions
+        .sumScaledLongArrays(col("k"), col("arr"), 3).as("s"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(out(0) === ((1L, Seq(2 * 10 + 5L, 2 * 20L, 2 * 30L))))
+    assert(out(1) === ((2L, Seq(1L, 2L, 3L))))
+  }
+
   test("dot_product_d: equal lengths score, mismatched lengths are NULL") {
     val ok = pairDf(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
       .select(dotProduct(col("x"), col("y"))).head()
