@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable train-tier artifacts for the curation GATE family — the model
+  * side's analogue of the materialized ANN / BM25 / LSH indexes: every
+  * frozen frame the streaming gates score against (corpus trigram LM,
+  * NB routing model + class table, CCNet per-source tercile cuts,
+  * benchmark shingle Bloom), written ONCE as parquet under one root and
+  * loadable by a serving tier that never re-reads the training corpus.
+  *
+  * All artifacts are bounded by construction — |charset|^3 trigrams,
+  * |classes| x buckets model rows, one cut row per source, one Bloom
+  * blob — so a load is a broadcast-sized read no matter how large the
+  * corpus that trained them. Refresh cadence belongs to the batch tier:
+  * retrain writes a fresh root, serving re-loads, exactly the
+  * index-batch / search-stream split the ANN family uses
+  * ([[graft.streaming.StreamOps]]).
+  *
+  * Round-trip fidelity (loaded == in-memory, bit-for-bit through the
+  * scorers) is spec-gated in `CurationArtifactsSpec`.
+  */
+object CurationArtifacts {
+
+  /** The loaded serving bundle. `lmTotal` is re-derived from the model
+    * at load (one bounded agg) rather than stored — one source of truth.
+    */
+  final case class Loaded(
+      lmModel: DataFrame,
+      lmTotal: Long,
+      nbModel: DataFrame,
+      nbClasses: DataFrame,
+      ccnetCuts: DataFrame,
+      benchBloom: Array[Byte])
+
+  /** Train every gate artifact on `docs` and persist under `dir`:
+    * `lm_model` (t, cnt), `nb_model` (c, b, n_cb), `nb_classes`
+    * (c, n_c, d_c), `ccnet_cuts` (src, t1, t2), `bench_bloom` (1 binary
+    * row). One corpus read per artifact family; a real pipeline runs
+    * this on the reference-corpus cadence, not per batch.
+    */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      labelCol: String,
+      isBench: Column,
+      dir: String,
+      shingleN: Int = 3,
+      nbTrainPermille: Int = 800,
+      nbBuckets: Int = 4096): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TextAnalysis.trigramModel(docs, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$dir/lm_model")
+    val (m, classes) =
+      TextAnalysis.nbTrainModel(docs, textCol, labelCol, nbTrainPermille, nbBuckets)
+    m.write.mode("overwrite").parquet(s"$dir/nb_model")
+    classes.write.mode("overwrite").parquet(s"$dir/nb_classes")
+    Curation.ccnetThresholds(docs, textCol, idCol, srcCol)
+      .write.mode("overwrite").parquet(s"$dir/ccnet_cuts")
+    Seq(Curation.benchShingleBloom(docs.filter(isBench), textCol, shingleN))
+      .toDF("bloom").write.mode("overwrite").parquet(s"$dir/bench_bloom")
+  }
+
+  /** Load a serving bundle. The two `head()`s are bounded BY
+    * CONSTRUCTION: the LM total is a 1-row agg over the bounded model,
+    * the Bloom table is one row.
+    */
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val lm = spark.read.parquet(s"$dir/lm_model")
+    val total = lm.agg(sum(col("cnt")).as("t")).head().getAs[Long]("t")
+    Loaded(
+      lmModel = lm,
+      lmTotal = total,
+      nbModel = spark.read.parquet(s"$dir/nb_model"),
+      nbClasses = spark.read.parquet(s"$dir/nb_classes"),
+      ccnetCuts = spark.read.parquet(s"$dir/ccnet_cuts"),
+      benchBloom = spark.read.parquet(s"$dir/bench_bloom")
+        .head().getAs[Array[Byte]]("bloom"))
+  }
+}

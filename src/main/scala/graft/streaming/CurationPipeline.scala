@@ -77,16 +77,43 @@ object CurationPipeline {
 
   /** Per-batch body of the metrics branch: per-language doc/token counts
     * and mean quality, one row set per micro-batch.
+    *
+    * `nbRouting = Some((model, classes))` swaps the heuristic `lang_pred`
+    * for the TRAINED router's prediction
+    * ([[graft.functions.TextAnalysis.nbScoreAgainst]] against a frozen,
+    * e.g. [[graft.functions.CurationArtifacts]]-loaded, model) — the
+    * serving-position classifier inside the live pipeline. Docs the
+    * scorer can't place (no trigrams) keep the heuristic label, so the
+    * branch stays total.
     */
-  def metricsBatch(gated: DataFrame, batchId: Long, metricsPath: String): Unit =
+  def metricsBatch(
+      gated: DataFrame,
+      batchId: Long,
+      metricsPath: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nbRouting: Option[(DataFrame, DataFrame)] = None): Unit = {
+    val routed = nbRouting match {
+      case Some((model, classes)) =>
+        gated.join(
+          graft.functions.TextAnalysis.nbScoreAgainst(
+            gated, textCol, idCol, model, classes)
+            .select(col(idCol), col("pred_label")),
+          Seq(idCol), "left")
+          .withColumn("lang_pred",
+            coalesce(col("pred_label"), col("lang_pred")))
+          .drop("pred_label")
+      case None => gated
+    }
     IndexLayout.overwriteBatchPartitions(
-      gated.groupBy("lang_pred")
+      routed.groupBy("lang_pred")
         .agg(
           count(lit(1)).as("docs"),
           sum("n_tokens").as("tokens"),
           floor(avg("quality_milli")).cast("long").as("avg_quality_milli"))
         .withColumn("batch", lit(batchId)),
       metricsPath, Seq("batch"))
+  }
 
   /** One gated doc stream fanned into curate + metrics. Caller sets the
     * checkpoint location and starts the returned writer; restarting from
@@ -105,7 +132,8 @@ object CurationPipeline {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minJaccardMilli: Int = 600,
-      buckets: Int = 16): DataStreamWriter[Row] = {
+      buckets: Int = 16,
+      nbRouting: Option[(DataFrame, DataFrame)] = None): DataStreamWriter[Row] = {
     val gated = StreamingCuration.annotateAndGate(docs, textCol, minQualityMilli)
     Sinks.fanoutSinkById(gated, Seq(
       "curate" -> ((b: DataFrame, id: Long) =>
@@ -113,6 +141,7 @@ object CurationPipeline {
           curateBatch(b, id, textCol, idCol, keptPath, dupsPath, indexPath,
             n, bands, rowsPerBand, minJaccardMilli, buckets)),
       "metrics" -> ((b: DataFrame, id: Long) =>
-        if (!b.isEmpty) metricsBatch(b, id, metricsPath))))
+        if (!b.isEmpty)
+          metricsBatch(b, id, metricsPath, textCol, idCol, nbRouting))))
   }
 }
