@@ -53,11 +53,14 @@ class ModelSpec extends SparkSpec {
       """SELECT dot_product_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
                 l2_norm_d(array(3.0D, 4.0D)) AS n,
                 size(hashed_shingles('a b c d', 3)) AS s,
-                simhash60(array(1L, 3L)) AS f""").collect().head
+                simhash60(array(1L, 3L)) AS f,
+                char_trigrams('Hello') AS t""").collect().head
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 5.0)
     assert(r.getInt(2) === 2)
     assert(r.getLong(3) === 1L) // bit 0: both set (+2); bit 1: one set (0 -> not positive)
+    // NB: the expression does NOT lowercase (charTrigrams lowers first)
+    assert(r.getSeq[String](4) === Seq("Hel", "ell", "llo"))
   }
 
   test("GraftExtensions injects the SQL functions at session build time") {
