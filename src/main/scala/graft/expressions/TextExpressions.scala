@@ -182,6 +182,15 @@ case class CharTrigramsExpr(child: Expression)
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "char_trigrams"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_trigrams needs a string column, got ${other.sql}")
+    }
+
   override protected def nullSafeEval(a: Any): Any = {
     val s = a.asInstanceOf[UTF8String]
     val bytes = s.getBytes
