@@ -648,7 +648,10 @@ object Curation {
     */
   def gopherRules(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val words = TextAnalysis.tokens(col("__text"))
+    // case-fold before tokenizing: the stopword and top-word-repetition
+    // rules are case-insensitive in Rae et al. ("The"/"the" are the same
+    // word); n_words / n_alpha / sum_chars are unaffected by case
+    val words = TextAnalysis.tokens(lower(col("__text")))
     val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
@@ -703,15 +706,25 @@ object Curation {
     * values); thresholds are a 2-column-per-source broadcast back.
     * Output: (doc_id, source, avg_surprisal_q10, ppl_bucket).
     */
+  /** The shared (doc_id, src, s) per-doc surprisal frame both the batch
+    * buckets and the frozen serving cuts derive from — one definition so
+    * they can never diverge.
+    */
+  private def surprisalFrame(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): DataFrame =
+    TextAnalysis.lmSurprisalScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
+      .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s"))
+
   def ccnetBuckets(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       srcCol: String): DataFrame = {
-    val sc = TextAnalysis.lmSurprisalScore(docs, textCol, idCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
-      .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s"))
-      .localCheckpoint(false)
+    val sc = surprisalFrame(docs, textCol, idCol, srcCol).localCheckpoint(false)
     sc.join(broadcast(surprisalTerciles(sc)), "src")
       .select(col("doc_id"), col("src").as("source"),
         col("s").as("avg_surprisal_q10"),
@@ -758,10 +771,7 @@ object Curation {
       textCol: String,
       idCol: String,
       srcCol: String): DataFrame =
-    surprisalTerciles(
-      TextAnalysis.lmSurprisalScore(docs, textCol, idCol)
-        .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("src")), "doc_id")
-        .select(col("doc_id"), col("src"), col("avg_surprisal_q10").as("s")))
+    surprisalTerciles(surprisalFrame(docs, textCol, idCol, srcCol))
 
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every

@@ -71,7 +71,12 @@ object CurationArtifacts {
     */
   def load(spark: SparkSession, dir: String): Loaded = {
     val lm = spark.read.parquet(s"$dir/lm_model")
-    val total = lm.agg(sum(col("cnt")).as("t")).head().getAs[Long]("t")
+    val totalRow = lm.agg(sum(col("cnt")).as("t")).head()
+    // an empty lm_model (interrupted train run) would otherwise unbox
+    // NULL to 0 and fail far away inside log2Q10 — fail at the source
+    require(!totalRow.isNullAt(0) && totalRow.getAs[Long]("t") > 0L,
+      s"$dir/lm_model is empty — artifacts were not trained (or the write was interrupted)")
+    val total = totalRow.getAs[Long]("t")
     Loaded(
       lmModel = lm,
       lmTotal = total,

@@ -975,7 +975,9 @@ object LlmQueries {
           SELECT doc_id, source, dsir_qmilli, n_tokens, cum_tokens
           FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""",
     "gopher_rules" ->
-      s"""WITH base AS (SELECT doc_id, $toksSql AS toks,
+      s"""WITH base AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             t -> t <> '') AS toks,
                  length(regexp_replace(text, '\\s', '', 'g')) AS sum_chars
                FROM documents),
           tf AS (SELECT doc_id, unnest(toks) AS term FROM base),

@@ -700,6 +700,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val spark = td.sparkSession
     import spark.implicits._
+    // class labels must be STRINGS (every oracle query and serving spec
+    // uses string labels); fail at analysis instead of a
+    // ClassCastException deep in the pivot build
+    require(
+      classes.schema("c").dataType == org.apache.spark.sql.types.StringType,
+      s"nb class labels must be strings, got ${classes.schema("c").dataType.sql}")
     val cls = classes.select(col("c"), col("n_c"), col("d_c"))
       .orderBy("c").collect()
     if (cls.isEmpty)

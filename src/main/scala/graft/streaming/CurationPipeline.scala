@@ -96,9 +96,10 @@ object CurationPipeline {
     val routed = nbRouting match {
       case Some((model, classes)) =>
         gated.join(
+          // the scorer normalizes its id column to "doc_id"
           graft.functions.TextAnalysis.nbScoreAgainst(
             gated, textCol, idCol, model, classes)
-            .select(col(idCol), col("pred_label")),
+            .select(col("doc_id").as(idCol), col("pred_label")),
           Seq(idCol), "left")
           .withColumn("lang_pred",
             coalesce(col("pred_label"), col("lang_pred")))

@@ -226,6 +226,8 @@ object StreamingCuration {
     * siblings. Assignments converge exactly to the batch
     * [[graft.functions.Curation.ccnetBuckets]] when the stream replays
     * the corpus the artifacts were frozen from (StreamingExtrasSpec).
+    * Sources with no cut row (first seen after the train-tier snapshot)
+    * bucket as `"unknown"` rather than silently dropping.
     * Output: (window_start, doc_id, source, avg_surprisal_q10,
     * ppl_bucket).
     */
@@ -251,10 +253,16 @@ object StreamingCuration {
       .groupBy(window(col(tsCol), windowDur), col("doc_id"), col(srcCol))
       .agg(count(lit(1)).as("n_tri"), sum(col("s_q10")).as("sum_s"))
       .withColumn("s", expr("cast(sum_s div n_tri as bigint)"))
-      .join(broadcast(th), col(srcCol) === col("__th_src"))
+      // LEFT join: a source absent from the frozen cuts (it appeared
+      // after the train-tier snapshot) must not silently drop its docs —
+      // they surface as "unknown" for the caller to route explicitly,
+      // the same graceful-degradation posture as the other serving twins
+      // (NB: add-one smoothing; LM: singleton surprisal).
+      .join(broadcast(th), col(srcCol) === col("__th_src"), "left")
       .select(col("window.start").as("window_start"), col("doc_id"),
         col(srcCol).as("source"), col("s").as("avg_surprisal_q10"),
-        when(col("s") <= col("t1"), lit("head"))
+        when(col("t1").isNull, lit("unknown"))
+          .when(col("s") <= col("t1"), lit("head"))
           .when(col("s") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
   }

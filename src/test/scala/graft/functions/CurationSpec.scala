@@ -36,7 +36,12 @@ class CurationSpec extends SparkSpec {
       (3L, (Seq("to", "of") ++ (0 until 58).map(i => s"${('a' + i % 26).toChar}${i % 10}")).mkString(" ")), // mean len < 3
       (4L, (Seq("the", "with") ++ (0 until 58).map(i => (1000 + i).toString)).mkString(" ")), // digits: alpha < 80%
       (5L, (0 until 60).map(i => s"word${('a' + i % 26).toChar}${i / 26}").mkString(" ")), // no stopwords
-      (6L, (Seq.fill(20)("the") ++ Seq("with") ++ (0 until 39).map(i => s"word${('a' + i % 26).toChar}${i / 26}")).mkString(" "))) // top word 20/60 > 20%
+      (6L, (Seq.fill(20)("the") ++ Seq("with") ++ (0 until 39).map(i => s"word${('a' + i % 26).toChar}${i / 26}")).mkString(" ")), // top word 20/60 > 20%
+      // capitalized stopwords + mixed-case repeats: the rules are
+      // case-insensitive ("The" counts as "the", and "The"+"the" repeats
+      // pool into one top word: 7+6 = 13/60 > 20% -> r_rep fails)
+      (7L, (Seq("The", "With") ++ (0 until 58).map(i => s"word${('a' + i % 26).toChar}${i / 26}")).mkString(" ")),
+      (8L, (Seq.fill(7)("The") ++ Seq.fill(6)("the") ++ Seq("with") ++ (0 until 46).map(i => s"word${('a' + i % 26).toChar}${i / 26}")).mkString(" ")))
       .toDF("doc_id", "text")
     val out = Curation.gopherRules(df, "text", "doc_id")
       .select("doc_id", "r_nwords", "r_wordlen", "r_alpha", "r_stop", "r_rep", "keep")
@@ -47,6 +52,8 @@ class CurationSpec extends SparkSpec {
     assert(out(3) === ((4L, 1L, 1L, 0L, 1L, 1L, 0L)))
     assert(out(4) === ((5L, 1L, 1L, 1L, 0L, 1L, 0L)))
     assert(out(5) === ((6L, 1L, 1L, 1L, 1L, 0L, 0L)))
+    assert(out(6) === ((7L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    assert(out(7) === ((8L, 1L, 1L, 1L, 1L, 0L, 0L)))
   }
 
   test("ccnetBuckets thresholds are minimal value-cuts and buckets are ordered") {

@@ -343,18 +343,26 @@ class StreamingExtrasSpec extends SparkSpec {
         input.addData(b.map { case (id, src, txt) => (id, src, txt, base + id) }.toSeq)
         q.processAllAvailable()
       }
+      // a source the cuts have never seen must surface as "unknown",
+      // not silently drop
+      input.addData((999999L, "srcX", "document from a brand new source",
+        base + 999999L))
       input.addData((-1L, "src0", "flush sentinel document",
         base + 365L * 86400000000L))
       q.processAllAvailable()
-      val streamed = spark.table("ccnet_assign").filter(col("doc_id") >= 0)
+      val streamed = spark.table("ccnet_assign")
+        .filter(col("doc_id") >= 0 && col("doc_id") < 999999L)
         .select("doc_id", "source", "avg_surprisal_q10", "ppl_bucket")
         .as[(Long, String, Long, String)].collect().sortBy(_._1)
+      val unknown = spark.table("ccnet_assign").filter(col("doc_id") === 999999L)
+        .select("ppl_bucket").as[String].collect()
       val batch = graft.functions.Curation
         .ccnetBuckets(docs, "text", "doc_id", "source")
         .select("doc_id", "source", "avg_surprisal_q10", "ppl_bucket")
         .as[(Long, String, Long, String)].collect().sortBy(_._1)
       assert(streamed.nonEmpty)
       assert(streamed === batch)
+      assert(unknown.toSeq === Seq("unknown"))
     } finally { q.stop(); model.unpersist() }
   }
 
