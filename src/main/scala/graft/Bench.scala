@@ -137,7 +137,10 @@ object Bench {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         .localCheckpoint()
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val idx = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+      // fixed path, rebuilt per run: repeated bench runs must not
+      // accumulate index copies under the temp dir
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-idx"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
       Similarity.writeInt8Index(corpus, s"$idx/int8")
       Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq", centroidEvery = 25, m = 8, dim = 64)
       TextAnalysis.writeInvertedIndex(graft.sources.Tables.documents(sparkSrv, sfDir),
@@ -192,8 +195,10 @@ object Bench {
         val out = flagged.map { name =>
           val fn = SparkEntry.queries(name)
           try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
-          val (sec, _) = timed(runs)(fn(s3, sfDir).count())
-          (name, sec)
+          val (sec, ok) = timed(runs)(fn(s3, sfDir).count())
+          // a query that FAILS in the retime session must not record a
+          // near-instant "fast" median that reads as a placement artifact
+          (name, if (ok) sec else -1.0)
         }
         s3.stop()
         out

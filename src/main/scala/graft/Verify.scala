@@ -9,8 +9,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional subset: run only the named queries (iteration aid; the
-    // driver always runs the full map)
+    // driver always runs the full map). A typo'd name must fail loudly —
+    // silently filtering to nothing looks exactly like success.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -20,6 +20,11 @@ object DataGenerators {
 
   final class Handle(flag: AtomicBoolean, thread: Thread) {
     def stop(): Unit = { flag.set(false); thread.join(5000) }
+    /** Wait for a bounded generator to write its FULL record budget —
+      * unlike a sleep-then-stop, this can't truncate the run on a slow
+      * host.
+      */
+    def await(timeoutMs: Long = 300000L): Unit = thread.join(timeoutMs)
   }
 
   private def spawn(body: AtomicBoolean => Unit): Handle = {

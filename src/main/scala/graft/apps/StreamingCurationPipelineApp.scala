@@ -60,8 +60,7 @@ object StreamingCurationPipelineApp {
       .option("checkpointLocation", ckpt)
       .start()
     try {
-      Thread.sleep(records * 25L + 1500L)
-      gen.stop()
+      gen.await() // all `records` docs written, however slow the host
       q.processAllAvailable()
     } finally q.stop()
 

@@ -90,8 +90,11 @@ case class TopKSmallestPairs(
     val s = child.eval(input)
     if (s != null) {
       val row = s.asInstanceOf[InternalRow]
-      // Skip pairs with a null field — the row_number window form this
-      // replaces sorts nulls last, so they never make the top k either.
+      // Skip pairs with a null field: a null score is a malformed row
+      // (e.g. a length-mismatched embedding) and must never rank. NB
+      // this matches the DuckDB oracle's nulls-LAST ascending sort, and
+      // deliberately DIVERGES from Spark's nulls-FIRST window sort —
+      // under which one malformed row would take the #1 slot.
       if (!row.isNullAt(0) && !row.isNullAt(1)) {
         buf.offer(row.getLong(0), row.getLong(1))
       }

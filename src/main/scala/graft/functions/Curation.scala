@@ -368,31 +368,34 @@ object Curation {
     *
     * Dense positions are computed WITHOUT a per-shard global sort: hkey
     * ranges are pre-chunked (`chunkDiv` — a monotone function of hkey, so
-    * chunk order = hkey order), per-(shard, chunk) counts — a tiny
-    * summary — are prefix-summed with a broadcast range self-join, and
-    * only the within-chunk remainder uses a window PARTITIONED by
-    * (shard, chunk). The same two-pass shape as [[packSequencesChunked]]:
-    * no reducer ever sorts more than one chunk of one shard, at any
-    * corpus size.
+    * chunk order = hkey order), per-(shard, chunk) counts — a SUMMARY of
+    * <= 2^48/chunkDiv rows per shard — are prefix-summed by a window over
+    * that summary (partition = one shard's chunk list; the
+    * [[tokenBudgetSelect]] pattern — an earlier broadcast range self-join
+    * was the O(chunks^2)-per-probe shape that op's comment documents),
+    * and only the within-chunk remainder uses a window PARTITIONED by
+    * (shard, chunk). `pos` is chunking-invariant (chunk order = hkey
+    * order), so chunkDiv only sizes partitions: the default 2^32 gives
+    * 65536 chunks — at 10B docs a raw-row partition is ~n/(shards*65536)
+    * rows, and the summary window's partition is the 65536-row chunk
+    * list. The same two-pass shape as [[packSequencesChunked]].
     */
   def shuffleShards(
       df: DataFrame,
       idCol: String,
       shards: Int,
-      chunkDiv: Long = 1L << 40): DataFrame = {
+      chunkDiv: Long = 1L << 32): DataFrame = {
     val base = df
       .withColumn("__hkey", hash48(concat(lit("shuffle:"), col(idCol).cast("string"))))
       .withColumn("shard", pmod(col("__hkey"), lit(shards.toLong)))
       .withColumn("__chunk", longDiv(col("__hkey"), chunkDiv))
     val chunkCounts = base.groupBy(col("shard"), col("__chunk"))
       .agg(count(lit(1)).as("__ccnt"))
+    val wPrev = Window.partitionBy(col("shard")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val prevCounts = chunkCounts
-      .join(
-        broadcast(chunkCounts.select(col("shard").as("__ps"),
-          col("__chunk").as("__pc"), col("__ccnt").as("__pcnt"))),
-        col("__ps") === col("shard") && col("__pc") < col("__chunk"), "left")
-      .groupBy(col("shard"), col("__chunk"))
-      .agg(sum(col("__pcnt")).as("__prev_cnt"))
+      .select(col("shard"), col("__chunk"),
+        sum(col("__ccnt")).over(wPrev).as("__prev_cnt"))
     val w = Window.partitionBy(col("shard"), col("__chunk"))
       .orderBy(col("__hkey"), col(idCol))
     base

@@ -110,11 +110,10 @@ object Sinks {
   def fanoutSink(
       df: DataFrame,
       branches: Seq[(String, DataFrame => Unit)]): DataStreamWriter[Row] =
-    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-      val b = batch.toDF().persist()
-      try branches.foreach { case (_, handle) => handle(b) }
-      finally { b.unpersist(); () }
-    }
+    // one persist/try/unpersist contract, implemented once below
+    fanoutSinkById(df, branches.map { case (name, handle) =>
+      name -> ((b: DataFrame, _: Long) => handle(b))
+    })
 
   /** [[fanoutSink]] with the micro-batch id passed through to every
     * branch — for branches whose writes are idempotent PER BATCH ID

@@ -133,12 +133,18 @@ object DedupScaleCurve {
       // pathological-diameter bound at ~3+log2 d). Columns here:
       // candidates=nodes, verified=clusters, secs_cand=full CC time.
       val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
-      val (ccNodes, ccSec) = time(
-        Curation.connectedComponents(
+      var labels: org.apache.spark.sql.DataFrame = null
+      val (ccNodes, ccSec) = time {
+        // the eager checkpoint materializes CC inside the timed block;
+        // the cluster count below then reads the cached labels
+        labels = Curation.connectedComponents(
           Dedup.minhashLshPairs(d, "text", "doc_id", 3, 4, 4,
             minJaccardMilli = 500),
-          "a", "b", roundsOut = Some(rounds)).count())
-      report(s"cc_label_prop(rounds=${rounds.get})", n, ccNodes, ccSec, ccNodes, 0.0)
+          "a", "b", roundsOut = Some(rounds)).localCheckpoint()
+        labels.count()
+      }
+      val clusters = labels.select("cluster_id").distinct().count()
+      report(s"cc_label_prop(rounds=${rounds.get})", n, ccNodes, ccSec, clusters, 0.0)
     }
 
     vecSizes.foreach { n =>
