@@ -888,6 +888,50 @@ object Curation {
         col("score_milli"), col("rank"))
   }
 
+  /** Temperature-scaled mixture sampling (alpha = 1/2, the multilingual
+    * up-weighting exponent): per-source sampling rates are derived from
+    * the corpus itself — source weight `w_s = floor(sqrt(tokens_s))`, so
+    * expected sampled tokens from source s are
+    * `budget * w_s / sum(w)` — small sources are up-weighted relative
+    * to proportional sampling, the standard temperature knob for "don't
+    * let the biggest crawl drown the small high-quality domains". The
+    * keep decision is the [[stratifiedSample]] content-hash rule
+    * (`hash48(id) mod 10^6 < rate_micro`) — deterministic, no RNG.
+    *
+    * `rate_micro = min(10^6, floor(budget * 10^6 * w_s / (sum_w * t_s)))`
+    * computed in DOUBLES in this exact operation order (IEEE semantics
+    * match across engines, the repo's floor-quantized-double convention)
+    * because the integer product overflows Long at 100 TB token totals.
+    * Sources with zero tokens can't contribute and are dropped.
+    *
+    * Scale shape: one narrow tokenize pass (checkpointed), a per-source
+    * bounded aggregate, a 1-row total, a broadcast rate table, and a
+    * narrow hash filter — no shuffle beyond the per-source summary.
+    * Output: (doc_id, source, n_tokens, rate_micro) for kept docs.
+    */
+  def temperatureMixtureSample(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val tok = df.select(col(idCol), col(srcCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val st = tok.groupBy(col(srcCol)).agg(sum(col("n_tokens")).as("t"))
+      .filter(col("t") > 0)
+      .withColumn("w", floor(sqrt(col("t"))).cast("long"))
+    val sw = st.agg(sum(col("w")).as("sw"))
+    val rates = st.crossJoin(broadcast(sw))
+      .withColumn("rate_micro", least(lit(1000000L),
+        floor(lit(budgetTokens.toDouble) * lit(1000000.0) * col("w") /
+          (col("sw") * col("t"))).cast("long")))
+      .select(col(srcCol), col("rate_micro"))
+    tok.join(broadcast(rates), srcCol)
+      .filter(pmod(hash48(col(idCol)), lit(1000000L)) < col("rate_micro"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("rate_micro"))
+  }
+
   /** Token-budget mixture sampling: build a training mix by taking each
     * stratum's documents in deterministic `idCol` order until that
     * stratum's token budget is exhausted ("2B tokens of web, 500M of

@@ -323,6 +323,42 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard_milli"))
   }
 
+  /** Cross-source duplicate matrix: for every unordered source pair,
+    * how many verified near-dup pairs ([[minhashLshPairs]]) straddle it
+    * and their mean similarity — the diagnostic a corpus owner reads
+    * before deciding blocking keys ("is src2 a mirror of src0?") and
+    * exactly what source-BLOCKED dedup cannot see by construction.
+    *
+    * Scale shape: pair volume is the candidate-volume bound (measured
+    * flat per item in SCALING.md); the two source lookups join the
+    * small verified-pair list back to an id->source table (AQE
+    * broadcasts the pair side), and the final aggregate is at most
+    * |sources|^2 rows. Output: (src_a, src_b, n_pairs,
+    * avg_jaccard_milli) with src_a <= src_b.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int): DataFrame = {
+    val pairs = minhashLshPairs(df, textCol, idCol, n, bands, rowsPerBand,
+      minJaccardMilli)
+    val srcs = df.select(col(idCol).as("__pid"), col(srcCol).as("__psrc"))
+    pairs
+      .join(srcs.select(col("__pid").as("a"), col("__psrc").as("sa")), "a")
+      .join(srcs.select(col("__pid").as("b"), col("__psrc").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard_milli"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(jaccard_milli) div count(1) as bigint)")
+          .as("avg_jaccard_milli"))
+  }
+
   private def bandBucket(bh: Column, buckets: Int): Column =
     pmod(conv(substring(bh, 1, 12), 16, 10).cast("long"), lit(buckets.toLong))
 

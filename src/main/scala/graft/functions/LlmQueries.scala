@@ -639,6 +639,22 @@ object LlmQueries {
         budgets = Map("src0" -> 512L, "src1" -> 2048L), defaultBudget = 1024L)
         .orderBy("doc_id")
     },
+    // Temperature-scaled mixture (alpha = 1/2): per-source rates derived
+    // from the corpus's own token totals — small sources up-weighted,
+    // content-hash keep rule, no RNG.
+    "temperature_mixture" -> { (s, d) =>
+      Curation.temperatureMixtureSample(Tables.documents(s, d),
+        "doc_id", "source", "text", budgetTokens = 3000L)
+        .orderBy("doc_id")
+    },
+    // Cross-source duplicate matrix: verified near-dup pair counts and
+    // mean similarity per unordered source pair — the blocking-key
+    // diagnostic source-blocked dedup cannot see by construction.
+    "dedup_source_matrix" -> { (s, d) =>
+      Dedup.crossSourceDupMatrix(Tables.documents(s, d), "text", "doc_id",
+        "source", n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+        .orderBy("src_a", "src_b")
+    },
     // Coarse embedding dedup in quantized space: vectors identical after
     // int8 quantization share an md5 code fingerprint — the 16-byte
     // shuffle-key dedup shape of dedup_exact, applied to vectors.
@@ -1334,6 +1350,41 @@ object LlmQueries {
           WHERE cum_before < CASE source WHEN 'src0' THEN 512
                                          WHEN 'src1' THEN 2048 ELSE 1024 END
           ORDER BY doc_id""",
+    "temperature_mixture" ->
+      s"""WITH tok AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+                 FROM documents),
+          st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+                 FROM tok GROUP BY 1 HAVING sum(n_tokens) > 0),
+          w AS (SELECT source, t, CAST(floor(sqrt(t)) AS BIGINT) AS w FROM st),
+          tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+          r AS (SELECT source,
+                  least(1000000, CAST(floor(3000.0 * 1000000.0 * w / (sw * t)) AS BIGINT))
+                    AS rate_micro
+                FROM w CROSS JOIN tot)
+          SELECT tok.doc_id, tok.source, tok.n_tokens, r.rate_micro
+          FROM tok JOIN r USING (source)
+          WHERE CAST(('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 1000000 < r.rate_micro
+          ORDER BY doc_id""",
+    "dedup_source_matrix" ->
+      s"""WITH $shinglesCte,
+          $minhashCandCtes,
+          vj AS (SELECT c.a, c.b,
+                   CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                     (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                     AS BIGINT) AS j
+                 FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b),
+          vp AS (SELECT * FROM vj WHERE j >= 500),
+          sp AS (SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b, j
+                 FROM vp
+                 JOIN documents da ON da.doc_id = vp.a
+                 JOIN documents db ON db.doc_id = vp.b)
+          SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(j) // count(*) AS BIGINT) AS avg_jaccard_milli
+          FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b""",
     "dedup_embedding_quantized" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),

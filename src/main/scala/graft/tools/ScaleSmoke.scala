@@ -177,6 +177,15 @@ object ScaleSmoke {
       graft.functions.Curation.ccnetBuckets(docs, "text", "doc_id", "source")
         .count()
     }
+    time("temperature mixture (a=1/2)") {
+      graft.functions.Curation.temperatureMixtureSample(docs, "doc_id",
+        "source", "text", budgetTokens = 100000L).count()
+    }
+    time("cross-source dup matrix") {
+      graft.functions.Dedup.crossSourceDupMatrix(docs, "text", "doc_id",
+        "source", n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+        .count()
+    }
     time("full curation DAG (keep+split)") {
       graft.functions.Curation.curationKeep(docs, "text", "doc_id",
         isBench = pmod(col("doc_id"), lit(1000)) === 0)

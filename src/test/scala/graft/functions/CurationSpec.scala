@@ -85,6 +85,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixtureSample up-weights small sources by sqrt of token mass") {
+    // src_big: 100 docs x 10 tokens (t=1000, w=31); src_small: 4 docs x
+    // 10 tokens (t=40, w=6); sw=37, budget=200:
+    //   rate_big   = floor(200e6 * 31 / (37 * 1000)) = 167567
+    //   rate_small = floor(200e6 *  6 / (37 *   40)) = 810810
+    val ten = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val d = ((0L until 100L).map(i => (i, "src_big", ten)) ++
+      (100L until 104L).map(i => (i, "src_small", ten)))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMixtureSample(d, "doc_id", "source", "text",
+      budgetTokens = 200L)
+      .as[(Long, String, Long, Long)].collect()
+    val rates = out.map(r => (r._2, r._4)).distinct.toMap
+    assert(rates.get("src_big").forall(_ === 167567L))
+    assert(rates.get("src_small").forall(_ === 810810L))
+    // keep rule is exactly the content-hash threshold
+    val expected = d.select(col("doc_id"), col("source"))
+      .withColumn("h", pmod(Curation.hash48(col("doc_id")), lit(1000000L)))
+      .as[(Long, String, Long)].collect()
+      .filter { case (_, src, h) =>
+        h < (if (src == "src_big") 167567L else 810810L) }
+      .map(_._1).sorted
+    assert(out.map(_._1).sorted === expected)
+    // temperature up-weighting: the small source's keep RATE is higher
+    assert(810810L > 167567L * 4)
+  }
+
   test("connectedComponents labels a chain, a clique and a singleton pair") {
     // chain 1-2-3-4, clique 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),

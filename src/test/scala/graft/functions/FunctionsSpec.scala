@@ -44,6 +44,23 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1000L))
   }
 
+  test("crossSourceDupMatrix counts straddling pairs per unordered source pair") {
+    // src0: base + exact dup (intra pair); src1: near-dup of base (cross
+    // pair x2 — vs both src0 copies); src2: unrelated (no pairs)
+    val d = Seq(
+      (0L, base, "src0"), (1L, base, "src0"),
+      (2L, nearDup, "src1"), (3L, unrelated, "src2"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDupMatrix(d, "text", "doc_id", "source",
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(m.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("src0", "src0", 1L), ("src0", "src1", 2L)))
+    // the intra-src0 pair is an exact dup: mean jaccard is exactly 1000
+    assert(m(0)._4 === 1000L)
+    assert(m(1)._4 < 1000L && m(1)._4 >= 500L)
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     val fps = docs.withColumn("hs", Dedup.tokenHashes60(col("text")))
       .select(col("doc_id"), Dedup.simhash60FromHashes(col("hs")).as("f"))
