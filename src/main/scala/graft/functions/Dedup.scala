@@ -381,6 +381,9 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       buckets: Int = 64): Unit = {
+    IndexLayout.writeParams(df.sparkSession, path, Map(
+      "n" -> n.toLong, "bands" -> bands.toLong,
+      "rowsPerBand" -> rowsPerBand.toLong, "buckets" -> buckets.toLong))
     bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
       .select(col("doc"), col("band"), col("bh"))
       .withColumn("bucket", bandBucket(col("bh"), buckets))
@@ -415,6 +418,11 @@ object Dedup {
       rowsPerBand: Int,
       buckets: Int = 64,
       batchId: Option[Long] = None): Unit = {
+    // a mismatched append would band/bucket differently than the layout:
+    // silently wrong probes forever after. Fail here instead.
+    IndexLayout.requireParams(df.sparkSession, path, Map(
+      "n" -> n.toLong, "bands" -> bands.toLong,
+      "rowsPerBand" -> rowsPerBand.toLong, "buckets" -> buckets.toLong))
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(df.sparkSession, s"$path/bands") + 1)
     IndexLayout.overwriteBatchPartitions(
@@ -464,6 +472,11 @@ object Dedup {
       minJaccardMilli: Int,
       buckets: Int = 64,
       excludeBatchId: Option[Long] = None): DataFrame = {
+    // reader params must match the layout's, or the bucket partition
+    // filter prunes the TRUE candidates away — zero errors, zero dups
+    IndexLayout.requireParams(spark, indexPath, Map(
+      "n" -> n.toLong, "bands" -> bands.toLong,
+      "rowsPerBand" -> rowsPerBand.toLong, "buckets" -> buckets.toLong))
     // localCheckpoint: newBk feeds BOTH the driver-side bucket collect and
     // the candidate join — without it the batch is re-shingled twice
     val newBk = bandKeys(newDocs, textCol, idCol, n, bands, rowsPerBand)

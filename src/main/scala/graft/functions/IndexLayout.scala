@@ -19,9 +19,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * probe-time partition pruning is unchanged.
   *
   * An index should be maintained either by one streaming query (whose
-  * checkpointed batch ids are unique and monotone) or by ad-hoc batch
-  * appends (which allocate max-existing+1); interleaving both against the
-  * same index could reuse an id and overwrite a prior append.
+  * checkpointed batch ids are unique and monotone) or by SERIAL ad-hoc
+  * batch appends. Default batch-id allocation (max-existing + 1) is a
+  * non-atomic filesystem read-modify-write: TWO CONCURRENT appends with
+  * `batchId = None` can pick the same id, and the later dynamic
+  * overwrite silently replaces the earlier one's rows. Concurrent
+  * backfills must pass EXPLICIT, distinct batch ids; interleaving a
+  * stream with ad-hoc appends has the same hazard.
   */
 private[graft] object IndexLayout {
 
@@ -45,6 +49,38 @@ private[graft] object IndexLayout {
     }
     found.flatMap(s => scala.util.Try(s.toLong).toOption)
       .foldLeft(BaseBatch)(math.max)
+  }
+
+  /** Persist the index's SHAPE PARAMETERS (band counts, bucket counts,
+    * codebook dims ...) as a 1-row table under `<root>/params`, making
+    * the layout self-describing: a reader or appender called with
+    * DIFFERENT parameters would silently prune the wrong partitions /
+    * bucket band keys differently and return wrong results with no
+    * error — [[requireParams]] turns that into a loud failure at open
+    * time (the `writeBm25Index` stats-table convention, generalized).
+    */
+  def writeParams(spark: SparkSession, root: String, params: Map[String, Long]): Unit = {
+    import spark.implicits._
+    params.toSeq.sortBy(_._1).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+  }
+
+  /** Fail loudly if `<root>/params` exists and disagrees with `expected`.
+    * A layout without a params table (pre-convention build) is accepted
+    * as-is — the caller's arguments are then the only source of truth.
+    */
+  def requireParams(spark: SparkSession, root: String, expected: Map[String, Long]): Unit = {
+    val p = new Path(s"$root/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val stored = spark.read.parquet(s"$root/params")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val diff = expected.filter { case (k, v) => stored.get(k).exists(_ != v) }
+      val built = diff.keys.map(k => k -> stored(k)).toMap
+      require(diff.isEmpty,
+        s"index at $root was built with $built, " +
+          s"but caller passed $diff — results would be silently wrong")
+    }
   }
 
   /** Write `df` (which must carry a literal `batch` column) into `path`

@@ -55,10 +55,43 @@ object Similarity {
 
   /** (vec_id-col, vec-col) -> adds `<prefix>d` (double vector) and
     * `<prefix>n` (its norm), computed once per row.
+    *
+    * Zero-norm vectors (dead rows from a failed embed job) are DROPPED:
+    * their cosine is 0/0 = NaN, which `floor(...)` would silently turn
+    * into score 0 — ranking garbage mid-pack and diverging from the
+    * oracle (DuckDB keeps the NaN). A malformed row must never rank
+    * (the `TopKSmallestPairs` null-skip convention); excluding it here
+    * makes every cosine consumer (top-k, cell assign, near-dup,
+    * SemDeDup) agree.
     */
   private def withNorm(df: DataFrame, vecCol: String, prefix: String): DataFrame =
     df.withColumn(prefix + "d", toDouble(col(vecCol)))
       .withColumn(prefix + "n", l2Norm(col(prefix + "d")))
+      .filter(col(prefix + "n") > 0.0)
+
+  /** Deterministic centroid seeds of a withNorm'd corpus: every
+    * `centroidEvery`-th vector as (cid, cd, cn). One definition shared
+    * by build, append, direct and from-index paths, so seeding can
+    * never desynchronize them.
+    */
+  private def seedCentroids(c: DataFrame, centroidEvery: Int): DataFrame =
+    c.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+
+  /** The `nprobe` closest cells per query (rows keep qd/qn for callers
+    * that score afterwards): probe ranking and its (score desc, cid)
+    * tie-break live HERE and only here — the direct and from-index
+    * rankings are spec-claimed identical, which only holds while they
+    * share this exact probe rule.
+    */
+  private def probeCells(q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("p_score_q4").desc, col("cid"))
+    q.join(broadcast(centroids))
+      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+  }
 
   /** Exact top-k neighbours for each query vector.
     *
@@ -149,7 +182,7 @@ object Similarity {
     * one-shot [[int8TopK]] still reads the float corpus to quantize it per
     * query batch; searching the stored codes ([[int8TopKFromIndex]]) never
     * opens the float table, and the codes scan bit-packs to a fraction of
-    * the float bytes (values in [-127, 126] dictionary/bit-pack in
+    * the float bytes (values in [-127, 127] dictionary/bit-pack in
     * parquet). Unlike IVF/PQ there is no frozen global codebook — the
     * per-vector max-abs scale makes every row self-contained, so appends
     * are chunking-invariant by construction.
@@ -384,17 +417,10 @@ object Similarity {
       dim: Int): DataFrame = {
     val sub = dim / m
     val c = withNorm(corpus, "vec", "v")
-    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val centroids = seedCentroids(c, centroidEvery)
     val cells = cellAssign(c, centroids) // (vec_id, cid)
     val q = withNorm(queries, "qvec", "q")
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("p_score_q4").desc, col("cid"))
-    val probes = q
-      .join(broadcast(centroids))
-      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nprobe)
+    val probes = probeCells(q, centroids, nprobe)
       .select(col("qid"), col("cid").as("cell"))
     val codes = pqEncode(corpus, centroidEvery, m, dim)
       .select(col("vec_id"), col("j"), col("code"))
@@ -422,9 +448,12 @@ object Similarity {
       centroidEvery: Int,
       m: Int,
       dim: Int): Unit = {
+    // sibling .meta dir: a params SUBdir would break the code table's
+    // cell=/batch= partition discovery
+    IndexLayout.writeParams(corpus.sparkSession, s"$path.meta", Map(
+      "centroidEvery" -> centroidEvery.toLong, "m" -> m.toLong, "dim" -> dim.toLong))
     val c = withNorm(corpus, "vec", "v")
-    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val centroids = seedCentroids(c, centroidEvery)
     val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
     pqEncode(corpus, centroidEvery, m, dim)
       .select(col("vec_id"), col("j"), col("code"))
@@ -458,10 +487,11 @@ object Similarity {
       m: Int,
       dim: Int,
       batchId: Option[Long] = None): Unit = {
+    IndexLayout.requireParams(newVecs.sparkSession, s"$path.meta", Map(
+      "centroidEvery" -> centroidEvery.toLong, "m" -> m.toLong, "dim" -> dim.toLong))
     val c = withNorm(newVecs, "vec", "v")
     val base = withNorm(baseCorpus, "vec", "v")
-    val centroids = base.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val centroids = seedCentroids(base, centroidEvery)
     val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(newVecs.sparkSession, path) + 1)
@@ -488,18 +518,13 @@ object Similarity {
       nprobe: Int,
       m: Int,
       dim: Int): DataFrame = {
+    IndexLayout.requireParams(spark, s"$indexPath.meta", Map(
+      "centroidEvery" -> centroidEvery.toLong, "m" -> m.toLong, "dim" -> dim.toLong))
     val sub = dim / m
     val c = withNorm(corpus, "vec", "v")
-    val centroids = c.filter(col("vec_id") % centroidEvery === 0)
-      .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val centroids = seedCentroids(c, centroidEvery)
     val q = withNorm(queries, "qvec", "q")
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("p_score_q4").desc, col("cid"))
-    val probes = q
-      .join(broadcast(centroids))
-      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nprobe)
+    val probes = probeCells(q, centroids, nprobe)
       .select(col("qid"), col("cid").as("cell"))
     // the probed cell ids collapse to a partition filter on the index
     // read — bounded driver read BY CONSTRUCTION: probes has exactly
@@ -574,13 +599,7 @@ object Similarity {
     val assigned = c.join(cells, "vec_id")
       .select(col("vec_id"), col("vd"), col("vn"), col("cid"))
     // query probes
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("p_score_q4").desc, col("cid"))
-    val probes = q
-      .join(broadcast(centroids))
-      .withColumn("p_score_q4", q4(dotProduct(col("cd"), col("qd")), col("cn"), col("qn")))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nprobe)
+    val probes = probeCells(q, centroids, nprobe)
       .select(col("qid"), col("qd"), col("qn"), col("cid"))
     val scored = probes
       .join(assigned, "cid")
@@ -662,8 +681,9 @@ object Similarity {
   /** Max-abs int8 quantization of an embedding — the standard vector-
     * compression step before an ANN index ships (4x smaller than float32,
     * 8x than float64). Per vector: scale = max |x_i|; q_i =
-    * floor(x_i / scale * 127) in [-127, 126]; a zero vector quantizes to
-    * zeros. Engine-portable: two IEEE ops + floor per element, identical
+    * floor(x_i / scale * 127) in [-127, 127] (the max-abs element itself
+    * hits exactly ±127: x_i/scale is exactly ±1.0); a zero vector
+    * quantizes to zeros. Engine-portable: two IEEE ops + floor per element, identical
     * everywhere. Returns a struct (scale, q) so the caller keeps the
     * dequantization factor next to the codes.
     *

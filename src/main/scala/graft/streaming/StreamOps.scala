@@ -29,6 +29,12 @@ object StreamOps {
   /** A2: keyed running aggregate — run with `outputMode("update")`;
     * Spark maintains the running state natively (per-micro-batch emission
     * instead of the reference's per-record cadence).
+    *
+    * `valueCol`'s type is the CALLER's exactness contract: pass an
+    * integer-scaled column (milli-units, the `CoreOps.keyedRunningTotal`
+    * convention — ConvergenceSpec replays exactly that and matches the
+    * batch answer bit-for-bit); summing raw doubles depends on per-batch
+    * summation order and is only approximately replay-comparable.
     */
   def runningKeyedSum(df: DataFrame, key: String, valueCol: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
@@ -252,36 +258,34 @@ object StreamOps {
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // unpersist in finally: a days-long stream would otherwise
+          // accumulate one dead checkpoint block pair per micro-batch
+          // until driver GC happens to run (the CurationPipeline shape)
           val b = batch.toDF().localCheckpoint()
-          // excludeBatchId: a replay of this micro-batch must score
-          // against exactly the index attempt 1 saw — never against the
-          // batch's own (possibly half-committed) index rows
-          val dups = graft.functions.Dedup.nearDupsAgainstIndex(
-            b.sparkSession, b, textCol, idCol, indexPath,
-            n, bands, rowsPerBand, minJaccardMilli, buckets,
-            excludeBatchId = Some(batchId)).localCheckpoint()
-          emitDups(dups)
-          val clean = b.join(
-            dups.select(col("new_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-          // batchId makes a replayed micro-batch overwrite its own index
-          // partitions instead of appending duplicates (at-least-once
-          // foreachBatch -> exactly-once index contents)
-          graft.functions.Dedup.appendToLshIndex(
-            clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
-            batchId = Some(batchId))
+          try {
+            // excludeBatchId: a replay of this micro-batch must score
+            // against exactly the index attempt 1 saw — never against the
+            // batch's own (possibly half-committed) index rows
+            val dups = graft.functions.Dedup.nearDupsAgainstIndex(
+              b.sparkSession, b, textCol, idCol, indexPath,
+              n, bands, rowsPerBand, minJaccardMilli, buckets,
+              excludeBatchId = Some(batchId)).localCheckpoint()
+            try {
+              emitDups(dups)
+              val clean = b.join(
+                dups.select(col("new_id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+              // batchId makes a replayed micro-batch overwrite its own index
+              // partitions instead of appending duplicates (at-least-once
+              // foreachBatch -> exactly-once index contents)
+              graft.functions.Dedup.appendToLshIndex(
+                clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
+                batchId = Some(batchId))
+            } finally { dups.unpersist(); () }
+          } finally { b.unpersist(); () }
         }
     }
 
-  /** The write-side twin of [[int8SearchStream]]: a stream of NEW corpus
-    * vectors (`vec_id`, `vec`) grows the materialized IVF+PQ index —
-    * every micro-batch encodes against the base corpus's frozen
-    * centroids/codebooks (`Similarity.appendToIvfPqIndex`) and appends
-    * into the per-cell partition layout. Because the batch append is
-    * chunking-invariant, the stream converges to exactly the
-    * one-shot-batch index (spec-proven), and searches against the index
-    * see new vectors as soon as their micro-batch commits.
-    */
   /** Write-side twin of [[int8SearchStream]]: a stream of new corpus
     * vectors grows the materialized int8 codes index. Each vector's
     * max-abs scale is self-contained (no frozen codebook), so the append
@@ -298,6 +302,16 @@ object StreamOps {
             batch.toDF(), path, batchId = Some(batchId))
     }
 
+  /** Write-side twin for the IVF+PQ family: a stream of NEW corpus
+    * vectors (`vec_id`, `vec`) grows the materialized IVF+PQ index —
+    * every micro-batch encodes against `baseCorpus`'s frozen
+    * centroids/codebooks (`Similarity.appendToIvfPqIndex`; `path` must
+    * hold a `writeIvfPqIndex` layout built from that same corpus) and
+    * appends into the per-cell partition layout. Because the batch
+    * append is chunking-invariant, the stream converges to exactly the
+    * one-shot-batch index (spec-proven), and searches see new vectors
+    * as soon as their micro-batch commits.
+    */
   def indexAppendStream(
       newVecStream: DataFrame,
       baseCorpus: DataFrame,

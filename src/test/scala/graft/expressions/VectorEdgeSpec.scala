@@ -44,6 +44,26 @@ class VectorEdgeSpec extends SparkSpec {
     assert(neu === old)
   }
 
+  test("zero-norm vectors never rank (cosine NaN must not floor to score 0)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (99L, Seq(0.0f, 0.0f))) // dead row from a failed embed job
+      .toDF("vec_id", "vec")
+    val queries = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 0.0f)))
+      .toDF("qid", "qvec")
+    val out = graft.functions.Similarity.bruteForceTopK(queries, corpus, k = 3)
+      .select("qid", "vec_id", "score_q4")
+      .as[(Long, Long, Long)].collect()
+    // the true neighbours: +1 scores 10000, -1 scores -10000; the zero
+    // vector must be ABSENT, not mid-pack with a NaN-floored score 0
+    assert(out.filter(_._1 == 100L).map(_._2).sorted === Array(1L, 2L))
+    // a zero-norm QUERY can't cosine-rank anything: no rows
+    assert(!out.exists(_._1 == 101L))
+    assert(!out.exists(_._2 == 99L))
+  }
+
   test("sum_scaled_long_arrays: null arrays skip, short arrays zero-pad") {
     val s = spark
     import s.implicits._
