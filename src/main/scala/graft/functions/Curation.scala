@@ -18,7 +18,7 @@ object Curation {
     * md5 + substring are all codegen'd built-ins).
     */
   def hash48(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    TextAnalysis.portableHash48(c.cast("string"))
 
   /** Benchmark-contamination pairs: corpus documents sharing >= 1 hashed
     * n-gram with a benchmark document, scored by containment of the
@@ -925,7 +925,7 @@ object Curation {
     val rates = st.crossJoin(broadcast(sw))
       .withColumn("rate_micro", least(lit(1000000L),
         floor(lit(budgetTokens.toDouble) * lit(1000000.0) * col("w") /
-          (col("sw") * col("t"))).cast("long")))
+          (col("sw").cast("double") * col("t"))).cast("long")))
       .select(col(srcCol), col("rate_micro"))
     tok.join(broadcast(rates), srcCol)
       .filter(pmod(hash48(col(idCol)), lit(1000000L)) < col("rate_micro"))

@@ -1358,7 +1358,7 @@ object LlmQueries {
           w AS (SELECT source, t, CAST(floor(sqrt(t)) AS BIGINT) AS w FROM st),
           tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
           r AS (SELECT source,
-                  least(1000000, CAST(floor(3000.0 * 1000000.0 * w / (sw * t)) AS BIGINT))
+                  least(1000000, CAST(floor(3000.0 * 1000000.0 * w / (CAST(sw AS DOUBLE) * t)) AS BIGINT))
                     AS rate_micro
                 FROM w CROSS JOIN tot)
           SELECT tok.doc_id, tok.source, tok.n_tokens, r.rate_micro

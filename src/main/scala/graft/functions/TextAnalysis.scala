@@ -142,8 +142,12 @@ object TextAnalysis {
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
     val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot")) // 1 row
+    // corpus tokens are lowercased above: fold the query the same way,
+    // or a mixed-case term silently matches nothing (the batch serving
+    // path bm25SearchManyFromIndex already folds)
+    val qTerms = queryTerms.map(_.toLowerCase)
     val tf = base.select(col("doc_id"), explode(col("toks")).as("t"))
-      .filter(col("t").isin(queryTerms: _*)) // prune BEFORE any shuffle
+      .filter(col("t").isin(qTerms: _*)) // prune BEFORE any shuffle
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     bm25Rank(tf.join(lens, "doc_id"), stats, k1Milli, bMilli, topK)
   }
@@ -243,10 +247,13 @@ object TextAnalysis {
       topK: Int = 50): DataFrame = {
     val stats = spark.read.parquet(s"$indexPath/stats")
     val buckets = stats.select(col("buckets")).head().getLong(0)
-    val qBuckets = queryTerms.map(t => hash48Local(t) % buckets).distinct
+    // the index stores lowercased terms: fold BEFORE bucketing, or a
+    // mixed-case query reads the wrong bucket partition and finds nothing
+    val qTerms = queryTerms.map(_.toLowerCase)
+    val qBuckets = qTerms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(qBuckets: _*)) // partition filter
-      .filter(col("t").isin(queryTerms: _*))    // parquet-pushed within bucket
+      .filter(col("t").isin(qTerms: _*))        // parquet-pushed within bucket
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
   }
@@ -286,7 +293,11 @@ object TextAnalysis {
     val terms = qt.select(col("t")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
-      return queries.select(col("qid"), lit(0L).as("doc_id"), lit(0L).as("score_q10"))
+      // 0 rows, but doc_id's TYPE must match the index's (string ids are
+      // legal): derive the empty frame from the postings schema so a
+      // union with other batches can't hit a batch-dependent type error
+      return spark.read.parquet(s"$indexPath/postings")
+        .select(lit(0L).as("qid"), col("doc_id"), lit(0L).as("score_q10"))
         .limit(0)
     val qBuckets = terms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
