@@ -273,11 +273,16 @@ object Curation {
     val qual = sur.crossJoin(broadcast(mean))
       .filter(col("avg_surprisal_q10") * 100 <= col("mean_q10") * 125)
       .select(col("doc_id").as(idCol))
-    // one shingle pass, shared by stages 2 and 3 (see scaladoc)
+    // ONE shingle definition shared by stages 2 and 3 — deliberately NOT
+    // cached: the shingle arrays are ~10x the corpus text bytes, and
+    // materializing them (localCheckpoint or any persist level) next to
+    // the LSH/contamination join execution memory destabilized the
+    // 250k-doc smoke in an 8 GB harness (executor OOMs). Each consumer
+    // recomputes the narrow shingle expression from the checkpointed
+    // corpus text — cheap relative to the joins it feeds.
     val shf = Dedup.withHashedShingles(d, textCol, n, "sh")
       .select(col(idCol).as("doc"), isBench.as("is_bench"), col("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
     // stage 2 — near-dedup: LSH cluster non-representatives lose
     val losers = connectedComponents(
       Dedup.minhashLshPairsFromShingles(shf.select("doc", "sh"),
@@ -862,6 +867,10 @@ object Curation {
       it += 1
     }
     roundsOut.foreach(_.set(it))
+    // the final labels frame is checkpointed; the edge blocks served only
+    // the (already-executed) iteration joins — release them now rather
+    // than waiting for the context cleaner
+    Checkpoints.unpersist(edges)
     // A silent exit via the iteration cap would hand the caller unmerged
     // (wrong) cluster labels; a chain-shaped component longer than
     // maxIters must fail loudly, not quietly.
