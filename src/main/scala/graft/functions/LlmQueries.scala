@@ -296,6 +296,35 @@ object LlmQueries {
       Similarity.bruteForceTopK(queries, corpus, k = 5)
         .orderBy("qid", "rank")
     },
+    // kNN label agreement — the standard mislabel/outlier detector over
+    // an embedded dataset: each probe vector's 5 nearest neighbors vote
+    // a label (count desc, then closest-rank, then label asc — fully
+    // deterministic); disagreement with the vector's own label flags a
+    // candidate labeling error. Rides the same exact-cosine top-k core
+    // as sim_topk_brute (broadcast queries + bounded k-heap aggregate);
+    // the vote is a per-(probe,label) count and one probe-partitioned
+    // row_number over <= k rows.
+    "knn_label_agreement" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = Similarity.bruteForceTopK(probes, corpus, k = 5)
+        .join(labels, "vec_id")
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("own_label")),
+          "qid")
+        .select(col("qid"), col("own_label"), col("label").as("knn_label"),
+          col("n_votes"),
+          when(col("own_label") === col("label"), lit(1L)).otherwise(lit(0L))
+            .as("agree"))
+        .orderBy("qid")
+    },
     // Product-quantization encode: 64 floats -> 8 codebook ids per
     // vector (deterministic per-subspace codebooks); the codes table is
     // the compressed index adcTopK searches.
@@ -579,6 +608,47 @@ object LlmQueries {
       docs.select(col("doc_id"))
         .join(losers, Seq("doc_id"), "left_anti")
         .orderBy("doc_id")
+    },
+    // Quality-aware duplicate resolution: per near-dup cluster keep the
+    // HIGHEST-quality member (tie-break min id) — what a production
+    // pipeline actually keeps (min-id keep lists discard the best copy
+    // whenever a cleaner duplicate has a larger id). Singleton docs are
+    // their own cluster. Plan: clusters + a per-doc quality projection
+    // + one row_number window PARTITIONED BY cluster_id — partitions are
+    // cluster-sized (bounded by dup-group size), never global.
+    "dedup_keep_best" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val clusters = Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b").withColumnRenamed("node", "doc_id")
+      val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityMilli(col("text")).as("quality_milli"))
+      val lab = q.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality_milli").desc, col("doc_id").asc)
+      lab.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("quality_milli"))
+        .orderBy("cluster_id")
+    },
+    // Per-source dataset card: the corpus-stats bundle a pipeline
+    // publishes with every snapshot (doc/token volume, exact-dup rate
+    // via distinct content digests, integer quality mass, language
+    // spread). One partial-aggregating groupBy; the two count-distincts
+    // expand rows 3x map-side but stay fully distributed.
+    "corpus_datasheet" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"),
+        sum(TextAnalysis.qualityMilli(col("text"))).as("sum_quality_milli"),
+        countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
     },
     // CCNet-style LM-perplexity gate: keep docs whose trigram surprisal
     // is within 1.25x the corpus mean (head+middle of the quality
@@ -1276,6 +1346,58 @@ object LlmQueries {
                      WHERE node <> cluster_id)
           SELECT doc_id FROM documents
           WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY 1""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          m AS (SELECT doc_id, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          q AS (SELECT doc_id,
+                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
+                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
+                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
+                    AS quality_milli
+                FROM m),
+          lab AS (SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+                    q.quality_milli
+                  FROM q LEFT JOIN cl ON cl.doc_id = q.doc_id),
+          rk AS (SELECT *, row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY quality_milli DESC, doc_id) AS rn
+                 FROM lab)
+          SELECT cluster_id, doc_id AS keep_doc_id, quality_milli
+          FROM rk WHERE rn = 1 ORDER BY cluster_id""",
+    "corpus_datasheet" ->
+      s"""WITH base AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+          m AS (SELECT source, lang, text, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          q AS (SELECT source, lang, text, ntok,
+                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
+                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
+                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
+                    AS quality_milli
+                FROM m)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts,
+                 CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM q GROUP BY source ORDER BY source""",
     // chains the SAME CTE fragments as the four standalone stage oracles:
     // minhash CC losers + contamination hits + lm gate + md5-bucket split
     "pipeline_keep" ->
@@ -1636,6 +1758,39 @@ object LlmQueries {
                      ORDER BY score_q4 DESC, vec_id) AS BIGINT) AS rank
             FROM scored)
           WHERE rank <= 5 ORDER BY qid, rank""",
+    "knn_label_agreement" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 50),
+          scored AS (
+            SELECT qid, vec_id, CAST(floor(
+              (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)), i -> qe[i]*e[i])), (acc,x) -> acc+x)
+               / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                    list_transform(generate_series(1, len(qe)), i -> qe[i]*qe[i])), (acc,x) -> acc+x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(generate_series(1, len(e)), i -> e[i]*e[i])), (acc,x) -> acc+x))))
+              * 10000) AS BIGINT) AS score_q4
+            FROM q JOIN v ON qid <> vec_id),
+          nn AS (SELECT qid, vec_id, rank FROM (
+                   SELECT qid, vec_id,
+                          CAST(row_number() OVER (PARTITION BY qid
+                            ORDER BY score_q4 DESC, vec_id) AS BIGINT) AS rank
+                   FROM scored)
+                 WHERE rank <= 5),
+          votes AS (SELECT nn.qid, CAST(l.label AS BIGINT) AS label,
+                      CAST(count(*) AS BIGINT) AS n_votes, min(nn.rank) AS best_rank
+                    FROM nn JOIN embeddings l ON l.vec_id = nn.vec_id
+                    GROUP BY 1, 2),
+          top AS (SELECT qid, label AS knn_label, n_votes,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY n_votes DESC, best_rank ASC, label ASC) AS rn
+                  FROM votes)
+          SELECT t.qid, CAST(o.label AS BIGINT) AS own_label, t.knn_label, t.n_votes,
+                 CAST(CASE WHEN CAST(o.label AS BIGINT) = t.knn_label
+                   THEN 1 ELSE 0 END AS BIGINT) AS agree
+          FROM top t JOIN embeddings o ON o.vec_id = t.qid
+          WHERE t.rn = 1 ORDER BY t.qid""",
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_ivf_kmeans" -> ivfKmeansOracle,
     "text_langid" ->

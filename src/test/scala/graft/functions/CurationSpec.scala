@@ -181,4 +181,45 @@ class CurationSpec extends SparkSpec {
       (1L, "s", 3L, 0L, 0L), (2L, "s", 2L, 0L, 3L), (3L, "s", 4L, 1L, 1L),
       (4L, "t", 5L, 0L, 0L)))
   }
+
+  test("dedup_keep_best keeps exactly one max-quality member per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = LlmQueries.queries("dedup_keep_best")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val clusters = LlmQueries.queries("dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val quality = LlmQueries.queries("text_quality")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // one keep per cluster id, and every cluster from dedup_clusters has one
+    assert(kept.map(_._1).distinct.length === kept.length)
+    val keptByCluster = kept.map(k => k._1 -> k._2).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    members.foreach { case (cid, ms) =>
+      val keep = keptByCluster(cid)
+      assert(ms.contains(keep), s"cluster $cid keep $keep not a member")
+      // the keep maximizes (quality desc, id asc) over the cluster
+      val best = ms.toSeq.map(id => (quality(id), id)).maxBy(t => (t._1, -t._2))
+      assert(keep === best._2, s"cluster $cid kept $keep, expected ${best._2}")
+    }
+    // docs in no cluster keep themselves with their own quality
+    val clustered = clusters.map(_._1).toSet
+    kept.filterNot(k => members.contains(k._1)).foreach { case (cid, id, q) =>
+      assert(cid === id && !clustered.contains(id) && q === quality(id))
+    }
+  }
+
+  test("corpus_datasheet invariants: dup and lang counts bounded by doc count") {
+    val rows = LlmQueries.queries("corpus_datasheet")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nTok, nUniq, sumQ, nLangs) =>
+      assert(nDocs > 0 && nTok > 0, src)
+      assert(nUniq >= 1 && nUniq <= nDocs, s"$src uniq $nUniq of $nDocs")
+      assert(nLangs >= 1 && nLangs <= nDocs, src)
+      assert(sumQ >= 0 && sumQ <= nDocs * 1000, s"$src quality mass $sumQ")
+    }
+    // totals match the corpus row count
+    val total = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_._2).sum === total)
+  }
 }

@@ -109,4 +109,29 @@ class RecallSpec extends SparkSpec {
         f"refined recall $rKm%.3f must not regress below modulo $rMod%.3f")
     } finally { brute.unpersist(); () }
   }
+
+  test("knn_label_agreement: one row per probe, vote is the neighbors' mode") {
+    import spark.implicits._
+    val out = LlmQueries.queries("knn_label_agreement")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 50 && out.map(_._1).distinct.length === 50)
+    out.foreach { case (qid, own, knn, votes, agree) =>
+      assert(votes >= 1 && votes <= 5, s"probe $qid votes $votes")
+      assert(agree === (if (own == knn) 1L else 0L), s"probe $qid")
+    }
+    // independent recount for one probe: the winning label's vote count
+    // matches a direct count over that probe's brute-force neighbors
+    val emb = Tables.embeddings(spark, d)
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+    val nbrLabels = Similarity.bruteForceTopK(probes, corpus, 5)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("l")), "vec_id")
+      .select(col("l")).as[Long].collect()
+    val (qid0, _, knn0, votes0, _) = out.find(_._1 == 0L).get
+    assert(qid0 === 0L)
+    assert(nbrLabels.count(_ == knn0) === votes0,
+      s"probe 0: reported $votes0 votes for $knn0, " +
+        s"recount ${nbrLabels.count(_ == knn0)} in ${nbrLabels.toSeq}")
+  }
 }
