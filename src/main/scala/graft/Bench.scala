@@ -33,7 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      moved >15% vs the previous BENCH_FULL.json are re-timed in a
   *      fresh session, so group-boundary placement artifacts are
   *      separable from real engine deltas without re-running anything by
-  *      hand.
+  *      hand. Reading the two numbers: the retime session runs all
+  *      flagged queries in ONE session, so it is JIT-warmer than the
+  *      per-query main sessions — retimed BELOW main (measured median
+  *      ~60 ms on sub-second queries) is cold-JIT pessimism in the main
+  *      number, harmless and conservative; retimed ABOVE main would be
+  *      the contamination signature and is the regression to chase.
   */
 object Bench {
   private def newSession(cpus: String): SparkSession = {
