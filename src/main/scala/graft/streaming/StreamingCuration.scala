@@ -266,4 +266,38 @@ object StreamingCuration {
           .when(col("s") <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
+
+  /** Streaming per-(window, source) dataset card — the serving twin of
+    * the batch `corpus_datasheet` query: ONE watermarked aggregate
+    * emitting the stats bundle for each closed window. Exact distinct
+    * text counts are unbounded state on a stream, so uniqueness rides a
+    * mergeable DataSketches HLL (the `weekly_active_users_sketch`
+    * convention — per-window sketches also UNION into day/week cards
+    * without rescanning), and language spread a collect_set (bounded by
+    * the small language alphabet); docs, token mass and quality mass are
+    * exact sums, equal row-for-row to the batch card on a replayed
+    * frozen corpus (StreamingExtrasSpec).
+    */
+  def datasheetStream(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String,
+      langCol: String,
+      tsCol: String,
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute"): DataFrame =
+    docs
+      .withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), windowDur), col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        hll_sketch_agg(md5(col(textCol)), 14).as("uniq_sk"),
+        sum(TextAnalysis.qualityMilli(col(textCol))).as("sum_quality_milli"),
+        collect_set(col(langCol)).as("langs"))
+      .select(col("window.start").as("window_start"), col(srcCol),
+        col("n_docs"), col("n_tokens"),
+        hll_sketch_estimate(col("uniq_sk")).as("approx_uniq_texts"),
+        col("sum_quality_milli"),
+        size(col("langs")).cast("long").as("n_langs"))
 }

@@ -411,4 +411,46 @@ class StreamingExtrasSpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(got.exists(_ >= 60L), s"appended vectors must be searchable, got ${got.toSeq}")
   }
+
+  test("datasheetStream card equals the batch corpus_datasheet on the frozen corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "lang", "text").localCheckpoint()
+    val rows = docs.as[(Long, String, String, String)].collect().sortBy(_._1)
+    // every corpus doc lands in ONE 1-minute window (ids are micros
+    // offsets << 60s); the far-future sentinel closes it
+    val base = 1704067200000000L
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val card = StreamingCuration.datasheetStream(
+      input.toDF().toDF("doc_id", "source", "lang", "text", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "text", "source", "lang", "ts",
+      horizon = "1 second", windowDur = "1 minute")
+    val q = card.writeStream.format("memory").queryName("datasheet_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, src, lg, txt) => (id, src, lg, txt, base + id) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "srcflush", "en", "flush sentinel",
+        base + 365L * 86400000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("datasheet_stream")
+      .filter(col("source") =!= "srcflush")
+      .select("source", "n_docs", "n_tokens", "approx_uniq_texts",
+        "sum_quality_milli", "n_langs")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = graft.functions.LlmQueries.queries("corpus_datasheet")(
+      spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === batch.map(_._1).toSeq)
+    streamed.zip(batch).foreach {
+      case ((src, nd, nt, uniq, sq, nl), (_, bnd, bnt, buniq, bsq, bnl)) =>
+        assert(nd === bnd && nt === bnt && sq === bsq && nl === bnl, src)
+        // HLL estimate within 5% of the exact distinct count
+        assert(math.abs(uniq - buniq) <= math.max(1L, buniq / 20),
+          s"$src approx $uniq vs exact $buniq")
+    }
+  }
 }
