@@ -170,6 +170,56 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard_milli"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset relation
+    * symmetric Jaccard can't see: a short doc wholly embedded in a long
+    * one scores inter/min-side containment 1000 but a near-zero Jaccard
+    * (the union is dominated by the long side). The signal behind
+    * boilerplate detection and sub-document duplication diagnostics.
+    *
+    * Same scale machinery as [[ngramJaccardPairs]] minus the blocking
+    * key (containment is exactly the cross-block relation blocking
+    * hides): global document frequency caps each shingle's fan-out at
+    * maxShingleDf^2 before the pair join, the join carries (shingle, id)
+    * pairs only, and per-doc set sizes re-attach to the surviving pair
+    * list. One unordered row per pair carries BOTH directions
+    * (`contain_a_milli` = inter/|sh(a)|: how much of a lives inside b).
+    * Thresholded on max(contain_a, contain_b) so either direction
+    * qualifies the pair.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minContainMilli: Int,
+      maxShingleDf: Int): DataFrame = {
+    val sh = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("doc"), explode(col("sh")).as("s"))
+    val rareKeys = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("s"))
+    val rare = exploded.join(rareKeys, Seq("s"), "left_semi")
+    val docSizes = rare.groupBy(col("doc")).agg(count(lit(1)).as("nd"))
+    val pairs = rare.select(col("s"), col("doc").as("a"))
+      .join(rare.select(col("s"), col("doc").as("b")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(docSizes.select(col("doc").as("a"), col("nd").as("na")), "a")
+      .join(docSizes.select(col("doc").as("b"), col("nd").as("nb")), "b")
+      .withColumn("contain_a_milli",
+        floor(col("inter") * lit(1000.0) / col("na")).cast("long"))
+      .withColumn("contain_b_milli",
+        floor(col("inter") * lit(1000.0) / col("nb")).cast("long"))
+      .filter(greatest(col("contain_a_milli"), col("contain_b_milli")) >= minContainMilli)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        col("contain_a_milli"), col("contain_b_milli"))
+  }
+
   /** MinHash permutation modulus / seed constants. One real hash per
     * shingle ([[hashedShingles]]); the `numHashes` permutations are affine
     * maps `(A_i * h + B_i) mod P` over it — integer-exact, portable, and

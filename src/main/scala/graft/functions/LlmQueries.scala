@@ -235,6 +235,13 @@ object LlmQueries {
         "source", priority = Map("src2" -> 0, "src0" -> 1), defaultRank = 2)
         .orderBy("fp")
     },
+    // Asymmetric containment: quote/subset pairs Jaccard can't see —
+    // un-blocked (containment IS the cross-block relation), df-capped.
+    "dedup_containment" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minContainMilli = 300, maxShingleDf = 50)
+        .orderBy("a", "b")
+    },
     "dedup_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
@@ -905,6 +912,28 @@ object LlmQueries {
             FROM p JOIN nd na ON na.doc_id = p.a
                    JOIN nd nb ON nb.doc_id = p.b)
           WHERE CAST(floor(inter * 1000.0 / uni) AS BIGINT) >= 10
+          ORDER BY a, b""",
+    "dedup_containment" ->
+      s"""WITH $shinglesCte,
+          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM valid),
+          freq AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+          rare AS (SELECT ex.doc_id, ex.g
+                   FROM ex JOIN freq USING (g) WHERE freq.df <= 50),
+          nd AS (SELECT doc_id, count(*) AS nd FROM rare GROUP BY 1),
+          p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM rare a JOIN rare b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          sized AS (SELECT p.a, p.b, p.inter,
+                      na.nd AS na, nb.nd AS nb,
+                      CAST(floor(p.inter * 1000.0 / na.nd) AS BIGINT) AS contain_a_milli,
+                      CAST(floor(p.inter * 1000.0 / nb.nd) AS BIGINT) AS contain_b_milli
+                    FROM p JOIN nd na ON na.doc_id = p.a
+                           JOIN nd nb ON nb.doc_id = p.b)
+          SELECT a, b, inter, na, nb, contain_a_milli, contain_b_milli
+          FROM sized
+          WHERE greatest(contain_a_milli, contain_b_milli) >= 300
           ORDER BY a, b""",
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,

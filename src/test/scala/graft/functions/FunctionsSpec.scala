@@ -34,6 +34,29 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
   }
 
+  test("containmentPairs: embedded quote scores full containment, low jaccard") {
+    // doc 10 is a strict prefix of doc 11 (a quote embedded in a longer
+    // doc): containment of the short side must be 1000 while symmetric
+    // jaccard stays well below — the relation this operator exists for
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val host = quote + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val cd = Seq((10L, quote, "s"), (11L, host, "s"), (12L, unrelated, "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.containmentPairs(cd, "text", "doc_id",
+      n = 3, minContainMilli = 300, maxShingleDf = 50)
+      .select("a", "b", "inter", "na", "nb", "contain_a_milli", "contain_b_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val pair = rows.find(r => r._1 == 10L && r._2 == 11L)
+    assert(pair.isDefined, s"expected (10,11) in ${rows.toSeq}")
+    val (_, _, inter, na, _, ca, cb) = pair.get
+    assert(ca === 1000L, s"short side must be fully contained: $pair")
+    assert(inter === na)
+    assert(cb < 300L, s"host containment must stay low: $pair")
+    // symmetric jaccard would have missed it at the same bar
+    assert(inter * 1000 / (na + pair.get._5 - inter) < 300)
+    assert(!rows.exists(r => r._1 == 12L || r._2 == 12L))
+  }
+
   test("minhash LSH finds the near-dup pair and verifies its jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
       n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 300)
