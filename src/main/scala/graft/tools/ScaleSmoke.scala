@@ -203,6 +203,47 @@ object ScaleSmoke {
       vecs.select(md5(concat_ws(",",
         transform(q.getField("q"), c => c.cast("string"))))).count()
     }
+    time("containment pairs (df-capped)") {
+      Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, minContainMilli = 300, maxShingleDf = 50).count()
+    }
+    time("keep-best dup resolution") {
+      val clusters = graft.functions.Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 500),
+        "a", "b").withColumnRenamed("node", "doc_id")
+      val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityMilli(col("text")).as("quality_milli"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality_milli").desc, col("doc_id").asc)
+      q.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).count()
+    }
+    time("dataset card (per source)") {
+      docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"),
+        sum(TextAnalysis.qualityMilli(col("text"))).as("sum_quality_milli"))
+        .count()
+    }
+    time("knn label agreement (50 probes)") {
+      val probes = vecs.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val labels = vecs.select(col("vec_id"),
+        pmod(col("vec_id"), lit(7)).as("label"))
+      val votes = Similarity.bruteForceTopK(probes, corpus, 5)
+        .join(labels, "vec_id")
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)
+      votes.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).count()
+    }
     time("span dup profile (3-gram)") {
       Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).count()
     }
