@@ -49,22 +49,45 @@ object Tables {
     * regenerations: TIMESTAMP(NANOS) (read by Spark as a raw nano count
     * under `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS)
     * without timezone (read as TIMESTAMP_NTZ), and plain TIMESTAMP. The
-    * normalization is total over all three so a driver-side schema shift
-    * never reaches query code: every downstream operator sees a session-TZ
+    * normalization is total so a driver-side schema shift never reaches
+    * query code: every downstream operator sees a session-TZ
     * TimestampType. The NTZ->Timestamp cast is an identity under the UTC
     * session timezone the engine pins ([[graft.GraftSession]]).
+    *
+    * The integer branch does NOT assume nanos (the round-7 lesson: a
+    * silent encoding shift broke 19 queries at analysis time): one
+    * first-row probe classifies the epoch unit by magnitude — second /
+    * milli / micro / nano counts for any date this side of 1971 live in
+    * disjoint decades (1e9..1e11 / 1e12..1e14 / 1e15..1e17 / >1e17) —
+    * and the normalized frame is memoized per (session, dir) so the
+    * probe job runs once, not per query.
     */
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    eventsCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    eventsCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(s), d), {
+        val raw = table(s, d, "events")
+        raw.schema("ts").dataType match {
+          case LongType =>
+            val sample = raw.select(col("ts")).filter(col("ts").isNotNull)
+              .limit(1).collect().headOption.map(_.getLong(0).abs)
+            val toTs = sample match {
+              case Some(v) if v < 1000000000000L => "timestamp_seconds(ts)"
+              case Some(v) if v < 1000000000000000L => "timestamp_millis(ts)"
+              case Some(v) if v < 1000000000000000000L => "timestamp_micros(ts)"
+              case _ => "timestamp_micros(ts DIV 1000)" // nanos (also the empty-table default)
+            }
+            raw.withColumn("ts", expr(toTs))
+          case TimestampNTZType =>
+            raw.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => raw
+        }
+      })
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -113,4 +113,45 @@ class ModelSpec extends SparkSpec {
     assert(first.getAs[String]("user") === "Bob")
     assert(first.getAs[String]("action") === "ViewVideo")
   }
+
+  test("Tables.events normalizes every integer epoch unit to the same timestamps") {
+    import spark.implicits._
+    // the same three instants in four integer encodings; every layout
+    // must normalize to identical TimestampType values (the round-7
+    // corpus regen broke 19 queries because the loader assumed one unit)
+    val micros = Seq(1704067200000000L, 1704067205500000L, 1704070000000000L)
+    def write(dir: String, scale: Long): Unit =
+      micros.zipWithIndex
+        .map { case (us, i) => (i.toLong, us * scale) }
+        .toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val base = java.nio.file.Files.createTempDirectory("evt-units").toString
+    val dirs = Seq("nanos" -> 1000L, "micros" -> 1L).map { case (n, sc) =>
+      val d = s"$base/$n"; write(d, sc); n -> d
+    } ++ Seq({ // millis and seconds from truncated micros
+      val d = s"$base/millis"
+      micros.zipWithIndex.map { case (us, i) => (i.toLong, us / 1000) }
+        .toDF("event_id", "ts").write.mode("overwrite").parquet(s"$d/events.parquet")
+      "millis" -> d
+    }, {
+      val d = s"$base/seconds"
+      micros.zipWithIndex.map { case (us, i) => (i.toLong, us / 1000000) }
+        .toDF("event_id", "ts").write.mode("overwrite").parquet(s"$d/events.parquet")
+      "seconds" -> d
+    })
+    val got = dirs.map { case (name, d) =>
+      name -> graft.sources.Tables.events(spark, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    }.toMap
+    assert(got("nanos") === micros)
+    assert(got("micros") === micros)
+    assert(got("millis") === micros.map(us => us / 1000 * 1000))
+    assert(got("seconds") === micros.map(us => us / 1000000 * 1000000))
+    // the ts column is a real TimestampType everywhere
+    dirs.foreach { case (name, d) =>
+      assert(graft.sources.Tables.events(spark, d).schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType, name)
+    }
+  }
 }
