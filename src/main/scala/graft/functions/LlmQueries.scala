@@ -26,6 +26,32 @@ object LlmQueries {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
 
+  /** Deterministic kNN label vote over any `(qid, vec_id, rank)` top-k
+    * frame (brute or IVF): neighbours vote their label (count desc, then
+    * closest-rank, then label asc); disagreement with the probe's own
+    * label flags a candidate labeling error. The vote itself is scale-
+    * free: a per-(probe,label) count plus one probe-partitioned
+    * row_number over <= k rows per probe — cost is probes x k rows no
+    * matter how the top-k was produced.
+    */
+  def knnLabelVote(topk: DataFrame, emb: DataFrame): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = topk
+      .join(labels, "vec_id")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("own_label")),
+        "qid")
+      .select(col("qid"), col("own_label"), col("label").as("knn_label"),
+        col("n_votes"),
+        when(col("own_label") === col("label"), lit(1L)).otherwise(lit(0L))
+          .as("agree"))
+      .orderBy("qid")
+  }
+
   /** IVF probe/rank CTE tail (nprobe=3, k=5, queries = vec_id < 20)
     * against a centroid CTE named `centCte` with columns (cid, ce, cn) —
     * same assignment, probing and ranking rules as
@@ -316,21 +342,23 @@ object LlmQueries {
       val probes = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-      val votes = Similarity.bruteForceTopK(probes, corpus, k = 5)
-        .join(labels, "vec_id")
-        .groupBy(col("qid"), col("label"))
-        .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-        .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)
-      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .join(labels.select(col("vec_id").as("qid"), col("label").as("own_label")),
-          "qid")
-        .select(col("qid"), col("own_label"), col("label").as("knn_label"),
-          col("n_votes"),
-          when(col("own_label") === col("label"), lit(1L)).otherwise(lit(0L))
-            .as("agree"))
-        .orderBy("qid")
+      knnLabelVote(Similarity.bruteForceTopK(probes, corpus, k = 5), emb)
+    },
+    // Full-corpus mislabel sweep: the same deterministic vote over the
+    // partition-pruned IVF top-k instead of the brute core. Probes = the
+    // ENTIRE corpus — the real use case the brute form can't reach (its
+    // cost is probes x corpus = n^2; IVF's is probes x nprobe x cellsize
+    // ~= nprobe x centroidEvery x n, LINEAR in the corpus for a fixed
+    // index shape). Same index parameters as sim_topk_ivf
+    // (centroidEvery=25, nprobe=3); deterministic, so oracle-exact —
+    // agreement with the brute vote is recall-bounded in RecallSpec.
+    "knn_label_agreement_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      knnLabelVote(
+        Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25, nprobe = 3),
+        emb)
     },
     // Product-quantization encode: 64 floats -> 8 codebook ids per
     // vector (deterministic per-subspace codebooks); the codes table is
@@ -1822,6 +1850,47 @@ object LlmQueries {
           WHERE t.rn = 1 ORDER BY t.qid""",
     "sim_topk_ivf" -> ivfOracle,
     "sim_topk_ivf_kmeans" -> ivfKmeansOracle,
+    // IVF assignment/probe chain (centroidEvery=25, nprobe=3) with probes
+    // = the full corpus, feeding the same deterministic label vote as the
+    // brute form — replicates Similarity.ivfTopK + knnLabelVote
+    // bit-for-bit.
+    "knn_label_agreement_ivf" ->
+      s"""WITH $vnCtes,
+          cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+          assign AS (
+            SELECT vec_id, e, n, cid FROM (
+              SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                     row_number() OVER (PARTITION BY vn.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn CROSS JOIN cent c) WHERE rn = 1),
+          probes AS (
+            SELECT qid, qe, qn, cid FROM (
+              SELECT q.vec_id AS qid, q.e AS qe, q.n AS qn, c.cid,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn q CROSS JOIN cent c) WHERE rn <= 3),
+          nn AS (SELECT qid, vec_id, rank FROM (
+                   SELECT p.qid, a.vec_id,
+                          CAST(row_number() OVER (PARTITION BY p.qid
+                            ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
+                                     a.vec_id) AS BIGINT) AS rank
+                   FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id)
+                 WHERE rank <= 5),
+          votes AS (SELECT nn.qid, CAST(l.label AS BIGINT) AS label,
+                      CAST(count(*) AS BIGINT) AS n_votes, min(nn.rank) AS best_rank
+                    FROM nn JOIN embeddings l ON l.vec_id = nn.vec_id
+                    GROUP BY 1, 2),
+          top AS (SELECT qid, label AS knn_label, n_votes,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY n_votes DESC, best_rank ASC, label ASC) AS rn
+                  FROM votes)
+          SELECT t.qid, CAST(o.label AS BIGINT) AS own_label, t.knn_label, t.n_votes,
+                 CAST(CASE WHEN CAST(o.label AS BIGINT) = t.knn_label
+                   THEN 1 ELSE 0 END AS BIGINT) AS agree
+          FROM top t JOIN embeddings o ON o.vec_id = t.qid
+          WHERE t.rn = 1 ORDER BY t.qid""",
     "text_langid" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           sc AS (SELECT doc_id,

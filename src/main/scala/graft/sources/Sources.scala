@@ -26,9 +26,14 @@ object Tables {
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Drop cached plans under `dir` (use after rewriting files in place). */
-  def invalidate(dir: String): Unit =
+  /** Drop cached plans under `dir` (use after rewriting files in place).
+    * Also evicts the normalized-events cache so a regenerated corpus gets a
+    * fresh epoch-unit probe, not the previous encoding's classification.
+    */
+  def invalidate(dir: String): Unit = {
     planCache.filterInPlace { case ((_, p), _) => !p.startsWith(dir) }
+    eventsCache.filterInPlace { case ((_, p), _) => !p.startsWith(dir) }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     planCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
@@ -56,11 +61,15 @@ object Tables {
     *
     * The integer branch does NOT assume nanos (the round-7 lesson: a
     * silent encoding shift broke 19 queries at analysis time): one
-    * first-row probe classifies the epoch unit by magnitude — second /
-    * milli / micro / nano counts for any date this side of 1971 live in
-    * disjoint decades (1e9..1e11 / 1e12..1e14 / 1e15..1e17 / >1e17) —
-    * and the normalized frame is memoized per (session, dir) so the
-    * probe job runs once, not per query.
+    * first-row probe classifies the epoch unit by magnitude. The branch
+    * cuts are second < 1e11 < milli < 1e14 < micro < 1e17 < nano, which
+    * classifies correctly for timestamps between ~1973-03 (1e8 s) and
+    * ~5138 (1e11 s): below 1e11 the value must be seconds (a millisecond
+    * count under 1e11 would be a pre-1973-03 date), and each later unit's
+    * range scales by exactly 1000. Dates outside that window (or mixed
+    * units within one file) are out of contract. The normalized frame is
+    * memoized per (session, dir) so the probe job runs once, not per
+    * query.
     */
   private val eventsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -77,9 +86,9 @@ object Tables {
             val sample = raw.select(col("ts")).filter(col("ts").isNotNull)
               .limit(1).collect().headOption.map(_.getLong(0).abs)
             val toTs = sample match {
-              case Some(v) if v < 1000000000000L => "timestamp_seconds(ts)"
-              case Some(v) if v < 1000000000000000L => "timestamp_millis(ts)"
-              case Some(v) if v < 1000000000000000000L => "timestamp_micros(ts)"
+              case Some(v) if v < 100000000000L => "timestamp_seconds(ts)"
+              case Some(v) if v < 100000000000000L => "timestamp_millis(ts)"
+              case Some(v) if v < 100000000000000000L => "timestamp_micros(ts)"
               case _ => "timestamp_micros(ts DIV 1000)" // nanos (also the empty-table default)
             }
             raw.withColumn("ts", expr(toTs))

@@ -244,6 +244,20 @@ object ScaleSmoke {
       votes.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") === 1).count()
     }
+    // The full-corpus mislabel sweep: probes = EVERY vector. Brute would
+    // be O(n^2) dot products here; the IVF core prices it at
+    // n x nprobe x cellsize = n x 3 x centroidEvery — linear in the
+    // corpus for a fixed index shape. The labeled frame feeds the shared
+    // knnLabelVote, whose own cost is probes x k rows regardless of core.
+    time("knn sweep IVF (full corpus)") {
+      val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val labeled = vecs.select(col("vec_id"), col("vec").as("embedding"),
+        pmod(col("vec_id"), lit(7)).as("label"))
+      graft.functions.LlmQueries.knnLabelVote(
+        Similarity.ivfTopK(probes, corpus, 5, centroidEvery = 200, nprobe = 3),
+        labeled).count()
+    }
     time("span dup profile (3-gram)") {
       Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).count()
     }

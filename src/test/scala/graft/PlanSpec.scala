@@ -123,6 +123,9 @@ class PlanSpec extends SparkSpec {
       // centroid side is bounded (corpus/centroidEvery rows) and
       // broadcast; the fan-out IS the documented index-build cost
       "sim_topk_ivf", "sim_topk_ivf_kmeans",
+      // the full-corpus kNN sweep rides the same IVF core: probes x
+      // centroids and corpus x centroids, centroid side bounded+broadcast
+      "knn_label_agreement_ivf",
       // SemDeDup's cell assignment is the same bounded corpus x centroids
       // broadcast score; the within-cell pair join is conditioned on cid
       "semdedup_keep",
