@@ -160,6 +160,24 @@ object SparkEntry {
         .select(col("w"), col("user_id"), col("click_id"), col("purchase_id"))
         .orderBy("w", "user_id", "click_id", "purchase_id")
     },
+    // J2: keyed interval join — purchases within [click - 2h, click + 24h]
+    // per user (asymmetric bounds to pin the lower/upper orientation).
+    // Batch form is the bucketed-explode equi-join; the streaming twin
+    // (StreamOps.streamStreamIntervalJoin) is Spark's native watermarked
+    // interval join, convergence-proven in ConvergenceSpec.
+    "j2_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("user_id"), col("event_id").as("purchase_id"))
+      CoreOps.intervalJoin(clicks, purchases, "user_id", "ts",
+        lowerUs = 7200000000L, upperUs = 86400000000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          unix_micros(col("ts_r")).as("purchase_ts_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
     // W2: late-data side output (batch analog over a deterministic
     // pseudo-arrival order; allowed lateness 2 s as in the reference).
     "w2_late_data" -> { (s, d) =>
@@ -281,6 +299,16 @@ object SparkEntry {
          SELECT c.w, c.user_id, click_id, purchase_id
          FROM c JOIN p ON c.w = p.w AND c.user_id = p.user_id
          ORDER BY 1, 2, 3, 4""",
+    "j2_interval_join" ->
+      """WITH c AS (SELECT epoch_us(ts) AS ts_us, user_id, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT epoch_us(ts) AS ts_us, user_id, event_id AS purchase_id
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, purchase_id,
+                c.ts_us AS click_ts_us, p.ts_us AS purchase_ts_us
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts_us BETWEEN c.ts_us - 7200000000 AND c.ts_us + 86400000000
+         ORDER BY 1, 2, 3""",
     "w2_late_data" ->
       """WITH a AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

@@ -185,6 +185,50 @@ object CoreOps {
   }
 
   // ---------------------------------------------------------------------
+  // J2: keyed interval join — pair (l, r) on `key` where
+  // r.ts ∈ [l.ts - lowerUs, l.ts + upperUs], bounds inclusive. The
+  // time-RANGE companion to J1's same-bucket pairing (Flink's
+  // KeyedStream.intervalJoin / between(lower, upper); the reference stops
+  // at the bucketed form, `chapter3/WindowJoins.java:110-144`).
+  //
+  // Scale shape: a raw range predicate joins as a per-key sort-merge scan
+  // (or worse, a nested loop) — O(per-key l x r) with no partition bound.
+  // This form stays an EQUI-join: bucket both sides by
+  // W = lowerUs + upperUs; a left row's match span [ts-lower, ts+upper]
+  // has length exactly W, so it touches exactly TWO buckets
+  // (floor((ts+upper)/W) = floor((ts-lower)/W) + 1) — the left side
+  // explodes x2 to its candidate buckets, the right side keeps its single
+  // bucket, the join shuffles on (bucket, key), and the exact range
+  // predicate filters the paired rows. Each (l, r) pair meets in at most
+  // one bucket (r's bucket is unique), so no dedup pass is needed.
+  // Bucketing is pure long arithmetic (x - pmod(x, W): floor semantics
+  // for any sign), fully codegen'd.
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      lowerUs: Long,
+      upperUs: Long): DataFrame = {
+    require(lowerUs >= 0 && upperUs >= 0 && lowerUs + upperUs > 0,
+      s"non-negative bounds with a positive span required, got [-$lowerUs, +$upperUs]")
+    val wUs = lowerUs + upperUs
+    def bucketOf(x: Column): Column = x - pmod(x, lit(wUs))
+    val l = left
+      .withColumn("__lts", unix_micros(col(tsCol)))
+      .withColumn("__b", explode(array(
+        bucketOf(col("__lts") - lowerUs), bucketOf(col("__lts") + upperUs))))
+    val r = right
+      .withColumnRenamed(tsCol, tsCol + "_r")
+      .withColumn("__rts", unix_micros(col(tsCol + "_r")))
+      .withColumn("__b", bucketOf(col("__rts")))
+    l.join(r, Seq("__b", key))
+      .filter(col("__rts") >= col("__lts") - lowerUs &&
+        col("__rts") <= col("__lts") + upperUs)
+      .drop("__b", "__lts", "__rts")
+  }
+
+  // ---------------------------------------------------------------------
   // W2 (`chapter4/EventTimeOperations.java:128-171`): late-data side output.
   // Batch analog: given an explicit arrival order, a row is late iff its
   // event time is older than (high watermark so far) - allowedLateness.

@@ -177,6 +177,42 @@ object StreamOps {
       .drop("w_r", key + "_r")
   }
 
+  /** J2 streaming twin: the NATIVE stream-stream interval join —
+    * `r.ts ∈ [l.ts - lowerUs, l.ts + upperUs]` on `key`, both sides
+    * watermarked. Unlike the batch form's bucketed equi-join
+    * ([[graft.operators.CoreOps.intervalJoin]]), Spark prices the raw
+    * time-range conjunct directly: the range condition lets the engine
+    * derive a per-side state watermark, so buffered rows are evicted once
+    * `eventTimeWatermark - range bound` passes them. State bound per key:
+    * left rows live `watermark + upperUs`, right rows
+    * `watermark + lowerUs` — a fixed time horizon of rows per side, never
+    * the whole stream (the documented requirement: BOTH sides watermarked
+    * + a time-range join condition; without them Spark keeps state
+    * forever and the query is rejected in Append mode).
+    *
+    * Output columns match the batch form: left columns + right columns
+    * with `tsCol` renamed `tsCol_r` (the join key deduplicated).
+    */
+  def streamStreamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      lowerUs: Long,
+      upperUs: Long,
+      watermark: String = "2 seconds"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right
+      .withColumnRenamed(key, key + "_r")
+      .withColumnRenamed(tsCol, tsCol + "_r")
+      .withWatermark(tsCol + "_r", watermark)
+    l.join(r,
+        col(key) === col(key + "_r") &&
+          col(tsCol + "_r") >= col(tsCol) - expr(s"INTERVAL '$lowerUs' MICROSECOND") &&
+          col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL '$upperUs' MICROSECOND"))
+      .drop(key + "_r")
+  }
+
   /** Continuous ANN serving: every micro-batch of query vectors
     * (`qid`, `qvec`) searches the MATERIALIZED int8 codes index
     * (`Similarity.int8TopKFromIndex` — the float corpus is never read at

@@ -92,6 +92,40 @@ class InvariantSpec extends SparkSpec {
     assert(chunked.exceptAll(direct).count() === 0L)
   }
 
+  test("interval join equals the naive range join; bounds inclusive at both edges") {
+    // property: the bucketed-explode equi-join must emit exactly the
+    // pairs of an unbucketed range join, for bounds that do and don't
+    // divide the data's time spread (bucket-boundary straddles included)
+    for (seed <- Seq(11L, 12L); (lo, up) <- Seq((4000000L, 10000000L), (0L, 7000000L))) {
+      val l = randomEvents(seed, 300).select(col("ts"), col("user"), col("id").as("lid"))
+      val r = randomEvents(seed + 100, 300)
+        .select(col("ts"), col("user"), col("id").as("rid"))
+      val fast = CoreOps.intervalJoin(l, r, "user", "ts", lo, up)
+        .select(col("user"), col("lid"), col("rid"))
+      val naive = l.withColumn("lts", unix_micros(col("ts"))).drop("ts")
+        .join(r.withColumn("rts", unix_micros(col("ts"))).drop("ts"), "user")
+        .filter(col("rts") >= col("lts") - lo && col("rts") <= col("lts") + up)
+        .select(col("user"), col("lid"), col("rid"))
+      assert(fast.count() === naive.count())
+      assert(fast.exceptAll(naive).count() === 0L)
+      assert(naive.exceptAll(fast).count() === 0L)
+    }
+    // hand-planted edge rows: matches at EXACTLY ts-lower and ts+upper
+    // must pair (inclusive bounds), one microsecond outside must not
+    val left = Seq((1L, "k", 10000000L)).toDF("lid", "k", "us")
+      .select(col("lid"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq(
+      (20L, "k", 8000000L),  // == ts - lower
+      (21L, "k", 13000000L), // == ts + upper
+      (22L, "k", 7999999L),  // 1 us below
+      (23L, "k", 13000001L)  // 1 us above
+    ).toDF("rid", "k", "us")
+      .select(col("rid"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = CoreOps.intervalJoin(left, right, "k", "ts", 2000000L, 3000000L)
+      .select(col("rid")).as[Long].collect().sorted
+    assert(got.toSeq === Seq(20L, 21L))
+  }
+
   test("burst alerts: every alert diff is positive and under threshold") {
     for (seed <- Seq(6L, 7L)) {
       val df = randomEvents(seed, 400).filter(col("op") === "Delete")

@@ -372,6 +372,45 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J2 streaming interval join converges to the batch (oracled) answer") {
+    val clicksIn = MemoryStream[(Long, Long, Long)]    // (user_id, click_id, ts_us)
+    val purchasesIn = MemoryStream[(Long, Long, Long)] // (user_id, purchase_id, ts_us)
+    val left = clicksIn.toDF().toDF("user_id", "click_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val right = purchasesIn.toDF().toDF("user_id", "purchase_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    // same asymmetric bounds as the oracled j2_interval_join query
+    val joined = StreamOps.streamStreamIntervalJoin(
+      left, right, "user_id", "ts",
+      lowerUs = 7200000000L, upperUs = 86400000000L, watermark = "1 second")
+    val q = joined.writeStream.format("memory").queryName("conv_j2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // replay in timestamp order: rows never arrive behind the
+      // watermark, so no join state is evicted before its matches arrive
+      // — the converged inner join must emit every in-range pair exactly
+      // once despite state eviction happening continuously behind the
+      // watermark (left rows held watermark+upper, right watermark+lower)
+      chunks(replay.toSeq).foreach { batch =>
+        val clicks = batch.collect { case (id, user, "click", tsUs, _) => (user, id, tsUs) }
+        val purchases = batch.collect { case (id, user, "purchase", tsUs, _) => (user, id, tsUs) }
+        if (clicks.nonEmpty) clicksIn.addData(clicks)
+        if (purchases.nonEmpty) purchasesIn.addData(purchases)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("conv_j2")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("ts")).as("c_us"), unix_micros(col("ts_r")).as("p_us"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("j2_interval_join")(spark, d)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts_us"), col("purchase_ts_us"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("W2 streaming late-data tee converges to the batch split (per-row replay)") {
     // The tee advances its watermark per MICRO-batch; the batch operator
     // per row. They coincide exactly when each micro-batch carries one
