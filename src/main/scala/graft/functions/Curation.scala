@@ -881,6 +881,62 @@ object Curation {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
+  /** Incremental connected-components refresh: merge a batch of NEW edges
+    * into an existing `(node, cluster_id)` labelling without re-running
+    * CC over the whole graph. The continuous-ingest companion of
+    * [[connectedComponents]]: an appended near-dup must update the keep
+    * list at a cost bounded by the batch and the clusters it touches,
+    * never the corpus.
+    *
+    * The trick is that an existing cluster collapses to ONE binding edge
+    * per member (`member -> cluster_id`): since every `cluster_id` is
+    * itself the min member id of its component, the binding edges plus
+    * the new pairs form a graph whose CC has exactly the merged
+    * components' min-id labels — identical to full CC over (old pairs ∪
+    * new pairs), because min-label propagation only ever needs SOME
+    * spanning connection, not the original edge set. Only clusters
+    * containing a node touched by a new pair enter the merge graph
+    * (semi-join on cluster_id); everything else passes through untouched
+    * — so the CC rounds run over |new pairs| + |affected members| rows.
+    *
+    * Invariant required of `existing`: labels are min-member ids (what
+    * [[connectedComponents]] emits); the refreshed output preserves it.
+    * Nodes appearing only in `existing` keep their rows; nodes appearing
+    * in new pairs join the state. Output: the complete new
+    * `(node, cluster_id)` state.
+    *
+    * `mergeEdgesOut` (introspection, spec-bound): receives the merge
+    * graph's edge count — the "no full recompute" proof is this number
+    * staying batch-sized while the corpus grows.
+    */
+  def refreshClusters(
+      existing: DataFrame,
+      newPairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      mergeEdgesOut: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+    val touched = newPairs.select(col(aCol).as("node"))
+      .union(newPairs.select(col(bCol).as("node"))).distinct()
+    val affectedClusters = existing.join(touched, "node")
+      .select(col("cluster_id")).distinct()
+    // membership of ONLY the affected clusters; cluster_id is the min
+    // member id, so its own row is among these (no phantom super-nodes)
+    val affectedMembers = existing.join(affectedClusters, "cluster_id")
+      .select(col("node"), col("cluster_id"))
+      .localCheckpoint()
+    val mergeEdges = newPairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(affectedMembers.select(col("node").as("a"), col("cluster_id").as("b")))
+      .localCheckpoint()
+    mergeEdgesOut.foreach(_.set(mergeEdges.count()))
+    val relabeled = connectedComponents(mergeEdges, "a", "b")
+    val untouched = existing.join(affectedClusters, Seq("cluster_id"), "left_anti")
+    val out = untouched.select(col("node"), col("cluster_id"))
+      .unionByName(relabeled.select(col("node"), col("cluster_id")))
+    Checkpoints.unpersist(affectedMembers)
+    Checkpoints.unpersist(mergeEdges)
+    out
+  }
+
   /** Rarity-weighted keyword extraction (TF-IDF family, rational form):
     * per-document top-k terms by `tf * N / df`, integer-quantized
     * (`floor(tf * 1000 * N / df)`) so the score is bit-identical in any

@@ -593,6 +593,36 @@ object Dedup {
       .select(col("a").as("new_id"), col("b").as("corpus_id"), col("jaccard_milli"))
   }
 
+  /** The complete NEW near-dup pair set an arriving batch adds to an
+    * indexed corpus: batch-vs-index pairs ([[nearDupsAgainstIndex]] —
+    * partition-pruned, the corpus is never re-shingled) plus intra-batch
+    * pairs ([[minhashLshPairs]] on the batch alone). Both sides band and
+    * verify with the same parameters, so this union is EXACTLY the pairs
+    * a full-corpus LSH pass over (corpus ∪ batch) would emit beyond the
+    * corpus's own — the input contract of
+    * [[Curation.refreshClusters]]'s incremental cluster maintenance.
+    * Output: (a, b) with a = the batch-side id for index pairs.
+    */
+  def newBatchPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int,
+      buckets: Int = 64,
+      excludeBatchId: Option[Long] = None): DataFrame =
+    nearDupsAgainstIndex(spark, batch, textCol, idCol, indexPath,
+      n, bands, rowsPerBand, minJaccardMilli, buckets, excludeBatchId)
+      .select(col("new_id").as("a"), col("corpus_id").as("b"))
+      .unionByName(
+        minhashLshPairs(batch, textCol, idCol, n, bands, rowsPerBand,
+          minJaccardMilli)
+          .select(col("a"), col("b")))
+
   /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate
     * stays positive in signed 64-bit math in any engine). Bit j of the
     * fingerprint is 1 iff the sum over tokens of (bit j of h48/60(token)

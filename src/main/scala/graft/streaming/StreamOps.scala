@@ -322,6 +322,56 @@ object StreamOps {
         }
     }
 
+  /** Continuous CLUSTER maintenance — the keep-list companion of
+    * [[dedupIngestStream]] for a pipeline that keeps duplicates and
+    * tracks their clusters instead of rejecting them. Every micro-batch:
+    * score the batch's new near-dup pairs against the index
+    * (`Dedup.newBatchPairs` — batch-vs-index + intra-batch, corpus never
+    * re-shingled), incrementally refresh the `(node, cluster_id)` state
+    * (`Curation.refreshClusters` — cost bounded by the batch + affected
+    * clusters, never the corpus), hand the refreshed state to the caller,
+    * and append the batch to the index under the micro-batch id.
+    *
+    * State round-trips through the caller (`loadState`/`saveState`) so
+    * the persistence medium (parquet table, delta, memory) is the
+    * caller's choice. At-least-once replay is safe end-to-end: the index
+    * append overwrites its own batch partitions ([[appendToLshIndex]]'s
+    * id rule), `excludeBatchId` keeps a replayed score pass blind to the
+    * batch's own index rows, and `refreshClusters` is IDEMPOTENT under
+    * re-applied pairs (re-adding edges that are already reflected in the
+    * state re-derives the same labels — spec-proven).
+    */
+  def clusterMaintenanceStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccardMilli: Int,
+      buckets: Int = 64)(
+      loadState: () => DataFrame,
+      saveState: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint()
+          try {
+            val pairs = graft.functions.Dedup.newBatchPairs(
+              b.sparkSession, b, textCol, idCol, indexPath,
+              n, bands, rowsPerBand, minJaccardMilli, buckets,
+              excludeBatchId = Some(batchId)).localCheckpoint()
+            try {
+              saveState(graft.functions.Curation.refreshClusters(loadState(), pairs))
+              graft.functions.Dedup.appendToLshIndex(
+                b, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
+                batchId = Some(batchId))
+            } finally { pairs.unpersist(); () }
+          } finally { b.unpersist(); () }
+        }
+    }
+
   /** Write-side twin of [[int8SearchStream]]: a stream of new corpus
     * vectors grows the materialized int8 codes index. Each vector's
     * max-abs scale is self-contained (no frozen codebook), so the append
