@@ -937,6 +937,51 @@ object Curation {
     out
   }
 
+  /** Per-source dataset card — the corpus-stats bundle a pipeline
+    * publishes with every snapshot (doc/token volume, exact-dup rate via
+    * distinct content digests, integer quality mass, language spread).
+    * One partial-aggregating groupBy; the two count-distincts expand
+    * rows 3x map-side but stay fully distributed. Shared by the
+    * `corpus_datasheet` gate query, the streaming datasheet twin's batch
+    * anchor, and the [[CurationArtifacts]] bundle.
+    */
+  def datasheet(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String,
+      langCol: String): DataFrame =
+    docs.groupBy(col(srcCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(md5(col(textCol))).as("n_uniq_texts"),
+      sum(TextAnalysis.qualityMilli(col(textCol))).as("sum_quality_milli"),
+      countDistinct(col(langCol)).as("n_langs"))
+
+  /** Quality-aware duplicate resolution over a given cluster state: per
+    * near-dup cluster keep the HIGHEST-quality member (tie-break min id);
+    * singletons are their own cluster. One row_number window PARTITIONED
+    * BY cluster_id — partitions are dup-group-sized, never global.
+    * Shared by the `dedup_keep_best` gate query and the
+    * [[CurationArtifacts]] bundle; feed it [[connectedComponents]] or an
+    * incrementally [[refreshClusters]]-maintained state.
+    */
+  def keepBestFromClusters(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.qualityMilli(col(textCol)).as("quality_milli"))
+    val lab = q.join(clusters.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_milli").desc, col("doc_id").asc)
+    lab.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("quality_milli"))
+  }
+
   /** Rarity-weighted keyword extraction (TF-IDF family, rational form):
     * per-document top-k terms by `tf * N / df`, integer-quantized
     * (`floor(tf * 1000 * N / df)`) so the score is bit-identical in any

@@ -25,6 +25,11 @@ object CurationArtifacts {
 
   /** The loaded serving bundle. `lmTotal` is re-derived from the model
     * at load (one bounded agg) rather than stored — one source of truth.
+    * `datasheet` (the per-source dataset card) and `keepBest` (the
+    * quality-aware duplicate-resolution table) publish WITH the model
+    * artifacts so a serving tier ships the corpus's card and keep
+    * decisions alongside the gates it scores with. Both are bounded:
+    * one row per source; one row per near-dup cluster + singleton.
     */
   final case class Loaded(
       lmModel: DataFrame,
@@ -32,7 +37,9 @@ object CurationArtifacts {
       nbModel: DataFrame,
       nbClasses: DataFrame,
       ccnetCuts: DataFrame,
-      benchBloom: Array[Byte])
+      benchBloom: Array[Byte],
+      datasheet: DataFrame,
+      keepBest: DataFrame)
 
   /** Train every gate artifact on `docs` and persist under `dir`:
     * `lm_model` (t, cnt), `nb_model` (c, b, n_cb), `nb_classes`
@@ -50,7 +57,10 @@ object CurationArtifacts {
       dir: String,
       shingleN: Int = 3,
       nbTrainPermille: Int = 800,
-      nbBuckets: Int = 4096): Unit = {
+      nbBuckets: Int = 4096,
+      lshBands: Int = 4,
+      lshRowsPerBand: Int = 4,
+      minJaccardMilli: Int = 500): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     TextAnalysis.trigramModel(docs, textCol, idCol)
@@ -63,6 +73,14 @@ object CurationArtifacts {
       .write.mode("overwrite").parquet(s"$dir/ccnet_cuts")
     Seq(Curation.benchShingleBloom(docs.filter(isBench), textCol, shingleN))
       .toDF("bloom").write.mode("overwrite").parquet(s"$dir/bench_bloom")
+    Curation.datasheet(docs, textCol, srcCol, labelCol)
+      .write.mode("overwrite").parquet(s"$dir/datasheet")
+    Curation.keepBestFromClusters(docs, textCol, idCol,
+      Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, textCol, idCol,
+          shingleN, lshBands, lshRowsPerBand, minJaccardMilli),
+        "a", "b"))
+      .write.mode("overwrite").parquet(s"$dir/keep_best")
   }
 
   /** Load a serving bundle. The two `head()`s are bounded BY
@@ -84,6 +102,8 @@ object CurationArtifacts {
       nbClasses = spark.read.parquet(s"$dir/nb_classes"),
       ccnetCuts = spark.read.parquet(s"$dir/ccnet_cuts"),
       benchBloom = spark.read.parquet(s"$dir/bench_bloom")
-        .head().getAs[Array[Byte]]("bloom"))
+        .head().getAs[Array[Byte]]("bloom"),
+      datasheet = spark.read.parquet(s"$dir/datasheet"),
+      keepBest = spark.read.parquet(s"$dir/keep_best"))
   }
 }

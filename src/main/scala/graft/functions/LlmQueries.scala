@@ -653,21 +653,11 @@ object LlmQueries {
     // cluster-sized (bounded by dup-group size), never global.
     "dedup_keep_best" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val clusters = Curation.connectedComponents(
-        Dedup.minhashLshPairs(docs, "text", "doc_id",
-          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
-        "a", "b").withColumnRenamed("node", "doc_id")
-      val q = docs.select(col("doc_id"),
-        TextAnalysis.qualityMilli(col("text")).as("quality_milli"))
-      val lab = q.join(clusters, Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("quality_milli").desc, col("doc_id").asc)
-      lab.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
-          col("quality_milli"))
+      Curation.keepBestFromClusters(docs, "text", "doc_id",
+        Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+          "a", "b"))
         .orderBy("cluster_id")
     },
     // Per-source dataset card: the corpus-stats bundle a pipeline
@@ -676,13 +666,7 @@ object LlmQueries {
     // spread). One partial-aggregating groupBy; the two count-distincts
     // expand rows 3x map-side but stay fully distributed.
     "corpus_datasheet" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      docs.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
-        countDistinct(md5(col("text"))).as("n_uniq_texts"),
-        sum(TextAnalysis.qualityMilli(col("text"))).as("sum_quality_milli"),
-        countDistinct(col("lang")).as("n_langs"))
+      Curation.datasheet(Tables.documents(s, d), "text", "source", "lang")
         .orderBy("source")
     },
     // CCNet-style LM-perplexity gate: keep docs whose trigram surprisal

@@ -56,5 +56,26 @@ class CurationArtifactsSpec extends SparkSpec {
       .as[(Long, Int)].collect().sortBy(_._1)
     assert(hitsLoaded === hitsFresh)
     assert(hitsLoaded.exists(_._2 > 0), "bench docs must self-hit the bloom")
+
+    // Datasheet: the loaded card equals the batch corpus_datasheet query
+    // row-for-row (the oracle-green gate form)
+    val cardLoaded = a.datasheet
+      .select("source", "n_docs", "n_tokens", "n_uniq_texts",
+        "sum_quality_milli", "n_langs")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val cardBatch = LlmQueries.queries("corpus_datasheet")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(cardLoaded.nonEmpty)
+    assert(cardLoaded === cardBatch)
+
+    // Keep-best: the loaded resolution table equals the batch
+    // dedup_keep_best query row-for-row
+    val kbLoaded = a.keepBest
+      .select("cluster_id", "keep_doc_id", "quality_milli")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val kbBatch = LlmQueries.queries("dedup_keep_best")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(kbLoaded.nonEmpty)
+    assert(kbLoaded === kbBatch)
   }
 }
