@@ -119,28 +119,69 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException => null }
     Option(img).map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val sums = new Array[Double](16)
-      val counts = new Array[Int](16)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = im.getRGB(x, y)
-          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000.0 / 255.0
-          val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
-          sums(cell) += luma
-          counts(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val feature = Array.tabulate(16)(i =>
-        if (counts(i) > 0) (sums(i) / counts(i) - 0.5).toFloat else 0.0f)
-      (w.toLong, h.toLong, feature)
+      (im.getWidth.toLong, im.getHeight.toLong, lumaGrid16(im))
     }
+  }
+
+  /** 16-dim 4x4 grid of mean luma shifted to [-0.5, 0.5] — the shared
+    * feature kernel of the image and video-frame decode paths.
+    */
+  private def lumaGrid16(im: java.awt.image.BufferedImage): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Double](16)
+    val counts = new Array[Int](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0 / 255.0
+        val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(16)(i =>
+      if (counts(i) > 0) (sums(i) / counts(i) - 0.5).toFloat else 0.0f)
+  }
+
+  /** REAL multi-frame decode of an ANIMATED GIF via the JDK's own
+    * `javax.imageio` GIF reader (`getNumImages(true)` + per-index
+    * `read(i)` — zero external dependencies; the one video-shaped
+    * container the JDK can open). Returns (width, height, one luma-grid
+    * feature per frame); None when the bytes are not a GIF with >= 1
+    * decodable frame. Frames are read as STORED — GIF delta frames
+    * (partial rasters composited onto the previous canvas) are featured
+    * per-raster without composition; a production codec kernel replaces
+    * this inner loop, the surrounding plumbing (batching, schema,
+    * per-frame rows) is the real contract. Codec-bound formats (MP4 &
+    * co.) remain stubbed: the JDK ships no video codec.
+    */
+  private[functions] def decodeGifFrames(
+      payload: Array[Byte]): Option[(Long, Long, Array[Array[Float]])] = {
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      try {
+        reader.setInput(stream, false, true)
+        val n = reader.getNumImages(true)
+        if (n < 1) return None
+        val frames = Array.tabulate(n)(i => reader.read(i))
+        Some((frames(0).getWidth.toLong, frames(0).getHeight.toLong,
+          frames.map(lumaGrid16)))
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally if (stream != null) stream.close()
   }
 
   /** REAL decode of one audio payload via the JDK's own
@@ -191,8 +232,12 @@ object Multimodal {
     * each falling back to the hash-derived stub metadata when the bytes
     * aren't decodable (the fabricated test-corpus payloads). Audio maps
     * onto the record as width=sampleRate, height=channels,
-    * n_frames=PCM frames. Video remains stubbed — the JDK ships no
-    * video codec and the container has no media libraries. Same batched
+    * n_frames=PCM frames. `video` payloads go through
+    * [[decodeGifFrames]] — REAL for animated GIFs (the one multi-frame
+    * container the JDK can open; n_frames = the actual frame count,
+    * feature = frame 0's luma grid); codec-bound formats (MP4 & co.)
+    * still fall back to the stub, documented — the JDK ships no video
+    * codec and the container has no media libraries. Same batched
     * narrow `mapPartitions` shape as [[decodeBatchedStub]]; the shipped
     * `multimodal_decode` oracle query stays on the stub path so its
     * DuckDB twin remains exact.
@@ -213,6 +258,10 @@ object Multimodal {
               DecodedMedia(m.media_id, m.modality, width = rate, height = ch,
                 n_frames = fr, f)
             }
+            case "video" => decodeGifFrames(m.payload).map { case (w, h, fs) =>
+              DecodedMedia(m.media_id, m.modality, w, h,
+                n_frames = fs.length.toLong, feature = fs(0))
+            }
             case _ => None
           }
           real.getOrElse(stubOne(md, m))
@@ -228,6 +277,40 @@ object Multimodal {
   def sampleFrames(decoded: DataFrame, everyN: Int): DataFrame =
     decoded.withColumn("frame_idx",
       explode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))))
+
+  /** One decoded row per REAL frame of an animated-GIF payload. */
+  final case class DecodedFrame(
+      media_id: Long,
+      frame_idx: Long,
+      width: Long,
+      height: Long,
+      feature: Array[Float])
+
+  /** Per-frame REAL decode: every `everyN`-th frame of each decodable
+    * animated-GIF payload becomes a row with its OWN luma-grid feature
+    * (the content path [[sampleFrames]]' index explosion only shapes).
+    * Undecodable payloads contribute no rows — the caller composes with
+    * [[decodeBatched]]/[[sampleFrames]] for the stubbed remainder. Same
+    * narrow batched `mapPartitions` shape as the other decode kernels:
+    * rides the scan, no shuffle, parallelism preserved.
+    */
+  def decodeFramesBatched(
+      ds: org.apache.spark.sql.Dataset[MediaRecord],
+      everyN: Int = 1,
+      batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedFrame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    implicit val enc = org.apache.spark.sql.Encoders.product[DecodedFrame]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          decodeGifFrames(m.payload).iterator.flatMap { case (w, h, fs) =>
+            Iterator.range(0, fs.length, everyN).map(i =>
+              DecodedFrame(m.media_id, i.toLong, w, h, fs(i)))
+          }
+        }
+      }
+    }
+  }
 
   /** STUB resize: recompute target dims preserving aspect ratio; a real
     * kernel would transform payload bytes, which stay untouched here.

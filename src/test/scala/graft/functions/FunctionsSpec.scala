@@ -665,6 +665,63 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(3L).width >= 64L && rows(3L).width < 512L) // hash-derived stub dims
   }
 
+  test("multimodal: animated GIFs decode real frame counts + per-frame features") {
+    import Multimodal.MediaRecord
+    // multi-frame GIF via the JDK's own writer (writeToSequence): each
+    // frame a solid gray level, brightening frame to frame
+    def animatedGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+    val gif3 = animatedGif(24, 16, Seq(0, 128, 255))
+    val media = Seq(
+      MediaRecord(1L, "video", gif3),
+      MediaRecord(2L, "video", animatedGif(8, 8, Seq(200))), // single frame
+      MediaRecord(3L, "video", "not a gif".getBytes("UTF-8"))) // stub fallback
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(2)
+
+    // whole-payload decode: REAL frame count + frame-0 feature
+    val rows = Multimodal.decodeBatched(ds, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(rows(1L).width === 24L && rows(1L).height === 16L && rows(1L).n_frames === 3L)
+    assert(rows(2L).n_frames === 1L)
+    assert(rows(1L).feature.forall(f => math.abs(f + 0.5f) < 0.02f),
+      "frame 0 is black: every luma cell ~ -0.5")
+    assert(rows(3L).n_frames >= 1L && rows(3L).n_frames <= 16L, "stub fallback")
+
+    // per-frame rows: one feature per frame, brightening monotonically;
+    // undecodable payloads contribute no rows
+    val frames = Multimodal.decodeFramesBatched(ds, everyN = 1, batchSize = 2)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(frames.map(r => (r.media_id, r.frame_idx)).toSeq ===
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    val lumas = frames.filter(_.media_id == 1L).map(_.feature(0))
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2),
+      s"frames must brighten: ${lumas.toSeq}")
+    // GIF color quantization keeps levels approximate; the grid cells
+    // within one solid frame still agree with each other exactly
+    frames.foreach(r => assert(r.feature.forall(f => f === r.feature(0))))
+    // every-2nd-frame sampling keeps frames 0 and 2
+    val sampled = Multimodal.decodeFramesBatched(ds, everyN = 2)
+      .filter(col("media_id") === 1L).collect().map(_.frame_idx).sorted
+    assert(sampled.toSeq === Seq(0L, 2L))
+  }
+
   test("multimodal: stub decode is deterministic and frame sampling explodes") {
     val media = Multimodal.asMediaCorpus(docs, "doc_id", "text")
       .join(docs.select(col("doc_id").as("media_id"), col("text")), "media_id")
