@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // diagnostics passthrough (e.g. SPARK_GRAFT_JVM_EXTRA="-Xlog:gc:file=/tmp/gc.log"
+  // to watch heap behaviour of a ScaleSmoke run) — empty by default
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

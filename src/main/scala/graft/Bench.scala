@@ -6,25 +6,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
-  *   1. EVERY query runs in its OWN FRESH SparkSession, stopped before
-  *      the next query starts. One shared session accumulates broadcast
-  *      blocks, codegen classes, and heap junk: round 2 measured 18x
-  *      inflation from the skew demo, round 5 up to 7x on late-run
-  *      queries (dedup_minhash_lsh 11.8s in-bench vs 1.6s clean), and
-  *      round 7 showed even ~20-query group recycling still contaminates
-  *      (semdedup_keep 6.1s grouped vs 1.2s clean). Session setup is
-  *      untimed, so the ~1-2s per-query recycle costs wall-clock only,
-  *      never a measurement. `SPARK_GRAFT_BENCH_GROUP` can raise the
-  *      group size for fast local iteration.
-  *   2. Each group gets a full untimed warm-up pass in ITS session, so
-  *      timed passes measure the engine, not class-loading, whole-stage
-  *      codegen compilation, or parquet footer caching.
-  *   3. Each query is timed as the MEDIAN of three runs — a single timed
-  *      run is hostage to GC pauses and host noise.
+  *   1. Phase 1 runs in ONE SparkSession with the session state SCRUBBED
+  *      between queries. The per-query-fresh-session protocol of rounds
+  *      7-8 existed because a naively shared session accumulates state
+  *      that inflates late-run medians up to 7x (round 5:
+  *      dedup_minhash_lsh 11.8s in-bench vs 1.6s clean; round 7:
+  *      semdedup_keep 6.1s in a ~20-query group vs 1.2s clean) — but it
+  *      paid ~1.5-2s of context recycling per query, 7x the measured
+  *      total in pure harness wall-clock. The round-9 root-cause fix
+  *      scrubs the three actual contamination channels deterministically
+  *      after every query instead of discarding the JVM: (a)
+  *      localCheckpoint RDD blocks — the dominant channel, ~100s of MB
+  *      per curation query — via blocking `unpersist` of every entry in
+  *      `sc.getPersistentRDDs`; (b) the SQL cache via
+  *      `catalog.clearCache()`; (c) dead broadcast blocks via a periodic
+  *      `System.gc()` so ContextCleaner reclaims them (broadcasts are
+  *      model-table-sized here, so every-10-queries suffices). Validated
+  *      by an A/B against the round-8 per-query-fresh-session numbers
+  *      (see BENCH_FULL note in SCALING.md); `SPARK_GRAFT_BENCH_ISOLATE=1`
+  *      restores full per-query isolation for re-validation.
+  *   2. Queries whose previous median was < 1s get an untimed warm-up
+  *      run plus MEDIAN-of-3 timed runs (unchanged from round 8):
+  *      at sub-second scale, codegen compilation and GC jitter are
+  *      material fractions of the measurement. Queries at >= 1s skip the
+  *      warm-up and run TWICE, reporting the MIN: run 1 absorbs the
+  *      ~0.2-0.3s codegen/plan cost as an upper bound, the min is the
+  *      warm run, and GC jitter is proportionally small at this scale.
+  *      The split halves the harness cost of the slow tail (54s of the
+  *      74.6s total) without moving any median materially; the retime
+  *      phase (note 6) still cross-checks every >15% mover.
+  *   3. (subsumed by note 2 — median-of-3 where noise is material.)
   *   4. The 16M-row skew demonstration runs in its OWN SparkSession after
   *      the query groups, reported in a separate `skew_demo` JSON block:
   *      its 32M-row working set raises heap/GC pressure for anything
-  *      timed after it in the same JVM.
+  *      timed after it in the same JVM. Its pair is timed 2-run-min like
+  *      the other multi-second queries.
   *   5. From-index SERVING forms (`served` block): the int8 / IVF+PQ /
   *      BM25 indexes are built once untimed, then the from-index queries
   *      are timed — the query-priced cost a production search path pays,
@@ -63,6 +79,32 @@ object Bench {
     }
     val sorted = times.map(_._1).sorted
     (sorted(sorted.length / 2), times.forall(_._2))
+  }
+
+  /** (minSeconds, allRunsSucceeded) over `runs` timed executions — the
+    * no-warm-up shape for multi-second queries (protocol note 2): run 1
+    * carries the one-time codegen/planning cost, so the min IS the warm
+    * steady-state run.
+    */
+  private def timedMin(runs: Int)(body: => Unit): (Double, Boolean) = {
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    (times.map(_._1).min, times.forall(_._2))
+  }
+
+  /** Deterministic between-query state scrub for the shared phase-1
+    * session (protocol note 1): blocking-unpersist every persistent RDD
+    * (localCheckpoint blocks are the dominant cross-query contamination
+    * channel), drop the SQL cache, and periodically force a GC so
+    * ContextCleaner reclaims dead broadcast blocks.
+    */
+  private def scrub(spark: SparkSession, forceGc: Boolean): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    if (forceGc) System.gc()
   }
 
   // Skew demonstration: a deterministic corpus with 99% of events on one
@@ -110,22 +152,39 @@ object Bench {
     // the previous round's numbers — read BEFORE this run overwrites them
     val prev = prevQuerySeconds(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
 
-    // ---- Phase 1: the shipped queries, one clean SparkSession per
-    // query (see protocol note 1 above). ----
-    val groupSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "1").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .grouped(groupSize).toSeq.flatMap { group =>
+    // ---- Phase 1: the shipped queries — one scrubbed shared session
+    // (protocol note 1), or per-query isolation when
+    // SPARK_GRAFT_BENCH_ISOLATE=1 (the round-8 A/B reference protocol).
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+    // >= 1s queries skip the warm-up and time 2-run-min (note 2); the
+    // threshold reads the PREVIOUS artifact so the protocol self-tunes.
+    val slowCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOWCUT", "1.0").toDouble
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results =
+      if (isolate) allQueries.map { case (name, fn) =>
         val spark = newSession(cpus)
-        group.foreach { case (_, fn) =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-        }
-        val groupResults = group.map { case (name, fn) =>
-          val (sec, ok) = timed(runs)(fn(spark, sfDir).count())
+        try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
+        val (sec, ok) = timed(runs)(fn(spark, sfDir).count())
+        spark.stop()
+        System.gc()
+        (name, sec, ok)
+      }
+      else {
+        val spark = newSession(cpus)
+        val out = allQueries.zipWithIndex.map { case ((name, fn), i) =>
+          val slow = prev.get(name).exists(_ >= slowCut)
+          val (sec, ok) =
+            if (slow) timedMin(math.min(runs, 2))(fn(spark, sfDir).count())
+            else {
+              try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
+              timed(runs)(fn(spark, sfDir).count())
+            }
+          scrub(spark, forceGc = slow || i % 10 == 9)
           (name, sec, ok)
         }
         spark.stop()
         System.gc()
-        groupResults
+        out
       }
 
     // ---- Phase 1.5: from-index SERVING forms. The one-shot bench
@@ -171,13 +230,16 @@ object Bench {
     sparkSrv.stop()
     System.gc()
 
-    // ---- Phase 2: the 16M-row skew demo, in a fresh session. ----
+    // ---- Phase 2: the 16M-row skew demo, in a fresh session. The small
+    // 2M warm-up pass stays: dropping it was measured +80% on the chunked
+    // form (3.6s vs 2.0s) — the 16M run-1 "warm-up" is too expensive to
+    // waste on codegen, the 2M pass buys the same compilation for ~2s. ----
     val spark2 = newSession(cpus)
     skewPair(spark2, 2000000L).foreach { case (_, fn) =>
       try fn().count() catch { case _: Throwable => () } // warm-up (JIT only)
     }
     val skewResults = skewPair(spark2, 16000000L).map { case (name, fn) =>
-      val (sec, ok) = timed(runs)(fn().count())
+      val (sec, ok) = timedMin(math.min(runs, 2))(fn().count())
       (name, sec, ok)
     }
     spark2.stop()
@@ -200,8 +262,15 @@ object Bench {
         val s3 = newSession(cpus)
         val out = flagged.map { name =>
           val fn = SparkEntry.queries(name)
-          try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
-          val (sec, ok) = timed(runs)(fn(s3, sfDir).count())
+          // same fast/slow timing split as phase 1 (protocol note 2)
+          val (sec, ok) =
+            if (prev.get(name).exists(_ >= slowCut))
+              timedMin(math.min(runs, 2))(fn(s3, sfDir).count())
+            else {
+              try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
+              timed(runs)(fn(s3, sfDir).count())
+            }
+          scrub(s3, forceGc = true)
           // a query that FAILS in the retime session must not record a
           // near-instant "fast" median that reads as a placement artifact
           (name, if (ok) sec else -1.0)

@@ -82,6 +82,32 @@ object SparkEntry {
   // Core operator queries (SURVEY §2) over the `events` table.
   // =====================================================================
 
+  /** Shared input shape for the two J3 as-of forms: clicks vs purchases,
+    * the purchase side reduced to one row per (user, ts) so the as-of
+    * winner is unique on both engines.
+    */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    (clicks, purchases)
+  }
+
+  private val asofOracleSql: String =
+    """WITH c AS (SELECT epoch_us(ts) AS ts_us, user_id, event_id AS click_id
+                  FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                         max(event_id) AS purchase_id
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT c.user_id, click_id, c.ts_us AS click_ts_us,
+              p.purchase_id AS last_purchase_id,
+              p.ts_us AS last_purchase_ts_us
+       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+       ORDER BY 1, 2"""
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: unkeyed tumbling-window count (5 s).
     "a1_tumbling_count" -> { (s, d) =>
@@ -177,6 +203,39 @@ object SparkEntry {
           unix_micros(col("ts")).as("click_ts_us"),
           unix_micros(col("ts_r")).as("purchase_ts_us"))
         .orderBy("user_id", "click_id", "purchase_id")
+    },
+    // J3: as-of join — each click paired with the user's most recent
+    // purchase at-or-before it (the point-in-time lookup). The purchase
+    // side is pre-aggregated to one row per (user, ts) so the as-of winner
+    // is unique — DuckDB's ASOF JOIN leaves right-side ties unspecified,
+    // and a deterministic gate needs none. Chunked twin = same answer
+    // through the hot-key-immune two-pass plan.
+    "j3_asof_join" -> { (s, d) =>
+      val (clicks, purchases) = SparkEntry.asofSides(s, d)
+      CoreOps.asofJoin(clicks, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          col("purchase_id").as("last_purchase_id"),
+          unix_micros(col("ts_r")).as("last_purchase_ts_us"))
+        .orderBy("user_id", "click_id")
+    },
+    "j3_asof_chunked" -> { (s, d) =>
+      val (clicks, purchases) = SparkEntry.asofSides(s, d)
+      CoreOps.asofJoinChunked(clicks, purchases, "user_id", "ts",
+        bucketUs = 21600000000L)
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          col("purchase_id").as("last_purchase_id"),
+          unix_micros(col("ts_r")).as("last_purchase_ts_us"))
+        .orderBy("user_id", "click_id")
+    },
+    // T1: trailing-1h rolling features per user at every event.
+    "t1_rolling_features" -> { (s, d) =>
+      CoreOps.rollingRangeStats(Tables.events(s, d), "user_id", "ts",
+        "value", rangeUs = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_range"), col("sum_milli_range"))
+        .orderBy("event_id")
     },
     // W2: late-data side output (batch analog over a deterministic
     // pseudo-arrival order; allowed lateness 2 s as in the reference).
@@ -309,6 +368,17 @@ object SparkEntry {
          FROM c JOIN p ON c.user_id = p.user_id
            AND p.ts_us BETWEEN c.ts_us - 7200000000 AND c.ts_us + 86400000000
          ORDER BY 1, 2, 3""",
+    "j3_asof_join" -> asofOracleSql,
+    "j3_asof_chunked" -> asofOracleSql,
+    "t1_rolling_features" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                count(*) OVER w AS n_range,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) OVER w AS BIGINT)
+                  AS sum_milli_range
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "w2_late_data" ->
       """WITH a AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

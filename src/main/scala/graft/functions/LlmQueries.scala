@@ -273,6 +273,13 @@ object LlmQueries {
         blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
         .orderBy("a", "b")
     },
+    // Character-EDIT near-dups (typo/OCR mirrors): blocked levenshtein
+    // over normalized 48-char prefixes — the modality word-shingles miss.
+    "dedup_edit_distance" -> { (s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+        prefixLen = 48, maxDist = 2, maxBlockDf = 200)
+        .orderBy("a", "b")
+    },
     "dedup_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 0)
@@ -947,6 +954,27 @@ object LlmQueries {
           FROM sized
           WHERE greatest(contain_a_milli, contain_b_milli) >= 300
           ORDER BY a, b""",
+    "dedup_edit_distance" ->
+      """WITH p AS (SELECT doc_id AS doc,
+                           regexp_replace(substring(text, 1, 48),
+                                          '[^ -~]', '', 'g') AS p
+                    FROM documents),
+          k AS (SELECT doc, p, 0 AS seg, substring(p, 1, 16) AS sg FROM p
+                UNION ALL SELECT doc, p, 1, substring(p, 17, 16) FROM p
+                UNION ALL SELECT doc, p, 2, substring(p, 33, 16) FROM p),
+          kf AS (SELECT * FROM k WHERE length(sg) = 16),
+          cap AS (SELECT seg, sg FROM kf GROUP BY 1, 2
+                  HAVING count(*) <= 200),
+          s AS (SELECT kf.* FROM kf JOIN cap USING (seg, sg)),
+          cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b,
+                          x.p AS pa, y.p AS pb
+                   FROM s x JOIN s y
+                     ON x.seg = y.seg AND x.sg = y.sg AND x.doc < y.doc)
+          SELECT a, b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+          FROM cand
+          WHERE abs(length(pa) - length(pb)) <= 2
+            AND levenshtein(pa, pb) <= 2
+          ORDER BY 1, 2""",
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesCte,
           $minhashCandCtes

@@ -149,6 +149,111 @@ object Multimodal {
       if (counts(i) > 0) (sums(i) / counts(i) - 0.5).toFloat else 0.0f)
   }
 
+  /** Mean-luma grid at arbitrary resolution — the generalized kernel
+    * behind [[lumaGrid16]] (4x4) and [[dHash64]] (9x8).
+    */
+  private def lumaGridMean(
+      im: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0 / 255.0
+        val cell = math.min(gh - 1, y * gh / h) * gw + math.min(gw - 1, x * gw / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (counts(i) > 0) sums(i) / counts(i) else 0.0)
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: mean-pool to a
+    * 9x8 luma grid, emit one bit per HORIZONTAL GRADIENT
+    * (`luma(x) < luma(x+1)`, row-major). The classic perceptual
+    * fingerprint: stable under re-encode, resize, mild color shifts —
+    * the image-modality analog of [[graft.functions.Dedup.simhash60]],
+    * and deliberately 64 bits so the hamming-band candidate machinery
+    * carries over unchanged.
+    */
+  private[functions] def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val g = lumaGridMean(im, 9, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) < g(r * 9 + c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual fingerprints for the image rows of a media corpus:
+    * (media_id, dhash) for every payload the JDK image reader can decode
+    * (undecodable/other-modality rows drop — a fingerprint derived from
+    * anything but real pixels would poison the dedup downstream). Narrow
+    * `mapPartitions`, no shuffle; at 100 TB this is one decode pass
+    * colocated with the payload scan.
+    */
+  def imageDHashes(
+      ds: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.filter(_.modality == "image").flatMap { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        Option(img).map(im => (m.media_id, dHash64(im)))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by dHash hamming distance, banded exactly like
+    * [[graft.functions.Dedup.simhashPairs]]: split the 64 bits into
+    * `maxHamming + 1` bands — by pigeonhole two prints within
+    * `maxHamming` bits MUST agree on at least one whole band (recall 1.0
+    * for the verified relation, no all-pairs join anywhere). Candidates
+    * meet on (band, band-bits), the exact popcount verify runs before
+    * the pair dedup. Output: (a, b, hamming), a < b.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
+    val baseLen = 64 / bands
+    val rem = 64 % bands
+    val lens = Seq.tabulate(bands)(i => baseLen + (if (i < rem) 1 else 0))
+    val offs = lens.scanLeft(0)(_ + _)
+    val f = hashes.select(col("media_id").as("doc"), col("dhash").as("sh"))
+    val banded = f.select(col("doc"), col("sh"),
+      explode(array((0 until bands).map { k =>
+        struct(
+          lit(k).as("band"),
+          shiftright(col("sh"), offs(k))
+            .bitwiseAND(lit(if (lens(k) == 64) -1L else (1L << lens(k)) - 1))
+            .as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("sh"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** REAL multi-frame decode of an ANIMATED GIF via the JDK's own
     * `javax.imageio` GIF reader (`getNumImages(true)` + per-index
     * `read(i)` — zero external dependencies; the one video-shaped

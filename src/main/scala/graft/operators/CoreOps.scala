@@ -229,6 +229,118 @@ object CoreOps {
   }
 
   // ---------------------------------------------------------------------
+  // J3: keyed AS-OF join — for every left row, the single most recent
+  // right row with r.ts <= l.ts on the same key (the point-in-time lookup
+  // of feature stores, market data, and slowly-changing dimensions).
+  // Spark has no native as-of; the classic rewrite as
+  // `JOIN ... ON r.ts <= l.ts` + argmax degenerates to a per-key
+  // nested-loop or an unbounded sort-merge scan. This form never joins at
+  // all: tag both sides, UNION them, and run ONE running
+  // `last(right_value IGNORE NULLS)` window per key ordered by
+  // (ts, side) — right rows sort before left rows at equal ts, so the
+  // carry is inclusive. One shuffle on `key`, no pair blow-up, whole
+  // plan codegen'd.
+  //
+  // Determinism: right rows that tie on (key, ts) are ordered by their
+  // packed value struct, so `last` always returns the struct-max of the
+  // tied rows (callers wanting a specific winner should pre-aggregate the
+  // right side to one row per (key, ts)). Right payload columns must be
+  // orderable (no arrays/maps) and must not collide with left names.
+  //
+  // Skew: the window partitions by `key` alone — a hot key serializes
+  // through one reducer, exactly like direct sessionization. The chunked
+  // twin below is the skew-immune form.
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String): DataFrame =
+    asofUnionWindow(left, right, key, tsCol, bucketUs = None)
+
+  /** [[asofJoin]] with the hot-key-immune two-pass shape (the pattern of
+    * `sessionSummaryChunked`/`lateDataSplit`): rows bucket by
+    * `ts div bucketUs`; pass 1 reduces each (key, bucket) to its LAST
+    * right value — a bounded summary frame; pass 2 prefix-carries that
+    * summary across buckets per key (window over the summary, at most
+    * span/bucketUs rows per key); pass 3 resolves within-bucket with a
+    * window PARTITIONED by (key, bucket), seeded by the carried-in value.
+    * A hot key's rows spread over its time buckets instead of one
+    * reducer. Output is bit-identical to [[asofJoin]]
+    * (InvariantSpec-gated).
+    */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    asofUnionWindow(left, right, key, tsCol, bucketUs = Some(bucketUs))
+  }
+
+  private def asofUnionWindow(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      bucketUs: Option[Long]): DataFrame = {
+    val rPayload = right.columns.filter(c => c != key && c != tsCol)
+    val collide = rPayload.intersect(left.columns)
+    require(collide.isEmpty,
+      s"right payload columns collide with left: ${collide.mkString(", ")}")
+    // pack the right row into ONE struct ordered by (ts, payload...): a
+    // single ignore-nulls carry column — a right row whose payload happens
+    // to be null still occludes older rows, which per-column carries
+    // would get wrong
+    val r = right.select(
+      col(key) +:
+        unix_micros(col(tsCol)).as("__ts") +:
+        lit(0).as("__side") +:
+        struct(unix_micros(col(tsCol)).as("__rts") +: rPayload.map(col): _*)
+          .as("__rv") +:
+        Nil: _*)
+    val l = left
+      .withColumn("__ts", unix_micros(col(tsCol)))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    val carried = bucketUs match {
+      case None =>
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("__ts"), col("__side"), col("__rv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      case Some(b) =>
+        val bu = u.withColumn("__b", col("__ts") - pmod(col("__ts"), lit(b)))
+        // pass 1: last right value per (key, bucket) — max over the
+        // (ts, payload) struct IS the latest-in-bucket (null for
+        // left-only buckets, which still must appear for the carry)
+        val summary = bu.groupBy(col(key), col("__b"))
+          .agg(max(col("__rv")).as("__bl"))
+        // pass 2: carried-in value = last non-null bucket value STRICTLY
+        // before this bucket; window over the summary frame only
+        val wS = Window.partitionBy(col(key)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = summary
+          .withColumn("__cin", last(col("__bl"), ignoreNulls = true).over(wS))
+          .select(col(key), col("__b"), col("__cin"))
+        // pass 3: within-bucket resolve, seeded by the carry-in
+        val wB = Window.partitionBy(col(key), col("__b"))
+          .orderBy(col("__ts"), col("__side"), col("__rv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bu.join(carryIn, Seq(key, "__b"))
+          .withColumn("__m",
+            coalesce(last(col("__rv"), ignoreNulls = true).over(wB), col("__cin")))
+          .drop("__b", "__cin")
+    }
+    val withMatch = carried
+      .filter(col("__side") === 1)
+      .withColumn(tsCol + "_r", timestamp_micros(col("__m.__rts")))
+    rPayload.foldLeft(withMatch) { (df, c) => df.withColumn(c, col("__m." + c)) }
+      .drop("__ts", "__side", "__rv", "__m")
+  }
+
+  // ---------------------------------------------------------------------
   // W2 (`chapter4/EventTimeOperations.java:128-171`): late-data side output.
   // Batch analog: given an explicit arrival order, a row is late iff its
   // event time is older than (high watermark so far) - allowedLateness.
@@ -276,6 +388,39 @@ object CoreOps {
       col("__ts_us") < col("wm_us") - lit(allowedLatenessUs)
     val helpers = Seq("__ord", "__chunk", "__ts_us", "__prev_chunk_max", "__within_max", "wm_us")
     (withWm.filter(!isLate).drop(helpers: _*), withWm.filter(isLate).drop(helpers: _*))
+  }
+
+  // ---------------------------------------------------------------------
+  // T1: per-key trailing-range features — at every event, the count and
+  // exact integer-scaled sum of the key's events inside the trailing
+  // `rangeUs` window (the rolling feature columns a training pipeline
+  // derives before a point-in-time join, see [[asofJoin]]). A RANGE frame
+  // over epoch micros, not a ROWS frame: rows tying on (key, ts) are
+  // frame PEERS in both engines, so the output is deterministic under
+  // ties by construction. Sum is over [[scaledMilli]]-quantized longs —
+  // bit-exact and order-independent cross-engine (see [[scaled]]).
+  //
+  // Scale: one shuffle on `key`; the frame is evaluated in a single sort
+  // pass per partition with a sliding accumulator (Spark's bounded-frame
+  // WindowExec), memory O(max rows in any `rangeUs` span). Hot-key skew:
+  // same posture as sessionization — pre-chunk by a coarse time bucket
+  // (carrying a bucket-boundary summary) exactly like
+  // `sessionSummaryChunked` if one key dominates.
+  def rollingRangeStats(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      rangeUs: Long): DataFrame = {
+    require(rangeUs > 0, s"rangeUs must be positive, got $rangeUs")
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts_us"))
+      .rangeBetween(-rangeUs, Window.currentRow)
+    df.withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__v_milli", scaledMilli(col(valueCol)))
+      .withColumn("n_range", count(lit(1)).over(w))
+      .withColumn("sum_milli_range", sum(col("__v_milli")).over(w))
+      .drop("__v_milli")
+      .withColumnRenamed("__ts_us", "ts_us")
   }
 
   // ---------------------------------------------------------------------

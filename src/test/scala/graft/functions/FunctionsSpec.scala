@@ -633,6 +633,54 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(4L).width >= 64L && rows(4L).width < 512L)
   }
 
+  test("multimodal: dHash image near-dup pairs find the perturbed twin, not the stranger") {
+    import Multimodal.MediaRecord
+    // seeded random-block image; `noise` perturbs every pixel by a few
+    // luma steps (a re-encode-like distortion that must NOT break dHash)
+    def img(seed: Long, noise: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val w = 72; val h = 48
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // 9x8 blocks with well-separated luma levels so mild noise can't
+      // flip a gradient comparison
+      val levels = Array.fill(8, 9)(32 + rnd.nextInt(6) * 36)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = levels(y * 8 / h)(x * 9 / w)
+        val v = math.max(0, math.min(255,
+          v0 + (if (noise > 0) rnd.nextInt(2 * noise + 1) - noise else 0)))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image", img(seed = 42L, noise = 0)),
+      MediaRecord(2L, "image", img(seed = 42L, noise = 4)),  // near-dup of 1
+      MediaRecord(3L, "image", img(seed = 99L, noise = 0)),  // unrelated
+      MediaRecord(4L, "image", "not an image".getBytes("UTF-8")), // undecodable: drops
+      MediaRecord(5L, "audio", img(seed = 7L, noise = 0)))   // wrong modality: drops
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(2)
+    val hashes = Multimodal.imageDHashes(ds)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.keySet === Set(1L, 2L, 3L)) // only decodable images fingerprint
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6,
+      "perturbed twin drifted too far in dHash space")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 10,
+      "unrelated images landed too close for the test to discriminate")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // exact-recall property of the banding at the verified threshold:
+    // identical prints always pair (hamming 0 shares every band)
+    val dup = Multimodal.imageNearDupPairs(
+      hashes.union(spark.createDataFrame(Seq((10L, hs(1L)))).toDF("media_id", "dhash")),
+      maxHamming = 6).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dup.contains((1L, 10L)))
+  }
+
   test("multimodal: real WAV payloads decode to true rate/channels/frames") {
     import Multimodal.MediaRecord
     def wav(rateHz: Int, nSamples: Int): Array[Byte] = {

@@ -126,6 +126,78 @@ class InvariantSpec extends SparkSpec {
     assert(got.toSeq === Seq(20L, 21L))
   }
 
+  test("as-of join equals the naive argmax join; equal-ts right rows pair inclusively") {
+    for (seed <- Seq(13L, 14L)) {
+      val l = randomEvents(seed, 300).select(col("ts"), col("user"), col("id").as("lid"))
+      // unique right rows per (user, ts): the deterministic contract
+      val r = randomEvents(seed + 100, 200)
+        .groupBy(col("user"), col("ts")).agg(max(col("id")).as("rid"))
+      val fast = CoreOps.asofJoin(l, r, "user", "ts")
+        .select(col("user"), col("lid"), col("rid"),
+          unix_micros(col("ts_r")).as("rts"))
+      val naive = l.withColumn("lts", unix_micros(col("ts")))
+        .join(r.select(col("user"), unix_micros(col("ts")).as("rts0"), col("rid").as("rid0")),
+          Seq("user"), "left")
+        .withColumn("m",
+          when(col("rts0") <= col("lts"), struct(col("rts0"), col("rid0"))))
+        .groupBy(col("user"), col("lid"), col("lts"))
+        .agg(max(col("m")).as("mm"))
+        .select(col("user"), col("lid"), col("mm.rid0").as("rid"),
+          col("mm.rts0").as("rts"))
+      assert(fast.count() === l.count()) // exactly one output row per left row
+      assert(fast.exceptAll(naive).count() === 0L)
+      assert(naive.exceptAll(fast).count() === 0L)
+    }
+    // hand-planted edges: equal-ts right row pairs (inclusive); a right
+    // row 1us later must not; equal-ts right TIES resolve to the struct
+    // max; a left row with no prior right gets nulls
+    val left = Seq((1L, "k", 10000000L), (2L, "k", 5000000L))
+      .toDF("lid", "k", "us")
+      .select(col("lid"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq(
+      (30L, "k", 10000000L), // tie at == ts: loses to 31
+      (31L, "k", 10000000L), // tie winner (max rid)
+      (40L, "k", 10000001L)  // 1 us after: never visible to lid=1
+    ).toDF("rid", "k", "us")
+      .select(col("rid"), col("k"), timestamp_micros(col("us")).as("ts"))
+    val got = CoreOps.asofJoin(left, right, "k", "ts")
+      .select(col("lid"), col("rid")).orderBy("lid")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 31L), (2L, -1L)))
+  }
+
+  test("chunked as-of equals direct as-of for dividing and non-dividing buckets") {
+    for (seed <- Seq(15L, 16L); bucketUs <- Seq(5000000L, 7777777L)) {
+      val l = randomEvents(seed, 300).select(col("ts"), col("user"), col("id").as("lid"))
+      val r = randomEvents(seed + 100, 200)
+        .groupBy(col("user"), col("ts")).agg(max(col("id")).as("rid"))
+      val direct = CoreOps.asofJoin(l, r, "user", "ts")
+        .select(col("user"), col("lid"), col("rid"))
+      val chunked = CoreOps.asofJoinChunked(l, r, "user", "ts", bucketUs)
+        .select(col("user"), col("lid"), col("rid"))
+      assert(direct.exceptAll(chunked).count() === 0L)
+      assert(chunked.exceptAll(direct).count() === 0L)
+    }
+  }
+
+  test("rolling range stats equal the naive trailing-window self-join") {
+    for (seed <- Seq(17L, 18L)) {
+      val df = randomEvents(seed, 300)
+      val rangeUs = 10000000L
+      val fast = CoreOps.rollingRangeStats(df, "user", "ts", "value", rangeUs)
+        .select(col("id"), col("n_range"), col("sum_milli_range"))
+      val base = df.select(col("id"), col("user"), unix_micros(col("ts")).as("us"),
+        CoreOps.scaledMilli(col("value")).as("vm"))
+      val naive = base.as("x")
+        .join(base.as("y"), col("x.user") === col("y.user") &&
+          col("y.us") >= col("x.us") - rangeUs && col("y.us") <= col("x.us"))
+        .groupBy(col("x.id").as("id"))
+        .agg(count(lit(1)).as("n_range"), sum(col("y.vm")).as("sum_milli_range"))
+      assert(fast.exceptAll(naive).count() === 0L)
+      assert(naive.exceptAll(fast).count() === 0L)
+    }
+  }
+
   test("burst alerts: every alert diff is positive and under threshold") {
     for (seed <- Seq(6L, 7L)) {
       val df = randomEvents(seed, 400).filter(col("op") === "Delete")
