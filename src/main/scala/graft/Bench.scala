@@ -6,35 +6,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
-  *   1. Phase 1 runs in ONE SparkSession with the session state SCRUBBED
-  *      between queries. The per-query-fresh-session protocol of rounds
-  *      7-8 existed because a naively shared session accumulates state
-  *      that inflates late-run medians up to 7x (round 5:
-  *      dedup_minhash_lsh 11.8s in-bench vs 1.6s clean; round 7:
-  *      semdedup_keep 6.1s in a ~20-query group vs 1.2s clean) — but it
-  *      paid ~1.5-2s of context recycling per query, 7x the measured
-  *      total in pure harness wall-clock. The round-9 root-cause fix
-  *      scrubs the three actual contamination channels deterministically
-  *      after every query instead of discarding the JVM: (a)
-  *      localCheckpoint RDD blocks — the dominant channel, ~100s of MB
-  *      per curation query — via blocking `unpersist` of every entry in
-  *      `sc.getPersistentRDDs`; (b) the SQL cache via
-  *      `catalog.clearCache()`; (c) dead broadcast blocks via a periodic
-  *      `System.gc()` so ContextCleaner reclaims them (broadcasts are
-  *      model-table-sized here, so every-10-queries suffices). Validated
-  *      by an A/B against the round-8 per-query-fresh-session numbers
-  *      (see BENCH_FULL note in SCALING.md); `SPARK_GRAFT_BENCH_ISOLATE=1`
-  *      restores full per-query isolation for re-validation.
-  *   2. Queries whose previous median was < 1s get an untimed warm-up
-  *      run plus MEDIAN-of-3 timed runs (unchanged from round 8):
-  *      at sub-second scale, codegen compilation and GC jitter are
-  *      material fractions of the measurement. Queries at >= 1s skip the
-  *      warm-up and run TWICE, reporting the MIN: run 1 absorbs the
-  *      ~0.2-0.3s codegen/plan cost as an upper bound, the min is the
-  *      warm run, and GC jitter is proportionally small at this scale.
-  *      The split halves the harness cost of the slow tail (54s of the
-  *      74.6s total) without moving any median materially; the retime
-  *      phase (note 6) still cross-checks every >15% mover.
+  *   1. Phase 1 splits by cost, because isolation is only load-bearing
+  *      for the heavy tail. The round-9 A/B (same day, same corpus)
+  *      measured: (a) a fully SHARED session — even one scrubbed
+  *      per-query with blocking `unpersist` of all persistent RDDs,
+  *      `clearCache`, and periodic `System.gc()` — still inflates HEAVY
+  *      queries 15-65% (nb_langid 2.7->4.5s, knn_ivf 0.7->1.7s;
+  *      broadcast/checkpoint block reclamation lags the scrub), matching
+  *      rounds 5/7 (shared-session inflation up to 7x); while (b) the
+  *      SUB-SECOND queries' shared-vs-isolated deltas are symmetric
+  *      ±0.05s noise, indistinguishable from same-protocol run-to-run
+  *      jitter. So: slow queries (previous median >= 1s, or never
+  *      measured) each get a FRESH session; fast queries share ONE
+  *      scrubbed session. `SPARK_GRAFT_BENCH_ISOLATE=1` restores full
+  *      per-query isolation (the A/B reference protocol).
+  *   2. Timing also splits by cost. Fast queries: MEDIAN of 3 runs with
+  *      no warm-up — the cold first run (codegen + plan) is the max and
+  *      the median discards it; at sub-second scale GC jitter is a
+  *      material fraction, so 3 samples stay. Slow queries: no warm-up,
+  *      TWO runs, report the MIN — run 1 absorbs the ~0.2-0.3s
+  *      codegen/plan cost as an upper bound, the min is the warm run,
+  *      and GC jitter is proportionally small at >= 1s. The split halves
+  *      the harness cost of the slow tail (the 537s round-8 wall for a
+  *      74.6s measured total was 85% harness overhead); the retime phase
+  *      (note 6) still cross-checks every >15% mover in a clean session.
   *   3. (subsumed by note 2 — median-of-3 where noise is material.)
   *   4. The 16M-row skew demonstration runs in its OWN SparkSession after
   *      the query groups, reported in a separate `skew_demo` JSON block:
@@ -85,13 +80,22 @@ object Bench {
     * no-warm-up shape for multi-second queries (protocol note 2): run 1
     * carries the one-time codegen/planning cost, so the min IS the warm
     * steady-state run.
+    *
+    * Adaptive third run: when run 2 still undercuts run 1 by >20%, the
+    * query hasn't reached steady state (iterative plans — bpe_merges,
+    * k-means, the LM gates — tier up the JIT across executions; the
+    * round-9 A/B measured them +20-45% at a flat 2-run-min) — spend one
+    * more run and take the min. Converged queries never pay it.
     */
   private def timedMin(runs: Int)(body: => Unit): (Double, Boolean) = {
-    val times = (1 to runs).map { _ =>
+    def one(): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { body; true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    var times = (1 to runs).map(_ => one())
+    if (runs >= 2 && times.forall(_._2) && times(1)._1 < 0.8 * times(0)._1)
+      times = times :+ one()
     (times.map(_._1).min, times.forall(_._2))
   }
 
@@ -152,12 +156,23 @@ object Bench {
     // the previous round's numbers — read BEFORE this run overwrites them
     val prev = prevQuerySeconds(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
 
-    // ---- Phase 1: the shipped queries — one scrubbed shared session
-    // (protocol note 1), or per-query isolation when
-    // SPARK_GRAFT_BENCH_ISOLATE=1 (the round-8 A/B reference protocol).
+    // phase wall-clock accounting on stderr — the harness overhead is
+    // 85% of the end-to-end cost, so it must be inspectable per phase
+    val phaseT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def phaseDone(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[bench] phase $name%-10s ${(now - phaseT0.getAndSet(now)) / 1e9}%7.1f s")
+    }
+
+    // ---- Phase 1: the shipped queries, split by cost (protocol notes
+    // 1-2). SPARK_GRAFT_BENCH_ISOLATE=1 restores full per-query
+    // isolation (the round-8 A/B reference protocol).
     val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
-    // >= 1s queries skip the warm-up and time 2-run-min (note 2); the
-    // threshold reads the PREVIOUS artifact so the protocol self-tunes.
+    // >= 1s queries isolate + skip the warm-up + time 2-run-min (note 2);
+    // the threshold reads the PREVIOUS artifact so the protocol
+    // self-tunes. A query with no previous median counts as slow
+    // (unknown cost: isolate first, classify next round).
     val slowCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOWCUT", "1.0").toDouble
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val results =
@@ -170,21 +185,34 @@ object Bench {
         (name, sec, ok)
       }
       else {
+        val (slowQs, fastQs) = allQueries.partition { case (name, _) =>
+          prev.get(name).forall(_ >= slowCut)
+        }
+        // slow tail: per-query fresh sessions — the round-9 A/B measured
+        // heavy queries inflating 15-65% in a scrubbed shared session
+        // (broadcast/checkpoint block reclamation lags the scrub), and
+        // the slow tail IS the number that matters
+        val slowResults = slowQs.zipWithIndex.map { case ((name, fn), i) =>
+          val spark = newSession(cpus)
+          val (sec, ok) = timedMin(math.min(runs, 2))(fn(spark, sfDir).count())
+          spark.stop()
+          if (i % 3 == 2) System.gc()
+          (name, sec, ok)
+        }
+        phaseDone("slow")
+        // fast queries: ONE scrubbed shared session — their shared-vs-
+        // isolated deltas measured as symmetric noise (±0.05s), and the
+        // median of 3 no-warm-up runs discards the cold first run
         val spark = newSession(cpus)
-        val out = allQueries.zipWithIndex.map { case ((name, fn), i) =>
-          val slow = prev.get(name).exists(_ >= slowCut)
-          val (sec, ok) =
-            if (slow) timedMin(math.min(runs, 2))(fn(spark, sfDir).count())
-            else {
-              try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-              timed(runs)(fn(spark, sfDir).count())
-            }
-          scrub(spark, forceGc = slow || i % 10 == 9)
+        val fastResults = fastQs.zipWithIndex.map { case ((name, fn), i) =>
+          val (sec, ok) = timed(math.max(runs, 3))(fn(spark, sfDir).count())
+          scrub(spark, forceGc = i % 10 == 9)
           (name, sec, ok)
         }
         spark.stop()
         System.gc()
-        out
+        phaseDone("fast")
+        (slowResults ++ fastResults).sortBy(_._1)
       }
 
     // ---- Phase 1.5: from-index SERVING forms. The one-shot bench
@@ -229,6 +257,7 @@ object Bench {
     }
     sparkSrv.stop()
     System.gc()
+    phaseDone("served")
 
     // ---- Phase 2: the 16M-row skew demo, in a fresh session. The small
     // 2M warm-up pass stays: dropping it was measured +80% on the chunked
@@ -244,6 +273,7 @@ object Bench {
     }
     spark2.stop()
     System.gc()
+    phaseDone("skew")
 
     // ---- Phase 3: clean-session re-timing of round-over-round deltas.
     // A query's group placement shades its median (group-boundary
@@ -255,30 +285,33 @@ object Bench {
     val retimed: Seq[(String, Double)] = {
       val flagged = results.collect {
         case (name, sec, true) if prev.get(name).exists(p =>
-          math.max(p, sec) > 0.2 && math.abs(sec - p) / p > 0.15) => name
+          // both a RELATIVE and an ABSOLUTE floor: a 0.2->0.33s move is
+          // 65% but 130ms — scheduler/GC noise on this host, never a
+          // regression worth a clean-session adjudication (the round-9
+          // phase accounting measured jitter-chasing retimes at ~90s/run)
+          math.abs(sec - p) > 0.3 && math.abs(sec - p) / p > 0.15) => name
       }
       if (flagged.isEmpty) Nil
-      else {
+      else flagged.map { name =>
+        // each retime in its OWN fresh session: this is the clean
+        // adjudicator the main-phase numbers are judged against, so it
+        // must not share anything with anyone
         val s3 = newSession(cpus)
-        val out = flagged.map { name =>
-          val fn = SparkEntry.queries(name)
-          // same fast/slow timing split as phase 1 (protocol note 2)
-          val (sec, ok) =
-            if (prev.get(name).exists(_ >= slowCut))
-              timedMin(math.min(runs, 2))(fn(s3, sfDir).count())
-            else {
-              try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
-              timed(runs)(fn(s3, sfDir).count())
-            }
-          scrub(s3, forceGc = true)
-          // a query that FAILS in the retime session must not record a
-          // near-instant "fast" median that reads as a placement artifact
-          (name, if (ok) sec else -1.0)
-        }
+        val fn = SparkEntry.queries(name)
+        val (sec, ok) =
+          if (prev.get(name).exists(_ >= slowCut))
+            timedMin(math.min(runs, 2))(fn(s3, sfDir).count())
+          else {
+            try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
+            timed(runs)(fn(s3, sfDir).count())
+          }
         s3.stop()
-        out
+        // a query that FAILS in the retime session must not record a
+        // near-instant "fast" median that reads as a placement artifact
+        (name, if (ok) sec else -1.0)
       }
     }
+    phaseDone("retime")
 
     // ---- Reporting. The driver captures only the LAST ~2000 chars of
     // stdout and parses one JSON line out of it (sbt appends ~70 chars of

@@ -24,6 +24,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE can only coalesce DOWN from the initial partition count —
+      // with initial == cores, a 50x corpus still funnels every shuffle
+      // through `cores` partitions and per-task working sets grow
+      // unboundedly with the data (the 250k-doc smoke OOM'd an 8 GB heap
+      // exactly this way: ~1M exploded shingle rows per task). Start
+      // high and let AQE coalesce: small stages come back to ~`cores`
+      // partitions (parallelismFirst), big stages keep enough partitions
+      // that a task's working set stays advisory-sized at ANY corpus
+      // size — the same config a 1000-executor cluster ships.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.max(cores * 16, 512).toString)
       // 128 MB scan splits: with ~2-4x expansion from parquet decode, a
       // task's working set stays well inside a typical 4-8 GB executor
       // heap share, so scans neither spill nor starve parallelism at any

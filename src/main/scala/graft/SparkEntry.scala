@@ -237,6 +237,29 @@ object SparkEntry {
           col("n_range"), col("sum_milli_range"))
         .orderBy("event_id")
     },
+    // T1 x J3 composition: the feature-store assembly query — every click
+    // becomes a training example carrying its user's trailing-1h activity
+    // features plus the point-in-time last purchase. Two keyed shuffles
+    // total (window on user, as-of on user), no joins beyond the as-of
+    // carry.
+    "ml_training_examples" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val feats = CoreOps.rollingRangeStats(ev, "user_id", "ts", "value",
+        rangeUs = 3600000000L)
+        .filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("click_id"),
+          col("n_range"), col("sum_milli_range"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      CoreOps.asofJoin(feats, purchases, "user_id", "ts")
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("n_range"), col("sum_milli_range"),
+          col("purchase_id").as("last_purchase_id"),
+          unix_micros(col("ts_r")).as("last_purchase_ts_us"))
+        .orderBy("user_id", "click_id")
+    },
     // W2: late-data side output (batch analog over a deterministic
     // pseudo-arrival order; allowed lateness 2 s as in the reference).
     "w2_late_data" -> { (s, d) =>
@@ -379,6 +402,26 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "ml_training_examples" ->
+      """WITH f AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us,
+                           count(*) OVER w AS n_range,
+                           CAST(sum(CAST(floor(value*1000) AS BIGINT)) OVER w
+                                AS BIGINT) AS sum_milli_range,
+                           event_type
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                 RANGE BETWEEN 3600000000 PRECEDING
+                                 AND CURRENT ROW)),
+              c AS (SELECT click_id, user_id, ts_us, n_range, sum_milli_range
+                    FROM f WHERE event_type = 'click'),
+              p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           max(event_id) AS purchase_id
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.user_id, click_id, c.ts_us, n_range, sum_milli_range,
+                p.purchase_id AS last_purchase_id,
+                p.ts_us AS last_purchase_ts_us
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+         ORDER BY 1, 2""",
     "w2_late_data" ->
       """WITH a AS (
            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

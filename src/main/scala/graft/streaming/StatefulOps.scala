@@ -161,6 +161,45 @@ object StatefulOps {
         OutputMode.Append)
   }
 
+  final case class AsofEvent(key: Long, side: Int, tsUs: Long, id: Long)
+  final case class AsofState(rTsUs: Long, rId: Long)
+  final case class AsofMatch(
+      key: Long, leftId: Long, leftTsUs: Long,
+      rightId: Option[Long], rightTsUs: Option[Long])
+
+  /** J3 streaming twin: continuous point-in-time join as a keyed state
+    * machine — the state is ONE (ts, id) pair per key (the most recent
+    * right row so far); every left row emits itself plus the state. The
+    * per-batch sort runs right rows before left rows at equal ts and ties
+    * in id order, so equal-ts semantics (inclusive, max-id winner) match
+    * `CoreOps.asofJoin`'s struct-max exactly; convergence under
+    * event-time-ordered replay is `ConvergenceSpec`-gated. State size:
+    * 16 bytes per key, FOREVER relevant (an as-of match can reach
+    * arbitrarily far back) — unlike the interval join there is no
+    * watermark eviction horizon, which is precisely why feature stores
+    * compact to exactly this last-value-per-key form.
+    */
+  def asofMatches(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    implicit val outEnc = Encoders.product[AsofMatch]
+    implicit val stateEnc = Encoders.product[AsofState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((e: AsofEvent) => e.key)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          val out = Seq.newBuilder[AsofMatch]
+          var last = state.getOption
+          evs.toSeq.sortBy(e => (e.tsUs, e.side, e.id)).foreach { e =>
+            if (e.side == 0) last = Some(AsofState(e.tsUs, e.id))
+            else out += AsofMatch(key, e.id, e.tsUs,
+              last.map(_.rId), last.map(_.rTsUs))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user: Long, eventType: String, tsUs: Long, eventId: Long)
   final case class FunnelClick(clickId: Long, tsUs: Long)
   final case class PendingClicks(clicks: Seq[FunnelClick])

@@ -191,6 +191,31 @@ object ScaleSmoke {
         isBench = pmod(col("doc_id"), lit(1000)) === 0)
         .groupBy(col("split")).agg(count(lit(1))).collect()
     }
+    time("asof join (direct window)") {
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      CoreOps.asofJoin(clicks, purchases, "user_id", "ts").count()
+    }
+    time("asof join (chunked 6h)") {
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      CoreOps.asofJoinChunked(clicks, purchases, "user_id", "ts",
+        bucketUs = 21600000000L).count()
+    }
+    time("rolling range features (1h)") {
+      CoreOps.rollingRangeStats(events, "user_id", "ts", "value",
+        rangeUs = 3600000000L).count()
+    }
+    time("edit-distance pairs (blocked)") {
+      Dedup.editDistancePairs(docs, "text", "doc_id",
+        prefixLen = 48, maxDist = 2, maxBlockDf = 200).count()
+    }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))

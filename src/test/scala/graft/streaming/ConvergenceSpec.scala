@@ -74,6 +74,42 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J3 as-of streaming state machine converges to the batch (oracled) answer") {
+    import StatefulOps.AsofEvent
+    val input = MemoryStream[AsofEvent]
+    val matches = StatefulOps.asofMatches(input.toDS())
+    val q = matches.writeStream.format("memory").queryName("conv_asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the oracled j3 query's exact input shape: clicks are left rows,
+      // purchases pre-reduced to one row per (user, ts) are right rows
+      val purchases = replay.filter(_._3 == "purchase")
+        .groupBy(r => (r._2, r._4)).map { case ((u, ts), rs) =>
+          (rs.map(_._1).max, u, ts)
+        }.toSeq
+      val events = (replay.filter(_._3 == "click")
+        .map { case (id, u, _, ts, _) => AsofEvent(u, side = 1, ts, id) } ++
+        purchases.map { case (id, u, ts) => AsofEvent(u, side = 0, ts, id) })
+        .sortBy(e => (e.tsUs, e.side, e.id))
+      chunks(events).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("conv_asof")
+        .select(col("key"), col("leftId"), col("leftTsUs"),
+          col("rightId"), col("rightTsUs"))
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("j3_asof_join")(spark, d)
+        .select(col("user_id"), col("click_id"), col("click_ts_us"),
+          col("last_purchase_id"), col("last_purchase_ts_us"))
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   /** Replay the corpus through the ST2 transformWithState twin in
     * `chunkSize`-event micro-batches; returns the streamed output sorted.
     */
