@@ -99,6 +99,19 @@ object Bench {
     (times.map(_._1).min, times.forall(_._2))
   }
 
+
+  /** Full-materialization evaluator: the noop sink computes EVERY output
+    * column of the final plan (incl. the output sort). `count()` is NOT
+    * a benchmark evaluator: Catalyst prunes columns the count doesn't
+    * need, which deletes every cardinality-preserving operator from the
+    * plan — round 9 measured window queries 2-8x under-timed
+    * (j3_asof_join 0.27s counted vs 1.09s materialized; the as-of skew
+    * probe "ran" an 8M-row hot-key window in 0.2s because the window
+    * wasn't in the executed plan at all).
+    */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Deterministic between-query state scrub for the shared phase-1
     * session (protocol note 1): blocking-unpersist every persistent RDD
     * (localCheckpoint blocks are the dominant cross-query contamination
@@ -178,8 +191,8 @@ object Bench {
     val results =
       if (isolate) allQueries.map { case (name, fn) =>
         val spark = newSession(cpus)
-        try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-        val (sec, ok) = timed(runs)(fn(spark, sfDir).count())
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () } // warm-up
+        val (sec, ok) = timed(runs)(exec(fn(spark, sfDir)))
         spark.stop()
         System.gc()
         (name, sec, ok)
@@ -194,7 +207,7 @@ object Bench {
         // the slow tail IS the number that matters
         val slowResults = slowQs.zipWithIndex.map { case ((name, fn), i) =>
           val spark = newSession(cpus)
-          val (sec, ok) = timedMin(math.min(runs, 2))(fn(spark, sfDir).count())
+          val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn(spark, sfDir)))
           spark.stop()
           if (i % 3 == 2) System.gc()
           (name, sec, ok)
@@ -205,7 +218,7 @@ object Bench {
         // median of 3 no-warm-up runs discards the cold first run
         val spark = newSession(cpus)
         val fastResults = fastQs.zipWithIndex.map { case ((name, fn), i) =>
-          val (sec, ok) = timed(math.max(runs, 3))(fn(spark, sfDir).count())
+          val (sec, ok) = timed(math.max(runs, 3))(exec(fn(spark, sfDir)))
           scrub(spark, forceGc = i % 10 == 9)
           (name, sec, ok)
         }
@@ -248,10 +261,10 @@ object Bench {
           TextAnalysis.bm25SearchFromIndex(sparkSrv, s"$idx/bm25",
             Seq("window", "hash", "stream", "dup"), topK = 50)))
       served.foreach { case (_, fn) =>
-        try fn().count() catch { case _: Throwable => () } // warm-up
+        try exec(fn()) catch { case _: Throwable => () } // warm-up
       }
       served.map { case (name, fn) =>
-        val (sec, ok) = timed(runs)(fn().count())
+        val (sec, ok) = timed(runs)(exec(fn()))
         (name, sec, ok)
       }
     }
@@ -265,10 +278,10 @@ object Bench {
     // waste on codegen, the 2M pass buys the same compilation for ~2s. ----
     val spark2 = newSession(cpus)
     skewPair(spark2, 2000000L).foreach { case (_, fn) =>
-      try fn().count() catch { case _: Throwable => () } // warm-up (JIT only)
+      try exec(fn()) catch { case _: Throwable => () } // warm-up (JIT only)
     }
     val skewResults = skewPair(spark2, 16000000L).map { case (name, fn) =>
-      val (sec, ok) = timedMin(math.min(runs, 2))(fn().count())
+      val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn()))
       (name, sec, ok)
     }
     spark2.stop()
@@ -300,10 +313,10 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val (sec, ok) =
           if (prev.get(name).exists(_ >= slowCut))
-            timedMin(math.min(runs, 2))(fn(s3, sfDir).count())
+            timedMin(math.min(runs, 2))(exec(fn(s3, sfDir)))
           else {
-            try fn(s3, sfDir).count() catch { case _: Throwable => () } // warm-up
-            timed(runs)(fn(s3, sfDir).count())
+            try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
+            timed(runs)(exec(fn(s3, sfDir)))
           }
         s3.stop()
         // a query that FAILS in the retime session must not record a

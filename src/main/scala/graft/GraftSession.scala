@@ -29,12 +29,17 @@ object GraftSession {
       // through `cores` partitions and per-task working sets grow
       // unboundedly with the data (the 250k-doc smoke OOM'd an 8 GB heap
       // exactly this way: ~1M exploded shingle rows per task). Start
-      // high and let AQE coalesce: small stages come back to ~`cores`
+      // higher and let AQE coalesce: small stages come back to ~`cores`
       // partitions (parallelismFirst), big stages keep enough partitions
-      // that a task's working set stays advisory-sized at ANY corpus
-      // size — the same config a 1000-executor cluster ships.
+      // that a task's working set stays bounded at ANY corpus size — the
+      // same config a 1000-executor cluster ships. 4x cores, not more:
+      // operators that MATERIALIZE at the initial partitioning
+      // (localCheckpoint in the CC rounds) pay per-task overhead that
+      // AQE never sees — 16x cores measured the 250k curation DAG at
+      // 3.5x its 4x-cores cost.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(cores * 16, 512).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          (cores * 4).toString))
       // 128 MB scan splits: with ~2-4x expansion from parquet decode, a
       // task's working set stays well inside a typical 4-8 GB executor
       // heap share, so scans neither spill nor starve parallelism at any

@@ -229,6 +229,22 @@ object SparkEntry {
           unix_micros(col("ts_r")).as("last_purchase_ts_us"))
         .orderBy("user_id", "click_id")
     },
+    // Z-order layout key: the interleaved-bit clustering key
+    // `Lake.writeZOrdered` sorts by — surfaced as a query so the exact
+    // bit math (span quantization + Morton interleave) is oracle-gated,
+    // not just spec'd. Spans derive from the data (1-row min/max agg,
+    // eager like the Bloom gate) and the oracle re-derives them with the
+    // same bit-length arithmetic.
+    "layout_zorder_key" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          CoreOps.scaledMilli(col("value")).as("vm"))
+      val spans = graft.sinks.Lake.zOrderSpans(ev, Seq("user_id", "vm"))
+      ev.select(col("event_id"), col("user_id"), col("vm"),
+        graft.sinks.Lake.zOrderValue(Seq(col("user_id"), col("vm")), spans)
+          .as("zval"))
+        .orderBy("event_id")
+    },
     // T1: trailing-1h rolling features per user at every event.
     "t1_rolling_features" -> { (s, d) =>
       CoreOps.rollingRangeStats(Tables.events(s, d), "user_id", "ts",
@@ -393,6 +409,26 @@ object SparkEntry {
          ORDER BY 1, 2, 3""",
     "j3_asof_join" -> asofOracleSql,
     "j3_asof_chunked" -> asofOracleSql,
+    "layout_zorder_key" -> {
+      // Morton interleave: bit i of bucket j lands at position i*2 + j
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((b1 >> $i) & 1) << ${i * 2})",
+        s"(((b2 >> $i) & 1) << ${i * 2 + 1})")).mkString(" + ")
+      s"""WITH base AS (SELECT event_id, user_id,
+                              CAST(floor(value*1000) AS BIGINT) AS vm
+                       FROM events),
+          s AS (SELECT min(user_id) AS lo1, max(user_id) AS hi1,
+                       min(vm) AS lo2, max(vm) AS hi2 FROM base),
+          sh AS (SELECT lo1, lo2,
+                   greatest(0, length(bin(hi1 - lo1)) - 8) AS s1,
+                   greatest(0, length(bin(hi2 - lo2)) - 8) AS s2 FROM s),
+          b AS (SELECT event_id, user_id, vm,
+                  least((user_id - lo1) >> s1, 255) AS b1,
+                  least((vm - lo2) >> s2, 255) AS b2
+                FROM base, sh)
+          SELECT event_id, user_id, vm, CAST($terms AS BIGINT) AS zval
+          FROM b ORDER BY event_id"""
+    },
     "t1_rolling_features" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                 count(*) OVER w AS n_range,

@@ -254,6 +254,62 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** 64-bit audio perceptual fingerprint: decode (real JDK path), pool
+    * the first channel's absolute amplitude into 65 time segments, emit
+    * one bit per SEGMENT-ENERGY GRADIENT (`e(i) < e(i+1)`) — the
+    * time-domain analog of [[dHash64]]'s luma gradient, stable under
+    * re-encode/volume scaling (gradients compare, never threshold on
+    * absolute energy). Undecodable payloads and non-16-bit-PCM formats
+    * drop (same poison-avoidance stance as [[imageDHashes]]). The
+    * (id, 64-bit print) output feeds [[imageNearDupPairs]]' hamming
+    * banding unchanged — one candidate machinery for every modality
+    * that can be reduced to a 64-bit perceptual code.
+    */
+  def audioFingerprints(
+      ds: org.apache.spark.sql.Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.filter(_.modality == "audio").flatMap { m =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Option(ais).filter(in =>
+          in.getFormat.getSampleSizeInBits == 16 && in.getFrameLength > 0)
+          .map { in =>
+            val fmt = in.getFormat
+            val bytes = in.readAllBytes()
+            val frameSize = fmt.getFrameSize
+            val n = bytes.length / frameSize
+            val energy = new Array[Double](65)
+            val counts = new Array[Int](65)
+            var i = 0
+            while (i < n) {
+              val off = i * frameSize
+              val s =
+                if (fmt.isBigEndian)
+                  (((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)).toShort
+                else
+                  (((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)).toShort
+              val seg = math.min(64, i * 65 / n)
+              energy(seg) += math.abs(s / 32768.0)
+              counts(seg) += 1
+              i += 1
+            }
+            var k = 0
+            while (k < 65) { if (counts(k) > 0) energy(k) /= counts(k); k += 1 }
+            var bits = 0L
+            var b = 0
+            while (b < 64) {
+              if (energy(b) < energy(b + 1)) bits |= 1L << b
+              b += 1
+            }
+            (m.media_id, bits)
+          }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
   /** REAL multi-frame decode of an ANIMATED GIF via the JDK's own
     * `javax.imageio` GIF reader (`getNumImages(true)` + per-index
     * `read(i)` — zero external dependencies; the one video-shaped

@@ -288,19 +288,23 @@ object CoreOps {
     val collide = rPayload.intersect(left.columns)
     require(collide.isEmpty,
       s"right payload columns collide with left: ${collide.mkString(", ")}")
+    // cast handles TIMESTAMP_NTZ / DATE ts columns (unix_micros needs
+    // TIMESTAMP; with a UTC session the instant is unchanged)
+    def tsMicros(c: Column) =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
     // pack the right row into ONE struct ordered by (ts, payload...): a
     // single ignore-nulls carry column — a right row whose payload happens
     // to be null still occludes older rows, which per-column carries
     // would get wrong
     val r = right.select(
       col(key) +:
-        unix_micros(col(tsCol)).as("__ts") +:
+        tsMicros(col(tsCol)).as("__ts") +:
         lit(0).as("__side") +:
-        struct(unix_micros(col(tsCol)).as("__rts") +: rPayload.map(col): _*)
+        struct(tsMicros(col(tsCol)).as("__rts") +: rPayload.map(col): _*)
           .as("__rv") +:
         Nil: _*)
     val l = left
-      .withColumn("__ts", unix_micros(col(tsCol)))
+      .withColumn("__ts", tsMicros(col(tsCol)))
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
 
@@ -496,34 +500,21 @@ object CoreOps {
       tsL: String,
       tsR: String,
       valueCols: Seq[String]): DataFrame = {
-    // cast handles TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
-    // with a UTC session the instant is unchanged)
-    def tsMicros(c: org.apache.spark.sql.Column) =
-      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-    val lTagged = left
-      .withColumn("__k", col(leftKey))
-      .withColumn("__ts", tsMicros(col(tsL)))
-      .withColumn("__side", lit(1)) // left sorts after right at equal ts
-    val rTagged = right
-      .select(
-        col(rightKey).as("__k") +:
-          tsMicros(col(tsR)).as("__ts") +:
-          lit(0).as("__side") +:
-          valueCols.map(c => col(c).as("__r_" + c)): _*)
-    val unioned = lTagged
-      .select(lTagged.columns.filterNot(_.startsWith("__r_")).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as("__r_" + c)): _*)
-      .unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn("__asof_" + c, last(col("__r_" + c), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__side") === 1) // keep left rows only
+    // thin adapter over the J3 core ([[asofJoin]]): align the right
+    // side's key/ts names with the left's, prefix payloads to dodge
+    // collisions, and rename outputs to the historical `asof_` contract.
+    // Routing through the shared core upgraded two subtleties for free:
+    // the carry is a PACKED STRUCT (a right row with a null payload cell
+    // still occludes older rows — per-column carries mixed cells from
+    // different rows), and right-side (key, ts) ties resolve
+    // deterministically to the struct max instead of being undefined.
+    val r = right.select(
+      col(rightKey).as(leftKey) +:
+        col(tsR).as(tsL) +:
+        valueCols.map(c => col(c).as("__v_" + c)): _*)
+    asofUnionWindow(left, r, leftKey, tsL, bucketUs = None)
       .select(left.columns.map(col) ++
-        valueCols.map(c => col("__asof_" + c).as("asof_" + c)): _*)
+        valueCols.map(c => col("__v_" + c).as("asof_" + c)): _*)
   }
 
   /** Forward as-of ("next matching event"): for every click row of `ev`

@@ -179,6 +179,78 @@ object Lake {
     * cost dominates scans). Rows are untouched; only the file layout
     * changes, and only inside the named partitions.
     */
+  /** Z-order key for `cols` (2-4 long-typed dimensions): each column
+    * quantizes to an 8-bit bucket over its [min, max] span by a pure
+    * RIGHT SHIFT (overflow-free for any long range, integer-exact), and
+    * the buckets' bits interleave — bit `i` of every dimension lands at
+    * position `i * k + j`, so sorting by the key gives the classic
+    * Morton/Z space-filling curve: rows close in EVERY dimension are
+    * close in the sort order.
+    *
+    * `spans` holds one (min, shift) pair per column, from
+    * [[zOrderSpans]] — computed once with a 1-row aggregate and passed
+    * in as plan literals.
+    */
+  def zOrderValue(cols: Seq[org.apache.spark.sql.Column],
+      spans: Seq[(Long, Int)]): org.apache.spark.sql.Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order wants 2-4 dimensions, got ${cols.size}")
+    require(cols.size == spans.size, "one (min, shift) span per column")
+    val k = cols.size
+    val buckets = cols.zip(spans).map { case (c, (min, shift)) =>
+      least(shiftright(c - lit(min), shift), lit(255L))
+    }
+    (0 until 8).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** (min, shift) spans for [[zOrderValue]]: shift is the smallest right
+    * shift that maps the column's full [min, max] range into [0, 255].
+    */
+  def zOrderSpans(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): Seq[(Long, Int)] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      val lo = row.getLong(2 * i)
+      val hi = row.getLong(2 * i + 1)
+      val range = hi - lo // non-negative; fits a long for any real column
+      val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(range) - 8)
+      (lo, shift)
+    }
+  }
+
+  /** Z-order clustered write: the data-LAYOUT operator a 100 TB lake
+    * runs so that multi-dimensional range queries prune files instead of
+    * scanning the corpus. Rows sort by their interleaved-bit
+    * [[zOrderValue]], range-partition into `numFiles` writer tasks, and
+    * each parquet file ends up covering a small hyper-rectangle of the
+    * key space — its row-group min/max stats then exclude it from any
+    * query whose predicate misses that rectangle (the same mechanic as
+    * Delta's OPTIMIZE ZORDER BY, expressed over plain parquet).
+    * Single-dimension sorts cluster one column perfectly and scatter the
+    * rest; the Z curve buys locality in EVERY listed dimension at once
+    * (LayoutSpec measures the file-touch counts).
+    *
+    * Scale shape: one 1-row span aggregate, one range shuffle (sampled
+    * bounds), a within-partition sort — no global sort, no driver data.
+    */
+  def writeZOrdered(
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      path: String,
+      numFiles: Int): Unit = {
+    val spans = zOrderSpans(df, cols)
+    df.withColumn("__z", zOrderValue(cols.map(col), spans))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def compactPartitions(
       spark: SparkSession,
       dir: String,

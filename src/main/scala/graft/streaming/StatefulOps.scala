@@ -161,6 +161,54 @@ object StatefulOps {
         OutputMode.Append)
   }
 
+  final case class RollingEvent(key: Long, tsUs: Long, id: Long, vMilli: Long)
+  final case class RollingItem(id: Long, tsUs: Long, vMilli: Long)
+  final case class RollingState(win: Seq[RollingItem], pend: Seq[RollingItem])
+  final case class RollingOut(
+      key: Long, id: Long, tsUs: Long, nRange: Long, sumMilliRange: Long)
+
+  /** T1 streaming twin: continuous trailing-range features per key. The
+    * subtlety is EQUAL-TS PEERS: the batch RANGE frame includes every
+    * row tying on (key, ts) in every tied row's frame, so a streaming
+    * emission must not fire until its timestamp group CLOSES (a strictly
+    * later event arrives for the key — a per-key event-time closure).
+    * State = the trailing window (pruned to `rangeUs` as time advances,
+    * the honest sliding-window bound) + the still-open tie group; a tie
+    * group SPLIT across micro-batches re-opens seamlessly because the
+    * pending ts matches. End-of-stream: send a far-future sentinel per
+    * key (id < 0, filtered from output) to close the last group —
+    * funnel-flush pattern.
+    */
+  def rollingFeatures(
+      events: Dataset[RollingEvent], rangeUs: Long): Dataset[RollingOut] = {
+    implicit val outEnc = Encoders.product[RollingOut]
+    implicit val stateEnc = Encoders.product[RollingState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((e: RollingEvent) => e.key)
+      .flatMapGroupsWithState[RollingState, RollingOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[RollingEvent], state: GroupState[RollingState]) =>
+          val out = Seq.newBuilder[RollingOut]
+          var st = state.getOption.getOrElse(RollingState(Nil, Nil))
+          def close(): Unit = if (st.pend.nonEmpty) {
+            val t = st.pend.head.tsUs
+            val win = (st.win ++ st.pend).filter(_.tsUs >= t - rangeUs)
+            st.pend.foreach { m =>
+              if (m.id >= 0) out += RollingOut(key, m.id, m.tsUs,
+                win.size.toLong, win.map(_.vMilli).sum)
+            }
+            st = RollingState(win, Nil)
+          }
+          evs.toSeq.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+            if (st.pend.nonEmpty && e.tsUs > st.pend.head.tsUs) close()
+            st = st.copy(pend = st.pend :+ RollingItem(e.id, e.tsUs, e.vMilli))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class AsofEvent(key: Long, side: Int, tsUs: Long, id: Long)
   final case class AsofState(rTsUs: Long, rId: Long)
   final case class AsofMatch(

@@ -19,6 +19,16 @@ import graft.operators.CoreOps
   *   checkpoint without paying for the whole suite.
   */
 object ScaleSmoke {
+  /** Full-materialization evaluator (noop sink): `count()` lets Catalyst
+    * prune every cardinality-preserving operator (windows, narrow
+    * transforms) out of the executed plan — a smoke row timed that way
+    * measures the parquet scan, not the operator. */
+  private def go(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private implicit class Mat(df: org.apache.spark.sql.Dataset[_]) {
+    def mat(): Unit = go(df)
+  }
+
   def main(args: Array[String]): Unit = {
     val eventsN = args.headOption.map(_.toInt).getOrElse(1) * 1000000L
     val docsN = args.drop(1).headOption.map(_.toInt).getOrElse(50) * 1000L
@@ -76,115 +86,115 @@ object ScaleSmoke {
 
     // --- operators ------------------------------------------------------
     time("windowed counts (5s)") {
-      CoreOps.tumblingCountAll(events, "ts", "5 seconds").count()
+      CoreOps.tumblingCountAll(events, "ts", "5 seconds").mat()
     }
     time("session windows (1h/user)") {
-      CoreOps.sessionSummary(events, "user_id", "ts", "1 hour", "value").count()
+      CoreOps.sessionSummary(events, "user_id", "ts", "1 hour", "value").mat()
     }
     time("keyed running totals") {
-      CoreOps.keyedRunningTotal(events, "user_id", "value").count()
+      CoreOps.keyedRunningTotal(events, "user_id", "value").mat()
     }
     time("windowed self-join (1d)") {
       val c = events.filter(col("event_type") === "click")
         .select(col("ts"), col("user_id"), col("event_id").as("l"))
       val p = events.filter(col("event_type") === "purchase")
         .select(col("ts"), col("user_id"), col("event_id").as("r"))
-      CoreOps.windowedEquiJoin(c, p, "user_id", "ts", "1 day").count()
+      CoreOps.windowedEquiJoin(c, p, "user_id", "ts", "1 day").mat()
     }
     time("text annotate (langid+quality)") {
       docs.select(
         TextAnalysis.langId(col("text")),
-        TextAnalysis.qualityMilli(col("text"))).count()
+        TextAnalysis.qualityMilli(col("text"))).mat()
     }
     time("hashed shingles") {
-      Dedup.withHashedShingles(docs, "text", 3, "sh").select(size(col("sh"))).count()
+      Dedup.withHashedShingles(docs, "text", 3, "sh").select(size(col("sh"))).mat()
     }
     time("minhash LSH pairs") {
-      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600).count()
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600).mat()
     }
     time("simhash fingerprints") {
       docs.withColumn("hs", Dedup.tokenHashes60(col("text")))
-        .select(Dedup.simhash60FromHashes(col("hs"))).count()
+        .select(Dedup.simhash60FromHashes(col("hs"))).mat()
     }
     time("brute topk (100 queries)") {
       val q = vecs.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      Similarity.bruteForceTopK(q, vecs, 5).count()
+      Similarity.bruteForceTopK(q, vecs, 5).mat()
     }
     time("ivf topk (100 queries)") {
       val q = vecs.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      Similarity.ivfTopK(q, vecs, 5, centroidEvery = 200, nprobe = 3).count()
+      Similarity.ivfTopK(q, vecs, 5, centroidEvery = 200, nprobe = 3).mat()
     }
     time("contamination (1/1000 bench)") {
       graft.functions.Curation.contaminationPairs(docs, "text", "doc_id",
         isBench = pmod(col("doc_id"), lit(1000)) === 0,
-        n = 3, maxShingleDf = 50, minContainMilli = 100).count()
+        n = 3, maxShingleDf = 50, minContainMilli = 100).mat()
     }
     time("stratified sample") {
       graft.functions.Curation.stratifiedSample(docs, "doc_id", "source",
-        Map("src0" -> 50, "src1" -> 200), 500).count()
+        Map("src0" -> 50, "src1" -> 200), 500).mat()
     }
     time("sequence packing (4096)") {
-      graft.functions.Curation.packSequences(docs, "doc_id", "source", "text", 4096).count()
+      graft.functions.Curation.packSequences(docs, "doc_id", "source", "text", 4096).mat()
     }
     time("dup clusters (CC over LSH pairs)") {
       graft.functions.Curation.connectedComponents(
-        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b").count()
+        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b").mat()
     }
     time("keyword extraction (top-3)") {
-      graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).count()
+      graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).mat()
     }
     time("pii scrub") {
       graft.functions.Curation.piiScrub(docs, "text")
-        .select(col("n_emails") + col("n_urls") + col("n_ids")).count()
+        .select(col("n_emails") + col("n_urls") + col("n_ids")).mat()
     }
     time("repetition stats") {
-      graft.functions.Curation.repetitionStats(docs, "text", "doc_id").count()
+      graft.functions.Curation.repetitionStats(docs, "text", "doc_id").mat()
     }
     time("token-budget mixture sample") {
       graft.functions.Curation.tokenBudgetSample(docs, "doc_id", "source", "text",
-        Map("src0" -> 100000L), 50000L).count()
+        Map("src0" -> 100000L), 50000L).mat()
     }
     // budget scaled to keep ~half of each 120-token-doc stratum; chunkDiv
     // sized for ~50 chunks per (source, quality) cell at the 10x point
     time("token-budget select (by quality)") {
       graft.functions.Curation.tokenBudgetSelect(docs, "doc_id", "text", "source",
-        budgetTokens = docsN * 3L, chunkDiv = math.max(docsN / 1000L, 1L)).count()
+        budgetTokens = docsN * 3L, chunkDiv = math.max(docsN / 1000L, 1L)).mat()
     }
     time("shard shuffle (64 shards)") {
       graft.functions.Curation.shuffleShards(docs, "doc_id", shards = 64,
-        chunkDiv = 1L << 40).count()
+        chunkDiv = 1L << 40).mat()
     }
     // NB scoring cost is classes x corpus by design: 5 classes is the
     // langid shape, 20 classes the heaviest legitimate (domain routing)
     time("nb classify (5 classes)") {
       TextAnalysis.nbClassify(
         docs.withColumn("lang5", concat(lit("l"), pmod(col("doc_id"), lit(5)))),
-        "text", "doc_id", "lang5").count()
+        "text", "doc_id", "lang5").mat()
     }
     time("nb classify (20 classes)") {
-      TextAnalysis.nbClassify(docs, "text", "doc_id", "source").count()
+      TextAnalysis.nbClassify(docs, "text", "doc_id", "source").mat()
     }
     time("dsir weights") {
       graft.functions.Curation.dsirWeights(docs, "text", "doc_id",
-        col("source") === "src0").count()
+        col("source") === "src0").mat()
     }
     time("gopher rules") {
-      graft.functions.Curation.gopherRules(docs, "text", "doc_id").count()
+      graft.functions.Curation.gopherRules(docs, "text", "doc_id").mat()
     }
     time("ccnet buckets") {
       graft.functions.Curation.ccnetBuckets(docs, "text", "doc_id", "source")
-        .count()
+        .mat()
     }
     time("temperature mixture (a=1/2)") {
       graft.functions.Curation.temperatureMixtureSample(docs, "doc_id",
-        "source", "text", budgetTokens = 100000L).count()
+        "source", "text", budgetTokens = 100000L).mat()
     }
     time("cross-source dup matrix") {
       graft.functions.Dedup.crossSourceDupMatrix(docs, "text", "doc_id",
         "source", n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
-        .count()
+        .mat()
     }
     time("full curation DAG (keep+split)") {
       graft.functions.Curation.curationKeep(docs, "text", "doc_id",
@@ -197,7 +207,7 @@ object ScaleSmoke {
       val purchases = events.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("purchase_id"))
-      CoreOps.asofJoin(clicks, purchases, "user_id", "ts").count()
+      CoreOps.asofJoin(clicks, purchases, "user_id", "ts").mat()
     }
     time("asof join (chunked 6h)") {
       val clicks = events.filter(col("event_type") === "click")
@@ -206,31 +216,31 @@ object ScaleSmoke {
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("purchase_id"))
       CoreOps.asofJoinChunked(clicks, purchases, "user_id", "ts",
-        bucketUs = 21600000000L).count()
+        bucketUs = 21600000000L).mat()
     }
     time("rolling range features (1h)") {
       CoreOps.rollingRangeStats(events, "user_id", "ts", "value",
-        rangeUs = 3600000000L).count()
+        rangeUs = 3600000000L).mat()
     }
     time("edit-distance pairs (blocked)") {
       Dedup.editDistancePairs(docs, "text", "doc_id",
-        prefixLen = 48, maxDist = 2, maxBlockDf = 200).count()
+        prefixLen = 48, maxDist = 2, maxBlockDf = 200).mat()
     }
     time("funnel next-purchase (chunked)") {
       val ev = events
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"), col("event_id"))
-      CoreOps.funnelNextPurchaseChunked(ev, bucketUs = 86400000000L).count()
+      CoreOps.funnelNextPurchaseChunked(ev, bucketUs = 86400000000L).mat()
     }
     time("int8 quantize + fingerprint") {
       val q = Similarity.quantizeInt8(col("vec"))
       vecs.select(md5(concat_ws(",",
-        transform(q.getField("q"), c => c.cast("string"))))).count()
+        transform(q.getField("q"), c => c.cast("string"))))).mat()
     }
     time("containment pairs (df-capped)") {
       Dedup.containmentPairs(docs, "text", "doc_id",
-        n = 3, minContainMilli = 300, maxShingleDf = 50).count()
+        n = 3, minContainMilli = 300, maxShingleDf = 50).mat()
     }
     time("keep-best dup resolution") {
       val clusters = graft.functions.Curation.connectedComponents(
@@ -244,7 +254,7 @@ object ScaleSmoke {
       q.join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rn") === 1).count()
+        .filter(col("rn") === 1).mat()
     }
     time("dataset card (per source)") {
       docs.groupBy(col("source")).agg(
@@ -252,7 +262,7 @@ object ScaleSmoke {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
         countDistinct(md5(col("text"))).as("n_uniq_texts"),
         sum(TextAnalysis.qualityMilli(col("text"))).as("sum_quality_milli"))
-        .count()
+        .mat()
     }
     time("knn label agreement (50 probes)") {
       val probes = vecs.filter(col("vec_id") < 50)
@@ -267,7 +277,7 @@ object ScaleSmoke {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
         .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)
       votes.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rn") === 1).count()
+        .filter(col("rn") === 1).mat()
     }
     // The full-corpus mislabel sweep: probes = EVERY vector. Brute would
     // be O(n^2) dot products here; the IVF core prices it at
@@ -281,60 +291,60 @@ object ScaleSmoke {
         pmod(col("vec_id"), lit(7)).as("label"))
       graft.functions.LlmQueries.knnLabelVote(
         Similarity.ivfTopK(probes, corpus, 5, centroidEvery = 200, nprobe = 3),
-        labeled).count()
+        labeled).mat()
     }
     time("span dup profile (3-gram)") {
-      Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).count()
+      Dedup.duplicateShingleProfile(docs, "text", "doc_id", 3).mat()
     }
     time("span dup removal (3-gram)") {
       Dedup.removeDuplicateSpans(docs, "text", "doc_id", 3)
         .agg(sum(col("n_kept"))).collect()
     }
     time("LM surprisal score") {
-      TextAnalysis.lmSurprisalScore(docs, "text", "doc_id").count()
+      TextAnalysis.lmSurprisalScore(docs, "text", "doc_id").mat()
     }
     time("contamination bloom (1/1000)") {
       graft.functions.Curation.contaminationPairsBloom(docs, "text", "doc_id",
         isBench = pmod(col("doc_id"), lit(1000)) === 0,
-        n = 3, maxShingleDf = 50, minContainMilli = 100).count()
+        n = 3, maxShingleDf = 50, minContainMilli = 100).mat()
     }
     time("semdedup (kmeans cells)") {
       val corpus = vecs.select(col("vec_id"), col("vec"))
       val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 200, iters = 1)
       Similarity.semDedupKeep(corpus, cent, minScoreQ4 = 9000L)
-        .filter(col("keep") === 0).count()
+        .filter(col("keep") === 0).mat()
     }
     time("token-window chunking (32/8)") {
       graft.functions.Curation.chunkTokenWindows(docs, "text", "doc_id",
-        window = 32, stride = 8).count()
+        window = 32, stride = 8).mat()
     }
     time("random projection (64->8)") {
       vecs.select(col("vec_id") +:
-        Similarity.randomProjectionQ4(col("vec"), inDim = 64, outDim = 8): _*).count()
+        Similarity.randomProjectionQ4(col("vec"), inDim = 64, outDim = 8): _*).mat()
     }
     time("minhash estimated pairs") {
-      Dedup.minhashEstimatedPairs(docs, "text", "doc_id", 3, 4, 4, 600).count()
+      Dedup.minhashEstimatedPairs(docs, "text", "doc_id", 3, 4, 4, 600).mat()
     }
     time("int8 topk (100 queries)") {
       val q = vecs.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
-      Similarity.int8TopK(q, vecs, 5).count()
+      Similarity.int8TopK(q, vecs, 5).mat()
     }
     time("pq encode (m=8)") {
       Similarity.pqEncode(vecs.select(col("vec_id"), col("vec")),
-        centroidEvery = 200, m = 8, dim = 64).count()
+        centroidEvery = 200, m = 8, dim = 64).mat()
     }
     time("adc topk over pq (100 queries)") {
       val q = vecs.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       Similarity.adcTopK(q, vecs.select(col("vec_id"), col("vec")),
-        k = 5, centroidEvery = 200, m = 8, dim = 64).count()
+        k = 5, centroidEvery = 200, m = 8, dim = 64).mat()
     }
     time("ivf+pq topk (100 queries)") {
       val q = vecs.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("vec").as("qvec"))
       Similarity.ivfPqTopK(q, vecs.select(col("vec_id"), col("vec")),
-        k = 5, centroidEvery = 200, nprobe = 3, m = 8, dim = 64).count()
+        k = 5, centroidEvery = 200, nprobe = 3, m = 8, dim = 64).mat()
     }
     time("inverted index build") {
       TextAnalysis.writeInvertedIndex(docs, "text", "doc_id",
@@ -342,14 +352,14 @@ object ScaleSmoke {
     }
     time("bm25 from index (2 terms)") {
       TextAnalysis.bm25SearchFromIndex(spark, s"$base/invidx",
-        Seq("w1", "w2"), topK = 50).count()
+        Seq("w1", "w2"), topK = 50).mat()
     }
     time("collocations PMI") {
       TextAnalysis.collocationsPmi(docs, "text", "doc_id",
-        minCount = 5L, topK = 50).count()
+        minCount = 5L, topK = 50).mat()
     }
     time("bpe train (6 merges)") {
-      TextAnalysis.bpeTrain(docs, "text", merges = 6).count()
+      TextAnalysis.bpeTrain(docs, "text", merges = 6).mat()
     }
     time("lsh index build") {
       Dedup.writeLshIndex(docs, "text", "doc_id", s"$base/lshidx",
@@ -360,7 +370,7 @@ object ScaleSmoke {
         docs.filter(col("doc_id") % 100 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
         "text", "doc_id", s"$base/lshidx",
-        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 600).count()
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 600).mat()
     }
     time("weekly HLL sketch rollup") {
       val daily = events
@@ -368,7 +378,7 @@ object ScaleSmoke {
         .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
         .select(col("w.start").as("day"), col("sk"))
       daily.groupBy(window(col("day"), "7 days").as("w"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau")).count()
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau")).mat()
     }
     spark.stop()
   }

@@ -19,7 +19,9 @@ object SkewProbe {
       when(pmod(col("id"), lit(100)) < 99, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), lit(5000))).as("user_id"),
       (pmod(xxhash64(col("id") + 1), lit(1000)) / lit(1000.0)).as("value"))
-    def med(f: => Long): Double = {
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -27,12 +29,25 @@ object SkewProbe {
     }
     for (n <- sizes) {
       val df = corpus(n)
-      CoreOps.sessionSummary(df, "user_id", "ts", "4 hours", "value").count() // warm
-      CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 86400000000L, "value").count()
-      val d = med(CoreOps.sessionSummary(df, "user_id", "ts", "4 hours", "value").count())
-      val c24 = med(CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 86400000000L, "value").count())
-      val c6 = med(CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 21600000000L, "value").count())
+      mat(CoreOps.sessionSummary(df, "user_id", "ts", "4 hours", "value")) // warm
+      mat(CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 86400000000L, "value"))
+      val d = med(mat(CoreOps.sessionSummary(df, "user_id", "ts", "4 hours", "value")))
+      val c24 = med(mat(CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 86400000000L, "value")))
+      val c6 = med(mat(CoreOps.sessionSummaryChunked(df, "user_id", "ts", 14400000000L, 21600000000L, "value")))
       println(f"[skew] n=$n direct=$d%.2f chunked24h=$c24%.2f chunked6h=$c6%.2f")
+
+      // same planted-hot-key corpus through the J3 pair: left = every
+      // row, right = ~1% of rows (unique per (key, ts) by construction
+      // of distinct ids -> pre-agg is a cheap exact dedup)
+      val l = df.withColumn("lid", monotonically_increasing_id())
+      val r = df.filter(pmod(xxhash64(col("ts").cast("long")), lit(100)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(unix_micros(col("ts"))).as("rid"))
+      mat(CoreOps.asofJoin(l, r, "user_id", "ts")) // warm
+      mat(CoreOps.asofJoinChunked(l, r, "user_id", "ts", 21600000000L))
+      val ad = med(mat(CoreOps.asofJoin(l, r, "user_id", "ts")))
+      val ac = med(mat(CoreOps.asofJoinChunked(l, r, "user_id", "ts", 21600000000L)))
+      println(f"[skew] n=$n asof_direct=$ad%.2f asof_chunked6h=$ac%.2f")
     }
     spark.stop()
   }

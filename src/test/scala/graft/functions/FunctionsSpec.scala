@@ -681,6 +681,48 @@ class FunctionsSpec extends SparkSpec {
     assert(dup.contains((1L, 10L)))
   }
 
+  test("multimodal: audio fingerprints pair the volume-scaled twin via hamming bands") {
+    import Multimodal.MediaRecord
+    // amplitude-modulated sine: `env` shapes segment energies, `gain`
+    // scales volume (a re-encode-like distortion the gradient bits must
+    // survive)
+    def wav(envHz: Double, gain: Double, seed: Int): Array[Byte] = {
+      val n = 13000
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val env = 0.4 + 0.35 * math.sin(i * envHz + seed)
+        val s = (math.sin(i * 0.21) * env * gain * 30000).toInt.toShort
+        data(i * 2) = (s & 0xff).toByte
+        data(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "audio", wav(0.004, 1.0, 0)),
+      MediaRecord(2L, "audio", wav(0.004, 0.8, 0)),  // volume-scaled twin
+      MediaRecord(3L, "audio", wav(0.013, 1.0, 5)),  // different envelope
+      MediaRecord(4L, "audio", "not audio".getBytes("UTF-8")), // drops
+      MediaRecord(5L, "image", wav(0.004, 1.0, 0)))  // wrong modality: drops
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord]).repartition(2)
+    val prints = Multimodal.audioFingerprints(ds)
+    val hs = prints.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.keySet === Set(1L, 2L, 3L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6,
+      "volume scaling must not move the gradient fingerprint")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) > 10,
+      "different envelopes landed too close to discriminate")
+    val pairs = Multimodal.imageNearDupPairs(prints, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("multimodal: real WAV payloads decode to true rate/channels/frames") {
     import Multimodal.MediaRecord
     def wav(rateHz: Int, nSamples: Int): Array[Byte] = {

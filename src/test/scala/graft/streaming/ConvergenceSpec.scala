@@ -110,6 +110,36 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T1 rolling-features streaming twin converges to the batch (oracled) answer") {
+    import StatefulOps.RollingEvent
+    val input = MemoryStream[RollingEvent]
+    val feats = StatefulOps.rollingFeatures(input.toDS(), rangeUs = 3600000000L)
+    val q = feats.writeStream.format("memory").queryName("conv_t1")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evs = replay.map { case (id, u, _, ts, v) =>
+        RollingEvent(u, ts, id, math.floor(v * 1000).toLong)
+      }.toSeq
+      chunks(evs).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      // far-future sentinels close every key's last tie group
+      val flushTs = replay.last._4 + 30L * 24 * 3600 * 1000000
+      input.addData(replay.map(_._2).distinct.toSeq.map(u =>
+        RollingEvent(u, flushTs, -1L, 0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_t1")
+        .select(col("id"), col("nRange"), col("sumMilliRange"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("t1_rolling_features")(spark, d)
+        .select(col("event_id"), col("n_range"), col("sum_milli_range"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   /** Replay the corpus through the ST2 transformWithState twin in
     * `chunkSize`-event micro-batches; returns the streamed output sorted.
     */
