@@ -108,6 +108,16 @@ object SparkEntry {
        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
        ORDER BY 1, 2"""
 
+  private val rollingOracleSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+              count(*) OVER w AS n_range,
+              CAST(sum(CAST(floor(value*1000) AS BIGINT)) OVER w AS BIGINT)
+                AS sum_milli_range
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: unkeyed tumbling-window count (5 s).
     "a1_tumbling_count" -> { (s, d) =>
@@ -249,6 +259,15 @@ object SparkEntry {
     "t1_rolling_features" -> { (s, d) =>
       CoreOps.rollingRangeStats(Tables.events(s, d), "user_id", "ts",
         "value", rangeUs = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_range"), col("sum_milli_range"))
+        .orderBy("event_id")
+    },
+    // T1 chunked twin: same trailing features through the hot-key-immune
+    // overlap-explode plan (same oracle as t1_rolling_features).
+    "t1_rolling_chunked" -> { (s, d) =>
+      CoreOps.rollingRangeStatsChunked(Tables.events(s, d), "user_id", "ts",
+        "value", rangeUs = 3600000000L, bucketUs = 21600000000L)
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("n_range"), col("sum_milli_range"))
         .orderBy("event_id")
@@ -429,15 +448,8 @@ object SparkEntry {
           SELECT event_id, user_id, vm, CAST($terms AS BIGINT) AS zval
           FROM b ORDER BY event_id"""
     },
-    "t1_rolling_features" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-                count(*) OVER w AS n_range,
-                CAST(sum(CAST(floor(value*1000) AS BIGINT)) OVER w AS BIGINT)
-                  AS sum_milli_range
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""",
+    "t1_rolling_features" -> rollingOracleSql,
+    "t1_rolling_chunked" -> rollingOracleSql,
     "ml_training_examples" ->
       """WITH f AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us,
                            count(*) OVER w AS n_range,

@@ -227,6 +227,22 @@ object Multimodal {
     * the pair dedup. Output: (a, b, hamming), a < b.
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = bandedPrints(hashes, maxHamming)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** (doc, sh, band, bv) band rows for a (media_id, dhash) frame — the
+    * shared candidate-key shape of the one-shot pair join and the
+    * materialized index.
+    */
+  private def bandedPrints(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 1 && bands <= 64, s"maxHamming must be in [0, 63], got $maxHamming")
     val baseLen = 64 / bands
@@ -234,7 +250,7 @@ object Multimodal {
     val lens = Seq.tabulate(bands)(i => baseLen + (if (i < rem) 1 else 0))
     val offs = lens.scanLeft(0)(_ + _)
     val f = hashes.select(col("media_id").as("doc"), col("dhash").as("sh"))
-    val banded = f.select(col("doc"), col("sh"),
+    f.select(col("doc"), col("sh"),
       explode(array((0 until bands).map { k =>
         struct(
           lit(k).as("band"),
@@ -244,14 +260,93 @@ object Multimodal {
       }: _*)).as("bb"))
       .select(col("doc"), col("sh"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    banded.as("x").join(banded.as("y"),
+  }
+
+  private def printBucket(band: Column, bv: Column, buckets: Int): Column =
+    pmod(xxhash64(band, bv), lit(buckets.toLong))
+
+  /** Materialize a media perceptual-hash dedup index: the corpus's band
+    * rows partitioned by a hash bucket of (band, band-bits) — the
+    * [[graft.functions.Dedup.writeLshIndex]] layout for 64-bit prints.
+    * Built once; every NEW media batch then checks against the whole
+    * corpus via [[nearDupsAgainstHashIndex]] reading ONLY its probes'
+    * bucket partitions, without re-decoding a single corpus payload —
+    * dedup-at-ingest for the image/audio tier.
+    */
+  def writeHashIndex(
+      hashes: DataFrame,
+      path: String,
+      maxHamming: Int,
+      buckets: Int = 64): Unit = {
+    IndexLayout.writeParams(hashes.sparkSession, path, Map(
+      "maxHamming" -> maxHamming.toLong, "buckets" -> buckets.toLong))
+    bandedPrints(hashes, maxHamming)
+      .withColumn("bucket", printBucket(col("band"), col("bv"), buckets))
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("bucket", "batch")
+      .parquet(s"$path/prints")
+  }
+
+  /** Append a media batch's prints under `batch=<batchId>` — idempotent
+    * per batch id (dynamic partition overwrite), the foreachBatch
+    * replay-safety convention of the LSH index.
+    */
+  def appendToHashIndex(
+      hashes: DataFrame,
+      path: String,
+      batchId: Long,
+      maxHamming: Int,
+      buckets: Int = 64): Unit = {
+    require(batchId >= 0, s"batch ids are >= 0 (base build is ${IndexLayout.BaseBatch})")
+    val spark = hashes.sparkSession
+    IndexLayout.requireParams(spark, path, Map(
+      "maxHamming" -> maxHamming.toLong, "buckets" -> buckets.toLong))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try bandedPrints(hashes, maxHamming)
+      .withColumn("bucket", printBucket(col("band"), col("bv"), buckets))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("bucket", "batch")
+      .parquet(s"$path/prints")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Near-dups of a NEW media batch against the materialized hash index:
+    * band the batch, collect its <= `buckets` distinct bucket ids (a
+    * bounded driver read by construction), scan ONLY those index
+    * partitions, verify by popcount. Output (a = new id, b = corpus id,
+    * hamming); `excludeBatchId` skips the batch's own just-appended
+    * partition on replay.
+    */
+  def nearDupsAgainstHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newHashes: DataFrame,
+      path: String,
+      maxHamming: Int,
+      buckets: Int = 64,
+      excludeBatchId: Option[Long] = None): DataFrame = {
+    IndexLayout.requireParams(spark, path, Map(
+      "maxHamming" -> maxHamming.toLong, "buckets" -> buckets.toLong))
+    val newBk = bandedPrints(newHashes, maxHamming)
+      .withColumn("bucket", printBucket(col("band"), col("bv"), buckets))
+      .localCheckpoint()
+    val qBuckets = newBk.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val notOwnBatch = excludeBatchId
+      .map(id => col("batch") =!= lit(id))
+      .getOrElse(lit(true))
+    val idx = spark.read.parquet(s"$path/prints")
+      .filter(col("bucket").isin(qBuckets: _*) && notOwnBatch)
+    newBk.as("x").join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc") < col("y.doc"))
+          col("x.doc") =!= col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a", "b")
-      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** 64-bit audio perceptual fingerprint: decode (real JDK path), pool

@@ -427,6 +427,45 @@ object CoreOps {
       .withColumnRenamed("__ts_us", "ts_us")
   }
 
+  /** [[rollingRangeStats]] for a hot key: rows bucket by
+    * `ts div bucketUs` (bucketUs >= rangeUs required), and each row
+    * ADDITIONALLY copies into the NEXT bucket when its trailing reach
+    * crosses the boundary (`ts + rangeUs` past bucket end) — so every
+    * bucket partition physically holds all rows any of its own rows'
+    * frames can see, the RANGE window runs PARTITIONED by (key, bucket),
+    * and only own-bucket copies emit. Bit-identical to the direct form
+    * (InvariantSpec; same oracle), <= 2x row duplication, per-task work
+    * bounded by bucket span instead of key history.
+    */
+  def rollingRangeStatsChunked(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      rangeUs: Long,
+      bucketUs: Long): DataFrame = {
+    require(rangeUs > 0, s"rangeUs must be positive, got $rangeUs")
+    require(bucketUs >= rangeUs,
+      s"bucketUs ($bucketUs) must be >= rangeUs ($rangeUs): a frame may " +
+        "only reach back into the immediately previous bucket")
+    val base = df
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__v_milli", scaledMilli(col(valueCol)))
+      .withColumn("__b0", col("__ts_us") - pmod(col("__ts_us"), lit(bucketUs)))
+    val exploded = base.withColumn("__b",
+      explode(when(col("__ts_us") + rangeUs >= col("__b0") + bucketUs,
+        array(col("__b0"), col("__b0") + bucketUs))
+        .otherwise(array(col("__b0")))))
+    val w = Window.partitionBy(col(key), col("__b")).orderBy(col("__ts_us"))
+      .rangeBetween(-rangeUs, Window.currentRow)
+    exploded
+      .withColumn("n_range", count(lit(1)).over(w))
+      .withColumn("sum_milli_range", sum(col("__v_milli")).over(w))
+      .filter(col("__b") === col("__b0"))
+      .drop("__b", "__b0", "__v_milli")
+      .withColumnRenamed("__ts_us", "ts_us")
+  }
+
   // ---------------------------------------------------------------------
   // ST1 (`chapter5/StatefulOperations.java:84-129`): per-key "two trigger
   // events within N" alert. Batch analog via lag(); streaming twin uses

@@ -681,6 +681,38 @@ class FunctionsSpec extends SparkSpec {
     assert(dup.contains((1L, 10L)))
   }
 
+  test("multimodal: hash index probes find corpus near-dups; appends idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashidx").toString
+    def flip(h: Long, bits: Int*): Long = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val hA = 0x123456789ABCDEF0L
+    val hB = 0x0F0F0F0F0F0F0F0FL // far from hA
+    val corpus = spark.createDataFrame(Seq((1L, hA), (2L, hB)))
+      .toDF("media_id", "dhash")
+    Multimodal.writeHashIndex(corpus, dir, maxHamming = 6)
+    // a probe 2 bits off hA pairs with 1, never with 2
+    val probe = spark.createDataFrame(Seq((10L, flip(hA, 3, 40))))
+      .toDF("media_id", "dhash")
+    val hits = Multimodal.nearDupsAgainstHashIndex(spark, probe, dir, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq === Seq((10L, 1L, 2L)))
+    // append a batch; a later probe sees both the base corpus AND the batch
+    Multimodal.appendToHashIndex(
+      spark.createDataFrame(Seq((11L, flip(hA, 60)))).toDF("media_id", "dhash"),
+      dir, batchId = 0L, maxHamming = 6)
+    Multimodal.appendToHashIndex( // replay of batch 0 — must not duplicate
+      spark.createDataFrame(Seq((11L, flip(hA, 60)))).toDF("media_id", "dhash"),
+      dir, batchId = 0L, maxHamming = 6)
+    val probe2 = spark.createDataFrame(Seq((12L, hA))).toDF("media_id", "dhash")
+    val hits2 = Multimodal.nearDupsAgainstHashIndex(spark, probe2, dir, maxHamming = 6)
+      .orderBy(col("b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits2.toSeq === Seq((12L, 1L), (12L, 11L)))
+    // wrong params fail loudly instead of silently pruning wrong buckets
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupsAgainstHashIndex(spark, probe2, dir, maxHamming = 10)
+    }
+  }
+
   test("multimodal: audio fingerprints pair the volume-scaled twin via hamming bands") {
     import Multimodal.MediaRecord
     // amplitude-modulated sine: `env` shapes segment energies, `gain`

@@ -198,6 +198,21 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("chunked rolling stats equal direct for dividing and non-dividing buckets") {
+    for (seed <- Seq(19L, 20L); bucketUs <- Seq(10000000L, 17777777L)) {
+      val df = randomEvents(seed, 300)
+      val rangeUs = 10000000L
+      val direct = CoreOps.rollingRangeStats(df, "user", "ts", "value", rangeUs)
+        .select(col("id"), col("n_range"), col("sum_milli_range"))
+      val chunked = CoreOps.rollingRangeStatsChunked(
+        df, "user", "ts", "value", rangeUs, bucketUs)
+        .select(col("id"), col("n_range"), col("sum_milli_range"))
+      assert(chunked.count() === direct.count())
+      assert(direct.exceptAll(chunked).count() === 0L)
+      assert(chunked.exceptAll(direct).count() === 0L)
+    }
+  }
+
   test("burst alerts: every alert diff is positive and under threshold") {
     for (seed <- Seq(6L, 7L)) {
       val df = randomEvents(seed, 400).filter(col("op") === "Delete")
