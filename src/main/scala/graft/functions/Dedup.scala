@@ -170,6 +170,80 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard_milli"))
   }
 
+  /** COMPLETE exact-Jaccard similarity join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07): every pair with
+    * Jaccard >= t is returned, with NO blocking column and NO df-cap
+    * recall loss (the price [[ngramJaccardPairs]] pays for its bound).
+    *
+    * Candidate generation: order each doc's shingle set by global
+    * document frequency ascending (rarest first, ties by hash) and keep
+    * only the first `|S| - ceil(t*|S|) + 1` shingles — the PREFIX. Two
+    * docs with Jaccard >= t MUST share a prefix shingle: their smallest
+    * common shingle w (in the global order) sits in both prefixes, else
+    * all `inter >= t*|S|` common shingles would fit in a suffix of size
+    * `ceil(t*|S|) - 1 < t*|S|`. So the prefix-x-prefix self-join loses
+    * nothing, while the quadratic mass of stop-shingles (which sort
+    * LAST) never enters the join. A size-ratio filter
+    * (`min*1000 >= max*t_milli`, integer-exact) prunes length-mismatched
+    * candidates the threshold already excludes.
+    *
+    * Verification is exact and local: surviving candidate pairs re-join
+    * the full sorted hash arrays and compute `|A∩B|` per row
+    * (`array_intersect` over fixed-width longs) — no second explode.
+    *
+    * Scale shape: one groupBy(shingle) df count (map-side partial), one
+    * per-doc re-group to sort the array, the prefix self-join (fan-out
+    * per shingle = |docs holding it in their PREFIX|^2 — df-ordering
+    * makes hot shingles almost never prefix members), then a
+    * candidate-sized verify. At t=0.5 the prefix halves per-doc join
+    * keys; higher thresholds prune harder. Wide arrays ride the verify
+    * join only (candidate-bounded rows, not corpus-bounded).
+    * Output: (a, b, inter, uni, jaccard_milli) — a complete result the
+    * df-capped form cannot promise.
+    */
+  def jaccardPrefixPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      minJaccardMilli: Int): DataFrame = {
+    require(minJaccardMilli >= 1 && minJaccardMilli <= 1000,
+      s"minJaccardMilli must be in [1, 1000] (got $minJaccardMilli)")
+    val sh = withHashedShingles(df, textCol, n, "sh")
+      .select(col(idCol).as("doc"), col("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // per-doc shingles in global rare-first order; prefix length
+    // |S| - ceil(t*|S|) + 1 (integer ceil: (nd*t + 999) div 1000)
+    val ordered = ex.join(dfreq, "s")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("oset"))
+      .withColumn("nd", size(col("oset")).cast("long"))
+      .withColumn("plen",
+        expr(s"cast(nd - ((nd * $minJaccardMilli + 999) div 1000) + 1 as int)"))
+      .withColumn("set", expr("transform(oset, x -> x.s)"))
+      .drop("oset")
+    val probe = ordered
+      .select(col("doc"), col("nd"),
+        explode(slice(col("set"), lit(1), col("plen"))).as("s"))
+    val cands = probe.select(col("s"), col("doc").as("a"), col("nd").as("na"))
+      .join(probe.select(col("s"), col("doc").as("b"), col("nd").as("nb")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .filter(least(col("na"), col("nb")) * 1000L >=
+        greatest(col("na"), col("nb")) * minJaccardMilli)
+      .select(col("a"), col("b")).distinct()
+    cands
+      .join(ordered.select(col("doc").as("a"), col("set").as("sa"), col("nd").as("na")), "a")
+      .join(ordered.select(col("doc").as("b"), col("set").as("sb"), col("nd").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a"), col("b"), col("inter"), col("uni"), col("jaccard_milli"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset relation
     * symmetric Jaccard can't see: a short doc wholly embedded in a long
     * one scores inter/min-side containment 1000 but a near-zero Jaccard

@@ -273,6 +273,14 @@ object LlmQueries {
         blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
         .orderBy("a", "b")
     },
+    // COMPLETE exact-Jaccard join (PPJoin prefix filtering): the oracle
+    // is the NAIVE all-pairs join, so this gate row certifies the pruned
+    // plan loses nothing at the threshold — no blocking, no df cap.
+    "dedup_jaccard_complete" -> { (s, d) =>
+      Dedup.jaccardPrefixPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minJaccardMilli = 500)
+        .orderBy("a", "b")
+    },
     // Character-EDIT near-dups (typo/OCR mirrors): blocked levenshtein
     // over normalized 48-char prefixes — the modality word-shingles miss.
     "dedup_edit_distance" -> { (s, d) =>
@@ -931,6 +939,25 @@ object LlmQueries {
             FROM p JOIN nd na ON na.doc_id = p.a
                    JOIN nd nb ON nb.doc_id = p.b)
           WHERE CAST(floor(inter * 1000.0 / uni) AS BIGINT) >= 10
+          ORDER BY a, b""",
+    // NAIVE all-pairs exact Jaccard — deliberately unpruned: certifies
+    // the prefix-filtered Spark plan is COMPLETE at the threshold.
+    "dedup_jaccard_complete" ->
+      s"""WITH $shinglesCte,
+          valid AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+          nd AS (SELECT doc_id, len(s) AS nd FROM valid),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM valid),
+          p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT a, b, inter, uni,
+                 CAST(floor(inter * 1000.0 / uni) AS BIGINT) AS jaccard_milli
+          FROM (
+            SELECT p.a, p.b, p.inter, na.nd + nb.nd - p.inter AS uni
+            FROM p JOIN nd na ON na.doc_id = p.a
+                   JOIN nd nb ON nb.doc_id = p.b)
+          WHERE CAST(floor(inter * 1000.0 / uni) AS BIGINT) >= 500
           ORDER BY a, b""",
     "dedup_containment" ->
       s"""WITH $shinglesCte,

@@ -34,6 +34,54 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
   }
 
+  test("jaccardPrefixPairs is COMPLETE: equals naive all-pairs on random corpora") {
+    // random docs assembled from a small phrase pool so shared-shingle
+    // structure (and hence the full Jaccard range) actually occurs
+    val phrases = Vector(
+      "alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+      "kappa lambda mu", "nu xi omicron", "pi rho sigma")
+    for (seed <- Seq(7L, 11L)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 40L).map { id =>
+        val k = 2 + rnd.nextInt(4)
+        (id, Seq.fill(k)(phrases(rnd.nextInt(phrases.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (t <- Seq(300, 500, 800)) {
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val pruned = Dedup.jaccardPrefixPairs(corpus, "text", "doc_id", 3, t)
+          .collect().map(key).toSet
+        // naive oracle: exact jaccard over every pair, no pruning
+        val sets = corpus.withColumn("sh",
+            graft.expressions.TextExpressions.hashedShingles(col("text"), 3))
+          .select(col("doc_id"), col("sh")).as[(Long, Seq[Long])]
+          .collect().toMap.view.mapValues(_.toSet).toMap
+        val naive = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+          inter = (sa & sb).size.toLong
+          uni = sa.size + sb.size - inter
+          jm = math.floor(inter * 1000.0 / uni).toLong if jm >= t
+        } yield (a, b, inter, uni, jm)).toSet
+        assert(pruned === naive, s"seed $seed t=$t: prefix join != naive all-pairs")
+      }
+    }
+  }
+
+  test("jaccardPrefixPairs prefix probe is smaller than the full explode") {
+    // the scale claim: candidate keys per doc shrink to ~(1-t)|S|+1
+    val corpus = (0L until 30L).map(i => (i, base + s" tail$i word$i")).toDF("doc_id", "text")
+    val full = Dedup.withHashedShingles(corpus, "text", 3, "sh")
+      .select(explode(col("sh"))).count()
+    val probed = Dedup.jaccardPrefixPairs(corpus, "text", "doc_id", 3, 800)
+    probed.collect() // force
+    // at t=0.8 the prefix keeps |S| - ceil(0.8|S|) + 1 ~ 0.2|S| keys
+    val sh0 = Dedup.withHashedShingles(corpus.limit(1), "text", 3, "sh")
+      .select(size(col("sh"))).as[Int].head()
+    val plen = sh0 - math.ceil(sh0 * 0.8).toInt + 1
+    assert(plen <= sh0 / 4 + 1, s"prefix $plen not << set $sh0 (full explode $full)")
+  }
+
   test("containmentPairs: embedded quote scores full containment, low jaccard") {
     // doc 10 is a strict prefix of doc 11 (a quote embedded in a longer
     // doc): containment of the short side must be 1000 while symmetric
