@@ -1028,9 +1028,42 @@ object SparkEntry {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+    // Iterative graph computation: 5 synchronous PageRank rounds over
+    // the symmetric part co-purchase graph, integer fixed-point so the
+    // unrolled-CTE oracle matches every iterate bit-for-bit.
+    "graph_pagerank" -> { (s, d) =>
+      graft.functions.Graph.pageRank(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", iterations = 5)
+        .orderBy("node")
     })
 
+  /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
+    * unrolled as a CTE chain with identical floor-division fixed-point
+    * arithmetic (`//` = Spark's `div` on positive longs). */
+  private val pagerankOracle: String = {
+    val its = (1 to 5).map { k =>
+      s"""it$k AS (SELECT p.dst AS node,
+              CAST(150000 + (850 * SUM(i.r // d.outd)) // 1000 AS BIGINT) AS r
+            FROM pairs p
+            JOIN it${k - 1} i ON i.node = p.src
+            JOIN deg d ON d.src = p.src
+            GROUP BY 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          deg AS (SELECT src, count(*) AS outd FROM pairs GROUP BY 1),
+          it0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+          $its
+        SELECT node, r AS rank_micro FROM it5 ORDER BY node"""
+  }
+
   private val analyticsOracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -82,6 +82,41 @@ class FunctionsSpec extends SparkSpec {
     assert(plen <= sh0 / 4 + 1, s"prefix $plen not << set $sh0 (full explode $full)")
   }
 
+  test("pageRank equals the naive fixed-point iteration on random graphs") {
+    for (seed <- Seq(3L, 9L)) {
+      val rnd = new scala.util.Random(seed)
+      // random undirected graph: symmetrize so no dangling nodes
+      val raw = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (raw ++ raw.map(_.swap)).distinct
+      val got = Graph.pageRank(sym.toDF("src", "dst"), "src", "dst",
+        iterations = 4, dampMilli = 850)
+        .as[(Long, Long)].collect().toMap
+      // naive reference: same integer fixed-point recurrence in plain Scala
+      val outd = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val inEdges = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var r = outd.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 4) {
+        r = inEdges.view.mapValues { srcs =>
+          150000L + 850L * srcs.map(u => r(u) / outd(u)).sum / 1000L
+        }.toMap
+      }
+      assert(got === r, s"seed $seed: distributed != naive fixed-point")
+    }
+  }
+
+  test("pageRank: star center out-ranks leaves, mass stays bounded") {
+    val leaves = (1L to 8L)
+    val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(leaves.forall(l => r(0L) > r(l)), s"center must dominate: $r")
+    assert(leaves.map(r).distinct.size === 1, "leaves are symmetric, ranks equal")
+    // total mass stays near N * 1e6 (floor-division loss only shrinks it)
+    val total = r.values.sum
+    assert(total <= 9L * 1000000L && total > 8L * 1000000L, s"mass $total")
+  }
+
   test("containmentPairs: embedded quote scores full containment, low jaccard") {
     // doc 10 is a strict prefix of doc 11 (a quote embedded in a longer
     // doc): containment of the short side must be 1000 while symmetric
