@@ -273,6 +273,21 @@ object LlmQueries {
         blockCol = "source", n = 3, minJaccardMilli = 10, maxShingleDf = 50)
         .orderBy("a", "b")
     },
+    // PII scrubbing under the gate: the synthetic corpus carries no PII,
+    // so the query PLANTS deterministic doc_id-derived PII (email, URL,
+    // long id) identically in both engines — counts are nonzero and the
+    // redacted text hash-compares, certifying cross-engine regex parity.
+    "pii_scrub" -> { (s, d) =>
+      val planted = Tables.documents(s, d).withColumn("text2",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or https://ex.org/d/"), col("doc_id").cast("string"),
+          lit(" ref "), (col("doc_id") * 37L + 1000000L).cast("string")))
+      Curation.piiScrub(planted, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ids"),
+          col("scrubbed"))
+        .orderBy("doc_id")
+    },
     // COMPLETE exact-Jaccard join (PPJoin prefix filtering): the oracle
     // is the NAIVE all-pairs join, so this gate row certifies the pruned
     // plan loses nothing at the threshold — no blocking, no df cap.
@@ -940,6 +955,25 @@ object LlmQueries {
                    JOIN nd nb ON nb.doc_id = p.b)
           WHERE CAST(floor(inter * 1000.0 / uni) AS BIGINT) >= 10
           ORDER BY a, b""",
+    "pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or https://ex.org/d/'
+                    || doc_id || ' ref ' || (doc_id * 37 + 1000000) AS text2
+             FROM documents),
+          s1 AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               regexp_replace(text2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             FROM t),
+          s2 AS (SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(t1, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+               regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+             FROM s1)
+          SELECT doc_id, n_emails, n_urls,
+               CAST(len(regexp_extract_all(t2, '[0-9]{6,}')) AS BIGINT) AS n_ids,
+               regexp_replace(t2, '[0-9]{6,}', '<ID>', 'g') AS scrubbed
+          FROM s2 ORDER BY doc_id""",
     // NAIVE all-pairs exact Jaccard — deliberately unpruned: certifies
     // the prefix-filtered Spark plan is COMPLETE at the threshold.
     "dedup_jaccard_complete" ->
