@@ -224,14 +224,27 @@ object Dedup {
         expr(s"cast(nd - ((nd * $minJaccardMilli + 999) div 1000) + 1 as int)"))
       .withColumn("set", expr("transform(oset, x -> x.s)"))
       .drop("oset")
+      // consumed three times (prefix probe + both verify sides): pay the
+      // shingle hash + df join + per-doc sort once, not per consumer
+      .localCheckpoint()
     val probe = ordered
       .select(col("doc"), col("nd"),
-        explode(slice(col("set"), lit(1), col("plen"))).as("s"))
-    val cands = probe.select(col("s"), col("doc").as("a"), col("nd").as("na"))
-      .join(probe.select(col("s"), col("doc").as("b"), col("nd").as("nb")), Seq("s"))
+        posexplode(slice(col("set"), lit(1), col("plen"))).as(Seq("pos", "s")))
+    // PPJoin position filter (completeness-preserving): a true pair is
+    // discoverable through its SMALLEST common shingle w, and every
+    // common shingle sorts at-or-after w — so inter <= min(na-posA,
+    // nb-posB) on w's row, while Jaccard >= t forces
+    // inter >= ceil(t*(na+nb)/(1+t)). Rows violating the bound can be
+    // dropped BEFORE the pair aggregate without losing any result.
+    val cands = probe.select(col("s"), col("doc").as("a"),
+        col("nd").as("na"), col("pos").as("pa"))
+      .join(probe.select(col("s"), col("doc").as("b"),
+        col("nd").as("nb"), col("pos").as("pb")), Seq("s"))
       .filter(col("a") < col("b"))
       .filter(least(col("na"), col("nb")) * 1000L >=
         greatest(col("na"), col("nb")) * minJaccardMilli)
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) *
+        (1000L + minJaccardMilli) >= (col("na") + col("nb")) * minJaccardMilli)
       .select(col("a"), col("b")).distinct()
     cands
       .join(ordered.select(col("doc").as("a"), col("set").as("sa"), col("nd").as("na")), "a")

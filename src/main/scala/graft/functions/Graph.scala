@@ -48,7 +48,11 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     require(dampMilli >= 0 && dampMilli <= 1000,
       s"dampMilli must be in [0, 1000] (got $dampMilli)")
+    // materialize the edge list ONCE — it is re-read every round, and an
+    // un-checkpointed caller frame (e.g. a distinct() over a self-join)
+    // would re-execute its whole lineage per iteration
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
       .localCheckpoint()
     val base = (1000L - dampMilli) * 1000L

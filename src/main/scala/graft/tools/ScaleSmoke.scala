@@ -112,6 +112,28 @@ object ScaleSmoke {
     time("minhash LSH pairs") {
       Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600).mat()
     }
+    time("jaccard prefix pairs (t=.5)") {
+      // the 64-word uniform corpus is prefix filtering's WORST case:
+      // every trigram is common, df-ordering has no skew to exploit
+      Dedup.jaccardPrefixPairs(docs, "text", "doc_id", 3, 500).mat()
+    }
+    time(s"gen zipf docs ($docsN)") {
+      // Zipf(1) word choice (word = R^u for uniform u): the realistic
+      // text shape — vocab scales with the corpus, docs carry genuinely
+      // rare words, so df-ordered prefixes rarely collide
+      val r = lit(docsN.toDouble)
+      spark.range(docsN).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(120)),
+          i => concat(lit("z"),
+            floor(pow(r, pmod(xxhash64(col("id"), i), lit(1000000))
+              .cast("double") / 1000000.0)).cast("long").cast("string")))).as("text"))
+        .write.mode("overwrite").parquet(s"$base/zipfdocs")
+    }
+    time("jaccard prefix zipf (t=.5)") {
+      Dedup.jaccardPrefixPairs(spark.read.parquet(s"$base/zipfdocs"),
+        "text", "doc_id", 3, 500).mat()
+    }
     time("simhash fingerprints") {
       docs.withColumn("hs", Dedup.tokenHashes60(col("text")))
         .select(Dedup.simhash60FromHashes(col("hs"))).mat()
@@ -141,6 +163,18 @@ object ScaleSmoke {
     time("dup clusters (CC over LSH pairs)") {
       graft.functions.Curation.connectedComponents(
         Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b").mat()
+    }
+    time("pagerank (5 iters, deg~40)") {
+      // synthetic graph scaling with the corpus: docsN nodes, ~20*docsN
+      // directed pairs symmetrized (degree ~40) — edge count dominates,
+      // node frames stay broadcast-sized, the shape pageRank prices
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.pageRank(sym, "src", "dst", 5).mat()
     }
     time("keyword extraction (top-3)") {
       graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).mat()
