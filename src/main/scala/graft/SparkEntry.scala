@@ -272,6 +272,13 @@ object SparkEntry {
           col("n_range"), col("sum_milli_range"))
         .orderBy("event_id")
     },
+    // T2: 6h-grid resample + forward fill per user — the gap-fill step
+    // between raw events and a fixed-cadence feature table.
+    "t2_resample_ffill" -> { (s, d) =>
+      CoreOps.resampleFfill(Tables.events(s, d), "user_id", "ts",
+        "value", stepUs = 21600000000L)
+        .orderBy("user_id", "cell_us")
+    },
     // T1 x J3 composition: the feature-store assembly query — every click
     // becomes a training example carrying its user's trailing-1h activity
     // features plus the point-in-time last purchase. Two keyed shuffles
@@ -450,6 +457,30 @@ object SparkEntry {
     },
     "t1_rolling_features" -> rollingOracleSql,
     "t1_rolling_chunked" -> rollingOracleSql,
+    "t2_resample_ffill" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS tsu,
+                           CAST(floor(value*100) AS BIGINT) AS vc,
+                           epoch_us(ts) // 21600000000 AS cell
+                    FROM events),
+          cells AS (SELECT user_id, cell, vc AS obs_vc FROM (
+                      SELECT user_id, cell, vc,
+                        row_number() OVER (PARTITION BY user_id, cell
+                          ORDER BY tsu DESC, vc DESC) AS rn
+                      FROM b) WHERE rn = 1),
+          span AS (SELECT user_id, min(cell) AS c0, max(cell) AS c1
+                   FROM b GROUP BY 1),
+          grid AS (SELECT user_id, unnest(generate_series(c0, c1)) AS cell
+                   FROM span),
+          j AS (SELECT g.user_id, g.cell, c.obs_vc
+                FROM grid g LEFT JOIN cells c
+                  ON c.user_id = g.user_id AND c.cell = g.cell)
+          SELECT user_id, cell * 21600000000 AS cell_us,
+                 last_value(obs_vc IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY cell
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_centi,
+                 CAST(obs_vc IS NOT NULL AS BIGINT) AS has_obs
+          FROM j ORDER BY user_id, cell_us""",
     "ml_training_examples" ->
       """WITH f AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us,
                            count(*) OVER w AS n_range,

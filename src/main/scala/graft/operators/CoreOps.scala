@@ -466,6 +466,49 @@ object CoreOps {
       .withColumnRenamed("__ts_us", "ts_us")
   }
 
+  /** T2: time-grid resample + forward fill — the gap-fill step between
+    * raw events and a fixed-cadence feature table (pandas `asfreq`+
+    * `ffill`, distributed). Per key: a `stepUs` grid spans the key's own
+    * observed range; each grid cell carries the LAST observation at or
+    * before the cell's end (ties on ts broken by larger value, so the
+    * reduce is a deterministic `max(struct(ts, value))`), forward-filled
+    * across empty cells. `has_obs` marks cells with a real observation.
+    *
+    * Scale shape: one partial-aggregating groupBy(key, cell) collapses
+    * raw rows to at most one row per cell BEFORE any window; the grid
+    * explode emits span/stepUs rows per key (bounded by calendar time,
+    * not event volume); the ffill is one running `last(ignoreNulls)`
+    * window per key over CELL rows — a hot key with millions of events
+    * still windows over only its grid cells. No leading nulls by
+    * construction (the first cell of a span contains that key's first
+    * observation).
+    * Output: (key, cell_us, value_centi, has_obs), integer-exact.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val b = df
+      .withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__vc", scaledCenti(col(valueCol)))
+      .withColumn("__cell", expr(s"__ts_us div $stepUs"))
+    val cells = b.groupBy(col(key), col("__cell"))
+      .agg(max(struct(col("__ts_us"), col("__vc"))).as("__o"))
+      .select(col(key), col("__cell"), col("__o.__vc").as("__obs_vc"))
+    val grid = b.groupBy(col(key))
+      .agg(min(col("__cell")).as("__c0"), max(col("__cell")).as("__c1"))
+      .select(col(key), explode(sequence(col("__c0"), col("__c1"))).as("__cell"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__cell"))
+    grid.join(cells, Seq(key, "__cell"), "left")
+      .withColumn("value_centi", last(col("__obs_vc"), ignoreNulls = true).over(w))
+      .withColumn("has_obs", col("__obs_vc").isNotNull.cast("long"))
+      .select(col(key), (col("__cell") * stepUs).as("cell_us"),
+        col("value_centi"), col("has_obs"))
+  }
+
   // ---------------------------------------------------------------------
   // ST1 (`chapter5/StatefulOperations.java:84-129`): per-key "two trigger
   // events within N" alert. Batch analog via lag(); streaming twin uses

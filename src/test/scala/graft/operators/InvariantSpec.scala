@@ -328,4 +328,40 @@ class InvariantSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH produced pairs not in exact set: ${lsh -- exact}")
     assert(lsh.contains((1L, 101L)), "exact duplicate must always collide in LSH")
   }
+
+  test("resampleFfill equals the naive per-key grid walk on random events") {
+    for (seed <- Seq(5L, 6L)) {
+      val rnd = new Random(seed)
+      val step = 10000000L // 10 s cells
+      val rows = (0 until 300).map { i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong,
+          new Timestamp(1577215616071L + rnd.nextInt(600000)), // 10 min span
+          rnd.nextInt(1000) / 100.0)
+      }
+      val df = rows.toDF("id", "key", "ts", "value")
+      val got = CoreOps.resampleFfill(df, "key", "ts", "value", step)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // naive reference
+      val byKey = rows.groupBy(_._2)
+      val want = byKey.flatMap { case (k, rs) =>
+        val obs = rs.map(r => (r._3.getTime * 1000L, math.floor(r._4 * 100).toLong))
+        val cells = obs.map(_._1 / step)
+        (cells.min to cells.max).map { c =>
+          val upTo = obs.filter(_._1 < (c + 1) * step)
+          val inCell = obs.filter(o => o._1 / step == c)
+          val v = upTo.max // (ts, vc) lexicographic: last ts, ties by value
+          (k, c * step) -> (v._2, if (inCell.nonEmpty) 1L else 0L)
+        }
+      }
+      assert(got === want, s"seed $seed: resample != naive grid walk")
+      // grid completeness: contiguous cells per key, first cell has an obs
+      for ((k, rs) <- byKey) {
+        val cells = got.keys.filter(_._1 == k).map(_._2).toSeq.sorted
+        assert(cells.head === (rs.map(_._3.getTime * 1000L / step).min * step))
+        assert(cells.size === (cells.last - cells.head) / step + 1, "grid has holes")
+        assert(got((k, cells.head))._2 === 1L, "first cell must hold an observation")
+      }
+    }
+  }
 }
