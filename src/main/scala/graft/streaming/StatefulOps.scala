@@ -248,6 +248,70 @@ object StatefulOps {
       }
   }
 
+  final case class ResampleEvent(
+      key: Long, tsUs: Long, vCenti: Long, flush: Boolean)
+  final case class ResampleState(openCell: Long, bestTsUs: Long, bestVc: Long)
+  final case class ResampleCell(key: Long, cellUs: Long, valueCenti: Long, hasObs: Long)
+
+  /** T2 streaming twin: continuous time-grid resample + forward fill.
+    * State is 24 bytes per key — the still-open grid cell and its best
+    * (ts, value) observation (the same deterministic `max(struct(ts,vc))`
+    * reduce the batch form applies per cell). A cell emits when a
+    * strictly LATER cell's event arrives for the key (per-key event-time
+    * closure, the [[rollingFeatures]] pattern); the gap cells between
+    * them emit as forward-filled `has_obs = 0` rows in the same trigger,
+    * so grid continuity holds at every point of the stream. End-of-
+    * stream: a `flush` sentinel per key closes the last cell WITHOUT
+    * opening a new one — the streamed grid then ends at each key's last
+    * observed cell, exactly like the batch span.
+    */
+  def resampleCells(
+      events: Dataset[ResampleEvent], stepUs: Long): Dataset[ResampleCell] = {
+    implicit val outEnc = Encoders.product[ResampleCell]
+    implicit val stateEnc = Encoders.product[ResampleState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((e: ResampleEvent) => e.key)
+      .flatMapGroupsWithState[ResampleState, ResampleCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[ResampleEvent], state: GroupState[ResampleState]) =>
+          val out = Seq.newBuilder[ResampleCell]
+          var st = state.getOption
+          def closeThrough(nextCell: Long): Unit = st.foreach { s =>
+            out += ResampleCell(key, s.openCell * stepUs, s.bestVc, 1L)
+            var c = s.openCell + 1
+            while (c < nextCell) { // ffill the gap, bounded by grid span
+              out += ResampleCell(key, c * stepUs, s.bestVc, 0L)
+              c += 1
+            }
+          }
+          evs.toSeq.sortBy(e => (e.tsUs, e.vCenti)).foreach { e =>
+            if (e.flush) { closeThrough(st.fold(0L)(_.openCell + 1)); st = None }
+            else {
+              val cell = Math.floorDiv(e.tsUs, stepUs)
+              st match {
+                case Some(s) if cell == s.openCell =>
+                  // same deterministic (ts, value) max as the batch reduce
+                  if (Ordering[(Long, Long)].compare(
+                      (e.tsUs, e.vCenti), (s.bestTsUs, s.bestVc)) > 0)
+                    st = Some(s.copy(bestTsUs = e.tsUs, bestVc = e.vCenti))
+                case Some(s) =>
+                  closeThrough(cell)
+                  st = Some(ResampleState(cell, e.tsUs, e.vCenti))
+                case None =>
+                  st = Some(ResampleState(cell, e.tsUs, e.vCenti))
+              }
+            }
+          }
+          st match {
+            case Some(s) => state.update(s)
+            case None if state.exists => state.remove()
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user: Long, eventType: String, tsUs: Long, eventId: Long)
   final case class FunnelClick(clickId: Long, tsUs: Long)
   final case class PendingClicks(clicks: Seq[FunnelClick])

@@ -140,6 +140,36 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T2 resample-ffill streaming replay converges to the batch (oracled) answer") {
+    import StatefulOps.{ResampleEvent, ResampleCell}
+    val stepUs = 21600000000L
+    val input = MemoryStream[ResampleEvent]
+    val cells = StatefulOps.resampleCells(input.toDS(), stepUs)
+    val q = cells.writeStream.format("memory").queryName("conv_t2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evs = replay.map { case (_, u, _, ts, v) =>
+        ResampleEvent(u, ts, math.floor(v * 100).toLong, flush = false)
+      }.toSeq
+      chunks(evs).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      // flush sentinels close each key's last open cell (no new cell opens)
+      input.addData(replay.map(_._2).distinct.toSeq.map(u =>
+        ResampleEvent(u, 0L, 0L, flush = true)))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_t2")
+        .select(col("key"), col("cellUs"), col("valueCenti"), col("hasObs"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val batch = graft.SparkEntry.queries("t2_resample_ffill")(spark, d)
+        .select(col("user_id"), col("cell_us"), col("value_centi"), col("has_obs"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   /** Replay the corpus through the ST2 transformWithState twin in
     * `chunkSize`-event micro-batches; returns the streamed output sorted.
     */
