@@ -1060,6 +1060,26 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // SCD Type 2: per-user event_type change log collapsed into
+    // validity-interval version rows (CDC -> dimension-table compaction).
+    "scd2_user_state" -> { (s, d) =>
+      CoreOps.scd2History(Tables.events(s, d), "user_id", "ts",
+        tieBreak = "event_id", attrCol = "event_type")
+        .orderBy("user_id", "valid_from_us")
+    },
+    // Pivot: daily value totals fanned out to one column per event type
+    // (explicit value list, so the plan needs no extra distinct pass).
+    "pivot_daily_by_type" -> { (s, d) =>
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      types.foldLeft(
+        Tables.events(s, d)
+          .withColumn("day_us", unix_micros(date_trunc("DAY", col("ts"))))
+          .groupBy(col("day_us"))
+          .pivot("event_type", types)
+          .agg(sum(CoreOps.scaledCenti(col("value")))))(
+        (df, t) => df.withColumnRenamed(t, s"${t}_centi"))
+        .orderBy("day_us")
+    },
     // Iterative graph computation: 5 synchronous PageRank rounds over
     // the symmetric part co-purchase graph, integer fixed-point so the
     // unrolled-CTE oracle matches every iterate bit-for-bit.
@@ -1095,6 +1115,34 @@ object SparkEntry {
 
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "scd2_user_state" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+                    FROM events),
+          x AS (SELECT user_id, event_type, tsu, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id) AS prev
+                FROM e),
+          isl AS (SELECT user_id, event_type, tsu, event_id FROM x
+                  WHERE prev IS NULL OR prev <> event_type)
+          SELECT user_id, event_type AS attr, tsu AS valid_from_us,
+                 lead(tsu) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) AS valid_to_us,
+                 CAST(lead(tsu) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) IS NULL AS BIGINT) AS is_current
+          FROM isl ORDER BY user_id, valid_from_us""",
+    "pivot_daily_by_type" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+                CAST(sum(CASE WHEN event_type = 'click'
+                  THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS click_centi,
+                CAST(sum(CASE WHEN event_type = 'view'
+                  THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS view_centi,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS purchase_centi,
+                CAST(sum(CASE WHEN event_type = 'error'
+                  THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS error_centi,
+                CAST(sum(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS signup_centi
+         FROM events GROUP BY 1 ORDER BY 1""",
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

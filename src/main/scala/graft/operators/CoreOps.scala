@@ -509,6 +509,37 @@ object CoreOps {
         col("value_centi"), col("has_obs"))
   }
 
+  /** SCD Type 2 history: collapse a per-key change log into
+    * validity-interval rows (the warehouse "slowly changing dimension"
+    * shape a CDC feed compacts into). Consecutive equal attribute values
+    * merge into one version (gaps-and-islands); each version carries
+    * `[valid_from_us, valid_to_us)` with a NULL `valid_to_us` (and
+    * `is_current = 1`) on the open head version.
+    *
+    * Plan shape: two key-partitioned windows — a lag() to mark island
+    * starts, then a lead() over only the (much smaller) island rows to
+    * close intervals. Both shuffles share the (key) partitioning; per-
+    * task work is key-history-bounded. Total order inside a key is
+    * (ts, tieBreak), so equal-timestamp updates resolve
+    * deterministically.
+    */
+  def scd2History(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      tieBreak: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts_us"), col(tieBreak))
+    df.withColumn("__ts_us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_from_us", col("__ts_us"))
+      .withColumn("valid_to_us", lead(col("__ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull.cast("long"))
+      .select(col(key), col(attrCol).as("attr"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+  }
+
   // ---------------------------------------------------------------------
   // ST1 (`chapter5/StatefulOperations.java:84-129`): per-key "two trigger
   // events within N" alert. Batch analog via lag(); streaming twin uses

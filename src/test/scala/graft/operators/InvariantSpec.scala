@@ -329,6 +329,49 @@ class InvariantSpec extends SparkSpec {
     assert(lsh.contains((1L, 101L)), "exact duplicate must always collide in LSH")
   }
 
+  test("scd2History: intervals tile each key's timeline, reconstruct the log") {
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new Random(seed)
+      val rows = (0 until 400).map { i =>
+        (i.toLong, (rnd.nextInt(3) + 1).toLong,
+          ops(rnd.nextInt(ops.size)),
+          new Timestamp(1577215616071L + rnd.nextInt(1000000)))
+      }
+      val hist = CoreOps.scd2History(
+        rows.toDF("event_id", "key", "attr0", "ts"), "key", "ts",
+        "event_id", "attr0")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      for ((k, vs) <- hist.groupBy(_._1)) {
+        // equal-ts updates produce empty [t, t) versions: order those
+        // before the surviving version at the same instant
+        val sorted = vs.sortBy(v => (v._3, v._4.getOrElse(Long.MaxValue)))
+        // exactly one open (current) version per key, and it is the last
+        assert(sorted.count(_._5 == 1L) === 1)
+        assert(sorted.last._4.isEmpty && sorted.last._5 === 1L)
+        // intervals tile: each version ends where the next begins
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3), s"key $k: gap between versions")
+            assert(a._2 != b._2, s"key $k: consecutive versions share attr")
+          case _ => ()
+        }
+        // point-in-time reconstruction equals the raw log at every event
+        val log = rows.filter(_._2 == k)
+          .map(r => (r._4.getTime * 1000L, r._1, r._3)).sortBy(x => (x._1, x._2))
+        for ((tsu, _, attr) <- log) {
+          val v = sorted.filter(s => s._3 <= tsu &&
+            s._4.forall(_ > tsu)).lastOption
+          // ties at a version boundary resolve to the later version,
+          // which carries the last-written attr at that instant
+          val expect = log.filter(_._1 <= tsu).last._3
+          assert(v.exists(_._2 == expect),
+            s"key $k at $tsu: version ${v.map(_._2)} != log $expect")
+        }
+      }
+    }
+  }
+
   test("resampleFfill equals the naive per-key grid walk on random events") {
     for (seed <- Seq(5L, 6L)) {
       val rnd = new Random(seed)
