@@ -312,6 +312,53 @@ object StatefulOps {
       }
   }
 
+  final case class Scd2Event(
+      key: Long, tsUs: Long, id: Long, attr: String, flush: Boolean)
+  final case class Scd2State(attr: String, validFromUs: Long)
+  final case class Scd2Version(
+      key: Long, attr: String, validFromUs: Long,
+      validToUs: Option[Long], isCurrent: Long)
+
+  /** SCD2 streaming twin: continuous CDC-log -> dimension compaction.
+    * State is one open version per key (attr + valid_from); an update
+    * with a DIFFERENT attr closes it (emits the finished
+    * `[from, to)` row) and opens the next; an equal attr is absorbed
+    * (the batch gaps-and-islands merge). The open head version emits
+    * only on the `flush` sentinel with `is_current = 1` — before that
+    * the stream has emitted exactly the closed (immutable) versions,
+    * which is the append-only contract a CDC sink needs.
+    */
+  def scd2Versions(events: Dataset[Scd2Event]): Dataset[Scd2Version] = {
+    implicit val outEnc = Encoders.product[Scd2Version]
+    implicit val stateEnc = Encoders.product[Scd2State]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((e: Scd2Event) => e.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[Scd2Event], state: GroupState[Scd2State]) =>
+          val out = Seq.newBuilder[Scd2Version]
+          var open = state.getOption
+          evs.toSeq.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+            if (e.flush) {
+              open.foreach(s =>
+                out += Scd2Version(key, s.attr, s.validFromUs, None, 1L))
+              open = None
+            } else if (!open.exists(_.attr == e.attr)) {
+              open.foreach(s =>
+                out += Scd2Version(key, s.attr, s.validFromUs, Some(e.tsUs), 0L))
+              open = Some(Scd2State(e.attr, e.tsUs))
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None if state.exists => state.remove()
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+
   final case class FunnelEvent(user: Long, eventType: String, tsUs: Long, eventId: Long)
   final case class FunnelClick(clickId: Long, tsUs: Long)
   final case class PendingClicks(clicks: Seq[FunnelClick])

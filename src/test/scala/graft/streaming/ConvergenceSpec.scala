@@ -170,6 +170,36 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 streaming replay converges to the batch (oracled) answer") {
+    import StatefulOps.Scd2Event
+    val input = MemoryStream[Scd2Event]
+    val versions = StatefulOps.scd2Versions(input.toDS())
+    val q = versions.writeStream.format("memory").queryName("conv_scd2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val evs = replay.map { case (id, u, typ, ts, _) =>
+        Scd2Event(u, ts, id, typ, flush = false)
+      }.toSeq
+      chunks(evs).foreach { batch =>
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+      input.addData(replay.map(_._2).distinct.toSeq.map(u =>
+        Scd2Event(u, 0L, 0L, "", flush = true)))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_scd2")
+        .select(col("key"), col("attr"), col("validFromUs"),
+          col("validToUs"), col("isCurrent"))
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+        .sortBy(r => (r._1, r._3))
+      val batch = graft.SparkEntry.queries("scd2_user_state")(spark, d)
+        .as[(Long, String, Long, Option[Long], Long)].collect().toSeq
+        .sortBy(r => (r._1, r._3))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   /** Replay the corpus through the ST2 transformWithState twin in
     * `chunkSize`-event micro-batches; returns the streamed output sorted.
     */
