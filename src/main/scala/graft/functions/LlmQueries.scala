@@ -574,6 +574,22 @@ object LlmQueries {
     "bpe_merges" -> { (s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d), "text", merges = 6)
     },
+    // Tokenizer APPLY: train 6 merges, then encode the corpus with them
+    // (model-as-literals replace chain). The oracle re-derives the merge
+    // table AND the encoding in SQL, so train->apply is gate-proven end
+    // to end: per-doc BPE length + digest of the symbol sequence.
+    "bpe_encode" -> { (s, d) =>
+      import org.apache.spark.sql.Encoders
+      val merges = TextAnalysis.bpeTrain(Tables.documents(s, d), "text", merges = 6)
+        .select(col("lhs"), col("rhs"))
+        .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .collect().toSeq
+      TextAnalysis.bpeEncode(Tables.documents(s, d), "text", merges)
+        .select(col("doc_id"), col("bpe_len"),
+          TextAnalysis.portableHash48(concat_ws(" ", col("bpe_syms")))
+            .as("syms_fp48"))
+        .orderBy("doc_id")
+    },
     // Span-level duplication profile: per doc, the share of its 3-gram
     // shingles that recur in other documents (template/boilerplate mass).
     "dedup_span_profile" -> { (s, d) =>
@@ -1250,6 +1266,48 @@ object LlmQueries {
                  CAST(CASE WHEN avg_surprisal_q10 * 100 <= mean_q10 * 125
                       THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM lm_perdoc CROSS JOIN m ORDER BY doc_id""",
+    // Train (merges CTE chain identical to bpe_merges) THEN apply: each
+    // mK's merge replaces through the per-DOC symbol string e(K-1)->eK,
+    // the same two-pass padded literal replace as the engine.
+    "bpe_encode" -> {
+      def round(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""p$k AS (SELECT a, b, sum(cnt) AS pc FROM (
+                 SELECT cnt,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i])) AS a,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i+1])) AS b
+                 FROM (SELECT cnt, string_split(s, ' ') AS sy FROM $prev)
+                 WHERE len(sy) >= 2)
+               GROUP BY 1, 2),
+           m$k AS (SELECT a AS lhs, b AS rhs, a || b AS merged
+                   FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+           s$k AS (SELECT trim(replace(replace(' ' || s || ' ',
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' '),
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' ')) AS s, cnt
+                   FROM $prev CROSS JOIN m$k m),
+           e$k AS (SELECT doc_id, replace(replace(s,
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' '),
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' ') AS s
+                   FROM e${k - 1} CROSS JOIN m$k m)"""
+      }
+      s"""WITH words AS (SELECT w, count(*) AS cnt FROM (
+               SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        t -> t <> '')) AS w
+               FROM documents) GROUP BY 1),
+          s0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                     i -> substr(w, i, 1)), ' ') || ' </w>' AS s, cnt
+                 FROM words),
+          e0 AS (SELECT doc_id, ' ' || array_to_string(list_transform(
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''),
+                     w -> array_to_string(list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1)), ' ') || ' </w>'), ' ') || ' ' AS s
+                 FROM documents),
+          ${(1 to 6).map(round).mkString(",\n")}
+          SELECT doc_id,
+                 CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS bpe_len,
+                 CAST(('0x' || substr(md5(trim(s)), 1, 12)) AS BIGINT) AS syms_fp48
+          FROM e6 ORDER BY doc_id"""
+    },
     "bpe_merges" -> {
       // one BPE round: pair counts over sPrev's symbols -> top-1 merge
       // (mK) -> merged symbol strings (sK); replace applied twice, same
