@@ -1060,6 +1060,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // Sequence mining: top user-journey paths — the ordered event-type
+    // trace of each (4h-gap) session, ranked by frequency. Composes the
+    // A4 session machinery with a deterministic ordered path aggregate
+    // (array_sort over (ts, id, type) structs — collect_list alone has
+    // no order contract).
+    "session_paths" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("event_type").as("e")))), x => x.getField("e")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(50)
+    },
     // SCD Type 2: per-user event_type change log collapsed into
     // validity-interval version rows (CDC -> dimension-table compaction).
     "scd2_user_state" -> { (s, d) =>
@@ -1115,6 +1130,23 @@ object SparkEntry {
 
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "session_paths" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         p AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               FROM sess GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 50""",
     "scd2_user_state" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
                     FROM events),
