@@ -101,6 +101,21 @@ object ScaleSmoke {
         .select(col("ts"), col("user_id"), col("event_id").as("r"))
       CoreOps.windowedEquiJoin(c, p, "user_id", "ts", "1 day").mat()
     }
+    time("scd2 history (event_type)") {
+      CoreOps.scd2History(events, "user_id", "ts", "event_id", "event_type").mat()
+    }
+    time("resample ffill (6h grid)") {
+      CoreOps.resampleFfill(events, "user_id", "ts", "value", 21600000000L).mat()
+    }
+    time("session paths (1h gap)") {
+      events.groupBy(col("user_id"),
+          org.apache.spark.sql.functions.session_window(col("ts"), "1 hour").as("w"))
+        .agg(array_join(transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("event_type").as("e")))), x => x.getField("e")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(50).mat()
+    }
     time("text annotate (langid+quality)") {
       docs.select(
         TextAnalysis.langId(col("text")),
