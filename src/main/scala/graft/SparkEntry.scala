@@ -1103,6 +1103,22 @@ object SparkEntry {
         graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
         "src", "dst", iterations = 5)
         .orderBy("node")
+    },
+    // Personalized PageRank from a 5-part seed set: proximity-to-seeds
+    // ranking, the "related items" recommendation primitive.
+    "graph_ppr" -> { (s, d) =>
+      graft.functions.Graph.personalizedPageRank(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 4)
+        .orderBy("node")
+    },
+    // Per-node triangle counts via degree-ordered orientation — the
+    // bounded-fan-out shape that survives power-law hubs.
+    "graph_triangles" -> { (s, d) =>
+      graft.functions.Graph.triangleCounts(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst")
+        .orderBy("node")
     })
 
   /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
@@ -1128,8 +1144,57 @@ object SparkEntry {
         SELECT node, r AS rank_micro FROM it5 ORDER BY node"""
   }
 
+  /** DuckDB twin of [[graft.functions.Graph.personalizedPageRank]]: 4
+    * unrolled rounds, seed-only teleport, FULL OUTER seed/contribution
+    * merge — identical integer arithmetic. */
+  private val pprOracle: String = {
+    val its = (1 to 4).map { k =>
+      s"""c$k AS (SELECT p.dst AS node,
+              CAST((850 * SUM(i.r // d.outd)) // 1000 AS BIGINT) AS cr
+            FROM pairs p
+            JOIN it${k - 1} i ON i.node = p.src
+            JOIN deg d ON d.src = p.src
+            GROUP BY 1),
+          it$k AS (SELECT COALESCE(s.node, c.node) AS node,
+              CAST(COALESCE(s.sb, 0) + COALESCE(c.cr, 0) AS BIGINT) AS r
+            FROM sb s FULL OUTER JOIN c$k c ON c.node = s.node)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          deg AS (SELECT src, count(*) AS outd FROM pairs GROUP BY 1),
+          seeds AS (SELECT unnest([1, 2, 3, 4, 5]) AS node),
+          sb AS (SELECT node, CAST(150000 AS BIGINT) AS sb FROM seeds),
+          it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM seeds),
+          $its
+        SELECT node, r AS rank_micro FROM it4 ORDER BY node"""
+  }
+
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "graph_ppr" -> pprOracle,
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY 1),
+          o AS (SELECT p.src, p.dst
+                FROM pairs p JOIN deg a ON a.src = p.src
+                             JOIN deg b ON b.src = p.dst
+                WHERE a.d < b.d OR (a.d = b.d AND p.src < p.dst)),
+          t AS (SELECT w.a, w.b, w.c
+                FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                      FROM o e1 JOIN o e2 ON e1.dst = e2.src) w
+                JOIN o e3 ON e3.src = w.a AND e3.dst = w.c)
+          SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+          GROUP BY 1 ORDER BY node""",
     "session_paths" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, event_type,

@@ -83,6 +83,89 @@ object Graph {
     rank.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (the "related to these items" recommendation primitive), so rank
+    * measures proximity to the seed set rather than global centrality.
+    * Same integer fixed-point recurrence as [[pageRank]] with
+    * {{{ r_k+1(v) = [v in S] * base + (damp * Σ contrib) div 1000 }}};
+    * nodes enter the frame as mass reaches them (hop-k frontier), and a
+    * FULL OUTER join between the contribution aggregate and the seed
+    * base keeps isolated seeds alive — teleport mass must survive even
+    * when nothing links back yet. Seeds ride as plan literals (they are
+    * a query parameter, not data).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      iterations: Int,
+      dampMilli: Int = 850,
+      broadcastRanks: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    require(iterations >= 1 && dampMilli >= 0 && dampMilli <= 1000)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+      .localCheckpoint()
+    val base = (1000L - dampMilli) * 1000L
+    val seedDf = seeds.toDF("node").select(col("node"), lit(base).as("sb"))
+    var rank = seeds.toDF("node")
+      .select(col("node"), lit(1000000L).as("r"))
+    for (i <- 1 to iterations) {
+      val ranks = deg.join(rank, deg("src") === rank("node"))
+        .select(col("src"), col("outd"), col("r"))
+      val contrib = e
+        .join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
+        .select(col("dst").as("node"), expr("r div outd").as("c"))
+        .groupBy(col("node"))
+        .agg(expr(s"($dampMilli * sum(c)) div 1000").as("cr"))
+      rank = seedDf.join(contrib, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("sb"), lit(0L)) + coalesce(col("cr"), lit(0L))).as("r"))
+      if (i % 8 == 0 && i < iterations) rank = rank.localCheckpoint()
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Per-node triangle counts over a SYMMETRIC edge list, via
+    * degree-ordered edge orientation (the standard distributed-triangle
+    * trick): orient every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger, so each triangle survives as exactly one
+    * oriented wedge a->b, b->c closed by a->c — and the wedge join's
+    * fan-out per node is its ORIENTED out-degree, which the orientation
+    * bounds by O(sqrt(edges)) on any graph (a hub's edges point INTO it,
+    * so the hub never fans out) — the property that makes this shape
+    * survive power-law graphs at 100 TB where a naive neighbor join
+    * squares the hub degree.
+    *
+    * Plan: one degree aggregate, the orientation filter, one self-join
+    * on the wedge pivot, one semi-ish join closing wedges against the
+    * oriented edge list, then a 3-way corner explode + count. All joins
+    * key on node ids (fixed-width longs).
+    * Output: (node, tri_cnt), nodes in >= 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dd")), "dst")
+    val oriented = withDeg
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // consumed by both sides of the wedge join
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tris = wedges.join(oriented
+        .select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
   /** Symmetric co-purchase part graph: two parts are linked iff some
     * order contains both. Distinct directed pairs both ways, so the
     * graph PageRank sees is undirected and dangling-free. Edge count is

