@@ -1104,6 +1104,15 @@ object SparkEntry {
         "src", "dst", iterations = 5)
         .orderBy("node")
     },
+    // Data-quality audit: per-column profile of orders in ONE aggregate
+    // pass (nulls, exact distincts, portable min/max reprs).
+    "table_profile_orders" -> { (s, d) =>
+      graft.functions.Profiling.tableProfile(Tables.orders(s, d), Seq(
+        "o_orderkey" -> "long", "o_custkey" -> "long",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double_centi",
+        "o_orderdate" -> "ts_us", "o_orderpriority" -> "string"))
+        .orderBy("column")
+    },
     // Personalized PageRank from a 5-part seed set: proximity-to-seeds
     // ranking, the "related items" recommendation primitive.
     "graph_ppr" -> { (s, d) =>
@@ -1175,6 +1184,26 @@ object SparkEntry {
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
+    "table_profile_orders" -> {
+      def row(c: String, minR: String, maxR: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+               count(*) - count($c) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               $minR AS min_repr, $maxR AS max_repr FROM orders"""
+      Seq(
+        row("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)",
+          "CAST(max(o_orderkey) AS VARCHAR)"),
+        row("o_custkey", "CAST(min(o_custkey) AS VARCHAR)",
+          "CAST(max(o_custkey) AS VARCHAR)"),
+        row("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        row("o_totalprice",
+          "CAST(CAST(floor(min(o_totalprice)*100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(floor(max(o_totalprice)*100) AS BIGINT) AS VARCHAR)"),
+        row("o_orderdate", "CAST(epoch_us(min(o_orderdate)) AS VARCHAR)",
+          "CAST(epoch_us(max(o_orderdate)) AS VARCHAR)"),
+        row("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+        .mkString(" UNION ALL ") + " ORDER BY \"column\""
+    },
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
           pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
