@@ -714,6 +714,18 @@ object SparkEntry {
       funnelAgg(CoreOps.funnelNextPurchaseChunked(funnelInput(s, d),
         bucketUs = 86400000000L))
     },
+    // N-step ordered funnel (view -> click -> purchase): earliest
+    // greedy completion per user, window-free (one keyed min(struct)
+    // aggregate per step).
+    "funnel_steps" -> { (s, d) =>
+      CoreOps.funnelSteps(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
     // Rank-family coverage: deterministic deciles of value per event type
     // (ntile over a fully tie-broken order), count/min/max per bucket.
     // ORACLE-ONLY AT SCALE: ntile partitioned by a low-cardinality key is
@@ -1371,6 +1383,38 @@ object SparkEntry {
          ORDER BY n_name, o_year DESC""",
     "funnel_click_purchase" -> funnelOracleSql,
     "funnel_chunked" -> funnelOracleSql,
+    "funnel_steps" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         m1 AS (SELECT user_id, ts_us, event_id FROM (
+                  SELECT user_id, ts_us, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS rn
+                  FROM ev WHERE event_type = 'view') WHERE rn = 1),
+         m2 AS (SELECT user_id, ts_us, event_id FROM (
+                  SELECT e.user_id, e.ts_us, e.event_id,
+                         row_number() OVER (PARTITION BY e.user_id
+                           ORDER BY e.ts_us, e.event_id) AS rn
+                  FROM ev e JOIN m1 ON m1.user_id = e.user_id
+                   AND (e.ts_us > m1.ts_us
+                        OR (e.ts_us = m1.ts_us AND e.event_id > m1.event_id))
+                  WHERE e.event_type = 'click') WHERE rn = 1),
+         m3 AS (SELECT user_id, ts_us, event_id FROM (
+                  SELECT e.user_id, e.ts_us, e.event_id,
+                         row_number() OVER (PARTITION BY e.user_id
+                           ORDER BY e.ts_us, e.event_id) AS rn
+                  FROM ev e JOIN m2 ON m2.user_id = e.user_id
+                   AND (e.ts_us > m2.ts_us
+                        OR (e.ts_us = m2.ts_us AND e.event_id > m2.event_id))
+                  WHERE e.event_type = 'purchase') WHERE rn = 1)
+         SELECT m1.user_id, m1.ts_us AS t1_us, m2.ts_us AS t2_us,
+                m3.ts_us AS t3_us,
+                CAST(1 + CASE WHEN m2.user_id IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN m3.user_id IS NULL THEN 0 ELSE 1 END
+                     AS BIGINT) AS steps_reached
+         FROM m1 LEFT JOIN m2 USING (user_id) LEFT JOIN m3 USING (user_id)
+         ORDER BY m1.user_id""",
     "value_deciles" ->
       """WITH v AS (
            SELECT event_type, CAST(floor(value*1000) AS BIGINT) AS value_milli, event_id

@@ -166,6 +166,62 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
 
+  /** Semi-supervised label propagation over a kNN graph — spread a small
+    * labeled seed set to the unlabeled corpus through nearest-neighbor
+    * edges, the standard bootstrap for labeling a large embedded corpus
+    * from a hand-labeled sample.
+    *
+    * Semantics (deterministic, freeze-once): seeds keep their label with
+    * `hops = 0`. Each synchronous round, every still-unlabeled node with
+    * at least one labeled neighbor takes the majority label of its
+    * labeled neighbors — vote count desc, then closest neighbor rank
+    * asc, then label asc (the same tie-break convention as the kNN
+    * mislabel vote) — and is frozen at `hops = round`. Freezing makes
+    * every round a pure function of the previous labeling (no
+    * oscillation), so an unrolled SQL twin reproduces it exactly.
+    *
+    * Scale shape per round: ONE join of the (bounded, corpus x k) edge
+    * list with the thin (node, label) frame on the neighbor key, a
+    * partial-aggregating groupBy whose groups are <= k rows, and a
+    * row_number window over those same <= k-row partitions — nothing
+    * global, nothing quadratic; the labels frame never exceeds one thin
+    * row per node. The edge list is localCheckpointed once so rounds
+    * don't re-run the ANN search.
+    *
+    * @param knn   kNN edges `(qid, vec_id, rank)` — e.g.
+    *              [[Similarity.ivfTopK]] with probes = the whole corpus
+    *              (the linear-in-corpus index path), or
+    *              [[Similarity.bruteForceTopK]] for small probe sets
+    * @param seeds `(node, label)` seed labels
+    * @return `(node, label, hops)` for every node reachable within
+    *         `rounds` hops of a seed (unreached nodes are absent)
+    */
+  def labelPropagation(knn: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    import org.apache.spark.sql.expressions.Window
+    val edges = knn
+      .select(col("qid").as("node"), col("vec_id").as("nbr"), col("rank"))
+      .localCheckpoint()
+    var labels = seeds
+      .select(col("node"), col("label").cast("long").as("label"),
+        lit(0L).as("hops"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best_rank"))
+      val picked = votes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("n_votes").desc, col("best_rank").asc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .join(labels.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("label"), lit(r.toLong).as("hops"))
+      labels = labels.unionByName(picked).localCheckpoint()
+    }
+    labels
+  }
+
   /** Symmetric co-purchase part graph: two parts are linked iff some
     * order contains both. Distinct directed pairs both ways, so the
     * graph PageRank sees is undirected and dangling-free. Edge count is

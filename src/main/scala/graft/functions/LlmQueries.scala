@@ -87,6 +87,53 @@ object LlmQueries {
               FROM embeddings),
         vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v)"""
 
+  /** Full-corpus IVF kNN edge CTE chain (probes = EVERY vector,
+    * centroidEvery=25, nprobe=3, k=5) ending in `nn(qid, vec_id, rank)` —
+    * the DuckDB replica of `Similarity.ivfTopK` with corpus-wide probes.
+    * Prepend `vnCtes`; shared by the full-corpus mislabel sweep and
+    * label propagation.
+    */
+  private lazy val ivfNnAllCtes: String =
+    s"""cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+        assign AS (
+          SELECT vec_id, e, n, cid FROM (
+            SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (
+          SELECT qid, qe, qn, cid FROM (
+            SELECT q.vec_id AS qid, q.e AS qe, q.n AS qn, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn q CROSS JOIN cent c) WHERE rn <= 3),
+        nn AS (SELECT qid, vec_id, rank FROM (
+                 SELECT p.qid, a.vec_id,
+                        CAST(row_number() OVER (PARTITION BY p.qid
+                          ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
+                                   a.vec_id) AS BIGINT) AS rank
+                 FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id)
+               WHERE rank <= 5)"""
+
+  /** One freeze-once label-propagation round as CTEs: unlabeled nodes
+    * with a labeled neighbor in `lab$p` take the majority label (count
+    * desc, closest rank, label asc) and freeze at hops = `r` — mirrors
+    * `Graph.labelPropagation` exactly.
+    */
+  private def lpRoundSql(p: Int, r: Int): String =
+    s"""v$r AS (SELECT nn.qid AS node, l.label, count(*) AS nv, min(nn.rank) AS br
+               FROM nn JOIN lab$p l ON l.node = nn.vec_id
+               GROUP BY 1, 2),
+        p$r AS (SELECT node, label, CAST($r AS BIGINT) AS hops FROM (
+                  SELECT node, label,
+                         row_number() OVER (PARTITION BY node
+                           ORDER BY nv DESC, br ASC, label ASC) AS rn
+                  FROM v$r) x
+                WHERE rn = 1 AND node NOT IN (SELECT node FROM lab$p)),
+        lab$r AS (SELECT * FROM lab$p UNION ALL SELECT * FROM p$r)"""
+
   /** DuckDB replica of `Similarity.ivfTopK` (centroidEvery=25). */
   private lazy val ivfOracle: String =
     s"""WITH $vnCtes,
@@ -869,6 +916,44 @@ object LlmQueries {
         .select(col("vec_id") +:
           Similarity.randomProjectionQ4(col("embedding"), inDim = 64, outDim = 8): _*)
         .orderBy("vec_id")
+    },
+    // Snapshot diff audit: added/removed/changed/unchanged counts per
+    // source between two deterministic slices of the corpus (B drops
+    // every 17th doc, rewrites every 13th) — one full-outer id join over
+    // thin digest rows, |sources| x 4 output.
+    "snapshot_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val snapA = docs.filter(col("doc_id") % 20 =!= 0)
+      val snapB = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      Profiling.snapshotDiff(snapA, snapB, "doc_id", "text", "source")
+        .orderBy("source", "status")
+    },
+    // Semi-supervised label propagation: spread the 20%-seed labels two
+    // hops through the full-corpus IVF kNN graph (freeze-once majority
+    // vote) — the bootstrap that labels an embedded corpus from a
+    // hand-labeled sample. Per-round cost: one edge-list join against a
+    // thin node-sized label frame + <= k-row vote partitions.
+    "label_propagation" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Graph.labelPropagation(
+        Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25, nprobe = 3),
+        emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("node"), col("label")),
+        rounds = 2)
+        .orderBy("node")
+    },
+    // Embedding-space drift report: per-dimension quantized mean shift
+    // between the even-id slice (reference snapshot) and the odd-id slice
+    // (candidate snapshot) — one narrow posexplode pass, <= dims-row agg.
+    "embedding_drift" -> { (s, d) =>
+      Profiling.embeddingDrift(Tables.embeddings(s, d), "embedding",
+        col("vec_id") % 2 === 0)
+        .orderBy("dim")
     },
     // ------------------------------------------------- multimodal
     "multimodal_decode" -> { (s, d) =>
@@ -1987,28 +2072,7 @@ object LlmQueries {
     // bit-for-bit.
     "knn_label_agreement_ivf" ->
       s"""WITH $vnCtes,
-          cent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
-          assign AS (
-            SELECT vec_id, e, n, cid FROM (
-              SELECT vn.vec_id, vn.e, vn.n, c.cid,
-                     row_number() OVER (PARTITION BY vn.vec_id
-                       ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
-                                c.cid) AS rn
-              FROM vn CROSS JOIN cent c) WHERE rn = 1),
-          probes AS (
-            SELECT qid, qe, qn, cid FROM (
-              SELECT q.vec_id AS qid, q.e AS qe, q.n AS qn, c.cid,
-                     row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
-                                c.cid) AS rn
-              FROM vn q CROSS JOIN cent c) WHERE rn <= 3),
-          nn AS (SELECT qid, vec_id, rank FROM (
-                   SELECT p.qid, a.vec_id,
-                          CAST(row_number() OVER (PARTITION BY p.qid
-                            ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
-                                     a.vec_id) AS BIGINT) AS rank
-                   FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id)
-                 WHERE rank <= 5),
+          $ivfNnAllCtes,
           votes AS (SELECT nn.qid, CAST(l.label AS BIGINT) AS label,
                       CAST(count(*) AS BIGINT) AS n_votes, min(nn.rank) AS best_rank
                     FROM nn JOIN embeddings l ON l.vec_id = nn.vec_id
@@ -2097,6 +2161,44 @@ object LlmQueries {
           $comps
           FROM f GROUP BY vec_id ORDER BY vec_id"""
     },
+    "snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS dg
+                    FROM documents WHERE doc_id % 20 <> 0),
+          b AS (SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 13 = 0 THEN upper(text)
+                                ELSE text END) AS dg
+                FROM documents WHERE doc_id % 17 <> 0),
+          j AS (SELECT coalesce(b.source, a.source) AS source,
+                       CASE WHEN a.doc_id IS NULL THEN 'added'
+                            WHEN b.doc_id IS NULL THEN 'removed'
+                            WHEN a.dg <> b.dg THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM a FULL OUTER JOIN b USING (doc_id))
+         SELECT source, status, count(*) AS n_docs
+         FROM j GROUP BY 1, 2 ORDER BY source, status""",
+    "label_propagation" ->
+      s"""WITH $vnCtes,
+          $ivfNnAllCtes,
+          lab0 AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label,
+                          CAST(0 AS BIGINT) AS hops
+                   FROM embeddings WHERE vec_id % 5 = 0),
+          ${lpRoundSql(0, 1)},
+          ${lpRoundSql(1, 2)}
+          SELECT node, label, hops FROM lab2 ORDER BY node""",
+    "embedding_drift" ->
+      """WITH f AS (SELECT vec_id % 2 = 0 AS is_ref,
+                      unnest(range(0, len(embedding))) AS dim,
+                      unnest(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q
+                    FROM embeddings)
+         SELECT CAST(dim AS INT) AS dim,
+                count(*) FILTER (is_ref) AS n_ref,
+                count(*) FILTER (NOT is_ref) AS n_cand,
+                sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS ref_mean_q6,
+                sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref) AS cand_mean_q6,
+                sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref)
+                  - sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS delta_q6
+         FROM f GROUP BY dim ORDER BY dim""",
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -66,4 +66,73 @@ object Profiling {
       .select(explode(array(rows: _*)).as("p"))
       .select("p.*")
   }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * snapshots as added / removed / changed / unchanged (by content
+    * digest) and count per (group, status) — the audit a pipeline runs
+    * between crawl snapshots before retraining ("what actually changed,
+    * and where?").
+    *
+    * Shape: one FULL OUTER join on the unique id (hash join on the id
+    * key, no skew risk on unique keys) feeding a partial-aggregating
+    * groupBy — the output is |groups| x 4 rows regardless of corpus
+    * size, and only thin (id, group, 16-byte digest) rows ever shuffle,
+    * never document text.
+    */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    def prep(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as(s"${tag}_id"), col(groupCol).as(s"${tag}_grp"),
+        md5(col(textCol)).as(s"${tag}_dg"))
+    prep(a, "a")
+      .join(prep(b, "b"), col("a_id") === col("b_id"), "full_outer")
+      .select(
+        coalesce(col("b_grp"), col("a_grp")).as("source"),
+        when(col("a_id").isNull, lit("added"))
+          .when(col("b_id").isNull, lit("removed"))
+          .when(col("a_dg") =!= col("b_dg"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Embedding-space drift report between two corpus slices (e.g. the
+    * training snapshot vs a fresh crawl): per-dimension counts, quantized
+    * mean positions of each slice, and the mean delta — the check a
+    * pipeline runs before mixing a new snapshot into training data, since
+    * a per-dimension mean shift is the cheapest detectable symptom of a
+    * distribution change (new domain mix, encoder version bump, collapsed
+    * dims).
+    *
+    * Shape: ONE narrow `posexplode` pass (rows x dims, partially
+    * aggregated map-side down to <= dims rows per task) into a final
+    * <= dims-row aggregate — no shuffle of vector payloads, no pairwise
+    * anything; cost is a single scan at any corpus size.
+    *
+    * Integer-exact parity: components quantize as `floor(x * 1e6)` BEFORE
+    * summing (Long sums are order-independent; double sums are not), and
+    * means use truncating integer division — Spark `div` and DuckDB `//`
+    * agree on negatives (both truncate toward zero).
+    */
+  def embeddingDrift(emb: DataFrame, vecCol: String, isRef: Column): DataFrame = {
+    val q = emb
+      .select(isRef.as("is_ref"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("is_ref"), col("dim"),
+        floor(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
+    q.groupBy(col("dim"))
+      .agg(
+        count(when(col("is_ref"), lit(1))).as("n_ref"),
+        count(when(!col("is_ref"), lit(1))).as("n_cand"),
+        sum(when(col("is_ref"), col("q"))).as("sref"),
+        sum(when(!col("is_ref"), col("q"))).as("scand"))
+      .select(col("dim"), col("n_ref"), col("n_cand"),
+        expr("sref div n_ref").as("ref_mean_q6"),
+        expr("scand div n_cand").as("cand_mean_q6"),
+        (expr("scand div n_cand") - expr("sref div n_ref")).as("delta_q6"))
+  }
 }

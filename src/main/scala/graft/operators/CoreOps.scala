@@ -647,6 +647,43 @@ object CoreOps {
       .filter(col("event_type") === "click")
   }
 
+  /** N-step ordered funnel: for every user, the earliest completion of
+    * the ordered step sequence (each step strictly after the previous
+    * pick in `(ts_us, event_id)` order). Greedy-earliest is MAXIMAL: any
+    * valid step assignment can only be shifted earlier, so the earliest
+    * pick at each stage never costs a later stage (spec-pinned against a
+    * brute-force search). Output per user reaching step 1: `user_id`,
+    * `t1_us..tN_us` (null once unreached), `steps_reached`.
+    *
+    * Scale shape: one narrow filtered pass + keyed partial-aggregate
+    * `min(struct)` PER STEP, each joined against the thin user-sized
+    * frame of previous picks — no windows, no per-user sorts, no
+    * quadratic anything; a hot user costs one extra aggregate row per
+    * step. Steps count is the (small) plan depth, not a data dimension.
+    */
+  def funnelSteps(ev: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val base = ev.select(col("user_id"), col("event_type"),
+      col("ts_us"), col("event_id"))
+    var cur = base.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("__m1"))
+    for (i <- 2 to steps.length) {
+      val nxt = base.filter(col("event_type") === steps(i - 1))
+        .join(cur.select(col("user_id"), col(s"__m${i - 1}")), "user_id")
+        .filter(struct(col("ts_us"), col("event_id")) > col(s"__m${i - 1}"))
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as(s"__m$i"))
+      cur = cur.join(nxt, Seq("user_id"), "left")
+    }
+    cur.select(
+      col("user_id") +:
+        steps.indices.map(i => col(s"__m${i + 1}.ts_us").as(s"t${i + 1}_us")) :+
+        steps.indices
+          .map(i => when(col(s"__m${i + 1}").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("steps_reached"): _*)
+  }
+
   /** [[funnelNextPurchase]] for a pathologically hot user: the same
     * output, but the running future-min is the chunked two-pass form (the
     * family pattern of `sessionSummaryChunked` / `lateDataSplit` /

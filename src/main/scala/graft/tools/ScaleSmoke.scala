@@ -191,6 +191,33 @@ object ScaleSmoke {
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.functions.Graph.pageRank(sym, "src", "dst", 5).mat()
     }
+    time("personalized pagerank (4 iters)") {
+      // same deg~40 synthetic graph as the pagerank row; seed-sparse rank
+      // frames stay tiny early and bounded by reached-nodes later
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.personalizedPageRank(
+        sym, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 4).mat()
+    }
+    time("triangle counts (deg~40)") {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.triangleCounts(sym, "src", "dst").mat()
+    }
+    time("table profile (events, 5 cols)") {
+      graft.functions.Profiling.tableProfile(events, Seq(
+        "event_id" -> "long", "user_id" -> "long",
+        "event_type" -> "string", "value" -> "double_centi",
+        "ts" -> "ts_us")).mat()
+    }
     time("keyword extraction (top-3)") {
       graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).mat()
     }
