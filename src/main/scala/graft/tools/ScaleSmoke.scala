@@ -218,6 +218,36 @@ object ScaleSmoke {
         "event_type" -> "string", "value" -> "double_centi",
         "ts" -> "ts_us")).mat()
     }
+    time("embedding drift (64 dims)") {
+      graft.functions.Profiling.embeddingDrift(
+        vecs.withColumnRenamed("vec", "embedding"), "embedding",
+        col("vec_id") % 2 === 0).mat()
+    }
+    time("snapshot diff") {
+      graft.functions.Profiling.snapshotDiff(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, upper(col("text")))
+              .otherwise(col("text"))),
+        "doc_id", "text", "source").mat()
+    }
+    time("funnel steps (3-step)") {
+      CoreOps.funnelSteps(
+        events.filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id")),
+        Seq("view", "click", "purchase")).mat()
+    }
+    time("label propagation (ivf knn)") {
+      val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      graft.functions.Graph.labelPropagation(
+        Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 200, nprobe = 3),
+        vecs.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("node"), (col("vec_id") % 7).as("label")),
+        rounds = 2).mat()
+    }
     time("keyword extraction (top-3)") {
       graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).mat()
     }
