@@ -409,6 +409,54 @@ object StatefulOps {
       }
   }
 
+  final case class StepPick(tsUs: Long, eventId: Long)
+  final case class FunnelStepsState(picks: Seq[StepPick])
+  final case class FunnelStepAdvance(user: Long, step: Int, tsUs: Long, eventId: Long)
+
+  /** Streaming twin of the batch N-step funnel
+    * ([[graft.operators.CoreOps.funnelSteps]]): per-user greedy-earliest
+    * step machine. State is the picks-so-far vector (<= N entries, a few
+    * longs — fixed-size state per user, never the event history); each
+    * arriving event that matches the NEXT step strictly after the last
+    * pick advances the funnel and emits one `FunnelStepAdvance` row, so
+    * the appended transition log reconstructs the batch answer exactly:
+    * final (t1..tN, steps_reached) per user = the user's advances.
+    *
+    * Greedy-forward matches the batch greedy (which is maximal) when
+    * each user's events arrive in `(ts, event_id)` order across
+    * micro-batches — the same in-order-per-key stance as
+    * [[actionDurations]] / [[scd2Versions]]; within a batch, arrival
+    * order is irrelevant (rows sort before processing). Convergence at
+    * multiple coprime chunk sizes is pinned in ConvergenceSpec.
+    */
+  def funnelStepsStream(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelStepAdvance] = {
+    implicit val outEnc = Encoders.product[FunnelStepAdvance]
+    implicit val stateEnc = Encoders.product[FunnelStepsState]
+    implicit val longEnc = Encoders.scalaLong
+    val stepsV = steps.toVector
+    events
+      .groupByKey((e: FunnelEvent) => e.user)
+      .flatMapGroupsWithState[FunnelStepsState, FunnelStepAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelStepsState]) =>
+          val out = Seq.newBuilder[FunnelStepAdvance]
+          var picks = state.getOption.map(_.picks).getOrElse(Seq.empty)
+          evs.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            val k = picks.size
+            val after = picks.isEmpty || e.tsUs > picks.last.tsUs ||
+              (e.tsUs == picks.last.tsUs && e.eventId > picks.last.eventId)
+            if (k < stepsV.length && e.eventType == stepsV(k) && after) {
+              picks = picks :+ StepPick(e.tsUs, e.eventId)
+              out += FunnelStepAdvance(user, k + 1, e.tsUs, e.eventId)
+            }
+          }
+          if (picks.nonEmpty) state.update(FunnelStepsState(picks))
+          out.result().iterator
+      }
+  }
+
   /** ST2 (`CourseUseCase.java:114-180`): per-user action-duration tracker.
     * For each event, emit the duration of the *previous* action
     * (current ts - previous ts) unless the state is empty or the current

@@ -436,6 +436,39 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("N-step funnel streaming twin converges to the batch answer") {
+    import StatefulOps.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val res = StatefulOps.funnelStepsStream(input.toDS(),
+      Seq("view", "click", "purchase"))
+    val q = res.writeStream.format("memory").queryName("conv_funnel_steps")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.collect {
+          case (id, user, typ, tsUs, _)
+            if typ == "view" || typ == "click" || typ == "purchase" =>
+            FunnelEvent(user, typ, tsUs, id)
+        })
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("conv_funnel_steps")
+        .groupBy(col("user"))
+        .agg(
+          min(when(col("step") === 1, col("tsUs"))).as("t1_us"),
+          min(when(col("step") === 2, col("tsUs"))).as("t2_us"),
+          min(when(col("step") === 3, col("tsUs"))).as("t3_us"),
+          max(col("step")).cast("long").as("steps_reached"))
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().toSeq.sortBy(_._1)
+      val batch = graft.SparkEntry.queries("funnel_steps")(spark, d)
+        .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("A5 streaming keyed tumbling counts converge to the batch answer") {
     val input = MemoryStream[(Long, String, Long)] // (user_id, event_type, ts_us)
     val counts = StreamOps.keyedWindowedCount(
