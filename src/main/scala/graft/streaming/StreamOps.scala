@@ -87,6 +87,34 @@ object StreamOps {
         col("n"),
         col("sum_value_milli"))
 
+  /** Streaming sequence mining: per-session ordered journey paths, the
+    * streaming twin of the `session_paths` batch aggregate. One
+    * watermarked `session_window` aggregation whose per-session state is
+    * the event list of ONE session of ONE user (bounded by session
+    * length, merged order-independently — `array_sort` over
+    * `(ts, event_id, type)` structs makes the path deterministic no
+    * matter how micro-batches slice the session). Append mode emits each
+    * session's path exactly once when the watermark closes it; the
+    * global top-50 ranking is a downstream batch step over the emitted
+    * log (ConvergenceSpec) — ranking inside the stream would make every
+    * emission depend on all sessions ever seen.
+    */
+  def sessionPathsStream(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      gap: String,
+      typeCol: String,
+      idCol: String,
+      watermark: String = "2 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap).as("w"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("t"), col(idCol).as("i"),
+        col(typeCol).as("e")))), x => x.getField("e")), ">").as("path"))
+      .select(col(key), unix_micros(col("w.start")).as("session_start_us"),
+        col("path"))
+
   /** A5: composite-key tumbling count. */
   def keyedWindowedCount(
       df: DataFrame,

@@ -436,6 +436,40 @@ class ConvergenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session paths streaming twin converges to the batch top-50") {
+    val input = MemoryStream[(Long, Long, String, Long)] // (id, user, type, ts_us)
+    val paths = StreamOps.sessionPathsStream(
+      input.toDF().toDF("event_id", "user_id", "event_type", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      key = "user_id", tsCol = "ts", gap = "4 hours",
+      typeCol = "event_type", idCol = "event_id")
+    val q = paths.writeStream.format("memory").queryName("conv_paths")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks(replay.toSeq).foreach { batch =>
+        input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+          (id, user, typ, tsUs)
+        })
+        q.processAllAvailable()
+      }
+      // far-future flush event closes every session past the watermark
+      val flushTs = replay.last._4 + 30L * 24 * 3600 * 1000000
+      input.addData((-1L, -1L, "flush", flushTs))
+      q.processAllAvailable()
+      // downstream batch ranking over the emitted per-session path log —
+      // same (count desc, path) order and cutoff as the batch query
+      val streamed = spark.table("conv_paths")
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(50)
+        .as[(String, Long)].collect().toSeq
+      val batch = graft.SparkEntry.queries("session_paths")(spark, d)
+        .as[(String, Long)].collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("N-step funnel streaming twin converges to the batch answer") {
     import StatefulOps.FunnelEvent
     val input = MemoryStream[FunnelEvent]
