@@ -32,18 +32,21 @@ object Profiling {
     * @return one row per profiled column:
     *         (column, n_rows, n_nulls, n_distinct, min_repr, max_repr)
     */
-  def tableProfile(df: DataFrame, columns: Seq[(String, String)]): DataFrame = {
-    def repr(kind: String, agg: Column): Column = kind match {
-      case "long"         => agg.cast("string")
-      case "string"       => agg
-      case "double_centi" => floor(agg * lit(100)).cast("long").cast("string")
-      // NTZ-safe: parquet may surface the column as TIMESTAMP_NTZ; the
-      // cast is an identity under the engine's pinned UTC session TZ.
-      case "ts_us"        => unix_micros(agg.cast("timestamp")).cast("string")
-      case other =>
-        throw new IllegalArgumentException(s"unknown profile kind: $other")
-    }
+  /** Portable min/max rendering per declared kind (see object doc).
+    * NTZ-safe for `ts_us`: parquet may surface the column as
+    * TIMESTAMP_NTZ; the cast is an identity under the engine's pinned
+    * UTC session TZ. Shared with the streaming profile twin.
+    */
+  private[graft] def repr(kind: String, agg: Column): Column = kind match {
+    case "long"         => agg.cast("string")
+    case "string"       => agg
+    case "double_centi" => floor(agg * lit(100)).cast("long").cast("string")
+    case "ts_us"        => unix_micros(agg.cast("timestamp")).cast("string")
+    case other =>
+      throw new IllegalArgumentException(s"unknown profile kind: $other")
+  }
 
+  def tableProfile(df: DataFrame, columns: Seq[(String, String)]): DataFrame = {
     val aggs: Seq[Column] = columns.flatMap { case (c, kind) =>
       Seq(
         count(col(c)).as(s"${c}__nn"),

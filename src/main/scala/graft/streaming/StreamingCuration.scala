@@ -300,4 +300,51 @@ object StreamingCuration {
         hll_sketch_estimate(col("uniq_sk")).as("approx_uniq_texts"),
         col("sum_quality_milli"),
         size(col("langs")).cast("long").as("n_langs"))
+
+  /** Streaming data-quality monitor: the per-window twin of
+    * [[graft.functions.Profiling.tableProfile]]. One watermarked window
+    * aggregation computes every profiled column's stats simultaneously —
+    * exact row/null counts and portable min/max reprs are mergeable
+    * as-is; exact `count(DISTINCT)` is NOT mergeable streaming state, so
+    * uniqueness rides an HLL sketch (union-mergeable, ~2% at lgK=12;
+    * tolerance pinned against the exact batch profile in
+    * StreamingExtrasSpec). The per-window summary row unpacks to one row
+    * per (window, column) with the same long-format schema as the batch
+    * profiler, so a dashboard consumes both tiers interchangeably.
+    *
+    * State per window is FIXED-SIZE (counts + 2 reprs + one sketch per
+    * profiled column) — never row-sized — so the monitor holds at any
+    * stream rate.
+    */
+  def profileStream(
+      df: DataFrame,
+      tsCol: String,
+      columns: Seq[(String, String)],
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute"): DataFrame = {
+    import graft.functions.Profiling
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      columns.flatMap { case (c, kind) =>
+        Seq(
+          count(col(c)).as(s"${c}__nn"),
+          hll_sketch_agg(col(c).cast("string"), lit(12)).as(s"${c}__sk"),
+          Profiling.repr(kind, min(col(c))).as(s"${c}__min"),
+          Profiling.repr(kind, max(col(c))).as(s"${c}__max"))
+      }
+    val rows = columns.map { case (c, _) =>
+      struct(
+        lit(c).as("column"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"${c}__nn")).as("n_nulls"),
+        hll_sketch_estimate(col(s"${c}__sk")).as("approx_distinct"),
+        col(s"${c}__min").as("min_repr"),
+        col(s"${c}__max").as("max_repr"))
+    }
+    df.withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("__n_rows"), aggs: _*)
+      .select(col("window.start").as("window_start"),
+        explode(array(rows: _*)).as("p"))
+      .select(col("window_start"), col("p.*"))
+  }
 }

@@ -412,6 +412,49 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(got.exists(_ >= 60L), s"appended vectors must be searchable, got ${got.toSeq}")
   }
 
+  test("profileStream equals the exact batch profile (HLL uniq within 5%)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .localCheckpoint()
+    val cols = Seq("event_id" -> "long", "user_id" -> "long",
+      "event_type" -> "string", "value" -> "double_centi")
+    val rows = ev.as[(Long, Long, String, Double, Long)].collect().sortBy(_._1)
+    // all rows into ONE 1-minute window keyed off a fixed base instant
+    val base = 1704067200000000L
+    val input = MemoryStream[(Long, Long, String, Double, Long)]
+    val prof = StreamingCuration.profileStream(
+      input.toDF().toDF("event_id", "user_id", "event_type", "value", "seq")
+        .withColumn("ts", timestamp_micros(lit(base) + col("seq"))).drop("seq"),
+      "ts", cols, horizon = "1 second", windowDur = "1 minute")
+    val q = prof.writeStream.format("memory").queryName("profile_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(300).zipWithIndex.foreach { case (b, i) =>
+        input.addData(b.map { case (id, u, t, v, _) => (id, u, t, v, id) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, -1L, "flush", 0.0, 365L * 86400000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("profile_stream")
+      .filter(col("column") =!= lit("flush")) // (flush lands in a later window)
+      .filter(col("window_start") === timestamp_micros(lit(base)))
+      .select("column", "n_rows", "n_nulls", "approx_distinct",
+        "min_repr", "max_repr")
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    val batch = graft.functions.Profiling.tableProfile(ev, cols)
+      .select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(streamed.map(_._1).toSeq === batch.map(_._1).toSeq)
+    streamed.zip(batch).foreach {
+      case ((c, nr, nn, uniq, mn, mx), (_, bnr, bnn, bexact, bmn, bmx)) =>
+        assert(nr === bnr && nn === bnn && mn === bmn && mx === bmx, c)
+        assert(math.abs(uniq - bexact) <= math.max(1L, bexact / 20),
+          s"$c approx $uniq vs exact $bexact")
+    }
+  }
+
   test("datasheetStream card equals the batch corpus_datasheet on the frozen corpus") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "source", "lang", "text").localCheckpoint()
