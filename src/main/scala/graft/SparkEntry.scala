@@ -1029,6 +1029,26 @@ object SparkEntry {
           col("sum_base_c"), col("n"))
         .orderBy("rflag", "lstatus")
     },
+    // CUBE completes the grouping-sets family (rollup above): all four
+    // (flag, status) strata in one pass — Spark expands grouping sets
+    // before the partial aggregate, so the shuffle carries one partial
+    // row per (stratum x group), never a re-scan per stratum. grouping()
+    // flags disambiguate aggregated-away columns engine-portably.
+    "cube_pricing" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          // grouping() only resolves inside the grouping-sets aggregate
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum(CoreOps.scaledCenti(col("l_extendedprice"))).as("sum_base_c"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("g_flag"), col("g_status"), col("sum_base_c"), col("n"))
+        .orderBy("rflag", "lstatus")
+    },
     // Exact interpolated percentiles over quantized values. ORACLE-ONLY
     // AT SCALE: the exact `percentile` aggregate buffers every value of a
     // group in the agg buffer — with few groups that is one reducer
@@ -1558,6 +1578,16 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rflag, lstatus""",
+    "cube_pricing" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+                coalesce(l_linestatus, '<all>') AS lstatus,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY rflag, lstatus""",
     "percentiles_by_type" ->
       """SELECT event_type,
