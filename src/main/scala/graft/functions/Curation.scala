@@ -72,6 +72,46 @@ object Curation {
         col("containment_milli"))
   }
 
+  /** Per-benchmark-item leakage report — the flip side of
+    * [[contaminationPairs]]: instead of listing contaminated TRAIN docs,
+    * answer the eval owner's question "how dirty is each benchmark item,
+    * and what is its worst contaminator?". One row per bench doc:
+    * hit count, max containment, and the argmax train doc (containment
+    * desc, min id tie-break); clean items report 0 hits with a null
+    * contaminator.
+    *
+    * Shape: the pair frame (already df-cap bounded) collapses in ONE
+    * partial-aggregating groupBy per bench id (`max(struct)` argmax, no
+    * window), then left-joins the bench-id list — bench sets are tiny
+    * next to a web corpus, so the report side never prices the corpus.
+    */
+  def evalLeakageReport(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      isBench: Column,
+      n: Int,
+      maxShingleDf: Int,
+      minContainMilli: Int): DataFrame = {
+    val pairs = contaminationPairs(docs, textCol, idCol, isBench,
+      n, maxShingleDf, minContainMilli)
+    val perBench = pairs
+      .groupBy(col("bench_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        max(col("containment_milli")).as("max_contain_milli"),
+        max(struct(col("containment_milli").as("c"),
+          (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("bench_id"), col("n_hits"), col("max_contain_milli"),
+        (-col("b.neg")).as("top_doc_id"))
+    docs.filter(isBench).select(col(idCol).as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_contain_milli"), lit(0L)).as("max_contain_milli"),
+        col("top_doc_id"))
+  }
+
   /** Bloom-prefiltered contamination: identical output to
     * [[contaminationPairs]], with the corpus side pruned by a Bloom filter
     * of the benchmark's shingle universe before any join shuffles it.
@@ -230,6 +270,48 @@ object Curation {
         when(col("bucket") < testPermille, lit("test"))
           .when(col("bucket") < testPermille + valPermille, lit("val"))
           .otherwise(lit("train")))
+  }
+
+  /** Contrastive training-pair construction from the dedup graph: each
+    * verified near-dup pair becomes an (anchor, positive) example, and
+    * the negative is drawn by the standard IN-BATCH pairing — within a
+    * deterministic hash shard ("batch"), pair i takes pair i+1's
+    * positive (wrapping) as its negative — then any negative that lands
+    * in the anchor's own dup CLUSTER is dropped (a near-dup "negative"
+    * would teach the opposite of the truth; this also removes the
+    * single-pair-shard wrap-to-self case).
+    *
+    * Scale shape: the only window is `row_number` PARTITIONED BY shard —
+    * shard count is the caller's knob, so per-partition sorts are
+    * |pairs|/shards regardless of corpus size; shard sizes broadcast
+    * (<= shards rows); cluster labels attach as two thin keyed joins.
+    * Everything is hash-deterministic — no RNG, so the oracle reproduces
+    * the exact pairing.
+    */
+  def contrastivePairs(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "contrastivePairs needs >= 1 shard")
+    val clusters = connectedComponents(pairs, aCol, bCol)
+    val p = pairs.select(col(aCol).as("anchor_id"), col(bCol).as("pos_id"))
+      .withColumn("shard", pmod(hash48(col("anchor_id")), lit(shards)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("anchor_id"), col("pos_id"))
+    val rn = p.withColumn("rn", row_number().over(w))
+    val sizes = rn.groupBy(col("shard")).agg(max(col("rn")).as("__m"))
+    val negSrc = rn.select(col("shard"), col("rn").as("__nrn"),
+      col("pos_id").as("neg_id"))
+    rn.join(broadcast(sizes), "shard")
+      .withColumn("__nrn", pmod(col("rn"), col("__m")) + 1)
+      .join(negSrc, Seq("shard", "__nrn"))
+      .join(clusters.select(col("node").as("anchor_id"),
+        col("cluster_id").as("__ca")), "anchor_id")
+      .join(clusters.select(col("node").as("neg_id"),
+        col("cluster_id").as("__cn")), "neg_id")
+      .filter(col("__ca") =!= col("__cn"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("shard"))
   }
 
   /** The full curation DAG as one composition — the keep-side query a

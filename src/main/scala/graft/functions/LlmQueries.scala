@@ -518,6 +518,27 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Contrastive training pairs from the dedup graph: verified near-dup
+    // pairs as (anchor, positive), in-batch hash-shard pairing for the
+    // negative, cluster-membership filter so no negative is secretly a
+    // near-dup of its anchor.
+    "contrastive_pairs" -> { (s, d) =>
+      Curation.contrastivePairs(
+        Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b", shards = 8)
+        .orderBy("anchor_id", "pos_id", "neg_id")
+    },
+    // Eval-side leakage report: per benchmark item, hit count / max
+    // containment / worst contaminating train doc — the report the eval
+    // owner reads (the train-side `contamination` lists the same pairs
+    // from the other direction).
+    "eval_leakage_report" -> { (s, d) =>
+      Curation.evalLeakageReport(Tables.documents(s, d), "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(20)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100)
+        .orderBy("bench_id")
+    },
     // The corpus a pipeline actually trains on after the leakage check:
     // non-benchmark docs minus every contamination hit — the keep-side
     // twin of `contamination`, same df-capped candidate generation.
@@ -1511,6 +1532,28 @@ object LlmQueries {
                  coalesce(array_to_string(kt, ' '), '') AS clean_text
           FROM kept ORDER BY doc_id""",
     "contamination" -> contaminationOracleSql,
+    "eval_leakage_report" ->
+      s"""WITH $contaminationCtes,
+          hits AS (SELECT bench_id, p.doc_id, inter, nb,
+                     CAST(floor(inter * 1000.0 / nb) AS BIGINT) AS cm
+                   FROM p JOIN nbt USING (bench_id)
+                   WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100),
+          agg AS (SELECT bench_id, count(*) AS n_hits,
+                         max(cm) AS max_contain_milli
+                  FROM hits GROUP BY 1),
+          top AS (SELECT bench_id, doc_id AS top_doc_id FROM (
+                    SELECT bench_id, doc_id,
+                           row_number() OVER (PARTITION BY bench_id
+                             ORDER BY cm DESC, doc_id ASC) AS rn
+                    FROM hits) WHERE rn = 1),
+          bench AS (SELECT doc_id AS bench_id FROM documents
+                    WHERE doc_id % 20 = 0)
+         SELECT b.bench_id, coalesce(a.n_hits, 0) AS n_hits,
+                coalesce(a.max_contain_milli, 0) AS max_contain_milli,
+                t.top_doc_id
+         FROM bench b LEFT JOIN agg a USING (bench_id)
+              LEFT JOIN top t USING (bench_id)
+         ORDER BY b.bench_id""",
     "decontaminated_keep" ->
       s"""WITH $contaminationCtes,
           hits AS (SELECT DISTINCT doc_id FROM p JOIN nbt USING (bench_id)
@@ -1600,6 +1643,36 @@ object LlmQueries {
             SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
           SELECT node AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+    "contrastive_pairs" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cl AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+          p AS (SELECT a AS anchor_id, b AS pos_id,
+                  CAST(('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard
+                FROM vp),
+          rp AS (SELECT *, row_number() OVER (PARTITION BY shard
+                   ORDER BY anchor_id, pos_id) AS rn FROM p),
+          m AS (SELECT shard, max(rn) AS m FROM rp GROUP BY 1),
+          neg AS (SELECT shard, rn AS nrn, pos_id AS neg_id FROM rp),
+          j AS (SELECT r.anchor_id, r.pos_id, n.neg_id, r.shard
+                FROM rp r JOIN m USING (shard)
+                JOIN neg n ON n.shard = r.shard AND n.nrn = (r.rn % m.m) + 1)
+          SELECT j.anchor_id, j.pos_id, j.neg_id, j.shard
+          FROM j JOIN cl ca ON ca.node = j.anchor_id
+               JOIN cl cn ON cn.node = j.neg_id
+          WHERE ca.cluster_id <> cn.cluster_id
+          ORDER BY anchor_id, pos_id, neg_id""",
     "dedup_keep_list" ->
       s"""WITH RECURSIVE $shinglesCte,
           $minhashCandCtes,

@@ -208,6 +208,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: in-batch pairing, cluster-mate negatives dropped") {
+    import org.apache.spark.sql.Row
+    // clusters: {1,2,3} (chained) and {10,11}; one shard so the pairing
+    // order is (1,2) -> (2,3) -> (10,11) -> wrap
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Curation.contrastivePairs(pairs, "a", "b", shards = 1)
+      .select("anchor_id", "pos_id", "neg_id")
+      .orderBy("anchor_id").collect()
+    // (1,2)'s in-batch negative is 3 — same cluster as anchor 1 -> DROPPED
+    // (2,3)'s negative is 11 (other cluster) -> kept
+    // (10,11) wraps to negative 2 (other cluster) -> kept
+    assert(out.toSeq == Seq(Row(2L, 3L, 11L), Row(10L, 11L, 2L)))
+  }
+
+  test("contrastivePairs: single-pair corpus yields no self-negative") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    // the only candidate negative is the pair's own positive (wrap to
+    // self) — same cluster, so the output is empty rather than a
+    // degenerate (anchor, pos, pos) row
+    assert(Curation.contrastivePairs(pairs, "a", "b", shards = 1).count() === 0)
+  }
+
   test("corpus_datasheet invariants: dup and lang counts bounded by doc count") {
     val rows = LlmQueries.queries("corpus_datasheet")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long, Long, Long)].collect()
