@@ -869,6 +869,20 @@ object SparkEntry {
         .orderBy(col("total_milli").desc, col("user_id"))
         .limit(10)
     },
+    // Key-skew report: the pre-join diagnostic for choosing a skew
+    // strategy (salt? chunk? AQE skew-join?) — top-20 heaviest keys with
+    // their permille share of all rows. One partial-agg groupBy, a 1-row
+    // broadcast total, and a bounded TakeOrdered(20); nothing global.
+    "key_skew_report" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+        .select(col("user_id"), col("n"),
+          expr("n * 1000 div __t").as("permille"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    },
     // Daily distinct users (exact distinct under partial aggregation).
     "daily_active_users" -> { (s, d) =>
       Tables.events(s, d)
@@ -1512,6 +1526,11 @@ object SparkEntry {
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
          FROM events GROUP BY user_id
          ORDER BY total_milli DESC, user_id LIMIT 10""",
+    "key_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+          t AS (SELECT sum(n) AS t FROM c)
+         SELECT c.user_id, c.n, CAST((c.n * 1000) // t.t AS BIGINT) AS permille
+         FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 20""",
     "daily_active_users" ->
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
