@@ -239,6 +239,22 @@ object ScaleSmoke {
             unix_micros(col("ts")).as("ts_us"), col("event_id")),
         Seq("view", "click", "purchase")).mat()
     }
+    time("contrastive pairs (8 shards)") {
+      graft.functions.Curation.contrastivePairs(
+        Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600),
+        "a", "b", shards = 8).mat()
+    }
+    time("eval leakage report") {
+      graft.functions.Curation.evalLeakageReport(docs, "text", "doc_id",
+        isBench = pmod(col("doc_id"), lit(1000)) === 0,
+        n = 3, maxShingleDf = 50, minContainMilli = 100).mat()
+    }
+    time("key skew report") {
+      val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+        .select(col("user_id"), col("n"), expr("n * 1000 div __t").as("permille"))
+        .orderBy(col("n").desc, col("user_id")).limit(20).mat()
+    }
     time("label propagation (ivf knn)") {
       val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
       val corpus = vecs.select(col("vec_id"), col("vec"))
