@@ -272,6 +272,59 @@ object Curation {
           .otherwise(lit("train")))
   }
 
+  /** Cross-source quantile-matching normalization of the quality score —
+    * the fairness step before any global quality threshold: raw scores
+    * are not comparable across sources (a "good" forum post and a "good"
+    * reference article sit at different absolute scores), so each doc's
+    * score maps to its PER-SOURCE percentile and then to the GLOBAL
+    * score at that percentile. After normalization a single corpus-wide
+    * cut keeps the same fraction of every source.
+    *
+    * Sort-free at any corpus size because the score is BOUNDED
+    * ([0, 1000] milli-units): all distribution work happens on
+    * histograms of <= 1001 rows —
+    *   - per-source CDF: one window PARTITIONED by source over its
+    *     <= 1001 histogram rows;
+    *   - global CDF: a broadcast histogram SELF-join (<= 1001² rows,
+    *     no unpartitioned window anywhere);
+    *   - percentile -> score inverse: a 1001-row broadcast lookup
+    *     table, so the per-doc path is two broadcast equi-joins on
+    *     integer keys — narrow, shuffle-free.
+    * Integer-exact: permille = (cum * 1000) div n (Spark `div` ==
+    * DuckDB `//` here, all operands positive).
+    */
+  def quantileNormalizeQuality(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): DataFrame = {
+    val q = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      TextAnalysis.qualityMilli(col(textCol)).as("q_milli"))
+    val hs = q.groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))
+    val ns = hs.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("q_milli"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val scdf = hs.withColumn("cum", sum(col("c")).over(wS))
+      .join(broadcast(ns), "source")
+      .select(col("source"), col("q_milli"),
+        expr("(cum * 1000) div n").as("permille"))
+    val hg = q.groupBy(col("q_milli")).agg(count(lit(1)).as("c"))
+    val gcdf = hg.select(col("q_milli").as("v"))
+      .join(broadcast(hg.select(col("q_milli").as("q2"), col("c"))),
+        col("q2") <= col("v"))
+      .groupBy(col("v")).agg(sum(col("c")).as("cumg"))
+      .crossJoin(broadcast(hg.agg(sum(col("c")).as("ng"))))
+      .select(col("v"), expr("(cumg * 1000) div ng").as("pg"))
+    val inv = docs.sparkSession.range(0, 1001)
+      .select(col("id").as("permille"))
+      .join(broadcast(gcdf), col("pg") >= col("permille"))
+      .groupBy(col("permille")).agg(min(col("v")).as("q_norm_milli"))
+    q.join(broadcast(scdf), Seq("source", "q_milli"))
+      .join(broadcast(inv), Seq("permille"))
+      .select(col("doc_id"), col("source"), col("q_milli"),
+        col("permille"), col("q_norm_milli"))
+  }
+
   /** Contrastive training-pair construction from the dedup graph: each
     * verified near-dup pair becomes an (anchor, positive) example, and
     * the negative is drawn by the standard IN-BATCH pairing — within a

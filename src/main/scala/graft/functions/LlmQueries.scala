@@ -518,6 +518,16 @@ object LlmQueries {
         n = 3, maxShingleDf = 50, minContainMilli = 100)
         .orderBy("doc_id", "bench_id")
     },
+    // Cross-source quantile-matching quality normalization: per-source
+    // percentile -> global score at that percentile, so one corpus-wide
+    // cut keeps the same fraction of every source. All distribution work
+    // on <= 1001-row bounded histograms; per-doc path is two broadcast
+    // integer equi-joins.
+    "quality_quantile_norm" -> { (s, d) =>
+      Curation.quantileNormalizeQuality(Tables.documents(s, d),
+        "text", "doc_id", "source")
+        .orderBy("doc_id")
+    },
     // Contrastive training pairs from the dedup graph: verified near-dup
     // pairs as (anchor, positive), in-batch hash-shard pairing for the
     // negative, cluster-membership filter so no negative is secretly a
@@ -1643,6 +1653,37 @@ object LlmQueries {
             SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
           SELECT node AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+    "quality_quantile_norm" ->
+      s"""WITH base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+          m AS (SELECT doc_id, source, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          q AS (SELECT doc_id, source,
+                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
+                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
+                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
+                    AS q_milli
+                FROM m),
+          hs AS (SELECT source, q_milli, count(*) AS c FROM q GROUP BY 1, 2),
+          ns AS (SELECT source, sum(c) AS n FROM hs GROUP BY 1),
+          scdf AS (SELECT h.source, h.q_milli,
+                     CAST((sum(h.c) OVER (PARTITION BY h.source ORDER BY h.q_milli) * 1000)
+                       // ns.n AS BIGINT) AS permille
+                   FROM hs h JOIN ns ON ns.source = h.source),
+          hg AS (SELECT q_milli, count(*) AS c FROM q GROUP BY 1),
+          ngt AS (SELECT sum(c) AS ng FROM hg),
+          gcdf AS (SELECT v, CAST((cumg * 1000) // ngt.ng AS BIGINT) AS pg FROM (
+                     SELECT h1.q_milli AS v, sum(h2.c) AS cumg
+                     FROM hg h1 JOIN hg h2 ON h2.q_milli <= h1.q_milli
+                     GROUP BY 1) x, ngt),
+          inv AS (SELECT pp.p AS permille, min(g.v) AS q_norm_milli
+                  FROM (SELECT unnest(range(0, 1001)) AS p) pp
+                  JOIN gcdf g ON g.pg >= pp.p GROUP BY 1)
+          SELECT q.doc_id, q.source, q.q_milli, s.permille, i.q_norm_milli
+          FROM q JOIN scdf s ON s.source = q.source AND s.q_milli = q.q_milli
+               JOIN inv i ON i.permille = s.permille
+          ORDER BY q.doc_id""",
     "contrastive_pairs" ->
       s"""WITH RECURSIVE $shinglesCte,
           $minhashCandCtes,

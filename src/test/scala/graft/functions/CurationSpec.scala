@@ -208,6 +208,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quantileNormalizeQuality matches a naive reimplementation") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.quantileNormalizeQuality(docs, "text", "doc_id", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byq = rows.map(r => (r._2, r._3))
+    val n = byq.length.toLong
+    val global = byq.map(_._2)
+    def gPermille(v: Long) = global.count(_ <= v) * 1000L / n
+    val gvals = global.distinct
+    def inv(p: Long) = gvals.filter(v => gPermille(v) >= p).min
+    val bySrc = byq.groupBy(_._1).map { case (s, qs) => s -> qs.map(_._2) }
+    for ((id, src, q, p, qn) <- rows) {
+      val srcQs = bySrc(src)
+      assert(p == srcQs.count(_ <= q) * 1000L / srcQs.length, s"doc $id permille")
+      assert(qn == inv(p), s"doc $id q_norm")
+    }
+    // the fairness property the operator exists for: a global cut at any
+    // normalized value keeps per-source fractions within one histogram
+    // cell of each other (exact equality is impossible with ties)
+    val cut = inv(500)
+    val fracs = rows.groupBy(_._2).map { case (_, rs) =>
+      rs.count(_._5 >= cut).toDouble / rs.size
+    }
+    assert(fracs.max - fracs.min <= 0.2,
+      s"per-source keep fractions spread too wide: $fracs")
+  }
+
   test("contrastivePairs: in-batch pairing, cluster-mate negatives dropped") {
     import org.apache.spark.sql.Row
     // clusters: {1,2,3} (chained) and {10,11}; one shard so the pairing
