@@ -298,8 +298,15 @@ object Curation {
       textCol: String,
       idCol: String,
       srcCol: String): DataFrame = {
+    // ONE quality pass, checkpointed: the narrow (doc_id, source, q)
+    // frame is consumed three times (per-source histogram, global
+    // histogram, final join) and the tokenize + stopword scan behind
+    // qualityMilli re-executes per consumer otherwise (the round-7
+    // tokenBudgetSelect lesson — measured 21.4 s -> 5.2 s at the 10x
+    // smoke, 98 s -> 15.3 s at 50x, from this checkpoint alone)
     val q = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
       TextAnalysis.qualityMilli(col(textCol)).as("q_milli"))
+      .localCheckpoint()
     val hs = q.groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))
     val ns = hs.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val wS = Window.partitionBy(col("source")).orderBy(col("q_milli"))

@@ -249,6 +249,10 @@ object ScaleSmoke {
         isBench = pmod(col("doc_id"), lit(1000)) === 0,
         n = 3, maxShingleDf = 50, minContainMilli = 100).mat()
     }
+    time("quality quantile norm") {
+      graft.functions.Curation.quantileNormalizeQuality(
+        docs, "text", "doc_id", "source").mat()
+    }
     time("key skew report") {
       val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
