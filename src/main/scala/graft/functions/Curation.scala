@@ -298,6 +298,37 @@ object Curation {
       textCol: String,
       idCol: String,
       srcCol: String): DataFrame = {
+    val (q, scdf, inv) = quantileNormTablesWithScores(docs, textCol, idCol, srcCol)
+    q.join(broadcast(scdf), Seq("source", "q_milli"))
+      .join(broadcast(inv), Seq("permille"))
+      .select(col("doc_id"), col("source"), col("q_milli"),
+        col("permille"), col("q_norm_milli"))
+  }
+
+  /** The FROZEN scoring tables of [[quantileNormalizeQuality]] — what a
+    * serving tier ships so a stream can normalize arriving docs against
+    * the training snapshot's distributions
+    * ([[graft.streaming.StreamingCuration.quantileNormAssignStream]]):
+    * `(per-source permille table, permille -> global-score inverse)`.
+    * The per-source table is DENSE over the whole [0, 1000] score
+    * alphabet (sources x 1001 rows — broadcastable at any corpus size),
+    * so an arriving doc whose exact score never occurred in training
+    * still maps to its correct <=-CDF permille instead of missing.
+    */
+  def quantileNormTables(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): (DataFrame, DataFrame) = {
+    val (_, scdf, inv) = quantileNormTablesWithScores(docs, textCol, idCol, srcCol)
+    (scdf, inv)
+  }
+
+  private def quantileNormTablesWithScores(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): (DataFrame, DataFrame, DataFrame) = {
     // ONE quality pass, checkpointed: the narrow (doc_id, source, q)
     // frame is consumed three times (per-source histogram, global
     // histogram, final join) and the tokenize + stopword scan behind
@@ -309,10 +340,19 @@ object Curation {
       .localCheckpoint()
     val hs = q.groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))
     val ns = hs.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val wS = Window.partitionBy(col("source")).orderBy(col("q_milli"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val scdf = hs.withColumn("cum", sum(col("c")).over(wS))
-      .join(broadcast(ns), "source")
+    // dense per-source CDF over the full score alphabet: grid x source
+    // cells left-join the histogram mass at or below each value — all
+    // frames bounded (<= sources x 1001 x 1001 intermediate, corpus-
+    // independent), no unpartitioned window anywhere
+    val cells = docs.sparkSession.range(0, 1001)
+      .select(col("id").as("q_milli"))
+      .crossJoin(broadcast(ns))
+    val scdf = cells
+      .join(broadcast(hs.select(col("source").as("__s2"),
+        col("q_milli").as("__q2"), col("c"))),
+        col("__s2") === col("source") && col("__q2") <= col("q_milli"), "left")
+      .groupBy(col("source"), col("q_milli"), col("n"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("cum"))
       .select(col("source"), col("q_milli"),
         expr("(cum * 1000) div n").as("permille"))
     val hg = q.groupBy(col("q_milli")).agg(count(lit(1)).as("c"))
@@ -326,10 +366,7 @@ object Curation {
       .select(col("id").as("permille"))
       .join(broadcast(gcdf), col("pg") >= col("permille"))
       .groupBy(col("permille")).agg(min(col("v")).as("q_norm_milli"))
-    q.join(broadcast(scdf), Seq("source", "q_milli"))
-      .join(broadcast(inv), Seq("permille"))
-      .select(col("doc_id"), col("source"), col("q_milli"),
-        col("permille"), col("q_norm_milli"))
+    (q, scdf, inv)
   }
 
   /** Contrastive training-pair construction from the dedup graph: each

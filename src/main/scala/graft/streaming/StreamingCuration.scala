@@ -301,6 +301,34 @@ object StreamingCuration {
         col("sum_quality_milli"),
         size(col("langs")).cast("long").as("n_langs"))
 
+  /** Train-batch/score-stream twin of
+    * [[graft.functions.Curation.quantileNormalizeQuality]]: the
+    * per-source permille table and the global inverse FREEZE on the
+    * batch tier ([[graft.functions.Curation.quantileNormTables]] — the
+    * dense table covers the whole [0, 1000] score alphabet, so unseen
+    * scores still assign), and the stream is a narrow per-row quality
+    * score plus two broadcast integer equi-joins — stateless, no
+    * re-derivation of distributions per micro-batch (which would make a
+    * doc's normalized score depend on its batch siblings, the same
+    * design stance as `ccnetAssignStream`). Docs from sources absent at
+    * freeze time are dropped by the inner join — re-freeze to admit a
+    * new source.
+    */
+  def quantileNormAssignStream(
+      docStream: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      perSourceTable: DataFrame,
+      invTable: DataFrame): DataFrame =
+    docStream
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        TextAnalysis.qualityMilli(col(textCol)).as("q_milli"))
+      .join(broadcast(perSourceTable), Seq("source", "q_milli"))
+      .join(broadcast(invTable), Seq("permille"))
+      .select(col("doc_id"), col("source"), col("q_milli"),
+        col("permille"), col("q_norm_milli"))
+
   /** Streaming data-quality monitor: the per-window twin of
     * [[graft.functions.Profiling.tableProfile]]. One watermarked window
     * aggregation computes every profiled column's stats simultaneously —

@@ -412,6 +412,33 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(got.exists(_ >= 60L), s"appended vectors must be searchable, got ${got.toSeq}")
   }
 
+  test("quantileNormAssignStream equals the batch normalization row-for-row") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val (perSrc, inv) = graft.functions.Curation.quantileNormTables(
+      docs, "text", "doc_id", "source")
+    val frozenSrc = perSrc.localCheckpoint()
+    val frozenInv = inv.localCheckpoint()
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String, String)]
+    val scored = StreamingCuration.quantileNormAssignStream(
+      input.toDF().toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", frozenSrc, frozenInv)
+    val q = scored.writeStream.format("memory").queryName("qnorm_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(70).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("qnorm_stream")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = graft.functions.Curation.quantileNormalizeQuality(
+      docs, "text", "doc_id", "source")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("profileStream equals the exact batch profile (HLL uniq within 5%)") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("event_type"),
