@@ -30,6 +30,9 @@ object CurationArtifacts {
     * artifacts so a serving tier ships the corpus's card and keep
     * decisions alongside the gates it scores with. Both are bounded:
     * one row per source; one row per near-dup cluster + singleton.
+    * `qnormPerSource`/`qnormInverse` are the frozen quantile-matching
+    * normalization tables (sources x 1001 and 1001 rows) that
+    * `quantileNormAssignStream` scores against.
     */
   final case class Loaded(
       lmModel: DataFrame,
@@ -39,7 +42,9 @@ object CurationArtifacts {
       ccnetCuts: DataFrame,
       benchBloom: Array[Byte],
       datasheet: DataFrame,
-      keepBest: DataFrame)
+      keepBest: DataFrame,
+      qnormPerSource: DataFrame,
+      qnormInverse: DataFrame)
 
   /** Train every gate artifact on `docs` and persist under `dir`:
     * `lm_model` (t, cnt), `nb_model` (c, b, n_cb), `nb_classes`
@@ -81,6 +86,10 @@ object CurationArtifacts {
           shingleN, lshBands, lshRowsPerBand, minJaccardMilli),
         "a", "b"))
       .write.mode("overwrite").parquet(s"$dir/keep_best")
+    val (qnormSrc, qnormInv) =
+      Curation.quantileNormTables(docs, textCol, idCol, srcCol)
+    qnormSrc.write.mode("overwrite").parquet(s"$dir/qnorm_per_source")
+    qnormInv.write.mode("overwrite").parquet(s"$dir/qnorm_inverse")
   }
 
   /** Load a serving bundle. The two `head()`s are bounded BY
@@ -104,6 +113,8 @@ object CurationArtifacts {
       benchBloom = spark.read.parquet(s"$dir/bench_bloom")
         .head().getAs[Array[Byte]]("bloom"),
       datasheet = spark.read.parquet(s"$dir/datasheet"),
-      keepBest = spark.read.parquet(s"$dir/keep_best"))
+      keepBest = spark.read.parquet(s"$dir/keep_best"),
+      qnormPerSource = spark.read.parquet(s"$dir/qnorm_per_source"),
+      qnormInverse = spark.read.parquet(s"$dir/qnorm_inverse"))
   }
 }

@@ -948,6 +948,26 @@ object LlmQueries {
           Similarity.randomProjectionQ4(col("embedding"), inDim = 64, outDim = 8): _*)
         .orderBy("vec_id")
     },
+    // Mutual-kNN graph construction: keep only RECIPROCATED neighbor
+    // edges (a in b's top-k AND b in a's top-k) — the standard
+    // robustification that strips hub-induced asymmetric edges before
+    // graph clustering / label propagation. One thin self-join of the
+    // IVF edge list on the reversed pair key.
+    "mutual_knn_pairs" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val nn = Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25,
+        nprobe = 3).select(col("qid"), col("vec_id"), col("rank"))
+      nn.join(
+          nn.select(col("vec_id").as("qid"), col("qid").as("vec_id"),
+            col("rank").as("rank_back")),
+          Seq("qid", "vec_id"))
+        .filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("a"), col("vec_id").as("b"),
+          col("rank"), col("rank_back"))
+        .orderBy("a", "b")
+    },
     // Snapshot diff audit: added/removed/changed/unchanged counts per
     // source between two deterministic slices of the corpus (B drops
     // every 17th doc, rewrites every 13th) — one full-outer id join over
@@ -2275,6 +2295,14 @@ object LlmQueries {
           $comps
           FROM f GROUP BY vec_id ORDER BY vec_id"""
     },
+    "mutual_knn_pairs" ->
+      s"""WITH $vnCtes,
+          $ivfNnAllCtes
+          SELECT n1.qid AS a, n1.vec_id AS b, n1.rank AS rank,
+                 n2.rank AS rank_back
+          FROM nn n1 JOIN nn n2
+            ON n2.qid = n1.vec_id AND n2.vec_id = n1.qid
+          WHERE n1.qid < n1.vec_id ORDER BY a, b""",
     "snapshot_diff" ->
       """WITH a AS (SELECT doc_id, source, md5(text) AS dg
                     FROM documents WHERE doc_id % 20 <> 0),

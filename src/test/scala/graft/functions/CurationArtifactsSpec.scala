@@ -77,5 +77,19 @@ class CurationArtifactsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(kbLoaded.nonEmpty)
     assert(kbLoaded === kbBatch)
+
+    // Quantile-norm tables: scoring the frozen corpus against the LOADED
+    // tables equals the batch normalization row-for-row
+    val fromLoadedQn = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityMilli(col("text")).as("q_milli"))
+      .join(a.qnormPerSource, Seq("source", "q_milli"))
+      .join(a.qnormInverse, Seq("permille"))
+      .select("doc_id", "source", "q_milli", "permille", "q_norm_milli")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val qnBatch = Curation.quantileNormalizeQuality(docs, "text", "doc_id", "source")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fromLoadedQn.nonEmpty)
+    assert(fromLoadedQn === qnBatch)
   }
 }
