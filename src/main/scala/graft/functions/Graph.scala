@@ -222,6 +222,45 @@ object Graph {
     labels
   }
 
+  /** Unsupervised community detection: synchronous label-propagation
+    * (classic LPA) for a FIXED round count — every node starts as its
+    * own label and each round takes the majority label of its neighbors
+    * (count desc, min label) — deterministic, so the unrolled SQL twin
+    * reproduces it exactly. Fixed rounds rather than run-to-convergence
+    * keeps the plan bounded and the answer well-defined (plain LPA is
+    * not guaranteed to converge under synchronous update); a few rounds
+    * already merge locally-dense neighborhoods, which is the use case
+    * over a mutual-kNN graph (topic groups in an embedded corpus).
+    *
+    * Per round: ONE edge-list join against the thin node-label frame and
+    * a map-side-combinable `max(struct)` argmax — no windows at all.
+    */
+  def communityLabels(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "communityLabels needs at least one round")
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("b"))
+        .select(col("src").as("node"), (-col("b.neg")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Symmetric co-purchase part graph: two parts are linked iff some
     * order contains both. Distinct directed pairs both ways, so the
     * graph PageRank sees is undirected and dangling-free. Edge count is

@@ -968,6 +968,24 @@ object LlmQueries {
           col("rank"), col("rank_back"))
         .orderBy("a", "b")
     },
+    // Topic communities in the embedded corpus: 2 rounds of synchronous
+    // LPA over the mutual-kNN graph — per round one edge join + a
+    // map-side max(struct) argmax, no windows.
+    "graph_communities" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val nn = Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25,
+        nprobe = 3).select(col("qid"), col("vec_id"), col("rank"))
+      val mutual = nn.join(
+          nn.select(col("vec_id").as("qid"), col("qid").as("vec_id")),
+          Seq("qid", "vec_id"))
+        .filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("a"), col("vec_id").as("b"))
+      Graph.communityLabels(mutual, "a", "b", rounds = 2)
+        .withColumnRenamed("label", "community")
+        .orderBy("node")
+    },
     // Snapshot diff audit: added/removed/changed/unchanged counts per
     // source between two deterministic slices of the corpus (B drops
     // every 17th doc, rewrites every 13th) — one full-outer id join over
@@ -2295,6 +2313,27 @@ object LlmQueries {
           $comps
           FROM f GROUP BY vec_id ORDER BY vec_id"""
     },
+    "graph_communities" ->
+      s"""WITH $vnCtes,
+          $ivfNnAllCtes,
+          mk AS (SELECT n1.qid AS a, n1.vec_id AS b
+                 FROM nn n1 JOIN nn n2
+                   ON n2.qid = n1.vec_id AND n2.vec_id = n1.qid
+                 WHERE n1.qid < n1.vec_id),
+          e AS (SELECT a AS src, b AS dst FROM mk
+                UNION SELECT b AS src, a AS dst FROM mk),
+          l0 AS (SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM e)),
+          r1 AS (SELECT e.src AS node, l.label, count(*) AS n
+                 FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+          l1 AS (SELECT node, label FROM (
+                   SELECT node, label, row_number() OVER (PARTITION BY node
+                     ORDER BY n DESC, label ASC) AS rn FROM r1) WHERE rn = 1),
+          r2 AS (SELECT e.src AS node, l.label, count(*) AS n
+                 FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+          l2 AS (SELECT node, label FROM (
+                   SELECT node, label, row_number() OVER (PARTITION BY node
+                     ORDER BY n DESC, label ASC) AS rn FROM r2) WHERE rn = 1)
+          SELECT node, label AS community FROM l2 ORDER BY node""",
     "mutual_knn_pairs" ->
       s"""WITH $vnCtes,
           $ivfNnAllCtes

@@ -152,6 +152,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("communityLabels: two cliques joined by a bridge settle on clique minima") {
+    // cliques {0,1,2} and {10,11,12} bridged 2-10; after 3 sync LPA
+    // rounds (hand-traced) the graph settles into exactly two
+    // communities — the left clique on label 0, the right on label 2
+    // (the label that crossed the bridge in round 1 and won the right
+    // clique's majority by round 3); the bridge never flips either side
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (2L, 10L)).toDF("a", "b")
+    val got = Graph.communityLabels(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L), got.toString)
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles, star gives none") {
     val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)).toDF("src", "dst")
     val gotK4 = Graph.triangleCounts(k4, "src", "dst").as[(Long, Long)].collect().toMap
