@@ -109,8 +109,9 @@ object LlmQueries {
                      ORDER BY CAST(floor(${dotSql("c.ce", "q.e")} / (c.cn * q.n) * 10000) AS BIGINT) DESC,
                               c.cid) AS rn
             FROM vn q CROSS JOIN cent c) WHERE rn <= 3),
-        nn AS (SELECT qid, vec_id, rank FROM (
+        nn AS (SELECT qid, vec_id, score_q4, rank FROM (
                  SELECT p.qid, a.vec_id,
+                        CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) AS score_q4,
                         CAST(row_number() OVER (PARTITION BY p.qid
                           ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
                                    a.vec_id) AS BIGINT) AS rank
@@ -967,6 +968,20 @@ object LlmQueries {
         .select(col("qid").as("a"), col("vec_id").as("b"),
           col("rank"), col("rank_back"))
         .orderBy("a", "b")
+    },
+    // Neighborhood density scoring: each vector's mean/max top-5 cosine
+    // over the full-corpus IVF kNN — the redundancy signal SemDeDup-style
+    // rebalancing reads (dense regions = over-represented content).
+    "knn_density" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25, nprobe = 3)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k_found"),
+          expr("sum(score_q4) div count(1)").as("mean_score_q4"),
+          max(col("score_q4")).as("top_score_q4"))
+        .orderBy("qid")
     },
     // Topic communities in the embedded corpus: 2 rounds of synchronous
     // LPA over the mutual-kNN graph — per round one edge join + a
@@ -2313,6 +2328,13 @@ object LlmQueries {
           $comps
           FROM f GROUP BY vec_id ORDER BY vec_id"""
     },
+    "knn_density" ->
+      s"""WITH $vnCtes,
+          $ivfNnAllCtes
+          SELECT qid, count(*) AS k_found,
+                 sum(score_q4) // count(*) AS mean_score_q4,
+                 max(score_q4) AS top_score_q4
+          FROM nn GROUP BY qid ORDER BY qid""",
     "graph_communities" ->
       s"""WITH $vnCtes,
           $ivfNnAllCtes,

@@ -259,6 +259,18 @@ object ScaleSmoke {
         .select(col("user_id"), col("n"), expr("n * 1000 div __t").as("permille"))
         .orderBy(col("n").desc, col("user_id")).limit(20).mat()
     }
+    time("mutual knn + communities") {
+      val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val nn = Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 200,
+        nprobe = 3).select(col("qid"), col("vec_id"), col("rank"))
+      val mutual = nn.join(
+          nn.select(col("vec_id").as("qid"), col("qid").as("vec_id")),
+          Seq("qid", "vec_id"))
+        .filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("a"), col("vec_id").as("b"))
+      graft.functions.Graph.communityLabels(mutual, "a", "b", rounds = 2).mat()
+    }
     time("label propagation (ivf knn)") {
       val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
       val corpus = vecs.select(col("vec_id"), col("vec"))

@@ -131,6 +131,8 @@ class PlanSpec extends SparkSpec {
       // localCheckpointed edge lists truncate the lineage before this
       // guard sees the IVF join)
       "mutual_knn_pairs",
+      // density scoring aggregates the same full-corpus IVF core
+      "knn_density",
       // SemDeDup's cell assignment is the same bounded corpus x centroids
       // broadcast score; the within-cell pair join is conditioned on cid
       "semdedup_keep",
