@@ -280,6 +280,21 @@ object ScaleSmoke {
           .select(col("vec_id").as("node"), (col("vec_id") % 7).as("label")),
         rounds = 2).mat()
     }
+    // the production index posture for full-corpus probes: centroid count
+    // ~ sqrt(n) balances the n x k assignment term against the
+    // n x nprobe x (n/k) probe term (both n^1.5) — vs fixed cellsize
+    // (centroidEvery const), whose assignment term is n^2/centroidEvery
+    time("label propagation (sqrt centroids)") {
+      val ce = math.max(200L, math.round(math.sqrt(vecsN.toDouble)))
+      val probes = vecs.select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      graft.functions.Graph.labelPropagation(
+        Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = ce.toInt,
+          nprobe = 3),
+        vecs.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("node"), (col("vec_id") % 7).as("label")),
+        rounds = 2).mat()
+    }
     time("keyword extraction (top-3)") {
       graft.functions.Curation.keywordScores(docs, "text", "doc_id", 3).mat()
     }
