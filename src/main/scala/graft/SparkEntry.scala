@@ -869,6 +869,25 @@ object SparkEntry {
         .orderBy(col("total_milli").desc, col("user_id"))
         .limit(10)
     },
+    // Cohort retention matrix: users grouped by first-seen week, tracked
+    // across week offsets — the classic growth-analytics artifact beyond
+    // user_retention's next-day view. Three keyed partial aggregates +
+    // one broadcast-size cohort join; no windows.
+    "cohort_retention" -> { (s, d) =>
+      val weekly = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 604800000000").as("w"), col("user_id"))
+        .distinct()
+      val first = weekly.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+      weekly.join(first, "user_id")
+        .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("cohort_size"),
+          expr("n_active * 1000 div cohort_size").as("retention_milli"))
+        .orderBy("cohort_week", "week_offset")
+    },
     // Key-skew report: the pre-join diagnostic for choosing a skew
     // strategy (salt? chunk? AQE skew-join?) — top-20 heaviest keys with
     // their permille share of all rows. One partial-agg groupBy, a 1-row
@@ -1526,6 +1545,17 @@ object SparkEntry {
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli
          FROM events GROUP BY user_id
          ORDER BY total_milli DESC, user_id LIMIT 10""",
+    "cohort_retention" ->
+      """WITH weekly AS (
+           SELECT DISTINCT epoch_us(ts) // 604800000000 AS w, user_id FROM events),
+         first AS (SELECT user_id, min(w) AS cw FROM weekly GROUP BY 1),
+         sizes AS (SELECT cw, count(*) AS cohort_size FROM first GROUP BY 1),
+         act AS (SELECT f.cw, w.w - f.cw AS week_offset, count(*) AS n_active
+                 FROM weekly w JOIN first f USING (user_id) GROUP BY 1, 2)
+         SELECT a.cw AS cohort_week, a.week_offset, a.n_active, s.cohort_size,
+                CAST((a.n_active * 1000) // s.cohort_size AS BIGINT) AS retention_milli
+         FROM act a JOIN sizes s USING (cw)
+         ORDER BY cohort_week, week_offset""",
     "key_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
           t AS (SELECT sum(n) AS t FROM c)
