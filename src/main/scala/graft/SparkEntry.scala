@@ -861,6 +861,152 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("acctbal_c")).as("totacctbal_c"))
         .orderBy("c_nationkey")
     },
+    // TPC-H Q2 shape: min-cost supplier per part within a region (the
+    // correlated-min subquery). The container corpus ships no partsupp
+    // table, so the part-supplier relation is DERIVED from lineitem —
+    // per (part, supplier) the supply cost is the min quantized line
+    // price, a deterministic BIGINT. Regional suppliers and the filtered
+    // part dim broadcast; the correlated min is a window partitioned by
+    // p_partkey (bounded by suppliers-per-part, never global).
+    "tpch_q2_min_cost_supp" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(CoreOps.scaledCenti(col("l_extendedprice"))).as("supplycost_c"))
+      val eu = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          CoreOps.scaledCenti(col("s_acctbal")).as("acctbal_c"), col("n_name"))
+      val cand = ps
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 5)
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+      cand
+        .withColumn("min_cost_c",
+          min(col("supplycost_c")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("supplycost_c") === col("min_cost_c"))
+        .select(col("acctbal_c"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("supplycost_c"))
+        .orderBy(col("acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    // TPC-H Q11 shape: per-part supply value from one nation's suppliers,
+    // kept only above a fraction of the GLOBAL total (scalar-subquery
+    // threshold, like Q22's but over group aggregates). The 1-row total
+    // broadcasts back over a `>` condition.
+    "tpch_q11_important_supply" -> { (s, d) =>
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(CoreOps.scaledCenti(col("l_extendedprice"))).as("value_c"))
+      val thr = v.agg(floor(sum(col("value_c")) / 1000.0).cast("long").as("thr_c"))
+      v.join(broadcast(thr), col("value_c") > col("thr_c"))
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+    },
+    // TPC-H Q12 shape: late-shipment priority pivot. The corpus carries
+    // no l_shipmode/commitdate, so "late" is ship > order + 90 days and
+    // the pivot category is l_linestatus — the conditional-aggregation
+    // shape (sum of CASE) is the point, and it stays one join + one
+    // partial-aggregating groupBy.
+    "tpch_q12_late_priority" -> { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter(year(col("l_shipdate")) === 1997)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    // TPC-H Q16 shape: distinct supplier count per part attribute,
+    // excluding a brand/type/size slice and "complaint" suppliers
+    // (negative balance stands in for the comment-text predicate). The
+    // part-supplier relation derives from lineitem; the exclusion list is
+    // a broadcast anti-join, never a NOT IN scan.
+    "tpch_q16_supplier_cnt" -> { (s, d) =>
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val complainers = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps
+        .join(broadcast(complainers), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "bolt" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    // TPC-H Q20 shape: suppliers holding a dominant share of a part's
+    // flow (the nested-aggregate + semi-join shape; availqty > half the
+    // shipped quantity becomes supplier share > half the part's 1998
+    // total, all integer arithmetic). The per-part total is a window
+    // bounded by suppliers-per-part; the dominant-supplier list is tiny
+    // and broadcast back onto the regional supplier dim.
+    "tpch_q20_excess_supply" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sq = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1998)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").startsWith("small"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val dom = sq
+        .withColumn("total_qty",
+          sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("qty") * 2 > col("total_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(dom), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), CoreOps.scaledCenti(col("s_acctbal")).as("acctbal_c"))
+        .orderBy("s_name")
+    },
+    // TPC-H Q21 shape: suppliers who alone held up multi-supplier orders.
+    // The classic EXISTS/NOT-EXISTS pair (kept verbatim in the oracle) is
+    // re-planned as ONE per-order aggregate — distinct suppliers, distinct
+    // LATE suppliers, late-line count — filtered to (multi-supplier, sole
+    // late supplier): two keyed shuffles on l_orderkey instead of two
+    // sorted self-joins of the fact table against itself, the shape that
+    // survives a 100x fact table. The gate hash-proves the rewrite.
+    "tpch_q21_waiting_supp" -> { (s, d) =>
+      val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      val li = Tables.lineitem(s, d)
+      val late = li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_late_supp"),
+          min(col("l_suppkey")).as("late_supp"),
+          count(lit(1)).as("n_late_lines"))
+        .filter(col("n_late_supp") === 1)
+      val waits = li
+        .join(late, li("l_orderkey") === late("okey"))
+        .groupBy(col("okey"), col("late_supp"), col("n_late_lines"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") > 1)
+        .groupBy(col("late_supp"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
+      waits
+        .join(broadcast(Tables.supplier(s, d)), col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
     // Top-k users by quantized spend (two-phase top-k at scale via AQE).
     "top_users_by_value" -> { (s, d) =>
       Tables.events(s, d)
@@ -1540,6 +1686,90 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY 1 ORDER BY 1""",
+    "tpch_q2_min_cost_supp" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(floor(l_extendedprice*100) AS BIGINT)) AS supplycost_c
+           FROM lineitem GROUP BY 1, 2),
+         eu AS (
+           SELECT s_suppkey, s_name,
+                  CAST(floor(s_acctbal*100) AS BIGINT) AS acctbal_c, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         cand AS (
+           SELECT p.p_partkey, p.p_type, eu.s_name, eu.acctbal_c, eu.n_name,
+                  ps.supplycost_c,
+                  min(ps.supplycost_c) OVER (PARTITION BY p.p_partkey) AS min_cost_c
+           FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+           JOIN part p ON ps.l_partkey = p.p_partkey
+           WHERE p.p_size <= 5)
+         SELECT acctbal_c, s_name, n_name, p_partkey, p_type, supplycost_c
+         FROM cand WHERE supplycost_c = min_cost_c
+         ORDER BY acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q11_important_supply" ->
+      """WITH v AS (
+           SELECT l_partkey,
+                  CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7' GROUP BY 1)
+         SELECT l_partkey, value_c FROM v
+         WHERE value_c > (SELECT CAST(floor(sum(value_c)/1000.0) AS BIGINT) FROM v)
+         ORDER BY value_c DESC, l_partkey""",
+    "tpch_q12_late_priority" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXTRACT(year FROM l_shipdate) = 1997
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'bolt'
+           AND p_size IN (1,4,9,16,25,36,49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q20_excess_supply" ->
+      """WITH sq AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'small%' AND EXTRACT(year FROM l_shipdate) = 1998
+           GROUP BY 1, 2),
+         tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM sq GROUP BY 1),
+         dom AS (SELECT DISTINCT l_suppkey FROM sq JOIN tot USING (l_partkey)
+                 WHERE 2*qty > total_qty)
+         SELECT s_name, CAST(floor(s_acctbal*100) AS BIGINT) AS acctbal_c
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT l_suppkey FROM dom)
+         ORDER BY s_name""",
+    "tpch_q21_waiting_supp" ->
+      """WITH l1 AS (
+           SELECT l_orderkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+             AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l1 l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""",
     "top_users_by_value" ->
       """SELECT user_id,
                 CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS total_milli

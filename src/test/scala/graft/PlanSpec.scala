@@ -73,6 +73,32 @@ class PlanSpec extends SparkSpec {
       s"scalar threshold must broadcast:\n$p")
   }
 
+  test("tpch_q21: the EXISTS/NOT-EXISTS pair is re-planned as keyed aggregates") {
+    // the classic form sort-merge-joins the fact table against itself
+    // twice; the shipped rewrite is two keyed shuffles + aggregates —
+    // no semi/anti self-join of lineitem may appear in the plan
+    val p = plan("tpch_q21_waiting_supp")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"q21 must use the aggregate rewrite, not self semi/anti joins:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"expected partial aggregation in the rewrite:\n$p")
+  }
+
+  test("tpch_q2/q20: the correlated min/total is a part-partitioned window") {
+    for (q <- Seq("tpch_q2_min_cost_supp", "tpch_q20_excess_supply")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: expected a window operator:\n$p")
+      assert(!p.matches("(?s).*Window.*partitionBy: \\[\\].*"),
+        s"$q: window must be partitioned by part, never global:\n$p")
+    }
+  }
+
+  test("tpch_q11: the global-total threshold broadcasts as a 1-row side") {
+    val p = plan("tpch_q11_important_supply")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar threshold must broadcast:\n$p")
+  }
+
   test("tpch_q19: part dimension broadcasts and the brand filter is pushed") {
     val p = plan("tpch_q19_brand_bands")
     assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
