@@ -274,4 +274,38 @@ object Lake {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** Bucket-clustered write: hash-partition `df` into `numBuckets` files
+    * per bucket column value-range and register the layout in the session
+    * catalog, so every subsequent equi-join or aggregation on
+    * `bucketCols` reads the bucketing metadata and SKIPS ITS SHUFFLE —
+    * the co-location contract fact tables on a 100 TB lake are written
+    * under once and joined on thousands of times. `sortBy` the same
+    * columns so per-bucket files are additionally sort-merged without a
+    * sort stage.
+    *
+    * This is catalog-backed on purpose: plain `parquet(path)` cannot
+    * carry bucketing metadata (Spark would re-shuffle on read), so the
+    * write goes through `saveAsTable` with an explicit `path` — data
+    * lands as ordinary parquet under `path`, readable by any engine; the
+    * shuffle-free join is available to sessions that read it AS the
+    * table. Both sides of a join must share bucket count and columns
+    * (BucketingSpec pins the no-Exchange plan).
+    *
+    * Scale shape: ONE hash shuffle at write time (the same shuffle the
+    * first join would have paid), zero at read time, forever after.
+    */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      path: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

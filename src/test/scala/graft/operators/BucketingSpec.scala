@@ -19,12 +19,14 @@ class BucketingSpec extends SparkSpec {
     try {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-      Tables.lineitem(spark, d).write
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("li_bucketed")
-      Tables.orders(spark, d).write
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("ord_bucketed")
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      graft.sinks.Lake.writeBucketed(Tables.lineitem(spark, d),
+        "li_bucketed", s"$base/li", Seq("l_orderkey"), numBuckets = 8)
+      graft.sinks.Lake.writeBucketed(Tables.orders(spark, d),
+        "ord_bucketed", s"$base/ord", Seq("o_orderkey"), numBuckets = 8)
+      // path-backed external table: the data is ordinary parquet on disk
+      assert(new java.io.File(s"$base/li").listFiles().exists(_.getName.endsWith(".parquet")),
+        "bucketed write must land plain parquet under the given path")
 
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
