@@ -752,6 +752,31 @@ object LlmQueries {
         .select(col("node").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     },
+    // Dup-cluster size distribution INCLUDING singletons — the dup-rate
+    // report read before choosing dedup aggressiveness (a corpus whose
+    // mass sits in 2-doc clusters needs different handling than one with
+    // thousand-doc boilerplate blobs). Plan: the CC labels collapse to
+    // cluster-sized counts, then to a <= max-cluster-size histogram;
+    // the singleton bucket is (total docs - clustered docs), two 1-row
+    // aggregates cross-joined — nothing here is ever corpus-wide wide.
+    "dedup_cluster_sizes" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cc = Curation.connectedComponents(
+        Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+        "a", "b")
+      val hist = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"))
+        .groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      // CC clusters are >= 2 docs by construction (labels come from
+      // edges), so the singleton bucket never collides with the histogram
+      val singles = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(cc.agg(count(lit(1)).as("n_clustered")))
+        .select(lit(1L).as("size"),
+          (col("n_docs") - col("n_clustered")).as("n_clusters"))
+      hist.unionByName(singles).orderBy("size")
+    },
     // End-to-end near-dedup survivor list: the documents that remain
     // after LSH near-dup clusters collapse to their min-id representative
     // — the keep-side twin of `dedup_clusters` (the query a pipeline
@@ -1706,6 +1731,31 @@ object LlmQueries {
             SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
           SELECT node AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY 1 ORDER BY 1""",
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY 1),
+          hist AS (SELECT size, count(*) AS n_clusters
+                   FROM (SELECT cluster_id, count(*) AS size FROM cc GROUP BY 1)
+                   GROUP BY 1),
+          singles AS (SELECT 1 AS size,
+                        (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc)
+                          AS n_clusters)
+          SELECT CAST(size AS BIGINT) AS size,
+                 CAST(n_clusters AS BIGINT) AS n_clusters
+          FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles) u
+          ORDER BY size""",
     "quality_quantile_norm" ->
       s"""WITH base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
           m AS (SELECT doc_id, source, len(toks) AS ntok, length(text) AS nchars,
