@@ -963,7 +963,11 @@ object SparkEntry {
             .select(col("p_partkey"))),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        // floor, not bare cast: Spark's cast('long') truncates doubles
+        // while DuckDB's CAST(... AS BIGINT) rounds — floor is identical
+        // in both engines (quantities are integral today; this guards
+        // the convention against a fractional-quantity corpus regen)
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"))
       val dom = sq
         .withColumn("total_qty",
           sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
@@ -1742,7 +1746,7 @@ object SparkEntry {
     "tpch_q20_excess_supply" ->
       """WITH sq AS (
            SELECT l_partkey, l_suppkey,
-                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_name LIKE 'small%' AND EXTRACT(year FROM l_shipdate) = 1998
            GROUP BY 1, 2),

@@ -300,7 +300,8 @@ object Lake {
       table: String,
       path: String,
       bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: bucketCols must be non-empty")
     df.write
       .mode("overwrite")
       .format("parquet")
@@ -308,4 +309,5 @@ object Lake {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 }

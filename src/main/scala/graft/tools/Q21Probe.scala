@@ -18,9 +18,10 @@ object Q21Probe {
     val spark = GraftSession.local(32, "q21-probe")
     import spark.implicits._
 
-    // ~5 lines/order, 10k suppliers, ~1/3 of orders final, ~25% of lines
-    // late (ship > order + 90 days) — lateness and supplier assignment
-    // hash-derived so the corpus is deterministic at any size
+    // ~5 lines/order, 10k suppliers, ~1/3 of orders final; ship offsets
+    // are uniform in 0..179 days so ~49% of F-order lines are late
+    // (offset > 90) — lateness and supplier assignment hash-derived so
+    // the corpus is deterministic at any size
     def lineitem(n: Long): DataFrame = spark.range(n).select(
       (col("id") / 5).cast("long").as("l_orderkey"),
       pmod(xxhash64(col("id")), lit(10000L)).as("l_suppkey"),

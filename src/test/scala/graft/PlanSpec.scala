@@ -85,11 +85,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("tpch_q2/q20: the correlated min/total is a part-partitioned window") {
+    // inspect the operator, not the plan string — a string match on the
+    // partition spec goes vacuously green when the printed form drifts,
+    // and physical-plan collect misses operators inside the AQE wrapper
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("tpch_q2_min_cost_supp", "tpch_q20_excess_supply")) {
-      val p = plan(q)
-      assert(p.contains("Window"), s"$q: expected a window operator:\n$p")
-      assert(!p.matches("(?s).*Window.*partitionBy: \\[\\].*"),
-        s"$q: window must be partitioned by part, never global:\n$p")
+      val windows = SparkEntry.queries(q)(spark, d)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected a window operator")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q: window must be partitioned by part, never global: $w")
+      }
     }
   }
 
