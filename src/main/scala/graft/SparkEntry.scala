@@ -1038,6 +1038,26 @@ object SparkEntry {
           expr("n_active * 1000 div cohort_size").as("retention_milli"))
         .orderBy("cohort_week", "week_offset")
     },
+    // Event-type transition matrix: per-user consecutive-event pairs
+    // collapsed to (prev, next) counts with an integer permille share of
+    // each prev row — the Markov flow summary behind "what do users do
+    // after X" (session_paths mines whole traces; this is the pairwise
+    // view). Plan: ONE lag window partitioned by user (bounded by a
+    // user's activity, the hot-key posture sessionization documents),
+    // then a |types|^2-bounded groupBy; the share window runs over that
+    // tiny aggregate, never raw events.
+    "event_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seq = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("prev_type"))
+      val c = seq.filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("permille", expr("n * 1000 div sum(n) over (partition by prev_type)"))
+        .orderBy("prev_type", "next_type")
+    },
     // Key-skew report: the pre-join diagnostic for choosing a skew
     // strategy (salt? chunk? AQE skew-join?) — top-20 heaviest keys with
     // their permille share of all rows. One partial-agg groupBy, a 1-row
@@ -1790,6 +1810,19 @@ object SparkEntry {
                 CAST((a.n_active * 1000) // s.cohort_size AS BIGINT) AS retention_milli
          FROM act a JOIN sizes s USING (cw)
          ORDER BY cohort_week, week_offset""",
+    "event_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type AS next_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                CAST((n * 1000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                  AS permille
+         FROM c ORDER BY prev_type, next_type""",
     "key_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
           t AS (SELECT sum(n) AS t FROM c)
