@@ -491,4 +491,37 @@ object StatefulOps {
           out.result().iterator
       }
   }
+
+  final case class TransitionEvent(user: Long, eventType: String, tsUs: Long, eventId: Long)
+  final case class TransitionState(lastType: String, lastTsUs: Long, lastId: Long)
+  final case class Transition(user: Long, prevType: String, nextType: String)
+
+  /** Streaming twin of the `event_transitions` pairing stage: per-key
+    * last-event state (one (type, ts, id) triple — a few dozen bytes per
+    * user, flat in event volume) emits a (prev -> next) row per arrival.
+    * The transition matrix itself is then one ordinary bounded
+    * aggregation over the emitted pairs (|types|^2 groups), batch or
+    * windowed. Each micro-batch is sorted by (ts, event_id) — the batch
+    * formulation's exact tie-break — so the corpus replay converges to
+    * the batch matrix at any chunking (ConvergenceSpec).
+    */
+  def transitionPairs(events: Dataset[TransitionEvent]): Dataset[Transition] = {
+    implicit val outEnc = Encoders.product[Transition]
+    implicit val stateEnc = Encoders.product[TransitionState]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey((e: TransitionEvent) => e.user)
+      .flatMapGroupsWithState[TransitionState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[TransitionEvent], state: GroupState[TransitionState]) =>
+          val out = Seq.newBuilder[Transition]
+          var st = state.getOption
+          evs.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            st.foreach(s => out += Transition(user, s.lastType, e.eventType))
+            st = Some(TransitionState(e.eventType, e.tsUs, e.eventId))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

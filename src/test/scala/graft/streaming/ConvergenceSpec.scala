@@ -674,4 +674,44 @@ class ConvergenceSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  /** Replay the corpus through the transition-pair state machine in
+    * `chunkSize`-event micro-batches; returns the streamed pairs.
+    */
+  private def transitionsReplay(chunkSize: Int): Seq[(Long, String, String)] = {
+    val input = MemoryStream[StatefulOps.TransitionEvent]
+    val pairs = StatefulOps.transitionPairs(input.toDS())
+    val name = s"conv_trans_$chunkSize"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      replay.toSeq.grouped(chunkSize).foreach { batch =>
+        input.addData(batch.map { case (id, user, typ, tsUs, _) =>
+          StatefulOps.TransitionEvent(user, typ, tsUs, id)
+        })
+        q.processAllAvailable()
+      }
+      spark.table(name).select("user", "prevType", "nextType")
+        .as[(Long, String, String)].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("event_transitions streaming replay converges to the batch matrix") {
+    val batch = graft.SparkEntry.queries("event_transitions")(spark, d)
+      .select(col("prev_type"), col("next_type"), col("n"), col("permille"))
+      .as[(String, String, Long, Long)].collect().toSeq.sorted
+    assert(batch.nonEmpty)
+    // chunkings coprime to user activity lengths split users' event
+    // sequences at different micro-batch boundaries; the last-event state
+    // must carry the pair across every cut
+    Seq(701, batchSize, 3701).foreach { chunk =>
+      val counts = transitionsReplay(chunk)
+        .groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong).toMap
+      val byPrev = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val matrix = counts.toSeq.map { case ((prev, next), n) =>
+        (prev, next, n, n * 1000L / byPrev(prev))
+      }.sorted
+      assert(matrix === batch, s"chunk size $chunk diverged from batch")
+    }
+  }
 }
