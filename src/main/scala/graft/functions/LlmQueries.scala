@@ -926,6 +926,20 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     },
+    // Declared-vs-predicted language confusion matrix: the label-noise
+    // audit run before trusting a corpus's metadata lang column (rows
+    // off the diagonal are docs whose text disagrees with their label).
+    // One langid scan into a |langs|^2-bounded groupBy; the permille
+    // share windows over that tiny aggregate, never raw docs.
+    "lang_confusion" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang").as("declared"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("permille",
+          expr("n * 1000 div sum(n) over (partition by declared)"))
+        .orderBy("declared", "predicted")
+    },
     "text_quality" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.qualityMilli(col("text")).as("quality_milli"))
@@ -2320,6 +2334,30 @@ object LlmQueries {
                       WHEN s_de >= s_es THEN 'de'
                       ELSE 'es' END AS lang_pred
           FROM sc ORDER BY doc_id""",
+    "lang_confusion" ->
+      s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          sc AS (SELECT doc_id,
+                   len(list_filter(toks, t -> t IN ${stopSql("en")})) AS s_en,
+                   len(list_filter(toks, t -> t IN ${stopSql("fr")})) AS s_fr,
+                   len(list_filter(toks, t -> t IN ${stopSql("de")})) AS s_de,
+                   len(list_filter(toks, t -> t IN ${stopSql("es")})) AS s_es,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                   len(toks) AS ntok
+                 FROM base),
+          pred AS (SELECT doc_id,
+                     CASE WHEN cjk*2 >= ntok AND cjk > 0 THEN 'zh'
+                          WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                          WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                          WHEN s_de >= s_es THEN 'de'
+                          ELSE 'es' END AS predicted
+                   FROM sc),
+          c AS (SELECT d.lang AS declared, p.predicted,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2)
+          SELECT declared, predicted, n,
+                 CAST((n * 1000) // sum(n) OVER (PARTITION BY declared) AS BIGINT)
+                   AS permille
+          FROM c ORDER BY declared, predicted""",
     "text_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           m AS (SELECT doc_id, len(toks) AS ntok, length(text) AS nchars,
