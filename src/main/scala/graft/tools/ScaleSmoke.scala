@@ -116,6 +116,15 @@ object ScaleSmoke {
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(50).mat()
     }
+    time("transition matrix") {
+      import org.apache.spark.sql.expressions.Window
+      val seq = events.select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("prev_type"))
+      seq.filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n")).mat()
+    }
     time("text annotate (langid+quality)") {
       docs.select(
         TextAnalysis.langId(col("text")),
