@@ -12,7 +12,10 @@ object Explain {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "tpch_q1_pricing", "tpch_q3_top_orders", "tpch_q5_nation_revenue",
-      "j1_windowed_join", "top_users_by_value", "a1_tumbling_count")
+      "tpch_q2_min_cost_supp", "tpch_q11_important_supply",
+      "tpch_q16_supplier_cnt", "tpch_q21_waiting_supp",
+      "j1_windowed_join", "top_users_by_value", "a1_tumbling_count",
+      "event_transitions", "lang_confusion", "dedup_cluster_sizes")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
