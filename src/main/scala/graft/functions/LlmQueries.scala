@@ -2420,7 +2420,7 @@ object LlmQueries {
       s"""WITH $vnCtes,
           $ivfNnAllCtes
           SELECT qid, count(*) AS k_found,
-                 sum(score_q4) // count(*) AS mean_score_q4,
+                 CAST(sum(score_q4) // count(*) AS BIGINT) AS mean_score_q4,
                  max(score_q4) AS top_score_q4
           FROM nn GROUP BY qid ORDER BY qid""",
     "graph_communities" ->
@@ -2485,10 +2485,10 @@ object LlmQueries {
          SELECT CAST(dim AS INT) AS dim,
                 count(*) FILTER (is_ref) AS n_ref,
                 count(*) FILTER (NOT is_ref) AS n_cand,
-                sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS ref_mean_q6,
-                sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref) AS cand_mean_q6,
-                sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref)
-                  - sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS delta_q6
+                CAST(sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS BIGINT) AS ref_mean_q6,
+                CAST(sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref) AS BIGINT) AS cand_mean_q6,
+                CAST(sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref)
+                  - sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS BIGINT) AS delta_q6
          FROM f GROUP BY dim ORDER BY dim""",
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,

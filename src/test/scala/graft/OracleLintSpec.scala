@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint over the DuckDB oracle SQL map.
+  *
+  * DuckDB widens `sum(BIGINT)` (and `sum(...) FILTER (...)`) to HUGEINT;
+  * a subsequent `//` division then surfaces to the gate comparator as
+  * float64 while Spark emits BIGINT — a hash mismatch on numerically
+  * identical values. This bit `token_budget_select`/`dsir_budget_select`
+  * in round 7 and `knn_density`/`embedding_drift` in round 9. The fix is
+  * always the same one-liner: wrap the division in `CAST(... AS BIGINT)`.
+  * This spec makes the class unrepresentable: every `sum(...) [FILTER
+  * (...)] //` occurrence in any oracle string must sit inside a
+  * `CAST(... AS BIGINT)` span.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  /** Index just past the paren that matches the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** All [start, end) spans of `CAST( ... AS BIGINT)` (nesting-safe). */
+  private def bigintCastSpans(sql: String): Seq[(Int, Int)] = {
+    val lower = sql.toLowerCase
+    val out = Seq.newBuilder[(Int, Int)]
+    var from = lower.indexOf("cast")
+    while (from >= 0) {
+      var p = from + 4
+      while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+      if (p < sql.length && sql.charAt(p) == '(') {
+        val end = matchParen(sql, p)
+        if (lower.substring(p, end).replaceAll("\\s+", " ").endsWith("as bigint)"))
+          out += ((from, end))
+      }
+      from = lower.indexOf("cast", from + 4)
+    }
+    out.result()
+  }
+
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Positions where `sum(...)` (plus optional FILTER clause) is followed
+    * by the DuckDB integer-division operator.
+    */
+  private def unsafeDivisions(sql: String): Seq[Int] = {
+    val lower = sql.toLowerCase
+    val casts = bigintCastSpans(sql)
+    val out = Seq.newBuilder[Int]
+    var from = lower.indexOf("sum")
+    while (from >= 0) {
+      var p = skipWs(sql, from + 3)
+      if (p < sql.length && sql.charAt(p) == '(') {
+        var q = skipWs(sql, matchParen(sql, p))
+        if (lower.startsWith("filter", q)) {
+          val fp = skipWs(sql, q + 6)
+          if (fp < sql.length && sql.charAt(fp) == '(') q = skipWs(sql, matchParen(sql, fp))
+        }
+        if (sql.startsWith("//", q) && !casts.exists { case (a, b) => from > a && q < b })
+          out += from
+      }
+      from = lower.indexOf("sum", from + 3)
+    }
+    out.result()
+  }
+
+  test("every oracle `sum(...) //` division is wrapped in CAST(... AS BIGINT)") {
+    val bad = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq
+      pos <- unsafeDivisions(sql)
+    } yield s"$name @ char $pos: ...${sql.slice(math.max(0, pos - 20), math.min(sql.length, pos + 60)).replaceAll("\\s+", " ")}..."
+    assert(bad.isEmpty,
+      s"un-cast HUGEINT division(s) in oracle SQL (DuckDB sum(BIGINT)->HUGEINT " +
+        s"surfaces // results as float64 to the gate comparator):\n${bad.mkString("\n")}")
+  }
+
+  test("lint self-check: the scanner catches the round-9 failure shapes") {
+    // exactly the two shapes that shipped red in r09 — must be flagged
+    assert(unsafeDivisions("SELECT sum(x) // count(*) AS m FROM t").nonEmpty)
+    assert(unsafeDivisions(
+      "SELECT sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS m FROM t").nonEmpty)
+    // and the fixed forms must pass
+    assert(unsafeDivisions("SELECT CAST(sum(x) // count(*) AS BIGINT) AS m FROM t").isEmpty)
+    assert(unsafeDivisions(
+      """SELECT CAST(sum(q) FILTER (NOT r) // count(*) FILTER (NOT r)
+           - sum(q) FILTER (r) // count(*) FILTER (r) AS BIGINT) AS d FROM t""").isEmpty)
+    // non-sum integer division (BIGINT // BIGINT stays BIGINT) is fine
+    assert(unsafeDivisions("SELECT epoch_us(ts)//5000000 AS w FROM t").isEmpty)
+  }
+}
