@@ -20,16 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      measured) each get a FRESH session; fast queries share ONE
   *      scrubbed session. `SPARK_GRAFT_BENCH_ISOLATE=1` restores full
   *      per-query isolation (the A/B reference protocol).
-  *   2. Timing also splits by cost. Fast queries: MEDIAN of 3 runs with
-  *      no warm-up — the cold first run (codegen + plan) is the max and
-  *      the median discards it; at sub-second scale GC jitter is a
-  *      material fraction, so 3 samples stay. Slow queries: no warm-up,
-  *      TWO runs, report the MIN — run 1 absorbs the ~0.2-0.3s
-  *      codegen/plan cost as an upper bound, the min is the warm run,
-  *      and GC jitter is proportionally small at >= 1s. The split halves
-  *      the harness cost of the slow tail (the 537s round-8 wall for a
-  *      74.6s measured total was 85% harness overhead); the retime phase
-  *      (note 6) still cross-checks every >15% mover in a clean session.
+  *   2. Timing also splits by cost. Fast queries: prev >= 0.4s get the
+  *      MEDIAN of 3 no-warm-up runs (the cold first run is the max and
+  *      the median discards it; at sub-second scale GC jitter is
+  *      material); sub-0.4s queries get MIN-of-2 (run 1 is the same
+  *      discarded cold run, and the retime trigger is unreachable below
+  *      0.4s short of a 2x move, which min-of-2 still surfaces). Slow
+  *      queries (r10): ONE warm pass on the tiny sf0.001 sibling corpus
+  *      (codegen/JIT for ~0.2s instead of a full-scale throwaway), then
+  *      ONE timed full-scale run, with an in-phase adaptive second run
+  *      (min of two) whenever the first lands >25% and >0.3s above the
+  *      previous round's median or the query has no history. GC jitter
+  *      is proportionally small at >= 1s, and every slow number still
+  *      comes from its own fresh session.
   *   3. (subsumed by note 2 — median-of-3 where noise is material.)
   *   4. The 16M-row skew demonstration runs in its OWN SparkSession after
   *      the query groups, reported in a separate `skew_demo` JSON block:
@@ -40,16 +43,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      BM25 indexes are built once untimed, then the from-index queries
   *      are timed — the query-priced cost a production search path pays,
   *      vs the one-shot forms that re-encode the corpus per run.
-  *   6. Clean-session RE-TIMING (`retimed` block): queries whose medians
-  *      moved >15% vs the previous BENCH_FULL.json are re-timed in a
-  *      fresh session, so group-boundary placement artifacts are
-  *      separable from real engine deltas without re-running anything by
-  *      hand. Reading the two numbers: the retime session runs all
-  *      flagged queries in ONE session, so it is JIT-warmer than the
-  *      per-query main sessions — retimed BELOW main (measured median
-  *      ~60 ms on sub-second queries) is cold-JIT pessimism in the main
-  *      number, harmless and conservative; retimed ABOVE main would be
-  *      the contamination signature and is the regression to chase.
+  *   6. Clean-session RE-TIMING (`retimed` block): FAST-phase queries
+  *      whose medians moved >15% (and >0.3s) vs the previous
+  *      BENCH_FULL.json are re-timed in ONE fresh shared session (all
+  *      flagged queries are sub-second, where shared-vs-isolated deltas
+  *      are symmetric noise by the A/B), so group-boundary placement
+  *      artifacts are separable from real engine deltas without
+  *      re-running anything by hand. Slow-tail queries never retime:
+  *      their main number already comes from a fresh session with an
+  *      in-phase adaptive second run (note 2) — the retime would repeat
+  *      the identical protocol. Reading the two numbers: retimed BELOW
+  *      main is cold-JIT pessimism in the main number, harmless and
+  *      conservative; retimed ABOVE main would be the contamination
+  *      signature and is the regression to chase.
   */
 object Bench {
   private def newSession(cpus: String): SparkSession = {
@@ -87,14 +93,14 @@ object Bench {
     * round-9 A/B measured them +20-45% at a flat 2-run-min) — spend one
     * more run and take the min. Converged queries never pay it.
     */
-  private def timedMin(runs: Int)(body: => Unit): (Double, Boolean) = {
+  private def timedMin(runs: Int, adaptive: Boolean = true)(body: => Unit): (Double, Boolean) = {
     def one(): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { body; true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     var times = (1 to runs).map(_ => one())
-    if (runs >= 2 && times.forall(_._2) && times(1)._1 < 0.8 * times(0)._1)
+    if (adaptive && runs >= 2 && times.forall(_._2) && times(1)._1 < 0.8 * times(0)._1)
       times = times :+ one()
     (times.map(_._1).min, times.forall(_._2))
   }
@@ -204,12 +210,49 @@ object Bench {
         // slow tail: per-query fresh sessions — the round-9 A/B measured
         // heavy queries inflating 15-65% in a scrubbed shared session
         // (broadcast/checkpoint block reclamation lags the scrub), and
-        // the slow tail IS the number that matters
+        // the slow tail IS the number that matters.
+        //
+        // r10 cost split (wall directive): instead of the 2-run-min —
+        // whose run 1 is a full-scale throwaway paying only for
+        // codegen/JIT — each query warms ONCE on the tiny sibling corpus
+        // (same plan shape at ~100x less data, ~0.2s) and is then timed
+        // ONCE at full scale. The single run self-adjudicates in-phase:
+        // landing >25% AND >0.3s above the previous round's median (or
+        // having no previous median at all) buys one more full-scale run,
+        // min of the two. Halves the slow phase's timed compute; heavy
+        // queries no longer appear in the retime phase (their main
+        // number IS the clean fresh-session measurement).
+        val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+          val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+          if (p != null) p.resolve("sf0.001").toString else ""
+        })
+        val warmOk = warmDir.nonEmpty &&
+          new java.io.File(warmDir, "lineitem.parquet").exists()
         val slowResults = slowQs.zipWithIndex.map { case ((name, fn), i) =>
           val spark = newSession(cpus)
-          val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn(spark, sfDir)))
+          def one(): (Double, Boolean) = {
+            val t0 = System.nanoTime()
+            val ok = try { exec(fn(spark, sfDir)); true }
+                     catch { case _: Throwable => false }
+            ((System.nanoTime() - t0) / 1e9, ok)
+          }
+          val (sec, ok) =
+            if (!warmOk) timedMin(math.min(runs, 2))(exec(fn(spark, sfDir)))
+            else {
+              try exec(fn(spark, warmDir)) catch { case _: Throwable => () } // tiny warm
+              val first = one()
+              val suspicious = first._2 && (prev.get(name) match {
+                case Some(p) => first._1 > p + 0.3 && first._1 > 1.25 * p
+                case None    => true // first measurement: confirm it
+              })
+              if (!suspicious) first
+              else {
+                val second = one()
+                (math.min(first._1, second._1), first._2 && second._2)
+              }
+            }
           spark.stop()
-          if (i % 3 == 2) System.gc()
+          if (i % 6 == 5) System.gc()
           (name, sec, ok)
         }
         phaseDone("slow")
@@ -218,7 +261,15 @@ object Bench {
         // median of 3 no-warm-up runs discards the cold first run
         val spark = newSession(cpus)
         val fastResults = fastQs.zipWithIndex.map { case ((name, fn), i) =>
-          val (sec, ok) = timed(math.max(runs, 3))(exec(fn(spark, sfDir)))
+          // sub-0.4s queries: min-of-2, no adaptation — run 1 is the
+          // cold codegen run either protocol discards, and at <0.4s the
+          // retime trigger (>0.3s AND >15%) is unreachable short of a
+          // 2x regression, which min-of-2 still surfaces. Saves a third
+          // of the fast phase's timed compute (67 of 119 queries).
+          val (sec, ok) =
+            if (prev.get(name).exists(_ < 0.4))
+              timedMin(2, adaptive = false)(exec(fn(spark, sfDir)))
+            else timed(math.max(runs, 3))(exec(fn(spark, sfDir)))
           scrub(spark, forceGc = i % 10 == 9)
           (name, sec, ok)
         }
@@ -280,8 +331,11 @@ object Bench {
     skewPair(spark2, 2000000L).foreach { case (_, fn) =>
       try exec(fn()) catch { case _: Throwable => () } // warm-up (JIT only)
     }
+    // single timed run: the 2M pass already bought codegen/JIT, and the
+    // demo's signal is a 3x direct-vs-chunked gap — far outside
+    // single-run jitter at this scale (wall directive: was 2-run-min)
     val skewResults = skewPair(spark2, 16000000L).map { case (name, fn) =>
-      val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn()))
+      val (sec, ok) = timedMin(1)(exec(fn()))
       (name, sec, ok)
     }
     spark2.stop()
@@ -301,27 +355,33 @@ object Bench {
           // both a RELATIVE and an ABSOLUTE floor: a 0.2->0.33s move is
           // 65% but 130ms — scheduler/GC noise on this host, never a
           // regression worth a clean-session adjudication (the round-9
-          // phase accounting measured jitter-chasing retimes at ~90s/run)
+          // phase accounting measured jitter-chasing retimes at ~90s/run).
+          // FAST-phase queries only (wall directive): slow-tail queries
+          // already measured in their own fresh session with an in-phase
+          // adaptive second run — a retime would repeat the identical
+          // protocol and learn nothing.
+          p < slowCut &&
           math.abs(sec - p) > 0.3 && math.abs(sec - p) / p > 0.15) => name
       }
       if (flagged.isEmpty) Nil
-      else flagged.map { name =>
-        // each retime in its OWN fresh session: this is the clean
-        // adjudicator the main-phase numbers are judged against, so it
-        // must not share anything with anyone
+      else {
+        // ONE fresh session for all flagged queries: every flagged query
+        // is sub-second by construction, and the protocol's own A/B
+        // finding is that sub-second queries' shared-vs-isolated deltas
+        // are symmetric noise — per-query sessions here were pure
+        // harness cost (~12s each in r9)
         val s3 = newSession(cpus)
-        val fn = SparkEntry.queries(name)
-        val (sec, ok) =
-          if (prev.get(name).exists(_ >= slowCut))
-            timedMin(math.min(runs, 2))(exec(fn(s3, sfDir)))
-          else {
-            try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
-            timed(runs)(exec(fn(s3, sfDir)))
-          }
+        val out = flagged.map { name =>
+          val fn = SparkEntry.queries(name)
+          try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
+          val (sec, ok) = timed(runs)(exec(fn(s3, sfDir)))
+          scrub(s3, forceGc = false)
+          // a query that FAILS in the retime session must not record a
+          // near-instant "fast" median that reads as a placement artifact
+          (name, if (ok) sec else -1.0)
+        }
         s3.stop()
-        // a query that FAILS in the retime session must not record a
-        // near-instant "fast" median that reads as a placement artifact
-        (name, if (ok) sec else -1.0)
+        out
       }
     }
     phaseDone("retime")

@@ -239,6 +239,21 @@ object SparkEntry {
           unix_micros(col("ts_r")).as("last_purchase_ts_us"))
         .orderBy("user_id", "click_id")
     },
+    // J3 auto twin: the skew-routed dispatcher (CoreOps.asofJoinAuto)
+    // measures the top-key share and picks direct vs chunked itself —
+    // same oracle, so the gate proves a routing flip can never change
+    // rows. On the events corpus user keys are near-uniform, so this
+    // exercises the direct arm; InvariantSpec covers the hot-key arm.
+    "j3_asof_auto" -> { (s, d) =>
+      val (clicks, purchases) = SparkEntry.asofSides(s, d)
+      CoreOps.asofJoinAuto(clicks, purchases, "user_id", "ts",
+        bucketUs = 21600000000L)
+        .select(col("user_id"), col("click_id"),
+          unix_micros(col("ts")).as("click_ts_us"),
+          col("purchase_id").as("last_purchase_id"),
+          unix_micros(col("ts_r")).as("last_purchase_ts_us"))
+        .orderBy("user_id", "click_id")
+    },
     // Z-order layout key: the interleaved-bit clustering key
     // `Lake.writeZOrdered` sorts by — surfaced as a query so the exact
     // bit math (span quantization + Morton interleave) is oracle-gated,
@@ -435,6 +450,7 @@ object SparkEntry {
          ORDER BY 1, 2, 3""",
     "j3_asof_join" -> asofOracleSql,
     "j3_asof_chunked" -> asofOracleSql,
+    "j3_asof_auto" -> asofOracleSql,
     "layout_zorder_key" -> {
       // Morton interleave: bit i of bucket j lands at position i*2 + j
       val terms = (0 until 8).flatMap(i => Seq(
@@ -1359,9 +1375,8 @@ object SparkEntry {
     // Per-node triangle counts via degree-ordered orientation — the
     // bounded-fan-out shape that survives power-law hubs.
     "graph_triangles" -> { (s, d) =>
-      graft.functions.Graph.triangleCounts(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst")
+      graft.functions.Graph.triangleCountsHalf(
+        graft.functions.Graph.copurchaseHalfEdges(Tables.lineitem(s, d)))
         .orderBy("node")
     })
 

@@ -48,15 +48,24 @@ object Graph {
       iterations: Int,
       dampMilli: Int = 850,
       broadcastRanks: Boolean = true,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     require(dampMilli >= 0 && dampMilli <= 1000,
       s"dampMilli must be in [0, 1000] (got $dampMilli)")
     // materialize the edge list ONCE — it is re-read every round, and an
     // un-checkpointed caller frame (e.g. a distinct() over a self-join)
-    // would re-execute its whole lineage per iteration
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    // would re-execute its whole lineage per iteration. EXCEPTION
+    // (checkpointEdges = false): when `edges` IS a stored table — in
+    // particular one bucketed by `src` (Lake.writeBucketed) — keep the
+    // scan: a checkpoint would ERASE the bucketing metadata and put the
+    // per-round edge Exchange back, while re-reading a bucketed parquet
+    // scan per round is exactly the shuffle-free cluster pattern
+    // (pair with broadcastRanks = false for node sets beyond executor
+    // memory: per round the node-sized rank frame alone shuffles to the
+    // edge table's bucketing — GraphScaleProbe measures both paths).
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
       .localCheckpoint()
     val base = (1000L - dampMilli) * 1000L
@@ -261,17 +270,65 @@ object Graph {
     labels
   }
 
-  /** Symmetric co-purchase part graph: two parts are linked iff some
-    * order contains both. Distinct directed pairs both ways, so the
-    * graph PageRank sees is undirected and dangling-free. Edge count is
-    * bounded by Σ_orders |items|² — order baskets are small and bounded
-    * by business reality, never corpus-sized.
+  /** Undirected co-purchase part graph, each edge {u,v} ONCE as
+    * (src < dst): two parts are linked iff some order contains both.
+    * Two dedup shrinks vs the naive symmetric build (r9's
+    * `graph_triangles` stage split, SCALING.md): (1) the (order, part)
+    * pre-distinct removes same-part-on-several-lines duplicates BEFORE
+    * the basket self-join squares them; (2) `pk < pk2` halves the join
+    * output, so the edge-dedup `distinct` — the build's dominant
+    * shuffle — processes half the pair volume. Edge count stays bounded
+    * by Σ_orders |basket|²/2 — baskets are business-bounded, never
+    * corpus-sized.
     */
-  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+  def copurchaseHalfEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
     li.join(li.withColumnRenamed("pk", "pk2"), "ok")
-      .filter(col("pk") =!= col("pk2"))
+      .filter(col("pk") < col("pk2"))
       .select(col("pk").as("src"), col("pk2").as("dst"))
       .distinct()
+  }
+
+  /** Symmetric co-purchase part graph — [[copurchaseHalfEdges]] mirrored
+    * (the two halves are disjoint by src<dst / src>dst, so the union is
+    * distinct by construction, no extra dedup pass). PageRank sees an
+    * undirected, dangling-free graph; result set is bit-identical to the
+    * r9 direct symmetric build.
+    */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val half = copurchaseHalfEdges(lineitem)
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[triangleCounts]] over the HALF-edge form (each {u,v} once,
+    * src < dst): degrees come from one incidence explode instead of the
+    * symmetric groupBy, and the orientation is a branchless struct pick
+    * (no filter discarding half the rows — there is no mirrored half to
+    * discard). Same oriented edge set, bit-identical (node, tri_cnt)
+    * output; gate-checked against the same `graph_triangles` oracle.
+    */
+  def triangleCountsHalf(half: DataFrame): DataFrame = {
+    val h = half.select(col("src"), col("dst"))
+    val deg = h.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val oriented = h
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+      // src < dst in the half form, so the (degree, id) tie-break keeps
+      // (src, dst) exactly when ds <= dd — same set triangleCounts keeps
+      .select(when(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("a"), col("dst").as("b")))
+        .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
+      .select(col("e.a").as("src"), col("e.b").as("dst"))
+      .localCheckpoint() // consumed by both sides of the wedge join
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tris = wedges.join(oriented
+        .select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
 }

@@ -731,4 +731,129 @@ object CoreOps {
     */
   def pseudoArrivalChunk(idCol: Column): Column =
     substring(pseudoArrival(idCol), 1, 2)
+
+  // =====================================================================
+  // Skew-adaptive twin dispatch. The engine ships direct + chunked twins
+  // for every per-key-ordered operator (sessions A4, as-of J3, rolling
+  // T1): the direct form is one shuffle + one window — the cheapest plan
+  // on well-distributed keys — but serializes a hot key through a single
+  // reducer (measured super-linear past ~99%-hot corpora); the chunked
+  // form adds a bounded summary pass and is immune. Until now the CALLER
+  // had to know which to pick. These `*Auto` forms measure the top-key
+  // share (the `key_skew_report` diagnostic as a driver-side scalar) and
+  // route — safe precisely because the twins are bit-identical
+  // (InvariantSpec-gated), so a routing flip can never change results,
+  // only cost. This is the same stats-then-plan posture as AQE's skew
+  // join, applied to window operators AQE cannot rewrite.
+
+  /** Share of rows held by the single heaviest key — the routing scalar.
+    *
+    * One column-pruned scan, a partial-agg `groupBy(key).count`, a 1-row
+    * global agg, a 1-row collect: nothing driver-side scales with the
+    * data. Cost accounting (ProbeCost/SkewProbe at 16M rows): the probe
+    * IS the key-column scan — row-sampling does not avoid it (measured
+    * sampled 1.1 s vs exact 1.1 s; the per-row RNG cancels the smaller
+    * agg), so the default is the exact, deterministic probe. On parquet
+    * input the scan is column-pruned to the key alone; at cluster scale
+    * amortize further by probing once per table epoch (the share is a
+    * property of the DATA, not of the query) and passing the decision
+    * through explicitly. `sampleFraction < 1` remains for callers whose
+    * agg (very wide key domains) dominates the scan; a sample under 50k
+    * rows falls back to exact — small corpora make the exact scan cheap
+    * precisely when the sample is unstable. Returns 0.0 on an empty
+    * frame.
+    */
+  def topKeyShare(
+      df: DataFrame,
+      key: String,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): Double = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0, 1], got $sampleFraction")
+    def probe(frame: DataFrame): (Long, Long) = {
+      val row = frame.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+        .collect()(0) // exactly one row by construction
+      if (row.isNullAt(0) || row.isNullAt(1)) (0L, 0L)
+      else (row.getLong(0), row.getLong(1))
+    }
+    val keys = df.select(col(key))
+    val (mx, tot) =
+      if (sampleFraction >= 1.0) probe(keys)
+      else {
+        val est = probe(keys.sample(sampleFraction, seed))
+        if (est._2 >= 50000L) est else probe(keys)
+      }
+    if (tot == 0L) 0.0 else mx.toDouble / tot.toDouble
+  }
+
+  /** True iff the corpus should take the chunked (skew-immune) twin.
+    *
+    * Exposed separately so tests and telemetry can observe the decision
+    * itself, not just the plan it produced. Threshold semantics: a key
+    * holding more than `skewThreshold` of all rows makes the direct
+    * form's slowest task do that share of ALL per-key window work — at
+    * 0.05 and 1000 executors that is a 50x straggler, well past the
+    * chunked twin's bounded summary-pass overhead.
+    */
+  def routeChunked(
+      df: DataFrame,
+      key: String,
+      skewThreshold: Double = 0.05,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): Boolean =
+    topKeyShare(df, key, sampleFraction, seed) > skewThreshold
+
+  /** [[asofJoin]] / [[asofJoinChunked]] with skew-routed dispatch. The
+    * probe runs over BOTH sides' keys unioned: a hot key on either side
+    * serializes the union window either way.
+    */
+  def asofJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      bucketUs: Long,
+      skewThreshold: Double = 0.05,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val keys = left.select(col(key)).unionAll(right.select(col(key)))
+    if (routeChunked(keys, key, skewThreshold, sampleFraction, seed))
+      asofJoinChunked(left, right, key, tsCol, bucketUs)
+    else asofJoin(left, right, key, tsCol)
+  }
+
+  /** [[sessionSummary]] / [[sessionSummaryChunked]] with skew-routed
+    * dispatch.
+    */
+  def sessionSummaryAuto(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      gapUs: Long,
+      bucketUs: Long,
+      valueCol: String,
+      skewThreshold: Double = 0.05,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    if (routeChunked(df, key, skewThreshold, sampleFraction, seed))
+      sessionSummaryChunked(df, key, tsCol, gapUs, bucketUs, valueCol)
+    else sessionSummary(df, key, tsCol, s"$gapUs microseconds", valueCol)
+
+  /** [[rollingRangeStats]] / [[rollingRangeStatsChunked]] with
+    * skew-routed dispatch.
+    */
+  def rollingRangeStatsAuto(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      rangeUs: Long,
+      bucketUs: Long,
+      skewThreshold: Double = 0.05,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    if (routeChunked(df, key, skewThreshold, sampleFraction, seed))
+      rollingRangeStatsChunked(df, key, tsCol, valueCol, rangeUs, bucketUs)
+    else rollingRangeStats(df, key, tsCol, valueCol, rangeUs)
 }

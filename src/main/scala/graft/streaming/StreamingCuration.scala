@@ -375,4 +375,93 @@ object StreamingCuration {
         explode(array(rows: _*)).as("p"))
       .select(col("window_start"), col("p.*"))
   }
+
+  /** Streaming embedding-drift monitor: the per-window twin of
+    * [[graft.functions.Profiling.embeddingDrift]], turning the one-shot
+    * crawl audit into a continuous check on an arriving embedding stream
+    * (new crawl shards, a re-encode feed) against a FROZEN training-
+    * snapshot reference — the `ccnetAssignStream` frozen-table pattern.
+    *
+    * Plan shape: posexplode to (ts, dim, q6) — a narrow per-row
+    * transform — then the broadcast join against the ≤ dims-row frozen
+    * means BEFORE the aggregation (streaming joins are unrestricted
+    * pre-agg; the reference mean is constant per dim so the group carries
+    * it with a `min`), then ONE watermarked (window, dim) aggregation.
+    * State per window is ≤ dims fixed-size rows — never row- or
+    * vector-sized — so the monitor holds at any stream rate.
+    *
+    * Same `floor(x*1e6)` quantization and truncating division as the
+    * batch report: on a frozen corpus replay the per-window row for the
+    * covering window equals the batch `embeddingDrift` row exactly
+    * (StreamingExtrasSpec).
+    *
+    * @param refMeans frozen `(dim, n_ref, ref_mean_q6)` —
+    *                 [[graft.functions.Profiling.dimMeans]] of the
+    *                 reference slice, localCheckpointed or read from a
+    *                 table
+    */
+  def embeddingDriftStream(
+      embStream: DataFrame,
+      tsCol: String,
+      vecCol: String,
+      refMeans: DataFrame,
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute"): DataFrame =
+    embStream.withWatermark(tsCol, horizon)
+      .select(col(tsCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(tsCol), col("dim"),
+        floor(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
+      .join(broadcast(refMeans), Seq("dim"))
+      .groupBy(window(col(tsCol), windowDur), col("dim"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("q")).as("scand"),
+        min(col("n_ref")).as("n_ref"),
+        min(col("ref_mean_q6")).as("ref_mean_q6"))
+      .select(col("window.start").as("window_start"), col("dim"),
+        col("n_ref"), col("n_cand"), col("ref_mean_q6"),
+        expr("scand div n_cand").as("cand_mean_q6"),
+        (expr("scand div n_cand") - col("ref_mean_q6")).as("delta_q6"))
+
+  /** Streaming snapshot-diff monitor: the per-window twin of
+    * [[graft.functions.Profiling.snapshotDiff]] — arriving documents are
+    * classified against a FROZEN reference snapshot's digests as
+    * `added` (id unseen in the reference), `changed` (digest differs) or
+    * `unchanged`, counted per (window, source, status).
+    *
+    * Semantic delta vs the batch diff, by construction: `removed` does
+    * not exist here — a document absent from the stream never arrives,
+    * so absence is unobservable; the batch diff remains the tool for
+    * removal audits. Everything that DOES arrive is classified exactly
+    * as the batch diff classifies it (StreamingExtrasSpec).
+    *
+    * Plan shape: digest + join on the unique id against the thin frozen
+    * (id, digest) table — stream-static equi-join before any
+    * aggregation, no skew risk on unique ids, only 16-byte digests
+    * shuffle — then ONE watermarked (window, source, status) count whose
+    * state is |sources| x 3 fixed-size rows per window.
+    *
+    * @param refDigests frozen `(ref_id, ref_dg)` —
+    *                   [[graft.functions.Profiling.refDigests]] of the
+    *                   reference snapshot
+    */
+  def snapshotDiffStream(
+      docStream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      refDigests: DataFrame,
+      horizon: String = "10 minutes",
+      windowDur: String = "1 minute"): DataFrame =
+    docStream.withWatermark(tsCol, horizon)
+      .select(col(tsCol), col(idCol).as("__id"), col(srcCol).as("source"),
+        md5(col(textCol)).as("__dg"))
+      .join(refDigests, col("__id") === col("ref_id"), "left")
+      .select(col(tsCol), col("source"),
+        when(col("ref_id").isNull, lit("added"))
+          .when(col("ref_dg") =!= col("__dg"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(window(col(tsCol), windowDur), col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"),
+        col("source"), col("status"), col("n_docs"))
 }

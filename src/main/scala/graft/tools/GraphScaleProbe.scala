@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.Graph
+import graft.sinks.Lake
+
+/** Dev probe: the 100x pagerank checkpoint — the NON-broadcast rank path
+  * over a PRE-BUCKETED edge table (the documented cluster answer for
+  * node sets beyond executor memory, `Graph.pageRank` doc) measured
+  * against the default broadcast path at the same size, with the
+  * zero-exchange edge-side join confirmed in the physical plan.
+  *
+  * Graph: `nodes` nodes, 40 out-edges each (hash-derived dsts, every
+  * node is a source so the graph is dangling-free). The bucketed run
+  * reads edges from a `Lake.writeBucketed` catalog table (bucketed +
+  * sorted by src, 32 buckets) with checkpointEdges = false so the
+  * bucketing survives; per round only the node-sized rank frame
+  * shuffles. Equality of the two paths' fixed-point iterates is
+  * asserted before timing.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [millionsOfNodes...]
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toDouble) else Seq(1.0)
+    val spark = GraftSession.local(32, "graph-scale-probe")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val edges = spark.range(nodes * 40).select(
+        (col("id") / 40).cast("long").as("src"),
+        pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-pr-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      spark.sql(s"DROP TABLE IF EXISTS pr_edges_probe")
+      Lake.writeBucketed(edges, "pr_edges_probe", path, Seq("src"), numBuckets = 32)
+      val bucketed = spark.table("pr_edges_probe")
+
+      // plan proof: the per-round join over the bucketed table must NOT
+      // exchange the edge side — the only Exchange is the rank frame
+      val rankFrame = bucketed.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+        .select(col("src"), lit(1000000L).as("r"), col("outd"))
+        .localCheckpoint()
+      val round = bucketed.join(rankFrame, "src")
+        .select(col("dst"), expr("r div outd").as("c"))
+      val plan = round.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(plan).length
+      println(s"[graphscale] m=$m round-join exchanges=$nExchanges " +
+        s"(bucketed scan: ${plan.contains("Bucketed: true")})")
+      assert(nExchanges <= 1, s"edge side must not shuffle:\n$plan")
+
+      // equality of the two paths before timing (same integer fixed point)
+      val viaBucket = Graph.pageRank(bucketed, "src", "dst", iterations = 5,
+        broadcastRanks = false, checkpointEdges = false)
+      val viaBroadcast = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaBroadcast).count() == 0L &&
+          viaBroadcast.exceptAll(viaBucket).count() == 0L,
+          "bucketed/non-broadcast pagerank diverged from the broadcast path")
+      }
+      mat(viaBucket); mat(viaBroadcast) // warm both
+      val tBucket = med(mat(Graph.pageRank(bucketed, "src", "dst", 5,
+        broadcastRanks = false, checkpointEdges = false)))
+      val tBcast = med(mat(Graph.pageRank(edges, "src", "dst", 5)))
+      println(f"[graphscale] nodes=$nodes edges=${nodes * 40} " +
+        f"bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
+      spark.sql(s"DROP TABLE IF EXISTS pr_edges_probe")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    spark.stop()
+  }
+}

@@ -180,6 +180,55 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("skew-routed auto twins: hot corpora route chunked, uniform route direct, rows identical") {
+    // ~100 uniform keys (top share ~1%) vs 70% of rows planted on one hot
+    // key — the two extremes the dispatcher must separate at the default
+    // 5% threshold. The twins are bit-identical, so the routing assertion
+    // is about COST only; the row-equality assertion proves a flip can
+    // never change results.
+    def corpus(hot: Boolean) = spark.range(2000).select(
+      col("id"),
+      (if (hot) when(pmod(col("id"), lit(10)) < 7, lit(7L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100)))
+       else pmod(xxhash64(col("id")), lit(100))).cast("string").as("user"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(xxhash64(col("id") + 1), lit(600000000L))).as("ts"),
+      (pmod(xxhash64(col("id") + 2), lit(1000)) / lit(100.0)).as("value"))
+    val uniform = corpus(hot = false)
+    val hotDf = corpus(hot = true)
+    assert(!CoreOps.routeChunked(uniform, "user"), "uniform corpus must route direct")
+    assert(CoreOps.routeChunked(hotDf, "user"), "hot corpus must route chunked")
+
+    for (df <- Seq(uniform, hotDf)) {
+      // sessions: auto vs both named twins
+      val auto = CoreOps.sessionSummaryAuto(
+        df, "user", "ts", gapUs = 5000000L, bucketUs = 60000000L, "value")
+      val direct = CoreOps.sessionSummary(df, "user", "ts", "5 seconds", "value")
+      assert(auto.exceptAll(direct).count() === 0L)
+      assert(direct.exceptAll(auto).count() === 0L)
+
+      // as-of: right side deduped per (key, ts) as the contract requires
+      val l = df.select(col("ts"), col("user"), col("id").as("lid"))
+      val r = df.filter(pmod(col("id"), lit(7)) === 0)
+        .groupBy(col("user"), col("ts")).agg(max(col("id")).as("rid"))
+      val aAuto = CoreOps.asofJoinAuto(l, r, "user", "ts", bucketUs = 60000000L)
+        .select(col("user"), col("lid"), col("rid"))
+      val aDirect = CoreOps.asofJoin(l, r, "user", "ts")
+        .select(col("user"), col("lid"), col("rid"))
+      assert(aAuto.exceptAll(aDirect).count() === 0L)
+      assert(aDirect.exceptAll(aAuto).count() === 0L)
+
+      // rolling trailing-range features
+      val rAuto = CoreOps.rollingRangeStatsAuto(
+        df, "user", "ts", "value", rangeUs = 10000000L, bucketUs = 60000000L)
+        .select(col("id"), col("n_range"), col("sum_milli_range"))
+      val rDirect = CoreOps.rollingRangeStats(df, "user", "ts", "value", 10000000L)
+        .select(col("id"), col("n_range"), col("sum_milli_range"))
+      assert(rAuto.exceptAll(rDirect).count() === 0L)
+      assert(rDirect.exceptAll(rAuto).count() === 0L)
+    }
+  }
+
   test("rolling range stats equal the naive trailing-window self-join") {
     for (seed <- Seq(17L, 18L)) {
       val df = randomEvents(seed, 300)

@@ -523,4 +523,92 @@ class StreamingExtrasSpec extends SparkSpec {
           s"$src approx $uniq vs exact $buniq")
     }
   }
+
+  test("embeddingDriftStream equals the batch embeddingDrift on the frozen corpus") {
+    // same split as the embedding_drift gate query: even vec_ids are the
+    // frozen reference, odd vec_ids arrive as the candidate stream — all
+    // inside ONE 1-minute window, closed by a far-future sentinel
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val refMeans = graft.functions.Profiling
+      .dimMeans(emb.filter(col("vec_id") % 2 === 0), "embedding")
+      .localCheckpoint()
+    val cand = emb.filter(col("vec_id") % 2 =!= 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val base = 1704067200000000L
+    val input = MemoryStream[(Long, Array[Float], Long)]
+    val drift = StreamingCuration.embeddingDriftStream(
+      input.toDF().toDF("vec_id", "embedding", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "ts", "embedding", refMeans,
+      horizon = "1 second", windowDur = "1 minute")
+    val q = drift.writeStream.format("memory").queryName("drift_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cand.grouped(100).foreach { b =>
+        input.addData(b.map { case (id, v) => (id, v, base + id) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, Array(0.0f), base + 365L * 86400000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("drift_stream")
+      .filter(col("window_start") === timestamp_micros(lit(base)))
+      .select("dim", "n_ref", "n_cand", "ref_mean_q6", "cand_mean_q6", "delta_q6")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = graft.functions.Profiling
+      .embeddingDrift(emb, "embedding", col("vec_id") % 2 === 0)
+      .select("dim", "n_ref", "n_cand", "ref_mean_q6", "cand_mean_q6", "delta_q6")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("snapshotDiffStream equals the batch snapshotDiff minus 'removed' on the frozen corpus") {
+    // reference = the corpus; candidate stream = a deterministic edit:
+    // every 5th doc's text changed, every 7th doc dropped (those become
+    // the batch diff's 'removed' rows, unobservable in a stream), plus
+    // planted brand-new ids — so all three streaming statuses occur
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text").localCheckpoint()
+    val candDf = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id") + 1000000L, col("source"), col("text")))
+      .localCheckpoint()
+    val refDg = graft.functions.Profiling.refDigests(docs, "doc_id", "text")
+      .localCheckpoint()
+    val cand = candDf.as[(Long, String, String)].collect().sortBy(_._1)
+    val base = 1704067200000000L
+    val input = MemoryStream[(Long, String, String, Long)]
+    val diff = StreamingCuration.snapshotDiffStream(
+      input.toDF().toDF("doc_id", "source", "text", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"),
+      "ts", "doc_id", "text", "source", refDg,
+      horizon = "1 second", windowDur = "1 minute")
+    val q = diff.writeStream.format("memory").queryName("snapdiff_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      cand.zipWithIndex.grouped(100).foreach { b =>
+        input.addData(b.map { case ((id, src, txt), i) => (id, src, txt, base + i) }.toSeq)
+        q.processAllAvailable()
+      }
+      input.addData((-1L, "srcflush", "flush", base + 365L * 86400000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("snapdiff_stream")
+      .filter(col("source") =!= "srcflush")
+      .select("source", "status", "n_docs")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val batch = graft.functions.Profiling
+      .snapshotDiff(docs, candDf, "doc_id", "text", "source")
+      .filter(col("status") =!= "removed")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(streamed.nonEmpty)
+    assert(streamed.count(_._2 == "added") > 0)
+    assert(streamed.count(_._2 == "changed") > 0)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
