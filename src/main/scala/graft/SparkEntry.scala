@@ -108,6 +108,26 @@ object SparkEntry {
        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
        ORDER BY 1, 2"""
 
+  private val sessionsOracleSql: String =
+    """WITH o AS (
+           SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id,
+                min(epoch_us(ts)) AS session_start_us,
+                max(epoch_us(ts)) + 14400000000 AS session_end_us,
+                count(*) AS n,
+                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us"""
+
   private val rollingOracleSql: String =
     """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
               count(*) OVER w AS n_range,
@@ -145,6 +165,15 @@ object SparkEntry {
     // bench's skew_sessions_direct/chunked pair.
     "a4_sessions_chunked" -> { (s, d) =>
       CoreOps.sessionSummaryChunked(Tables.events(s, d), "user_id", "ts",
+        gapUs = 14400000000L, bucketUs = 86400000000L, "value")
+        .orderBy("user_id", "session_start_us")
+    },
+    // A4 auto twin: the skew-routed dispatcher (CoreOps.sessionSummaryAuto)
+    // measures top-key share itself and picks direct vs chunked — same
+    // oracle, so a routing flip can never change rows. Near-uniform user
+    // keys exercise the direct arm here; InvariantSpec pins the hot-key arm.
+    "a4_sessions_auto" -> { (s, d) =>
+      CoreOps.sessionSummaryAuto(Tables.events(s, d), "user_id", "ts",
         gapUs = 14400000000L, bucketUs = 86400000000L, "value")
         .orderBy("user_id", "session_start_us")
     },
@@ -287,6 +316,16 @@ object SparkEntry {
           col("n_range"), col("sum_milli_range"))
         .orderBy("event_id")
     },
+    // T1 auto twin: skew-routed dispatch (CoreOps.rollingRangeStatsAuto) —
+    // same oracle as the direct/chunked twins, gate proves routing can
+    // never change rows.
+    "t1_rolling_auto" -> { (s, d) =>
+      CoreOps.rollingRangeStatsAuto(Tables.events(s, d), "user_id", "ts",
+        "value", rangeUs = 3600000000L, bucketUs = 21600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_range"), col("sum_milli_range"))
+        .orderBy("event_id")
+    },
     // T2: 6h-grid resample + forward fill per user — the gap-fill step
     // between raw events and a fixed-cadence feature table.
     "t2_resample_ffill" -> { (s, d) =>
@@ -368,45 +407,10 @@ object SparkEntry {
                       (epoch_us(ts)//5000000)*5 - k AS window_start
                FROM events CROSS JOIN (VALUES (0),(5)) o(k)) s
          GROUP BY 1 ORDER BY 1""",
-    "a4_session_windows" ->
-      """WITH o AS (
-           SELECT user_id, ts, event_id, value,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
-                       THEN 1 ELSE 0 END AS brk
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-           FROM o)
-         SELECT user_id,
-                min(epoch_us(ts)) AS session_start_us,
-                max(epoch_us(ts)) + 14400000000 AS session_end_us,
-                count(*) AS n,
-                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
-         FROM sess GROUP BY user_id, sid
-         ORDER BY user_id, session_start_us""",
+    "a4_session_windows" -> sessionsOracleSql,
     // identical sessions, independent of how the engine chunks the work
-    "a4_sessions_chunked" ->
-      """WITH o AS (
-           SELECT user_id, ts, event_id, value,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
-                       THEN 1 ELSE 0 END AS brk
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-           FROM o)
-         SELECT user_id,
-                min(epoch_us(ts)) AS session_start_us,
-                max(epoch_us(ts)) + 14400000000 AS session_end_us,
-                count(*) AS n,
-                CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
-         FROM sess GROUP BY user_id, sid
-         ORDER BY user_id, session_start_us""",
+    "a4_sessions_chunked" -> sessionsOracleSql,
+    "a4_sessions_auto" -> sessionsOracleSql,
     "a5_keyed_window_count" ->
       """SELECT (epoch_us(ts)//86400000000)*86400 AS window_start,
                 user_id, event_type, count(*) AS n
@@ -473,6 +477,7 @@ object SparkEntry {
     },
     "t1_rolling_features" -> rollingOracleSql,
     "t1_rolling_chunked" -> rollingOracleSql,
+    "t1_rolling_auto" -> rollingOracleSql,
     "t2_resample_ffill" ->
       """WITH b AS (SELECT user_id, epoch_us(ts) AS tsu,
                            CAST(floor(value*100) AS BIGINT) AS vc,

@@ -70,6 +70,14 @@ object Profiling {
       .select("p.*")
   }
 
+  /** Frozen per-document digests — the thin reference side of
+    * [[graft.streaming.StreamingCuration.snapshotDiffStream]]: the same
+    * md5-of-text digest [[snapshotDiff]] compares, one (id, digest) row
+    * per reference document.
+    */
+  def refDigests(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    ref.select(col(idCol).as("ref_id"), md5(col(textCol)).as("ref_dg"))
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * snapshots as added / removed / changed / unchanged (by content
     * digest) and count per (group, status) — the audit a pipeline runs
@@ -82,14 +90,6 @@ object Profiling {
     * size, and only thin (id, group, 16-byte digest) rows ever shuffle,
     * never document text.
     */
-  /** Frozen per-document digests — the thin reference side of
-    * [[graft.streaming.StreamingCuration.snapshotDiffStream]]: the same
-    * md5-of-text digest [[snapshotDiff]] compares, one (id, digest) row
-    * per reference document.
-    */
-  def refDigests(ref: DataFrame, idCol: String, textCol: String): DataFrame =
-    ref.select(col(idCol).as("ref_id"), md5(col(textCol)).as("ref_dg"))
-
   def snapshotDiff(
       a: DataFrame,
       b: DataFrame,
@@ -111,6 +111,20 @@ object Profiling {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Frozen per-dimension reference means — the broadcastable reference
+    * side of [[graft.streaming.StreamingCuration.embeddingDriftStream]].
+    * Same quantization (`floor(x*1e6)` before summing) and truncating
+    * integer division as [[embeddingDrift]], so the streaming monitor's
+    * deltas are bit-comparable with the batch report's. ≤ dims rows out.
+    */
+  def dimMeans(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("q")).as("sref"))
+      .select(col("dim"), col("n_ref"), expr("sref div n_ref").as("ref_mean_q6"))
+
   /** Embedding-space drift report between two corpus slices (e.g. the
     * training snapshot vs a fresh crawl): per-dimension counts, quantized
     * mean positions of each slice, and the mean delta — the check a
@@ -129,20 +143,6 @@ object Profiling {
     * means use truncating integer division — Spark `div` and DuckDB `//`
     * agree on negatives (both truncate toward zero).
     */
-  /** Frozen per-dimension reference means — the broadcastable reference
-    * side of [[graft.streaming.StreamingCuration.embeddingDriftStream]].
-    * Same quantization (`floor(x*1e6)` before summing) and truncating
-    * integer division as [[embeddingDrift]], so the streaming monitor's
-    * deltas are bit-comparable with the batch report's. ≤ dims rows out.
-    */
-  def dimMeans(emb: DataFrame, vecCol: String): DataFrame =
-    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("dim"),
-        floor(col("x").cast("double") * lit(1000000)).cast("long").as("q"))
-      .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n_ref"), sum(col("q")).as("sref"))
-      .select(col("dim"), col("n_ref"), expr("sref div n_ref").as("ref_mean_q6"))
-
   def embeddingDrift(emb: DataFrame, vecCol: String, isRef: Column): DataFrame = {
     val q = emb
       .select(isRef.as("is_ref"),

@@ -54,10 +54,14 @@ object GraphScaleProbe {
       val round = bucketed.join(rankFrame, "src")
         .select(col("dst"), expr("r div outd").as("c"))
       val plan = round.queryExecution.executedPlan.toString
-      val nExchanges = "Exchange".r.findAllIn(plan).length
-      println(s"[graphscale] m=$m round-join exchanges=$nExchanges " +
-        s"(bucketed scan: ${plan.contains("Bucketed: true")})")
-      assert(nExchanges <= 1, s"edge side must not shuffle:\n$plan")
+      // count only SHUFFLE exchanges: a BroadcastExchange of the node-sized
+      // rank frame would not exercise the edge-side-shuffle-free property
+      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val bucketedScan = plan.contains("Bucketed: true")
+      println(s"[graphscale] m=$m round-join shuffle-exchanges=$nShuffles " +
+        s"(bucketed scan: $bucketedScan)")
+      assert(nShuffles <= 1, s"edge side must not shuffle:\n$plan")
+      assert(bucketedScan, s"edge scan must read bucketed:\n$plan")
 
       // equality of the two paths before timing (same integer fixed point)
       val viaBucket = Graph.pageRank(bucketed, "src", "dst", iterations = 5,

@@ -66,8 +66,17 @@ class OracleLintSpec extends AnyFunSuite {
     val out = Seq.newBuilder[Int]
     var from = lower.indexOf("sum")
     while (from >= 0) {
+      // word boundary: `checksum(x)` must not match as `sum(x)` — require a
+      // non-identifier char (or start-of-string) before the `sum` token.
+      // Known residual false negative: a PARENTHESIZED expression of sums,
+      // e.g. `(sum(a) - sum(b)) // n`, escapes this scanner (the `//` does
+      // not directly follow a sum's closing paren); none exist in the map.
+      val boundary = from == 0 || {
+        val c = sql.charAt(from - 1)
+        !(Character.isLetterOrDigit(c) || c == '_')
+      }
       var p = skipWs(sql, from + 3)
-      if (p < sql.length && sql.charAt(p) == '(') {
+      if (boundary && p < sql.length && sql.charAt(p) == '(') {
         var q = skipWs(sql, matchParen(sql, p))
         if (lower.startsWith("filter", q)) {
           val fp = skipWs(sql, q + 6)
@@ -103,5 +112,8 @@ class OracleLintSpec extends AnyFunSuite {
            - sum(q) FILTER (r) // count(*) FILTER (r) AS BIGINT) AS d FROM t""").isEmpty)
     // non-sum integer division (BIGINT // BIGINT stays BIGINT) is fine
     assert(unsafeDivisions("SELECT epoch_us(ts)//5000000 AS w FROM t").isEmpty)
+    // word boundary: an identifier merely ENDING in "sum" is not sum()
+    assert(unsafeDivisions("SELECT checksum(x) // 4 AS m FROM t").isEmpty)
+    assert(unsafeDivisions("SELECT my_sum(x) // 4 AS m FROM t").isEmpty)
   }
 }
