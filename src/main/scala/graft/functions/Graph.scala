@@ -309,6 +309,64 @@ object Graph {
     * discard). Same oriented edge set, bit-identical (node, tri_cnt)
     * output; gate-checked against the same `graph_triangles` oracle.
     */
+  /** [[triangleCountsHalf]] with the wedge join replaced by per-edge
+    * adjacency intersection (the edge-iterator algorithm): group the
+    * oriented edges into out-adjacency arrays (bounded by the oriented
+    * out-degree, O(sqrt E) even on power-law hubs), attach both
+    * endpoints' arrays to every oriented edge, and emit the closing
+    * vertices as `explode(array_intersect(adj(u), adj(v)))`.
+    *
+    * Why: the wedge-join plan materializes and SHUFFLES every wedge
+    * (open two-path) just to anti-filter most of them in the closing
+    * join — wedge volume is the sum of squared oriented out-degrees,
+    * far above the triangle count on co-purchase graphs. Here nothing
+    * wedge-sized ever shuffles: two edge-vs-adjacency joins (edge-sized,
+    * with a sqrt(E)-bounded array payload) and an in-row intersection
+    * that emits only actual triangles. Output is bit-identical: same
+    * oriented edge set, same triangles, same (node, tri_cnt) rows.
+    *
+    * The adjacency build is one collect_list groupBy — an object-path
+    * aggregate, but over the ORIENTED edge list (half the symmetric
+    * volume) into partitions bounded by the oriented out-degree; at
+    * cluster scale the arrays stay executor-friendly for the same
+    * reason the wedge fan-out does.
+    */
+  def triangleCountsAdj(half: DataFrame): DataFrame = {
+    // oriented feeds the adjacency build AND both join probes; adj feeds
+    // both sides of the attach — cut lineage once each (cluster
+    // equivalent: a stored table, as the pageRank checkpointEdges doc)
+    val oriented = orientHalf(half).localCheckpoint()
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    val tris = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(array_intersect(col("nu"), col("nv"))).as("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** The shared degree-ordered orientation of [[triangleCountsHalf]] /
+    * [[triangleCountsAdj]]: each {u,v} once as (lower, higher) by
+    * (degree, id) — every triangle survives as exactly one directed
+    * wedge, fan-out bounded by the oriented out-degree.
+    */
+  private def orientHalf(half: DataFrame): DataFrame = {
+    val h = half.select(col("src"), col("dst"))
+    val deg = h.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    h
+      .join(deg.select(col("v").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+      .select(when(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("a"), col("dst").as("b")))
+        .otherwise(struct(col("dst").as("a"), col("src").as("b"))).as("e"))
+      .select(col("e.a").as("src"), col("e.b").as("dst"))
+  }
+
   def triangleCountsHalf(half: DataFrame): DataFrame = {
     val h = half.select(col("src"), col("dst"))
     val deg = h.select(explode(array(col("src"), col("dst"))).as("v"))

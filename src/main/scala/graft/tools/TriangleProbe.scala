@@ -49,20 +49,26 @@ object TriangleProbe {
             (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
             (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
         }.reduce(_ unionAll _)
-      // correctness first: identical triangle counts old vs new
+      // correctness first: identical triangle counts old vs new vs adj
       val oldTri = Graph.triangleCounts(oldEdges(li), "src", "dst")
       val newTri = Graph.triangleCountsHalf(Graph.copurchaseHalfEdges(li))
+      val adjTri = Graph.triangleCountsAdj(Graph.copurchaseHalfEdges(li))
       assert(oldTri.exceptAll(newTri).count() == 0L &&
         newTri.exceptAll(oldTri).count() == 0L,
         s"triangle outputs differ at copies=$k")
-      mat(oldTri); mat(newTri) // warm both paths
+      assert(adjTri.exceptAll(newTri).count() == 0L &&
+        newTri.exceptAll(adjTri).count() == 0L,
+        s"adj-intersect triangle outputs differ at copies=$k")
+      mat(oldTri); mat(newTri); mat(adjTri) // warm all paths
       val eOld = med(mat(oldEdges(li)))
       val eNew = med(mat(Graph.copurchaseHalfEdges(li)))
       val tOld = med(mat(Graph.triangleCounts(oldEdges(li), "src", "dst")))
       val tNew = med(mat(Graph.triangleCountsHalf(Graph.copurchaseHalfEdges(li))))
+      val tAdj = med(mat(Graph.triangleCountsAdj(Graph.copurchaseHalfEdges(li))))
       println(f"[tri] copies=$k edges_old=$eOld%.2f edges_half=$eNew%.2f " +
-        f"full_old=$tOld%.2f full_half=$tNew%.2f " +
-        f"wedge_old=${tOld - eOld}%.2f wedge_half=${tNew - eNew}%.2f")
+        f"full_old=$tOld%.2f full_half=$tNew%.2f full_adj=$tAdj%.2f " +
+        f"wedge_old=${tOld - eOld}%.2f wedge_half=${tNew - eNew}%.2f " +
+        f"isect_adj=${tAdj - eNew}%.2f")
     }
     spark.stop()
   }

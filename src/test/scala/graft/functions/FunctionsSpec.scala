@@ -149,6 +149,13 @@ class FunctionsSpec extends SparkSpec {
         if adj(a)(b) && adj(b)(c) && adj(a)(c)
       } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
       assert(got === naive.toMap, s"seed $seed: oriented counts != naive")
+      // the adjacency-intersection plan is bit-identical on the same
+      // half-edge input (same orientation, wedge join replaced by
+      // explode(array_intersect))
+      val half = raw.map(p => if (p._1 < p._2) p else p.swap).distinct
+      val gotAdj = Graph.triangleCountsAdj(half.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotAdj === naive.toMap, s"seed $seed: adj-intersect counts != naive")
     }
   }
 
