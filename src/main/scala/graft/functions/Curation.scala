@@ -566,6 +566,56 @@ object Curation {
         pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
   }
 
+  /** Near-dup-aware sequence packing: [[packSequences]]' token-budget
+    * bins, but no bin ever holds two members of one near-dup cluster —
+    * consecutive near-dups in one training bin are the worst case for a
+    * contiguous-packing dataloader (the model sees the same content
+    * twice in one context window).
+    *
+    * Mechanism: each doc gets a WAVE = its dup index within its
+    * (stratum, cluster), then each (stratum, wave) packs independently.
+    * A bin belongs to exactly one wave and a cluster has at most one
+    * member per wave by construction, so the exclusion is structural —
+    * not a best-effort spreading heuristic. Singletons (the
+    * overwhelming majority) all carry wave 0, so wave 0's packing IS
+    * [[packSequences]]' layout over the deduplicated corpus and the
+    * later waves are small.
+    *
+    * Scale shape: the wave window partitions by (stratum, cluster) —
+    * dup-group-sized, bounded. The pack window partitions by
+    * (stratum, wave); wave 0 is stratum-sized, the same posture as
+    * [[packSequences]] with the same chunked escape
+    * ([[packSequencesChunked]]'s two-pass prefix sum) if one stratum
+    * outgrows a reducer.
+    *
+    * @param clusters (node, cluster_id) labels, e.g. from
+    *                 [[connectedComponents]] over LSH pairs; unlabeled
+    *                 docs are singletons (their own cluster).
+    */
+  def packSequencesDedupAware(
+      docs: DataFrame,
+      idCol: String,
+      stratCol: String,
+      textCol: String,
+      budgetTokens: Int,
+      clusters: DataFrame): DataFrame = {
+    val lab = docs
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val wWave = Window.partitionBy(col(stratCol), col("cluster_id"))
+      .orderBy(col(idCol))
+    val wPack = Window.partitionBy(col(stratCol), col("wave")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lab
+      .withColumn("wave", (row_number().over(wWave) - 1).cast("long"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+      .select(
+        col(idCol), col(stratCol), col("cluster_id"), col("wave"), col("n_tokens"),
+        longDiv(col("cum_before"), budgetTokens).as("bin"),
+        pmod(col("cum_before"), lit(budgetTokens.toLong)).as("bin_offset"))
+  }
+
   /** Deterministic training-order shard assignment: every document gets a
     * `(shard, pos)` — a pseudo-random but reproducible global shuffle,
     * sharded for parallel dataloaders. `hkey` (48-bit salted md5 of the

@@ -711,6 +711,21 @@ object LlmQueries {
         4096, chunkCol = floor(col("doc_id") / 100))
         .orderBy("doc_id")
     },
+    // Near-dup-aware packing: same token-budget bins, but a bin never
+    // holds two members of one near-dup cluster — each doc packs in the
+    // WAVE of its dup index within (source, cluster), and a bin belongs
+    // to exactly one wave (structural exclusion, spec-proven in
+    // CurationSpec). Clusters = the same minhash-LSH CC labels as
+    // dedup_clusters/dedup_keep_best.
+    "pack_dedup_aware" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.packSequencesDedupAware(docs, "doc_id", "source", "text", 4096,
+        Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+          "a", "b"))
+        .orderBy("doc_id")
+    },
     // Deterministic training-order shuffle: (shard, pos) per doc, dense
     // positions via chunked prefix counts — never a per-shard global sort.
     "shuffle_shards" -> { (s, d) =>
@@ -1704,6 +1719,36 @@ object LlmQueries {
                  CAST(cum_before // 4096 AS BIGINT) AS bin,
                  CAST(cum_before % 4096 AS BIGINT) AS bin_offset
           FROM c ORDER BY doc_id""",
+    "pack_dedup_aware" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          lab AS (SELECT b.doc_id, b.source,
+                    CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                    coalesce(cl.cluster_id, b.doc_id) AS cluster_id
+                  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id),
+          wv AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY source, cluster_id ORDER BY doc_id) - 1 AS BIGINT) AS wave
+                 FROM lab),
+          cb AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source, wave ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                 FROM wv)
+          SELECT doc_id, source, cluster_id, wave, n_tokens,
+                 CAST(cum_before // 4096 AS BIGINT) AS bin,
+                 CAST(cum_before % 4096 AS BIGINT) AS bin_offset
+          FROM cb ORDER BY doc_id""",
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hkey

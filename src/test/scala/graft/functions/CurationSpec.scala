@@ -182,6 +182,63 @@ class CurationSpec extends SparkSpec {
       (4L, "t", 5L, 0L, 0L)))
   }
 
+  test("packSequencesDedupAware: no bin holds two members of one cluster, " +
+      "and the naive pack does on the same corpus") {
+    // four near-dup cluster members (cluster 10) interleaved with
+    // singletons, token counts sized so the NAIVE pack puts members
+    // 1 and 2 into bin 0 together (2+2 <= budget 6)
+    val docs = Seq(
+      (1L, "s", "a b"), (2L, "s", "a c"),        // cluster 10 members
+      (3L, "s", "x y z"), (4L, "s", "p q"),      // singletons
+      (5L, "s", "a d"), (6L, "t", "a e")).toDF("doc_id", "source", "text")
+    val clusters = Seq((1L, 10L), (2L, 10L), (5L, 10L), (6L, 10L))
+      .toDF("node", "cluster_id")
+    val naive = Curation.packSequences(docs, "doc_id", "source", "text", 6)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val naiveBin0 = naive.filter(r => r._2 == "s" && r._4 == 0L).map(_._1).toSet
+    assert(naiveBin0.contains(1L) && naiveBin0.contains(2L),
+      "fixture must make the naive pack collide two cluster members in one bin")
+    val aware = Curation.packSequencesDedupAware(
+      docs, "doc_id", "source", "text", 6, clusters)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    // the structural invariant: within every (source, wave, bin), all
+    // cluster ids are distinct
+    aware.groupBy(r => (r._2, r._4, r._6)).foreach { case (bin, members) =>
+      val cids = members.map(_._3)
+      assert(cids.distinct.length === cids.length,
+        s"bin $bin holds two members of one cluster: ${members.mkString(", ")}")
+    }
+    // waves are the dup index per (source, cluster): the three s-side
+    // cluster-10 members get waves 0,1,2; everything else wave 0
+    val waveById = aware.map(r => r._1 -> r._4).toMap
+    assert(Seq(1L, 2L, 5L).map(waveById) === Seq(0L, 1L, 2L))
+    assert(Seq(3L, 4L, 6L).map(waveById) === Seq(0L, 0L, 0L))
+    // wave 0's layout IS packSequences over the wave-0 docs (dedup'd corpus)
+    val wave0 = aware.filter(r => r._2 == "s" && r._4 == 0L)
+      .map(r => (r._1, r._6, r._7)).sortBy(_._1)
+    val packed0 = Curation.packSequences(
+      docs.filter(col("source") === "s" && col("doc_id").isin(1L, 3L, 4L)),
+      "doc_id", "source", "text", 6)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._4, r._5)).sortBy(_._1)
+    assert(wave0.toSeq === packed0.toSeq)
+  }
+
+  test("pack_dedup_aware at sf0.001: invariant holds on real LSH clusters") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.functions.LlmQueries.queries("pack_dedup_aware")(spark, sf)
+      .select("doc_id", "source", "cluster_id", "wave", "bin")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // non-vacuous: the corpus has at least one multi-member cluster
+    assert(out.groupBy(r => (r._2, r._3)).exists(_._2.length >= 2),
+      "fixture corpus must contain a multi-member near-dup cluster")
+    out.groupBy(r => (r._2, r._4, r._5)).foreach { case (bin, members) =>
+      val cids = members.map(_._3)
+      assert(cids.distinct.length === cids.length,
+        s"bin $bin holds two members of one cluster")
+    }
+  }
+
   test("dedup_keep_best keeps exactly one max-quality member per cluster") {
     val sf = "/root/testdata/sf0.001"
     val kept = LlmQueries.queries("dedup_keep_best")(spark, sf)
