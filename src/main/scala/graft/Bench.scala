@@ -17,22 +17,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      SUB-SECOND queries' shared-vs-isolated deltas are symmetric
   *      ±0.05s noise, indistinguishable from same-protocol run-to-run
   *      jitter. So: slow queries (previous median >= 1s, or never
-  *      measured) each get a FRESH session; fast queries share ONE
-  *      scrubbed session. `SPARK_GRAFT_BENCH_ISOLATE=1` restores full
-  *      per-query isolation (the A/B reference protocol).
+  *      measured) each get a FRESH session; fast queries run
+  *      CONCURRENTLY across 2-3 session clones of one scrubbed context
+  *      (r11 — they are read-only over the same parquet, their wall is
+  *      dominated by driver-side planning/scheduling latency that
+  *      concurrency overlaps, and the scrub is coordinated through a
+  *      ReadWriteLock so a context-global unpersist never hits another
+  *      group's in-flight query). `SPARK_GRAFT_BENCH_ISOLATE=1` restores
+  *      full per-query isolation (the A/B reference protocol);
+  *      `SPARK_GRAFT_BENCH_FASTGROUPS=1` the sequential r10 fast phase.
   *   2. Timing also splits by cost. Fast queries: prev >= 0.4s get the
   *      MEDIAN of 3 no-warm-up runs (the cold first run is the max and
   *      the median discards it; at sub-second scale GC jitter is
   *      material); sub-0.4s queries get MIN-of-2 (run 1 is the same
   *      discarded cold run, and the retime trigger is unreachable below
   *      0.4s short of a 2x move, which min-of-2 still surfaces). Slow
-  *      queries (r10): ONE warm pass on the tiny sf0.001 sibling corpus
-  *      (codegen/JIT for ~0.2s instead of a full-scale throwaway), then
-  *      ONE timed full-scale run, with an in-phase adaptive second run
-  *      (min of two) whenever the first lands >25% and >0.3s above the
-  *      previous round's median or the query has no history. GC jitter
-  *      is proportionally small at >= 1s, and every slow number still
-  *      comes from its own fresh session.
+  *      queries (r10, tightened r11): TWO warm passes on the tiny
+  *      sf0.001 sibling corpus (codegen/JIT for ~0.4s instead of a
+  *      full-scale throwaway; two because iterative plans tier the JIT
+  *      across executions — the r9 A/B measured bpe_merges/k-means/LM
+  *      gates +20-45% hot after a single warm), then ONE timed
+  *      full-scale run, with an in-phase adaptive CONVERGENCE loop
+  *      (keep re-running while the latest run undercuts the previous by
+  *      >20%, min of all, cap 4) whenever the first DRIFTS >25% and
+  *      >0.3s in EITHER direction from the previous round's median
+  *      (r10's regression-only single retry left +17-65% inflations
+  *      unconfirmed, and the r11 A/B measured heavy plans still tiering
+  *      at run 3: 6.8 -> 1.9 -> 1.3 s) or the query has no history. GC
+  *      jitter is proportionally small at >= 1s, and every slow number
+  *      still comes from its own fresh session.
   *   3. (subsumed by note 2 — median-of-3 where noise is material.)
   *   4. The 16M-row skew demonstration runs in its OWN SparkSession after
   *      the query groups, reported in a separate `skew_demo` JSON block:
@@ -52,7 +65,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      re-running anything by hand. Slow-tail queries never retime:
   *      their main number already comes from a fresh session with an
   *      in-phase adaptive second run (note 2) — the retime would repeat
-  *      the identical protocol. Reading the two numbers: retimed BELOW
+  *      the identical protocol. A flagged query whose CURRENT time
+  *      crossed slowCut (a genuine fast->multi-second regression) gets
+  *      its own fresh retime session (r11): the shared session inflates
+  *      heavy queries 15-65%, which would corrupt the diagnostic
+  *      exactly when it matters. Reading the two numbers: retimed BELOW
   *      main is cold-JIT pessimism in the main number, harmless and
   *      conservative; retimed ABOVE main would be the contamination
   *      signature and is the regression to chase.
@@ -239,16 +256,38 @@ object Bench {
           val (sec, ok) =
             if (!warmOk) timedMin(math.min(runs, 2))(exec(fn(spark, sfDir)))
             else {
-              try exec(fn(spark, warmDir)) catch { case _: Throwable => () } // tiny warm
+              // TWO tiny warms, not one: iterative plans (bpe_merges,
+              // k-means, the LM gates) tier the JIT across executions —
+              // the r9 A/B measured them +20-45% hot after a single warm.
+              // A second ~0.2s sf0.001 pass buys the tier-up off-clock.
+              try { exec(fn(spark, warmDir)); exec(fn(spark, warmDir)) }
+              catch { case _: Throwable => () }
               val first = one()
+              // cross-check on DRIFT (either direction), not just
+              // regression: r10 recorded +17-65% single-run inflations on
+              // unchanged queries that were never confirmed. |delta| >25%
+              // and >0.3s vs the protocol-matched history triggers a
+              // CONVERGENCE loop, not one fixed retry: the r11 A/B
+              // measured heavy plans tiering across FULL-SCALE runs
+              // (dedup_embedding_lsh 6.8 -> 1.9 -> 1.3 s in one fresh
+              // session — the tiny warms bound run 1, they don't buy
+              // full-scale steady state), so min-of-2 can still record a
+              // half-converged number. Keep re-running while the latest
+              // run undercuts the previous by >20% (still descending),
+              // cap 4 runs total; converged queries never pay it.
               val suspicious = first._2 && (prev.get(name) match {
-                case Some(p) => first._1 > p + 0.3 && first._1 > 1.25 * p
+                case Some(p) => math.abs(first._1 - p) > 0.3 &&
+                  math.abs(first._1 - p) > 0.25 * p
                 case None    => true // first measurement: confirm it
               })
               if (!suspicious) first
               else {
-                val second = one()
-                (math.min(first._1, second._1), first._2 && second._2)
+                var runsDone = Seq(first)
+                while (runsDone.length < 4 && runsDone.forall(_._2) &&
+                    (runsDone.length < 2 ||
+                      runsDone.last._1 < 0.8 * runsDone(runsDone.length - 2)._1))
+                  runsDone = runsDone :+ one()
+                (runsDone.map(_._1).min, runsDone.forall(_._2))
               }
             }
           spark.stop()
@@ -256,23 +295,68 @@ object Bench {
           (name, sec, ok)
         }
         phaseDone("slow")
-        // fast queries: ONE scrubbed shared session — their shared-vs-
-        // isolated deltas measured as symmetric noise (±0.05s), and the
-        // median of 3 no-warm-up runs discards the cold first run
+        // fast queries: r11 runs them CONCURRENTLY across 2-3 session
+        // clones of one SparkContext (r9 directive: they are read-only
+        // over the same parquet, and their shared-vs-isolated deltas
+        // measured as symmetric ±0.05s noise — scheduling/planning
+        // latency, which concurrency overlaps, dominates their wall).
+        // Groups are greedy-balanced by previous cost. The between-query
+        // scrub is context-GLOBAL (unpersist-all would kill another
+        // group's in-flight localCheckpoint), so scrubs run under the
+        // write side of a ReadWriteLock every ~12 completions while each
+        // timed query holds the read side. SPARK_GRAFT_BENCH_FASTGROUPS=1
+        // restores the sequential r10 protocol.
+        val nGroups = math.max(1, math.min(4,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FASTGROUPS", "3").toInt))
         val spark = newSession(cpus)
-        val fastResults = fastQs.zipWithIndex.map { case ((name, fn), i) =>
+        val groups = Array.fill(nGroups)(
+          scala.collection.mutable.ArrayBuffer.empty[(String, (SparkSession, String) => DataFrame)])
+        val groupCost = Array.fill(nGroups)(0.0)
+        fastQs.sortBy { case (n, _) => -prev.getOrElse(n, 0.5) }.foreach { q =>
+          val g = groupCost.indices.minBy(groupCost)
+          groups(g) += q; groupCost(g) += prev.getOrElse(q._1, 0.5)
+        }
+        val scrubLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+        val nDone = new java.util.concurrent.atomic.AtomicInteger(0)
+        def fastOne(sess: SparkSession, name: String,
+            fn: (SparkSession, String) => DataFrame): (String, Double, Boolean) = {
           // sub-0.4s queries: min-of-2, no adaptation — run 1 is the
           // cold codegen run either protocol discards, and at <0.4s the
           // retime trigger (>0.3s AND >15%) is unreachable short of a
-          // 2x regression, which min-of-2 still surfaces. Saves a third
-          // of the fast phase's timed compute (67 of 119 queries).
+          // 2x regression, which min-of-2 still surfaces.
+          scrubLock.readLock().lock()
           val (sec, ok) =
-            if (prev.get(name).exists(_ < 0.4))
-              timedMin(2, adaptive = false)(exec(fn(spark, sfDir)))
-            else timed(math.max(runs, 3))(exec(fn(spark, sfDir)))
-          scrub(spark, forceGc = i % 10 == 9)
+            try {
+              if (prev.get(name).exists(_ < 0.4))
+                timedMin(2, adaptive = false)(exec(fn(sess, sfDir)))
+              else timed(math.max(runs, 3))(exec(fn(sess, sfDir)))
+            } finally scrubLock.readLock().unlock()
+          val d = nDone.incrementAndGet()
+          if (d % 12 == 0) {
+            scrubLock.writeLock().lock()
+            try scrub(spark, forceGc = d % 24 == 0)
+            finally scrubLock.writeLock().unlock()
+          }
           (name, sec, ok)
         }
+        val fastResults =
+          if (nGroups == 1)
+            groups(0).toSeq.map { case (n, f) => fastOne(spark, n, f) }
+          else {
+            import scala.concurrent.{Await, Future, ExecutionContext}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(nGroups)
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            val futs = groups.toSeq.map { g =>
+              Future {
+                val sess = spark.newSession()
+                g.toSeq.map { case (n, f) => fastOne(sess, n, f) }
+              }
+            }
+            val out = futs.flatMap(Await.result(_, Duration.Inf))
+            pool.shutdown()
+            out
+          }
         spark.stop()
         System.gc()
         phaseDone("fast")
@@ -365,23 +449,40 @@ object Bench {
       }
       if (flagged.isEmpty) Nil
       else {
-        // ONE fresh session for all flagged queries: every flagged query
-        // is sub-second by construction, and the protocol's own A/B
-        // finding is that sub-second queries' shared-vs-isolated deltas
-        // are symmetric noise — per-query sessions here were pure
-        // harness cost (~12s each in r9)
-        val s3 = newSession(cpus)
-        val out = flagged.map { name =>
+        // p < slowCut bounds only the PREVIOUS median: a fast-phase query
+        // that genuinely regressed to multi-second THIS round would be
+        // retimed in a shared session where the A/B measured heavy
+        // queries inflating 15-65% — corrupting the "retimed ABOVE main
+        // = contamination" diagnostic exactly when a real regression
+        // fires. So flagged queries whose CURRENT sec >= slowCut each get
+        // their own fresh session; the (typical) sub-second rest share
+        // one, where shared-vs-isolated deltas are symmetric noise.
+        val currentSec = results.collect { case (n, s, true) => n -> s }.toMap
+        val (heavyNow, fastNow) =
+          flagged.partition(n => currentSec.get(n).exists(_ >= slowCut))
+        val heavyOut = heavyNow.map { name =>
+          val s3 = newSession(cpus)
           val fn = SparkEntry.queries(name)
           try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
-          val (sec, ok) = timed(runs)(exec(fn(s3, sfDir)))
-          scrub(s3, forceGc = false)
-          // a query that FAILS in the retime session must not record a
-          // near-instant "fast" median that reads as a placement artifact
+          val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn(s3, sfDir)))
+          s3.stop()
           (name, if (ok) sec else -1.0)
         }
-        s3.stop()
-        out
+        val fastOut = if (fastNow.isEmpty) Nil else {
+          val s3 = newSession(cpus)
+          val out = fastNow.map { name =>
+            val fn = SparkEntry.queries(name)
+            try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
+            val (sec, ok) = timed(runs)(exec(fn(s3, sfDir)))
+            scrub(s3, forceGc = false)
+            // a query that FAILS in the retime session must not record a
+            // near-instant "fast" median that reads as a placement artifact
+            (name, if (ok) sec else -1.0)
+          }
+          s3.stop()
+          out
+        }
+        heavyOut ++ fastOut
       }
     }
     phaseDone("retime")
@@ -410,8 +511,16 @@ object Bench {
       .mkString("[", ",", "]")
     val total = okResults.map(_._2).sum
 
+    // runs_per_query describes the PER-PHASE protocol, not one number
+    // (r10 shipped the misleading flat "3"): slow = 2 tiny warms + 1
+    // full-scale run (+1 on >25% drift); fast = median-of-3, min-of-2
+    // under 0.4s, 2-3 concurrent session clones; served = median-of-3;
+    // skew = warm(2M)+1.
+    val protocol = "slow:warm2+1(conv<=4 on drift);fast:med3|min2 x" +
+      (if (isolate) "isolated" else s"${math.max(1, math.min(4, sys.env.getOrElse("SPARK_GRAFT_BENCH_FASTGROUPS", "3").toInt))}grp") +
+      ";served:med3;skew:warm+1"
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":$runs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":"$protocol","errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -424,7 +533,7 @@ object Bench {
     val budgetTotal = 1750
     val slowestFirst = entries(okResults.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":$runs,"errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
       .map { case (sk, er) =>
         val room = budgetTotal - mk(Nil, sk, er).length
