@@ -660,6 +660,52 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** [[shuffleShards]] with the dedup graph composed in: members of one
+    * near-dup cluster ROUND-ROBIN across shards (shard =
+    * (hash(cluster) + dup_index) mod shards) instead of landing wherever
+    * their individual id hashes — so a cluster's copies never co-locate
+    * in one dataloader shard (structurally, for clusters up to `shards`
+    * members; bigger clusters wrap by pigeonhole). The cluster hash keeps
+    * placement pseudo-random ACROSS clusters; the dup index staggers
+    * within one. Singletons behave like [[shuffleShards]] modulo the
+    * keying (cluster id = own id).
+    *
+    * Scale shape: one cluster-label left join + a dup-index window over
+    * cluster-sized partitions on top of [[shuffleShards]]' machinery
+    * (dense per-shard positions via chunked prefix counts, never a
+    * per-shard global sort).
+    */
+  def shuffleShardsDedupAware(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      clusters: DataFrame,
+      chunkDiv: Long = 1L << 32): DataFrame = {
+    val lab = df.select(col(idCol))
+      .join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val wDup = Window.partitionBy(col("cluster_id")).orderBy(col(idCol))
+    val base = lab
+      .withColumn("__dup_idx", (row_number().over(wDup) - 1).cast("long"))
+      .withColumn("__hkey", hash48(concat(lit("shuffle:"), col(idCol).cast("string"))))
+      .withColumn("__ckey", hash48(concat(lit("shard:"), col("cluster_id").cast("string"))))
+      .withColumn("shard", pmod(col("__ckey") + col("__dup_idx"), lit(shards.toLong)))
+      .withColumn("__chunk", longDiv(col("__hkey"), chunkDiv))
+    val chunkCounts = base.groupBy(col("shard"), col("__chunk"))
+      .agg(count(lit(1)).as("__ccnt"))
+    val wPrev = Window.partitionBy(col("shard")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevCounts = chunkCounts
+      .select(col("shard"), col("__chunk"),
+        sum(col("__ccnt")).over(wPrev).as("__prev_cnt"))
+    val w = Window.partitionBy(col("shard"), col("__chunk"))
+      .orderBy(col("__hkey"), col(idCol))
+    base
+      .join(broadcast(prevCounts), Seq("shard", "__chunk"))
+      .withColumn("pos", coalesce(col("__prev_cnt"), lit(0L)) + row_number().over(w))
+      .select(col(idCol), col("cluster_id"), col("shard"), col("pos"))
+  }
+
   /** Token-budget corpus selection by QUALITY RANK: per `srcCol` stratum,
     * keep the highest-quality documents whose running token total stays
     * within `budgetTokens` — rank by (quality_milli DESC, id ASC), keep

@@ -726,6 +726,20 @@ object LlmQueries {
           "a", "b"))
         .orderBy("doc_id")
     },
+    // Dedup-aware shard spread: near-dup cluster members round-robin
+    // across shards (shard = (hash(cluster) + dup_index) mod shards) so
+    // no dataloader shard holds two copies of one cluster (<= shards
+    // members). Same LSH-CC labels as pack_dedup_aware.
+    "shards_dedup_aware" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.shuffleShardsDedupAware(docs, "doc_id", shards = 8,
+        Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+          "a", "b"),
+        chunkDiv = 1L << 44)
+        .orderBy("doc_id")
+    },
     // Deterministic training-order shuffle: (shard, pos) per doc, dense
     // positions via chunked prefix counts — never a per-shard global sort.
     "shuffle_shards" -> { (s, d) =>
@@ -1749,6 +1763,34 @@ object LlmQueries {
                  CAST(cum_before // 4096 AS BIGINT) AS bin,
                  CAST(cum_before % 4096 AS BIGINT) AS bin_offset
           FROM cb ORDER BY doc_id""",
+    "shards_dedup_aware" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          lab AS (SELECT b.doc_id, coalesce(cl.cluster_id, b.doc_id) AS cluster_id
+                  FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id),
+          w AS (SELECT doc_id, cluster_id,
+                  CAST(row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY doc_id) - 1 AS BIGINT) AS dup_idx,
+                  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hkey,
+                  CAST(('0x' || substr(md5('shard:' || CAST(cluster_id AS VARCHAR)), 1, 12)) AS BIGINT) AS ckey
+                FROM lab),
+          sh2 AS (SELECT doc_id, cluster_id, (ckey + dup_idx) % 8 AS shard, hkey FROM w)
+          SELECT doc_id, cluster_id, shard,
+                 CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hkey, doc_id) AS BIGINT) AS pos
+          FROM sh2 ORDER BY doc_id""",
     "shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,
                  CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hkey

@@ -15,7 +15,9 @@ object Explain {
       "tpch_q2_min_cost_supp", "tpch_q11_important_supply",
       "tpch_q16_supplier_cnt", "tpch_q21_waiting_supp",
       "j1_windowed_join", "top_users_by_value", "a1_tumbling_count",
-      "event_transitions", "lang_confusion", "dedup_cluster_sizes")
+      "event_transitions", "lang_confusion", "dedup_cluster_sizes",
+      "graph_triangles", "pack_dedup_aware", "a4_sessions_auto",
+      "t1_rolling_auto")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(

@@ -239,6 +239,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffleShardsDedupAware: cluster members round-robin across " +
+      "distinct shards; positions stay dense per shard") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // one 4-member cluster, one 3-member cluster, rest singletons
+    val clusters = Seq((1L, 1L), (7L, 1L), (19L, 1L), (33L, 1L),
+      (4L, 4L), (12L, 4L), (28L, 4L)).toDF("node", "cluster_id")
+    val out = Curation.shuffleShardsDedupAware(docs, "doc_id", shards = 8, clusters)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 40)
+    // structural exclusion: members of one cluster all land on DIFFERENT
+    // shards (cluster size <= shards)
+    out.groupBy(_._2).filter(_._2.length >= 2).foreach { case (cid, ms) =>
+      val sh = ms.map(_._3)
+      assert(sh.distinct.length === sh.length,
+        s"cluster $cid co-located two members in one shard: ${ms.mkString(", ")}")
+      // and the round-robin is consecutive mod shards in doc-id order
+      val byId = ms.sortBy(_._1).map(_._3)
+      byId.sliding(2).foreach { case Array(a, b) =>
+        assert((a + 1) % 8 === b, s"cluster $cid not consecutive: $byId")
+      }
+    }
+    // positions are dense 1..n per shard
+    out.groupBy(_._3).foreach { case (shard, ms) =>
+      assert(ms.map(_._4).sorted.toSeq === (1L to ms.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+  }
+
   test("dedup_keep_best keeps exactly one max-quality member per cluster") {
     val sf = "/root/testdata/sf0.001"
     val kept = LlmQueries.queries("dedup_keep_best")(spark, sf)
