@@ -200,6 +200,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph_triangles: adjacency-intersect shape — no wedge-closing join") {
+    // the r11 plan: two edge-vs-adjacency attach joins + an in-row
+    // array_intersect explode. The r10 wedge-join plan carried a THIRD
+    // join (the closing (a,c) join over wedge-volume rows) — the
+    // scale-killer TriangleProbe measured at 73-92% of wall. Guard both
+    // properties so a refactor can't silently reintroduce it.
+    val p = plan("graph_triangles")
+    assert(p.contains("array_intersect"), s"intersection not in-row:\n$p")
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins <= 2, s"wedge-closing join crept back (joins=$joins):\n$p")
+  }
+
   test("no query plans a single-partition window (WindowExec scale-killer)") {
     // an unpartitioned Window.orderBy moves the whole input through one
     // task; every windowed operator must partition (w2's prefix-max is the
