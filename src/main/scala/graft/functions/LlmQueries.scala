@@ -500,6 +500,17 @@ object LlmQueries {
       Similarity.ivfTopKWithCentroids(queries, corpus, cent, k = 5, nprobe = 3)
         .orderBy("qid", "rank")
     },
+    // D4-style semantic diversity sampling: per k-means cell keep the
+    // half FARTHEST from the centroid (lowest quantized cosine), at
+    // least one per cell — de-duplicates semantic regions, up-weights
+    // the long tail. Same centroid chain as semdedup_keep.
+    "diversity_sample" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 25, iters = 2)
+      Similarity.diversitySample(corpus, cent, keepPermille = 500)
+        .orderBy("vec_id")
+    },
     // SemDeDup: semantic near-dup pruning confined to k-means cells —
     // per-cluster pairwise cosine instead of corpus-wide O(n^2).
     "semdedup_keep" -> { (s, d) =>
@@ -1603,6 +1614,28 @@ object LlmQueries {
           FROM bc JOIN uc a ON bc.w1 = a.t JOIN uc b ON bc.w2 = b.t CROSS JOIN tot
           ORDER BY pmi_q10 DESC, w1, w2 LIMIT 50"""
     },
+    "diversity_sample" ->
+      s"""WITH $vnCtes,
+          cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+          ${kmeansIterSql("cent0", 1)},
+          ${kmeansIterSql("cent1", 2)},
+          assign AS (
+            SELECT vec_id, cid, sc AS proto_q4 FROM (
+              SELECT vn.vec_id, c.cid,
+                     CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) AS sc,
+                     row_number() OVER (PARTITION BY vn.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn CROSS JOIN cent2 c) WHERE rn = 1),
+          cnt AS (SELECT cid, count(*) AS n_cell FROM assign GROUP BY 1),
+          rk AS (SELECT a.vec_id, a.cid, a.proto_q4, c.n_cell,
+                   row_number() OVER (PARTITION BY a.cid
+                     ORDER BY a.proto_q4 ASC, a.vec_id ASC) AS rn
+                 FROM assign a JOIN cnt c USING (cid))
+          SELECT vec_id, cid, proto_q4,
+                 CAST(CASE WHEN rn * 1000 <= 500 * n_cell OR rn = 1
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM rk ORDER BY vec_id""",
     "semdedup_keep" ->
       s"""WITH $vnCtes,
           cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),

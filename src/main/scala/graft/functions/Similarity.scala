@@ -837,6 +837,43 @@ object Similarity {
     * exact-dedup keep-min convention. Output: (vec_id, cid, keep 0/1) —
     * one row per input vector, so downstream filters compose.
     */
+  /** D4-style semantic diversity sampling (Tirumala et al. 2023,
+    * arXiv:2308.12284 — after SemDeDup, drop the most PROTOTYPICAL
+    * points per cluster, i.e. those closest to their centroid, to
+    * de-duplicate semantic regions and up-weight the long tail): per
+    * k-means cell, keep the `keepPermille` fraction with the LOWEST
+    * quantized cosine to their own centroid (most diverse first,
+    * vec_id tie-break), always retaining at least one vector per cell.
+    *
+    * Scale shape: one broadcast-centroid assignment pass (narrow,
+    * argmax over longs — no array ever enters an aggregate), a
+    * cell-sized count, and one row_number window over cell-sized
+    * partitions. The keep threshold is cross-multiplied
+    * (`rank * 1000 <= keepPermille * n_cell`) — integer-exact in any
+    * engine, no division.
+    */
+  def diversitySample(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      keepPermille: Int): DataFrame = {
+    val c = withNorm(corpus, "vec", "v")
+    val assigned = c.join(broadcast(centroids))
+      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"),
+        col("best.a_score_q4").as("proto_q4"))
+    val counts = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_cell"))
+    val wCell = Window.partitionBy(col("cid"))
+      .orderBy(col("proto_q4").asc, col("vec_id").asc)
+    assigned
+      .join(counts, "cid") // cells-sized side; AQE broadcasts when it fits
+      .withColumn("rn", row_number().over(wCell).cast("long"))
+      .select(col("vec_id"), col("cid"), col("proto_q4"),
+        when(col("rn") * lit(1000L) <= lit(keepPermille.toLong) * col("n_cell") ||
+            col("rn") === 1L, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
   def semDedupKeep(
       corpus: DataFrame,
       centroids: DataFrame,

@@ -363,6 +363,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(100L, 100L, 100L, 200L, 200L, 300L))
   }
 
+  test("diversitySample keeps the farthest-from-centroid half, one per cell minimum") {
+    // cell 100: four vectors at decreasing cosine to the x-axis centroid;
+    // cell 200: a singleton (must survive via the at-least-one rule)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // proto (cos 1.0) — dropped
+      (2L, Array(1.0f, 0.1f, 0.0f)),    // near-proto — dropped
+      (3L, Array(1.0f, 0.4f, 0.0f)),    // diverse — kept
+      (4L, Array(1.0f, 0.9f, 0.0f)),    // most diverse — kept
+      (20L, Array(0.0f, 0.0f, 1.0f)))   // singleton cell — kept (rn=1)
+      .toDF("vec_id", "vec")
+    val centroids = Seq(
+      (100L, Seq(1.0, 0.0, 0.0), 1.0),
+      (200L, Seq(0.0, 0.0, 1.0), 1.0)).toDF("cid", "cd", "cn")
+    val got = Similarity.diversitySample(corpus, centroids, keepPermille = 500)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(t => t._1 -> t._4).toMap ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 20L -> 1L))
+    assert(got.map(_._2).toSeq === Seq(100L, 100L, 100L, 100L, 200L))
+    // prototypicality is the quantized cosine to the OWN centroid,
+    // descending with the planted angles
+    val proto = got.map(t => t._1 -> t._3).toMap
+    assert(proto(1L) > proto(2L) && proto(2L) > proto(3L) && proto(3L) > proto(4L))
+  }
+
   test("duplicateShingleProfile separates template, half-template and unique docs") {
     val tpl = "one two three four five six seven eight"
     val docs = Seq(
