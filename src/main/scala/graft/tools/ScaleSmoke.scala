@@ -188,6 +188,19 @@ object ScaleSmoke {
       graft.functions.Curation.connectedComponents(
         Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b").mat()
     }
+    time("pack dedup-aware (4096)") {
+      graft.functions.Curation.packSequencesDedupAware(
+        docs, "doc_id", "source", "text", 4096,
+        graft.functions.Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b")).mat()
+    }
+    time("shards dedup-aware (64)") {
+      graft.functions.Curation.shuffleShardsDedupAware(
+        docs, "doc_id", shards = 64,
+        graft.functions.Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 600), "a", "b"),
+        chunkDiv = 1L << 40).mat()
+    }
     time("pagerank (5 iters, deg~40)") {
       // synthetic graph scaling with the corpus: docsN nodes, ~20*docsN
       // directed pairs symmetrized (degree ~40) — edge count dominates,
@@ -220,6 +233,18 @@ object ScaleSmoke {
       val sym = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       graft.functions.Graph.triangleCounts(sym, "src", "dst").mat()
+    }
+    time("triangle counts adj (deg~40)") {
+      // the r11 adjacency-intersection plan on the same graph, half-edge
+      // input (each {u,v} once) — the shipped graph_triangles shape
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val half = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+      graft.functions.Graph.triangleCountsAdj(half).mat()
     }
     time("table profile (events, 5 cols)") {
       graft.functions.Profiling.tableProfile(events, Seq(
@@ -475,6 +500,11 @@ object ScaleSmoke {
       val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 200, iters = 1)
       Similarity.semDedupKeep(corpus, cent, minScoreQ4 = 9000L)
         .filter(col("keep") === 0).mat()
+    }
+    time("diversity sample (kmeans cells)") {
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 200, iters = 1)
+      Similarity.diversitySample(corpus, cent, keepPermille = 500).mat()
     }
     time("token-window chunking (32/8)") {
       graft.functions.Curation.chunkTokenWindows(docs, "text", "doc_id",
