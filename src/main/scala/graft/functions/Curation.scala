@@ -272,6 +272,40 @@ object Curation {
           .otherwise(lit("train")))
   }
 
+  /** [[datasetSplit]] with the dedup graph composed in: NEAR-dup cluster
+    * members co-assign to one split (bucket = salted hash of the cluster
+    * id), closing the leakage channel the content-hash split cannot see —
+    * md5(text) co-assigns EXACT dups only, while a near-dup pair (one
+    * word changed, boilerplate re-wrap) hashes to independent buckets
+    * and straddles the train/eval boundary with probability
+    * 1 - 1/1000-ish per pair. Unclustered docs keep the EXACT
+    * [[datasetSplit]] convention (content hash), so exact-dup twins
+    * below the shingle threshold still co-assign and the dedup-aware
+    * split differs from the legacy one only on clustered docs.
+    *
+    * Scale shape: one cluster-label left join on top of the narrow
+    * per-row bucketing; nothing new shuffles.
+    */
+  def datasetSplitDedupAware(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      valPermille: Int,
+      testPermille: Int,
+      clusters: DataFrame): DataFrame = {
+    val lab = df.join(clusters.withColumnRenamed("node", idCol), Seq(idCol), "left")
+    val bucket = pmod(
+      when(col("cluster_id").isNotNull,
+        hash48(concat(lit("split:"), col("cluster_id").cast("string"))))
+        .otherwise(hash48(col(textCol))),
+      lit(1000))
+    lab.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < testPermille, lit("test"))
+          .when(col("bucket") < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** Cross-source quantile-matching normalization of the quality score —
     * the fairness step before any global quality threshold: raw scores
     * are not comparable across sources (a "good" forum post and a "good"

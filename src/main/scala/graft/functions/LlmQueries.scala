@@ -886,6 +886,21 @@ object LlmQueries {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")
     },
+    // Near-dup-aware split: cluster members co-assign (bucket = salted
+    // cluster-id hash), unclustered docs keep the content-hash
+    // convention — the leakage channel md5(text) can't close (a near-dup
+    // pair straddles the train/eval boundary) closed structurally.
+    "split_dedup_aware" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.datasetSplitDedupAware(docs, "text", "doc_id",
+        valPermille = 100, testPermille = 50,
+        Curation.connectedComponents(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+          "a", "b"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
     // The full curation DAG as ONE query — the query a training-data
     // pipeline actually runs: CCNet-style quality gate AND near-dedup
     // survivor AND decontamination, then the leakage-aware split on
@@ -1737,6 +1752,32 @@ object LlmQueries {
                  CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 AS bucket
                FROM documents)
          ORDER BY doc_id""",
+    "split_dedup_aware" ->
+      s"""WITH RECURSIVE $shinglesCte,
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+          cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+          bk AS (SELECT b.doc_id,
+                   CASE WHEN cl.cluster_id IS NOT NULL
+                     THEN CAST(('0x' || substr(md5('split:' || CAST(cl.cluster_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000
+                     ELSE CAST(('0x' || substr(md5(b.text), 1, 12)) AS BIGINT) % 1000
+                   END AS bucket
+                 FROM base b LEFT JOIN cl ON cl.doc_id = b.doc_id)
+          SELECT doc_id, bucket,
+                 CASE WHEN bucket < 50 THEN 'test'
+                      WHEN bucket < 150 THEN 'val'
+                      ELSE 'train' END AS split
+          FROM bk ORDER BY doc_id""",
     "stratified_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000 <

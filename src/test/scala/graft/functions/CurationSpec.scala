@@ -267,6 +267,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("datasetSplitDedupAware: cluster members co-assign; singletons " +
+      "keep the legacy content-hash split") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+      (3L, "wholly different text one"), (4L, "wholly different text one"),
+      (5L, "another unique document")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster_id")
+    val got = Curation.datasetSplitDedupAware(docs, "text", "doc_id",
+      valPermille = 100, testPermille = 50, clusters)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // near-dup cluster {1,2}: same bucket, same split
+    assert(byId(1L) === byId(2L), s"cluster straddles the split: $byId")
+    // unclustered docs: EXACT legacy datasetSplit buckets (content hash),
+    // so exact-dup twins below the shingle threshold still co-assign
+    val legacy = Curation.datasetSplit(docs, "text", 100, 50)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    Seq(3L, 4L, 5L).foreach(id => assert(byId(id) === legacy(id)))
+    assert(byId(3L) === byId(4L)) // exact dups co-assign either way
+  }
+
+  test("split_dedup_aware at sf0.001: no LSH cluster straddles the split") {
+    val sf = "/root/testdata/sf0.001"
+    val split = graft.functions.LlmQueries.queries("split_dedup_aware")(spark, sf)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    val clusters = graft.functions.LlmQueries.queries("dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val grouped = clusters.groupBy(_._2).filter(_._2.length >= 2)
+    assert(grouped.nonEmpty, "fixture corpus must contain a multi-member cluster")
+    grouped.foreach { case (cid, ms) =>
+      val splits = ms.map(m => split(m._1)).distinct
+      assert(splits.length === 1, s"cluster $cid straddles splits: $splits")
+    }
+  }
+
   test("dedup_keep_best keeps exactly one max-quality member per cluster") {
     val sf = "/root/testdata/sf0.001"
     val kept = LlmQueries.queries("dedup_keep_best")(spark, sf)
