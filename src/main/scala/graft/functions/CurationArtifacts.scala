@@ -44,7 +44,8 @@ object CurationArtifacts {
       datasheet: DataFrame,
       keepBest: DataFrame,
       qnormPerSource: DataFrame,
-      qnormInverse: DataFrame)
+      qnormInverse: DataFrame,
+      clusters: DataFrame)
 
   /** Train every gate artifact on `docs` and persist under `dir`:
     * `lm_model` (t, cnt), `nb_model` (c, b, n_cb), `nb_classes`
@@ -80,11 +81,18 @@ object CurationArtifacts {
       .toDF("bloom").write.mode("overwrite").parquet(s"$dir/bench_bloom")
     Curation.datasheet(docs, textCol, srcCol, labelCol)
       .write.mode("overwrite").parquet(s"$dir/datasheet")
-    Curation.keepBestFromClusters(docs, textCol, idCol,
-      Curation.connectedComponents(
-        Dedup.minhashLshPairs(docs, textCol, idCol,
-          shingleN, lshBands, lshRowsPerBand, minJaccardMilli),
-        "a", "b"))
+    // CC runs ONCE; its labels feed keep_best AND publish as their own
+    // artifact (`clusters`) — the shared input of the dedup-aware
+    // pack/shard/split family, so a serving tier composes those without
+    // ever re-running LSH+CC. Dup-population-sized (one row per doc in a
+    // multi-member cluster), the same corpus-proportional class as
+    // keep_best; maintain incrementally via `Curation.refreshClusters`.
+    val cc = Curation.connectedComponents(
+      Dedup.minhashLshPairs(docs, textCol, idCol,
+        shingleN, lshBands, lshRowsPerBand, minJaccardMilli),
+      "a", "b").localCheckpoint()
+    cc.write.mode("overwrite").parquet(s"$dir/clusters")
+    Curation.keepBestFromClusters(docs, textCol, idCol, cc)
       .write.mode("overwrite").parquet(s"$dir/keep_best")
     val (qnormSrc, qnormInv) =
       Curation.quantileNormTables(docs, textCol, idCol, srcCol)
@@ -115,6 +123,7 @@ object CurationArtifacts {
       datasheet = spark.read.parquet(s"$dir/datasheet"),
       keepBest = spark.read.parquet(s"$dir/keep_best"),
       qnormPerSource = spark.read.parquet(s"$dir/qnorm_per_source"),
-      qnormInverse = spark.read.parquet(s"$dir/qnorm_inverse"))
+      qnormInverse = spark.read.parquet(s"$dir/qnorm_inverse"),
+      clusters = spark.read.parquet(s"$dir/clusters"))
   }
 }

@@ -78,6 +78,23 @@ class CurationArtifactsSpec extends SparkSpec {
     assert(kbLoaded.nonEmpty)
     assert(kbLoaded === kbBatch)
 
+    // Clusters: the loaded label table drives the dedup-aware family
+    // identically to a fresh CC — the serving tier never re-runs LSH+CC
+    val ccMem = Curation.connectedComponents(
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 4, 4, 500), "a", "b")
+    assert(a.clusters.as[(Long, Long)].collect().sorted ===
+      ccMem.as[(Long, Long)].collect().sorted)
+    val splitLoaded = Curation.datasetSplitDedupAware(
+      docs, "text", "doc_id", 100, 50, a.clusters)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val splitMem = Curation.datasetSplitDedupAware(
+      docs, "text", "doc_id", 100, 50, ccMem)
+      .select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(splitLoaded.nonEmpty)
+    assert(splitLoaded === splitMem)
+
     // Quantile-norm tables: scoring the frozen corpus against the LOADED
     // tables equals the batch normalization row-for-row
     val fromLoadedQn = docs
