@@ -111,6 +111,30 @@ object StreamingCuration {
     * stream replays the model's own training corpus (NbDsirSpec).
     * `emit` receives (doc_id, pred_label, score_q10) per batch.
     */
+  /** Train-batch / score-stream diversity sampling: centroids +
+    * per-cell cuts ([[graft.functions.Similarity.diversityCuts]]) freeze
+    * on the batch tier; each arriving vector micro-batch is scored by
+    * the unchanged [[graft.functions.Similarity.diversityAssign]] —
+    * the [[nbClassifyStream]] foreachBatch pattern, because the argmax
+    * cell assignment is a batch-local aggregation append-mode streaming
+    * can't express as one watermarked agg. All state is batch-local, so
+    * streamed verdicts equal the batch scorer's row-for-row
+    * (StreamingExtrasSpec), and on the frozen corpus itself the `keep`
+    * verdicts equal [[graft.functions.Similarity.diversitySample]]'s
+    * keep flags except declared `boundary` rows.
+    */
+  def diversityAssignStream(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      cuts: DataFrame)(
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          emit(graft.functions.Similarity.diversityAssign(
+            batch.toDF(), centroids, cuts))
+    }
+
   def nbClassifyStream(
       docs: DataFrame,
       model: DataFrame,

@@ -21,6 +21,49 @@ class StreamingExtrasSpec extends SparkSpec {
 
   private def t(sec: Long) = new Timestamp(sec * 1000)
 
+  test("diversityAssignStream: frozen-cut verdicts equal the batch " +
+      "sampler on the frozen corpus, streamed == batch scorer") {
+    import graft.functions.Similarity
+    val vecs = (0L until 100L).map { id =>
+      (id, Array.tabulate(16)(i =>
+        (((id * 2654435761L + i * 40503L) % 1009L) / 500.0f) - 1.0f))
+    }
+    val corpus = vecs.toDF("vec_id", "vec")
+    val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 20, iters = 1)
+    val cuts = Similarity.diversityCuts(corpus, cent, keepPermille = 500)
+      .localCheckpoint()
+    // batch fidelity on the frozen corpus: stateless verdicts equal the
+    // rank-based keep flags (this corpus has no boundary ties — pinned,
+    // so the equality below is total, not vacuously filtered)
+    val served = Similarity.diversityAssign(corpus, cent, cuts)
+      .select("vec_id", "verdict").as[(Long, String)].collect().toMap
+    assert(!served.values.exists(_ == "boundary"),
+      "fixture corpus must be boundary-free")
+    val batch = Similarity.diversitySample(corpus, cent, keepPermille = 500)
+      .select("vec_id", "keep").as[(Long, Long)].collect().toMap
+    assert(batch.keySet === served.keySet)
+    batch.foreach { case (id, keep) =>
+      assert(served(id) === (if (keep == 1L) "keep" else "drop"),
+        s"vec $id: batch keep=$keep served=${served(id)}")
+    }
+    // streamed micro-batches equal the batch scorer row-for-row
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val q = graft.streaming.StreamingCuration.diversityAssignStream(
+      input.toDF().toDF("vec_id", "vec"), cent, cuts) { res =>
+        got ++= res.as[(Long, Long, Long, String)].collect()
+      }.start()
+    try {
+      input.addData(vecs.take(60): _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(60): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchAll = Similarity.diversityAssign(corpus, cent, cuts)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got.toSet === batchAll && got.size === 100)
+  }
+
   test("streaming dedup drops repeated fingerprints within the watermark") {
     val input = MemoryStream[DocEv]
     val deduped = StreamOps.streamingDedup(input.toDF(), "ts", "10 seconds", "fp")
