@@ -169,6 +169,9 @@ class PlanSpec extends SparkSpec {
       // SemDeDup's cell assignment is the same bounded corpus x centroids
       // broadcast score; the within-cell pair join is conditioned on cid
       "semdedup_keep",
+      // D4 diversity sampling rides the identical bounded corpus x
+      // centroids broadcast assignment; everything after it is cell-keyed
+      "diversity_sample",
       // ADC's distance table is queries x codebook (m x corpus/centroidEvery
       // rows, broadcast) — bounded by construction; the corpus-side scan
       // then equi-joins it on (j, code)
