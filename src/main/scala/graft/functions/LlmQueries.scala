@@ -680,6 +680,28 @@ object LlmQueries {
             .as("syms_fp48"))
         .orderBy("doc_id")
     },
+    // Tokenizer fertility report: per source, symbols-per-word (milli)
+    // after applying the trained BPE merges — the metric pipelines read
+    // per language/domain before fixing a tokenizer (high fertility =
+    // the vocabulary fragments that slice of the corpus). Train -> apply
+    // -> one bounded groupBy; nothing new shuffles beyond bpe_encode.
+    "bpe_fertility" -> { (s, d) =>
+      import org.apache.spark.sql.Encoders
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6)
+        .select(col("lhs"), col("rhs"))
+        .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+        .collect().toSeq
+      TextAnalysis.bpeEncode(docs, "text", merges)
+        .select(col("source"), col("bpe_len"),
+          size(filter(split(lower(col("text")), "\\s+"), t => length(t) > 0))
+            .cast("long").as("nw"))
+        .groupBy(col("source"))
+        .agg(sum(col("nw")).as("n_words"), sum(col("bpe_len")).as("n_syms"))
+        .select(col("source"), col("n_words"), col("n_syms"),
+          expr("(n_syms * 1000) div n_words").as("fertility_milli"))
+        .orderBy("source")
+    },
     // Span-level duplication profile: per doc, the share of its 3-gram
     // shingles that recur in other documents (template/boilerplate mass).
     "dedup_span_profile" -> { (s, d) =>
@@ -1570,6 +1592,55 @@ object LlmQueries {
                  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS bpe_len,
                  CAST(('0x' || substr(md5(trim(s)), 1, 12)) AS BIGINT) AS syms_fp48
           FROM e6 ORDER BY doc_id"""
+    },
+    "bpe_fertility" -> {
+      // identical train+apply chain as bpe_encode, aggregated per source
+      def round(k: Int): String = {
+        val prev = if (k == 1) "s0" else s"s${k - 1}"
+        s"""p$k AS (SELECT a, b, sum(cnt) AS pc FROM (
+                 SELECT cnt,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i])) AS a,
+                        unnest(list_transform(generate_series(1, len(sy) - 1), i -> sy[i+1])) AS b
+                 FROM (SELECT cnt, string_split(s, ' ') AS sy FROM $prev)
+                 WHERE len(sy) >= 2)
+               GROUP BY 1, 2),
+           m$k AS (SELECT a AS lhs, b AS rhs, a || b AS merged
+                   FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+           s$k AS (SELECT trim(replace(replace(' ' || s || ' ',
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' '),
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' ')) AS s, cnt
+                   FROM $prev CROSS JOIN m$k m),
+           e$k AS (SELECT doc_id, replace(replace(s,
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' '),
+                       ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.merged || ' ') AS s
+                   FROM e${k - 1} CROSS JOIN m$k m)"""
+      }
+      s"""WITH words AS (SELECT w, count(*) AS cnt FROM (
+               SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        t -> t <> '')) AS w
+               FROM documents) GROUP BY 1),
+          s0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                     i -> substr(w, i, 1)), ' ') || ' </w>' AS s, cnt
+                 FROM words),
+          e0 AS (SELECT doc_id, ' ' || array_to_string(list_transform(
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''),
+                     w -> array_to_string(list_transform(generate_series(1, length(w)),
+                            i -> substr(w, i, 1)), ' ') || ' </w>'), ' ') || ' ' AS s
+                 FROM documents),
+          ${(1 to 6).map(round).mkString(",\n")},
+          enc AS (SELECT doc_id,
+                    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms
+                  FROM e6),
+          wl AS (SELECT doc_id, source,
+                   CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '')) AS BIGINT) AS nw
+                 FROM documents)
+          SELECT source,
+                 CAST(sum(nw) AS BIGINT) AS n_words,
+                 CAST(sum(n_syms) AS BIGINT) AS n_syms,
+                 CAST((sum(n_syms) * 1000) // sum(nw) AS BIGINT) AS fertility_milli
+          FROM enc JOIN wl USING (doc_id)
+          GROUP BY source ORDER BY source"""
     },
     "bpe_merges" -> {
       // one BPE round: pair counts over sPrev's symbols -> top-1 merge
