@@ -98,6 +98,68 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedup-aware compositions: random clusters never co-locate in a " +
+      "bin, a shard (while they fit), or across the split") {
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val rnd = new Random(seed)
+      val docs = randomDocs(seed, 150)
+      // random disjoint clusters of size 2-6 over a random id subset
+      val ids = rnd.shuffle((0L until 150L).toList)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var rest = ids
+      while (rest.length >= 6 && groups.length < 15) {
+        val k = 2 + rnd.nextInt(5)
+        groups += rest.take(k); rest = rest.drop(k)
+      }
+      val clusters = groups.toSeq.flatMap(g => g.map(m => (m, g.min)))
+        .toDF("node", "cluster_id")
+      val byDoc = groups.flatMap(g => g.map(_ -> g.min)).toMap
+
+      val packed = Curation.packSequencesDedupAware(
+        docs, "doc_id", "source", "text", 64, clusters)
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      packed.groupBy(r => (r._2, r._4, r._6)).foreach { case (bin, ms) =>
+        val cids = ms.map(_._3)
+        assert(cids.distinct.length === cids.length,
+          s"seed $seed: bin $bin holds two members of one cluster")
+      }
+      // token conservation vs the naive pack (same docs, same counts)
+      val naiveTokens = Curation.packSequences(docs, "doc_id", "source", "text", 64)
+        .agg(sum("n_tokens")).as[Long].head()
+      assert(packed.map(_._5).sum === naiveTokens)
+
+      val sharded = Curation.shuffleShardsDedupAware(
+        docs, "doc_id", shards = 8, clusters)
+        .as[(Long, Long, Long, Long)].collect()
+      sharded.groupBy(_._2).filter(_._2.length >= 2).foreach { case (cid, ms) =>
+        // clusters here are <= 6 <= 8 members, so shards must all differ
+        val sh = ms.map(_._3)
+        assert(sh.distinct.length === sh.length,
+          s"seed $seed: cluster $cid co-located in a shard")
+      }
+      // positions dense per shard, all docs present exactly once
+      assert(sharded.length === 150)
+      sharded.groupBy(_._3).foreach { case (shard, ms) =>
+        assert(ms.map(_._4).sorted.toSeq === (1L to ms.length).toSeq,
+          s"seed $seed: shard $shard positions not dense")
+      }
+
+      val split = Curation.datasetSplitDedupAware(
+        docs, "text", "doc_id", 100, 50, clusters)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      groups.foreach { g =>
+        assert(g.map(split).distinct.length === 1,
+          s"seed $seed: cluster ${g.min} straddles the split")
+      }
+      // unclustered docs match the legacy split exactly
+      val legacy = Curation.datasetSplit(docs, "text", 100, 50)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      (0L until 150L).filterNot(byDoc.contains).foreach { id =>
+        assert(split(id) === legacy(id), s"seed $seed: singleton $id moved")
+      }
+    }
+  }
+
   test("sampling is a deterministic subset, monotone in rate") {
     val docs = randomDocs(33L, 600)
     def sample(rate: Int) = Curation.stratifiedSample(
