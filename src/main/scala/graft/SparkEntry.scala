@@ -1387,6 +1387,33 @@ object SparkEntry {
       graft.functions.Graph.triangleCountsAdj(
         graft.functions.Graph.copurchaseHalfEdges(Tables.lineitem(s, d)))
         .orderBy("node")
+    },
+    // k-core: the "dense engagement core" of the co-purchase graph —
+    // synchronous peeling (7 rounds ≥ fixpoint depth at every test SF:
+    // 5 at sf0.01, 4 at sf0.1, 2 at sf0.001 — KCoreSpec), survivors
+    // reported with their in-core degree. k=80 bites at this graph's
+    // density (median degree ~115): sf0.01 peels 1903 → 1857.
+    "graph_kcore" -> { (s, d) =>
+      graft.functions.Graph.kCore(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", k = 80, rounds = 7)
+        .orderBy("node")
+    },
+    // Link prediction: top 100 non-adjacent part pairs by integer
+    // Adamic–Adar mass through bounded-degree common neighbors — the
+    // "customers who bought these also bought" candidate generator.
+    "link_prediction" -> { (s, d) =>
+      graft.functions.Graph.commonNeighborLinks(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", degCap = 64, topK = 100)
+    },
+    // Multi-source BFS: hop distance (<= 3) from a 5-part watchlist over
+    // the co-purchase graph — frontier-only expansion per round.
+    "graph_hops" -> { (s, d) =>
+      graft.functions.Graph.bfsHops(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
+        .orderBy("node")
     })
 
   /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
@@ -1440,9 +1467,81 @@ object SparkEntry {
         SELECT node, r AS rank_micro FROM it4 ORDER BY node"""
   }
 
+  /** DuckDB twin of [[graft.functions.Graph.kCore]] (k=80, 7 peel rounds
+    * unrolled): aN = survivors after round N, eN = edges among a(N-1). */
+  private val kcoreOracle: String = {
+    val rounds = (1 to 7).map { i =>
+      s"""e$i AS (SELECT p.src, p.dst FROM pairs p
+              JOIN a${i - 1} x ON x.node = p.src
+              JOIN a${i - 1} y ON y.node = p.dst),
+          a$i AS (SELECT src AS node FROM
+              (SELECT src, count(*) AS d FROM e$i GROUP BY 1) WHERE d >= 80)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          a0 AS (SELECT src AS node FROM
+              (SELECT src, count(*) AS d FROM pairs GROUP BY 1) WHERE d >= 80),
+          $rounds,
+          ef AS (SELECT p.src, p.dst FROM pairs p
+              JOIN a7 x ON x.node = p.src
+              JOIN a7 y ON y.node = p.dst)
+        SELECT src AS node, count(*) AS core_deg FROM ef
+        GROUP BY 1 ORDER BY node"""
+  }
+
+  /** DuckDB twin of [[graft.functions.Graph.commonNeighborLinks]]
+    * (degCap=64, top 100): identical floor-division Adamic–Adar mass,
+    * identical (aa_micro DESC, a, c) total order. */
+  private val linkPredictionOracle: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM li a JOIN li b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY 1),
+        inc AS (SELECT p.src AS b, p.dst AS x, g.d
+                FROM pairs p JOIN deg g ON g.src = p.src WHERE g.d <= 64),
+        cand AS (SELECT i.x AS a, j.x AS c,
+                   CAST(SUM(1000000 // i.d) AS BIGINT) AS aa_micro,
+                   count(*) AS common_cnt
+                 FROM inc i JOIN inc j ON i.b = j.b AND i.x < j.x
+                 GROUP BY 1, 2)
+      SELECT a, c, aa_micro, common_cnt FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.src = cand.a AND p.dst = cand.c)
+      ORDER BY aa_micro DESC, a, c LIMIT 100"""
+
+  /** DuckDB twin of [[graft.functions.Graph.bfsHops]] (seeds 1..5,
+    * 3 hops unrolled): fN = hop-N discoveries, dN = visited through N. */
+  private val bfsOracle: String = {
+    val hops = (1 to 3).map { h =>
+      s"""n$h AS (SELECT DISTINCT p.dst AS node FROM pairs p
+              JOIN f${h - 1} f ON f.node = p.src),
+          f$h AS (SELECT node, $h AS hop FROM n$h
+              WHERE node NOT IN (SELECT node FROM d${h - 1})),
+          d$h AS (SELECT * FROM d${h - 1} UNION ALL SELECT * FROM f$h)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          d0 AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS node,
+                        0 AS hop),
+          f0 AS (SELECT node FROM d0),
+          $hops
+        SELECT node, hop FROM d3 ORDER BY node"""
+  }
+
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
+    "graph_kcore" -> kcoreOracle,
+    "link_prediction" -> linkPredictionOracle,
+    "graph_hops" -> bfsOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -389,4 +389,134 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
+
+  /** k-core of a SYMMETRIC edge list by synchronous peeling: `rounds`
+    * rounds of "drop every node whose degree among survivors is < k",
+    * then report each survivor with its in-core degree. With `rounds`
+    * at least the peel depth this IS the exact k-core (the fixpoint —
+    * KCoreSpec asserts one extra round changes nothing on the test
+    * corpora); a fixed round count is what makes the computation a pure
+    * function of the input, so an unrolled-CTE oracle reproduces every
+    * round bit-for-bit, exactly the [[pageRank]] contract.
+    *
+    * Scale shape per round: the edge list joins the node-sized survivor
+    * frame twice (LEFT SEMI on src and dst — broadcast when nodes fit,
+    * the [[pageRank]] `broadcastRanks` trade-off) and one partial-agg
+    * degree groupBy. Nothing larger than the edge list ever shuffles,
+    * and the survivor frame only shrinks. Peeling depth on real graphs
+    * is small (the degeneracy ordering converges in O(log n) synchronous
+    * rounds on power-law graphs); on a cluster run rounds until the
+    * survivor count stops moving — here it is a parameter so the oracle
+    * can unroll it.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int,
+      broadcastAlive: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame =
+      ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    def surviving(ed: DataFrame, alive: DataFrame): DataFrame = {
+      val a = if (broadcastAlive) broadcast(alive) else alive
+      ed.join(a, ed("src") === a("node"), "left_semi")
+        .join(a, ed("dst") === a("node"), "left_semi")
+    }
+    var alive = degrees(e).filter(col("d") >= k).select(col("src").as("node"))
+    for (_ <- 1 to rounds)
+      alive = degrees(surviving(e, alive))
+        .filter(col("d") >= k).select(col("src").as("node"))
+    degrees(surviving(e, alive))
+      .select(col("src").as("node"), col("d").as("core_deg"))
+  }
+
+  /** Link prediction over a SYMMETRIC edge list: score each non-adjacent
+    * pair by integer Adamic–Adar mass through BOUNDED-degree common
+    * neighbors, keep the global top `topK`.
+    *
+    * Semantics: for every unordered pair {a, c} with a < c, not an edge,
+    * sharing >= 1 common neighbor b with degree(b) <= `degCap`:
+    * {{{  aa_micro({a,c}) = Σ_b 1_000_000 div degree(b)  }}}
+    * (the Adamic–Adar 1/log(deg) idea in floor-division micro-units —
+    * hub neighbors are EXCLUDED rather than down-weighted, the same
+    * df-cap stance as the dedup family: a pair "related" only through a
+    * node everything touches is noise, and the cap is what bounds the
+    * plan). Output ordered by (aa_micro DESC, a, c), a total order since
+    * pairs are unique.
+    *
+    * Scale shape: common-neighbor counting is intrinsically wedge-bound
+    * (Σ deg² — ABOVE the triangle bound, because no orientation can save
+    * both endpoints of an open wedge), so the cap is load-bearing: the
+    * incidence self-join fans out only at nodes with degree <= degCap,
+    * bounding wedge volume by degCap · |E|. The candidate aggregate keys
+    * on (a, c) node pairs (fixed-width longs), the existing-edge check
+    * is a LEFT ANTI join against the edge list, and the global top-k is
+    * Spark's TakeOrdered (per-partition heaps, no full sort).
+    */
+  def commonNeighborLinks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      degCap: Int,
+      topK: Int): DataFrame = {
+    require(degCap >= 2 && topK >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // incidence rows at capped-degree pivot nodes only: (b, x, d(b))
+    val inc = e.join(deg.filter(col("d") <= degCap), "src")
+      .select(col("src").as("b"), col("dst").as("x"), col("d"))
+    val pairs = inc.select(col("b"), col("x").as("a"), col("d"))
+      .join(inc.select(col("b"), col("x").as("c")), "b")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(sum(expr("1000000L div d")).as("aa_micro"),
+        count(lit(1)).as("common_cnt"))
+    pairs
+      .join(e.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("a"), col("c"))
+      .limit(topK)
+  }
+
+  /** Multi-source BFS over a SYMMETRIC edge list: hop distance from the
+    * nearest seed, frontier expansion for `maxHops` synchronous rounds
+    * (exact for every node within `maxHops` of a seed; farther nodes are
+    * absent — the "within N hops of the watchlist" reachability query).
+    *
+    * Scale shape per round: the edge list joins ONLY the current
+    * frontier (the hop-(i-1) discoveries, never the full visited set),
+    * new nodes are a distinct + LEFT ANTI against the visited frame, and
+    * the visited frame grows monotonically — the standard iterative BFS
+    * on joins. Frontier and visited frames are node-sized; the edge list
+    * is never mutated or re-shuffled (AQE broadcasts the frontier side
+    * whenever nodes << edges).
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var visited = seeds.toDF("node").select(col("node"), lit(0).as("hop"))
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = e.join(broadcast(frontier), e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next.select(col("node"), lit(h).as("hop")))
+      frontier = next
+    }
+    visited
+  }
 }

@@ -744,6 +744,23 @@ object LlmQueries {
         4096, chunkCol = floor(col("doc_id") / 100))
         .orderBy("doc_id")
     },
+    // Semantic packing (In-Context Pretraining, Shi et al. 2023,
+    // arXiv:2310.10638): pack token-budget bins WITHIN semantic cells —
+    // each doc takes its k-means cell (same deterministic centroid
+    // chain as semdedup_keep) as the packing stratum, so every training
+    // context holds related documents instead of i.i.d. ones. Bins
+    // never mix cells by construction (stratum partitioning).
+    "pack_semantic" -> { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val cent = Similarity.kmeansCentroids(corpus, centroidEvery = 25, iters = 2)
+      val cells = Similarity.semanticCells(corpus, cent)
+      Curation.packSequences(
+        Tables.documents(s, d)
+          .join(cells.withColumnRenamed("vec_id", "doc_id"), "doc_id"),
+        "doc_id", "cid", "text", 4096)
+        .orderBy("doc_id")
+    },
     // Near-dup-aware packing: same token-budget bins, but a bin never
     // holds two members of one near-dup cluster — each doc packs in the
     // WAVE of its dup index within (source, cluster), and a bin belongs
@@ -1878,6 +1895,29 @@ object LlmQueries {
                  CAST(cum_before // 4096 AS BIGINT) AS bin,
                  CAST(cum_before % 4096 AS BIGINT) AS bin_offset
           FROM c ORDER BY doc_id""",
+    "pack_semantic" ->
+      s"""WITH $vnCtes,
+          cent0 AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 25 = 0),
+          ${kmeansIterSql("cent0", 1)},
+          ${kmeansIterSql("cent1", 2)},
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vn.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY vn.vec_id
+                       ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                                c.cid) AS rn
+              FROM vn CROSS JOIN cent2 c) WHERE rn = 1),
+          pbase AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          pt AS (SELECT b.doc_id, a.cid, CAST(len(b.toks) AS BIGINT) AS n_tokens
+                 FROM pbase b JOIN assign a ON a.vec_id = b.doc_id),
+          pc AS (SELECT *, coalesce(sum(n_tokens) OVER (
+                   PARTITION BY cid ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                 FROM pt)
+          SELECT doc_id, cid, n_tokens,
+                 CAST(cum_before // 4096 AS BIGINT) AS bin,
+                 CAST(cum_before % 4096 AS BIGINT) AS bin_offset
+          FROM pc ORDER BY doc_id""",
     "pack_dedup_aware" ->
       s"""WITH RECURSIVE $shinglesCte,
           $minhashCandCtes,

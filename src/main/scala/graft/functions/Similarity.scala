@@ -574,6 +574,17 @@ object Similarity {
     * complex-typed aggregates fall off the fast HashAggregate path);
     * vectors re-attach via a join on vec_id afterwards.
     */
+  /** Public nearest-centroid cell assignment for a raw `(vec_id, vec)`
+    * corpus against `(cid, cd, cn)` centroids (e.g. from
+    * [[kmeansCentroids]]) → `(vec_id, cid)` — the semantic-cell label
+    * that [[diversitySample]] / [[semDedupKeep]] use internally, exposed
+    * for cell-structured downstream layout (semantic packing: bins of
+    * related documents, the In-Context Pretraining idea). Same plan as
+    * [[cellAssign]]: broadcast centroids, narrow argmax aggregate.
+    */
+  def semanticCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    cellAssign(withNorm(corpus, "vec", "v"), centroids)
+
   private def cellAssign(c: DataFrame, centroids: DataFrame): DataFrame =
     c.join(broadcast(centroids))
       .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))

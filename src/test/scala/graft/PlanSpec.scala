@@ -172,6 +172,9 @@ class PlanSpec extends SparkSpec {
       // D4 diversity sampling rides the identical bounded corpus x
       // centroids broadcast assignment; everything after it is cell-keyed
       "diversity_sample",
+      // semantic packing rides the same bounded corpus x centroids
+      // broadcast assignment; the pack itself is a cell-keyed window
+      "pack_semantic",
       // ADC's distance table is queries x codebook (m x corpus/centroidEvery
       // rows, broadcast) — bounded by construction; the corpus-side scan
       // then equi-joins it on (j, code)

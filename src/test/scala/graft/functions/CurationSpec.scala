@@ -239,6 +239,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pack_semantic at sf0.001: bins are cell-pure and offsets replay " +
+      "the per-cell running token count") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.functions.LlmQueries.queries("pack_semantic")(spark, sf)
+      .select("doc_id", "cid", "n_tokens", "bin", "bin_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // non-vacuous: more than one semantic cell in play
+    assert(out.map(_._2).distinct.length >= 2, "expected multiple k-means cells")
+    // per cell, in doc_id order, bin*budget + bin_offset must equal the
+    // running token count — the packSequences contract per stratum
+    out.groupBy(_._2).foreach { case (cid, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin === cum / 4096 && off === cum % 4096,
+          s"cell $cid doc $id: bin/offset out of step with running count")
+        cum += n
+      }
+    }
+    // cells match the public assignment exactly (bins can never mix
+    // cells because the cell IS the packing stratum — checked via the
+    // join reproducing every (doc_id, cid) row)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val cells = Similarity.semanticCells(corpus,
+        Similarity.kmeansCentroids(corpus, centroidEvery = 25, iters = 2))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, cid, _, _, _) =>
+      assert(cells(id) === cid, s"doc $id packed under a foreign cell")
+    }
+  }
+
   test("shuffleShardsDedupAware: cluster members round-robin across " +
       "distinct shards; positions stay dense per shard") {
     val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -1,0 +1,121 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Property tests for the round-11 graph additions: k-core peeling,
+  * common-neighbor link prediction, multi-source BFS. Each operator is
+  * checked against a naive in-memory implementation on random graphs
+  * (the [[FunctionsSpec]] triangle-spec idiom) plus hand-traced planted
+  * shapes.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Random symmetric edge list + its adjacency map. */
+  private def randomGraph(seed: Long, nodes: Int, draws: Int)
+      : (Seq[(Long, Long)], Map[Long, Set[Long]]) = {
+    val rnd = new scala.util.Random(seed)
+    val raw = Seq.fill(draws)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (raw ++ raw.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (sym, adj)
+  }
+
+  /** Naive synchronous peeling, `rounds` rounds — the kCore contract. */
+  private def naivePeel(adj: Map[Long, Set[Long]], k: Int, rounds: Int)
+      : Map[Long, Long] = {
+    var alive = adj.filter(_._2.size >= k).keySet
+    for (_ <- 1 to rounds)
+      alive = alive.filter(n => (adj(n) & alive).size >= k)
+    alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+  }
+
+  test("kCore equals naive synchronous peeling on random graphs") {
+    for (seed <- Seq(23L, 29L); k <- Seq(2, 3, 4)) {
+      val (sym, adj) = randomGraph(seed, 24, 90)
+      val got = Graph.kCore(sym.toDF("src", "dst"), "src", "dst", k, rounds = 6)
+        .as[(Long, Long)].collect().toMap
+      assert(got === naivePeel(adj, k, 6), s"seed $seed k $k")
+      // 6 rounds is past the fixpoint on these graphs: one more round
+      // changes nothing (the exact-k-core claim)
+      val more = Graph.kCore(sym.toDF("src", "dst"), "src", "dst", k, rounds = 7)
+        .as[(Long, Long)].collect().toMap
+      assert(got === more, s"seed $seed k $k: round 7 still peeling")
+    }
+  }
+
+  test("kCore: K5 with a pendant chain peels down to exactly the K5") {
+    // K5 on 0..4 (degree 4 inside) + chain 4-10-11 (degrees 1..2):
+    // 3-core = the K5, every member at in-core degree 4
+    val k5 = for { a <- 0L to 4L; b <- 0L to 4L if a != b } yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 4L), (10L, 11L), (11L, 10L))
+    val got = Graph.kCore((k5 ++ chain).toDF("src", "dst"), "src", "dst",
+        k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 4L).map(_ -> 4L).toMap)
+  }
+
+  test("commonNeighborLinks equals naive capped Adamic-Adar on random graphs") {
+    for (seed <- Seq(31L, 37L); cap <- Seq(4, 8)) {
+      val (sym, adj) = randomGraph(seed, 20, 70)
+      val got = Graph.commonNeighborLinks(sym.toDF("src", "dst"), "src", "dst",
+          degCap = cap, topK = 1000)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // naive: for each non-adjacent a<c, AA mass through capped-degree
+      // common neighbors, floor division in micro-units
+      val nodes = adj.keys.toSeq.sorted
+      val naive = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        a = nodes(i); c = nodes(j)
+        if !adj(a)(c)
+        common = (adj(a) & adj(c)).filter(b => adj(b).size <= cap)
+        if common.nonEmpty
+      } yield (a, c, common.toSeq.map(b => 1000000L / adj(b).size).sum,
+        common.size.toLong)).toSeq
+      assert(got.toSet === naive.toSet, s"seed $seed cap $cap")
+      // output order is the declared total order
+      val ord = got.map(r => (-r._3, r._1, r._2))
+      assert(ord === ord.sorted, s"seed $seed cap $cap: order")
+    }
+  }
+
+  test("commonNeighborLinks: square predicts its two diagonals only") {
+    // cycle 0-1-2-3-0: diagonals {0,2} and {1,3} each share two degree-2
+    // neighbors -> aa 2 * (1000000 div 2) = 1000000, count 2
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val sym = sq ++ sq.map(_.swap)
+    val got = Graph.commonNeighborLinks(sym.toDF("src", "dst"), "src", "dst",
+        degCap = 10, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 2L, 1000000L, 2L), (1L, 3L, 1000000L, 2L)))
+  }
+
+  test("bfsHops equals naive BFS on random graphs, truncated at maxHops") {
+    for (seed <- Seq(41L, 43L)) {
+      val (sym, adj) = randomGraph(seed, 30, 50)
+      val seeds = Seq(0L, 1L)
+      for (maxHops <- Seq(1, 2, 4)) {
+        val got = Graph.bfsHops(sym.toDF("src", "dst"), "src", "dst", seeds, maxHops)
+          .as[(Long, Int)].collect().toMap
+        // naive BFS from the seed set
+        var dist = seeds.map(_ -> 0).toMap
+        var frontier = seeds.toSet
+        for (h <- 1 to maxHops) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+          dist = dist ++ next.map(_ -> h)
+          frontier = next
+        }
+        assert(got === dist, s"seed $seed maxHops $maxHops")
+      }
+    }
+  }
+
+  test("bfsHops: chain distances, unreached nodes absent, seeds at hop 0") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    val sym = chain ++ chain.map(_.swap)
+    val got = Graph.bfsHops(sym.toDF("src", "dst"), "src", "dst", Seq(0L), 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2)) // 3,4 beyond; 8,9 disconnected
+  }
+}
