@@ -1389,14 +1389,15 @@ object SparkEntry {
         .orderBy("node")
     },
     // k-core: the "dense engagement core" of the co-purchase graph —
-    // synchronous peeling (7 rounds ≥ fixpoint depth at every test SF:
-    // 5 at sf0.01, 4 at sf0.1, 2 at sf0.001 — KCoreSpec), survivors
-    // reported with their in-core degree. k=80 bites at this graph's
-    // density (median degree ~115): sf0.01 peels 1903 → 1857.
+    // synchronous peeling over the half-edge form (5 rounds ≥ fixpoint
+    // depth at every test SF: 3 at sf0.001, 5 at sf0.01, 5 at sf0.1 —
+    // GraphOpsSpec pins the fixpoint property), survivors reported with
+    // their in-core degree. k=80 bites at this graph's density (median
+    // degree ~115): sf0.01 peels 1903 → 1857.
     "graph_kcore" -> { (s, d) =>
-      graft.functions.Graph.kCore(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", k = 80, rounds = 7)
+      graft.functions.Graph.kCoreHalf(
+        graft.functions.Graph.copurchaseHalfEdges(Tables.lineitem(s, d)),
+        k = 80, rounds = 5)
         .orderBy("node")
     },
     // Link prediction: top 100 non-adjacent part pairs by integer
@@ -1467,10 +1468,10 @@ object SparkEntry {
         SELECT node, r AS rank_micro FROM it4 ORDER BY node"""
   }
 
-  /** DuckDB twin of [[graft.functions.Graph.kCore]] (k=80, 7 peel rounds
+  /** DuckDB twin of [[graft.functions.Graph.kCore]] (k=80, 5 peel rounds
     * unrolled): aN = survivors after round N, eN = edges among a(N-1). */
   private val kcoreOracle: String = {
-    val rounds = (1 to 7).map { i =>
+    val rounds = (1 to 5).map { i =>
       s"""e$i AS (SELECT p.src, p.dst FROM pairs p
               JOIN a${i - 1} x ON x.node = p.src
               JOIN a${i - 1} y ON y.node = p.dst),
@@ -1486,8 +1487,8 @@ object SparkEntry {
               (SELECT src, count(*) AS d FROM pairs GROUP BY 1) WHERE d >= 80),
           $rounds,
           ef AS (SELECT p.src, p.dst FROM pairs p
-              JOIN a7 x ON x.node = p.src
-              JOIN a7 y ON y.node = p.dst)
+              JOIN a5 x ON x.node = p.src
+              JOIN a5 y ON y.node = p.dst)
         SELECT src AS node, count(*) AS core_deg FROM ef
         GROUP BY 1 ORDER BY node"""
   }

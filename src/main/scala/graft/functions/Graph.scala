@@ -426,12 +426,80 @@ object Graph {
       ed.join(a, ed("src") === a("node"), "left_semi")
         .join(a, ed("dst") === a("node"), "left_semi")
     }
+    // the survivor frame is consumed TWICE per round (src + dst semi
+    // joins), so an un-cut lineage DOUBLES every round — 2^rounds plan
+    // blowup (measured 23 s vs 4 s at sf0.1 over 7 rounds). Cutting the
+    // node-sized frame every round keeps the plan constant-size; unlike
+    // pageRank's once-per-round rank frame (linear growth, periodic
+    // cuts), here the cut must be per-round.
     var alive = degrees(e).filter(col("d") >= k).select(col("src").as("node"))
+      .localCheckpoint()
     for (_ <- 1 to rounds)
       alive = degrees(surviving(e, alive))
         .filter(col("d") >= k).select(col("src").as("node"))
+        .localCheckpoint()
     degrees(surviving(e, alive))
       .select(col("src").as("node"), col("d").as("core_deg"))
+  }
+
+  /** [[kCore]] over the HALF-edge form (each {u,v} once, src < dst) —
+    * bit-identical output via INCREMENTAL peeling: instead of
+    * re-aggregating degrees over the surviving edge list every round
+    * (edge-sized work × rounds), maintain each live node's in-core
+    * degree and per round subtract only the edges incident to the nodes
+    * that died LAST round. A survivor's neighbors die exactly once, so
+    * the running difference equals the synchronous re-aggregate at every
+    * round — the frontier trick of [[bfsHops]] applied to peeling, and
+    * the per-round probe side (the newly-dead set) is usually a few
+    * hundred rows against millions of edges.
+    *
+    * Rounds after the peel fixpoint are provable no-ops (the newly-dead
+    * set is empty ⇒ every later synchronous round is the identity), so
+    * the loop exits early — same RESULT as the full fixed-round unroll,
+    * checked per round with a bounded `isEmpty` on the node-sized dead
+    * frame. If the round budget runs out mid-peel, one closing
+    * subtraction aligns the reported degrees to "within the final
+    * survivor set" (the fixed-round contract's last `ef` pass), dropping
+    * survivors left with zero in-core edges exactly as a degrees-from-
+    * edges aggregate would.
+    */
+  def kCoreHalf(
+      half: DataFrame,
+      k: Int,
+      rounds: Int,
+      broadcastDead: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e = half.select(col("src"), col("dst")).localCheckpoint()
+    // losses toward BOTH endpoints from edges whose other endpoint died
+    def loss(dead: DataFrame): DataFrame = {
+      val nb = if (broadcastDead) broadcast(dead) else dead
+      e.join(nb, e("dst") === nb("node")).select(e("src").as("n"))
+        .unionAll(e.join(nb, e("src") === nb("node")).select(e("dst").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("l"))
+    }
+    def minus(deg: DataFrame, lo: DataFrame): DataFrame =
+      deg.join(lo, deg("node") === lo("n"), "left")
+        .select(col("node"), (col("d") - coalesce(col("l"), lit(0L))).as("d"))
+    val deg0 = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    var degAlive = deg0.filter(col("d") >= k)
+    var newDead = deg0.filter(col("d") < k).select(col("node")).localCheckpoint()
+    var r = 0
+    while (r < rounds && !newDead.isEmpty) {
+      val upd = minus(degAlive, loss(newDead)).localCheckpoint()
+      newDead = upd.filter(col("d") < k).select(col("node")).localCheckpoint()
+      degAlive = upd.filter(col("d") >= k)
+      r += 1
+    }
+    val fin =
+      if (r == rounds && !newDead.isEmpty)
+        // budget exhausted mid-peel: align to degrees WITHIN the final
+        // survivor set and drop zero-in-core-edge survivors (absent from
+        // an edge-list degree aggregate)
+        minus(degAlive, loss(newDead)).filter(col("d") >= 1)
+      else degAlive
+    fin.select(col("node"), col("d").as("core_deg"))
   }
 
   /** Link prediction over a SYMMETRIC edge list: score each non-adjacent

@@ -42,6 +42,20 @@ class GraphOpsSpec extends SparkSpec {
       val more = Graph.kCore(sym.toDF("src", "dst"), "src", "dst", k, rounds = 7)
         .as[(Long, Long)].collect().toMap
       assert(got === more, s"seed $seed k $k: round 7 still peeling")
+      // the incremental half-edge plan is bit-identical on the same graph
+      val half = sym.filter(p => p._1 < p._2)
+      val gotHalf = Graph.kCoreHalf(half.toDF("src", "dst"), k, rounds = 6)
+        .as[(Long, Long)].collect().toMap
+      assert(gotHalf === got, s"seed $seed k $k: half-edge plan diverges")
+      // ...including MID-PEEL (budget exhausted before the fixpoint: the
+      // closing subtraction must align degrees to the final survivor set)
+      for (r <- Seq(1, 2)) {
+        val syncR = Graph.kCore(sym.toDF("src", "dst"), "src", "dst", k, rounds = r)
+          .as[(Long, Long)].collect().toMap
+        val incR = Graph.kCoreHalf(half.toDF("src", "dst"), k, rounds = r)
+          .as[(Long, Long)].collect().toMap
+        assert(incR === syncR, s"seed $seed k $k rounds $r: mid-peel diverges")
+      }
     }
   }
 
