@@ -246,6 +246,61 @@ object ScaleSmoke {
         greatest(col("src"), col("dst")).as("dst")).distinct()
       graft.functions.Graph.triangleCountsAdj(half).mat()
     }
+    time("kcore peel (k=30, deg~40)") {
+      // incremental peeling on the same deg~40 graph, half-edge input:
+      // one degree aggregate + per-round dead-frontier subtraction —
+      // rounds after the first touch only edges at dying nodes
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val half = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+      graft.functions.Graph.kCoreHalf(half, k = 30, rounds = 5).mat()
+    }
+    time("link prediction (cap 16)") {
+      // capped common-neighbor Adamic-Adar: wedge volume bounded by
+      // degCap * |E| regardless of hubs — the load-bearing cap. The cap
+      // must sit BELOW the typical degree (the gate query's 64 vs median
+      // 115): at cap >= typical degree every node pivots and the plan
+      // degenerates to the full sum-of-deg^2 wedge sweep (measured 57 s
+      // at cap 48 on this deg~40 graph — the documented saturation)
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.commonNeighborLinks(sym, "src", "dst",
+        degCap = 16, topK = 100).mat()
+    }
+    time("bfs hops (3 from 5 seeds)") {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.bfsHops(sym, "src", "dst",
+        seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3).mat()
+    }
+    time("semantic pack (kmeans cells)") {
+      // cell assignment (bounded corpus x centroids broadcast) + one
+      // cell-partitioned pack window over the joined doc/vec subset.
+      // Cell COUNT is pinned (~100) rather than corpus-proportional:
+      // with a fixed centroidEvery the assignment cost grows as
+      // corpus x centroids = corpus^2/centroidEvery (measured 7 -> 43 s
+      // for 5x vecs at fixed 200) — at cluster scale the centroid count
+      // is a capacity parameter, exactly the IVF index-build stance
+      val corpus = vecs.select(col("vec_id"), col("vec"))
+      val cent = Similarity.kmeansCentroids(corpus,
+        centroidEvery = (vecsN / 100).toInt.max(1), iters = 1)
+      val cells = Similarity.semanticCells(corpus, cent)
+      graft.functions.Curation.packSequences(
+        docs.join(cells.withColumnRenamed("vec_id", "doc_id"), "doc_id"),
+        "doc_id", "cid", "text", 4096).mat()
+    }
     time("table profile (events, 5 cols)") {
       graft.functions.Profiling.tableProfile(events, Seq(
         "event_id" -> "long", "user_id" -> "long",
