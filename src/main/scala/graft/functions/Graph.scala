@@ -561,15 +561,20 @@ object Graph {
     * new nodes are a distinct + LEFT ANTI against the visited frame, and
     * the visited frame grows monotonically — the standard iterative BFS
     * on joins. Frontier and visited frames are node-sized; the edge list
-    * is never mutated or re-shuffled (AQE broadcasts the frontier side
-    * whenever nodes << edges).
+    * is never mutated or re-shuffled. `broadcastFrontier = false` is the
+    * cluster escape for small-diameter power-law graphs where hop 2
+    * already reaches most nodes (a graph-sized broadcast would not fit
+    * an executor): the frontier then shuffles to the edge partitioning
+    * instead — pair with a src-bucketed stored edge table for the
+    * zero-exchange edge side, the [[pageRank]] `broadcastRanks` pattern.
     */
   def bfsHops(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       seeds: Seq[Long],
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      broadcastFrontier: Boolean = true): DataFrame = {
     require(seeds.nonEmpty && maxHops >= 1)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -578,7 +583,8 @@ object Graph {
     var visited = seeds.toDF("node").select(col("node"), lit(0).as("hop"))
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHops) {
-      val next = e.join(broadcast(frontier), e("src") === frontier("node"))
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val next = e.join(f, e("src") === f("node"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()

@@ -17,7 +17,8 @@ object Explain {
       "j1_windowed_join", "top_users_by_value", "a1_tumbling_count",
       "event_transitions", "lang_confusion", "dedup_cluster_sizes",
       "graph_triangles", "pack_dedup_aware", "a4_sessions_auto",
-      "t1_rolling_auto")
+      "t1_rolling_auto", "graph_kcore", "link_prediction", "graph_hops",
+      "pack_semantic")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
