@@ -53,9 +53,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      timed after it in the same JVM. Its pair is timed 2-run-min like
   *      the other multi-second queries.
   *   5. From-index SERVING forms (`served` block): the int8 / IVF+PQ /
-  *      BM25 indexes are built once untimed, then the from-index queries
-  *      are timed — the query-priced cost a production search path pays,
-  *      vs the one-shot forms that re-encode the corpus per run.
+  *      BM25 indexes and the src-bucketed edge table are built once
+  *      untimed, then the from-index queries (plus the zero-exchange
+  *      bucketed pageRank) are timed — the query-priced cost a
+  *      production path pays, vs the one-shot forms that re-encode or
+  *      rebuild per run.
   *   6. Clean-session RE-TIMING (`retimed` block): FAST-phase queries
   *      whose medians moved >15% (and >0.3s) vs the previous
   *      BENCH_FULL.json are re-timed in ONE fresh shared session (all
@@ -386,7 +388,22 @@ object Bench {
       Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq", centroidEvery = 25, m = 8, dim = 64)
       TextAnalysis.writeInvertedIndex(graft.sources.Tables.documents(sparkSrv, sfDir),
         "text", "doc_id", s"$idx/bm25")
+      // graph serving: the co-purchase edge list written ONCE as a
+      // src-bucketed catalog table (the 100 TB layout), then pageRank
+      // with broadcastRanks=false + checkpointEdges=false — per round
+      // only the node-sized rank frame shuffles to the edge bucketing
+      // (zero edge-side exchanges, GraphScaleProbe-pinned; bit-equality
+      // with the direct path pinned in GraphOpsSpec)
+      sparkSrv.sql("DROP TABLE IF EXISTS graft_bench_edges")
+      graft.sinks.Lake.writeBucketed(
+        graft.functions.Graph.copurchaseEdges(
+          graft.sources.Tables.lineitem(sparkSrv, sfDir)),
+        "graft_bench_edges", s"$idx/edges", Seq("src"), numBuckets = 32)
+      val bucketedEdges = sparkSrv.table("graft_bench_edges")
       val served: Seq[(String, () => DataFrame)] = Seq(
+        "graph_pagerank_served" -> (() =>
+          graft.functions.Graph.pageRank(bucketedEdges, "src", "dst",
+            iterations = 5, broadcastRanks = false, checkpointEdges = false)),
         "sim_topk_int8_served" -> (() =>
           Similarity.int8TopKFromIndex(sparkSrv, queries, s"$idx/int8", k = 5)),
         "sim_topk_ivfpq_served" -> (() =>

@@ -1415,6 +1415,29 @@ object SparkEntry {
         graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
         "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
         .orderBy("node")
+    },
+    // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
+    // (the deterministic stand-in for L2 normalization) — eigenvector-
+    // style centrality without PageRank's teleport, bit-exact vs the
+    // unrolled oracle.
+    "graph_hits" -> { (s, d) =>
+      graft.functions.Graph.hits(
+        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
+        "src", "dst", iterations = 3)
+        .orderBy("node")
+    },
+    // Incremental view maintenance: the Q1 summary rebuilt as
+    // merge(base-batch summary, delta-batch summary) — must land on the
+    // SAME hash as the oracle's plain full aggregate (the monoid-merge
+    // proof against an independent engine). Delta work is delta-sized.
+    "tpch_q1_incremental" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      graft.functions.Incremental.mergePricingSummaries(
+        graft.functions.Incremental.pricingSummary(
+          li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)),
+        graft.functions.Incremental.pricingSummary(
+          li.filter(pmod(col("l_orderkey"), lit(10)) === 0)))
+        .orderBy("l_returnflag", "l_linestatus")
     })
 
   /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
@@ -1537,12 +1560,59 @@ object SparkEntry {
         SELECT node, hop FROM d3 ORDER BY node"""
   }
 
+  /** DuckDB twin of [[graft.functions.Graph.hits]] (3 rounds unrolled):
+    * arN = raw authority (from h(N-1)), hrN = raw hub (from RAW arN),
+    * hN = max-rescaled hub; the reported authority is ar3 rescaled. */
+  private val hitsOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""ar$i AS (SELECT p.dst, CAST(SUM(h.s) AS BIGINT) AS ra
+              FROM pairs p JOIN h${i - 1} h ON h.node = p.src GROUP BY 1),
+          hr$i AS (SELECT p.src, CAST(SUM(a.ra) AS BIGINT) AS rh
+              FROM pairs p JOIN ar$i a ON a.dst = p.dst GROUP BY 1),
+          h$i AS (SELECT src AS node,
+              CAST(rh * 1000000 // (SELECT max(rh) FROM hr$i) AS BIGINT) AS s
+              FROM hr$i)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          nodes AS (SELECT DISTINCT src AS node FROM pairs),
+          h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+          $rounds,
+          a3s AS (SELECT dst AS node,
+              CAST(ra * 1000000 // (SELECT max(ra) FROM ar3) AS BIGINT) AS s
+              FROM ar3)
+        SELECT n.node, CAST(coalesce(h3.s, 0) AS BIGINT) AS hub_m,
+               CAST(coalesce(a3s.s, 0) AS BIGINT) AS auth_m
+        FROM nodes n
+        LEFT JOIN h3 ON h3.node = n.node
+        LEFT JOIN a3s ON a3s.node = n.node
+        ORDER BY n.node"""
+  }
+
+  /** The Q1 pricing-summary oracle — shared verbatim by
+    * `tpch_q1_pricing` and the IVM-merged `tpch_q1_incremental`. */
+  private val q1OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+              CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+              CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+              CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
     "graph_kcore" -> kcoreOracle,
     "link_prediction" -> linkPredictionOracle,
     "graph_hops" -> bfsOracle,
+    "graph_hits" -> hitsOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
@@ -1628,17 +1698,10 @@ object SparkEntry {
                 CAST(sum(CASE WHEN event_type = 'signup'
                   THEN CAST(floor(value*100) AS BIGINT) END) AS BIGINT) AS signup_centi
          FROM events GROUP BY 1 ORDER BY 1""",
-    "tpch_q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(floor(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
-                CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
-                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
-                CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
-                count(*) AS n
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+    "tpch_q1_pricing" -> q1OracleSql,
+    // the incremental (merged base+delta) form must land on the SAME
+    // hash as the plain full aggregate — that equality IS the IVM proof
+    "tpch_q1_incremental" -> q1OracleSql,
     "tpch_q3_top_orders" ->
       """SELECT o_orderkey,
                 CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c

@@ -551,6 +551,77 @@ object Graph {
       .limit(topK)
   }
 
+  /** HITS (hubs & authorities, Kleinberg 1999) in integer fixed-point.
+    * Per round: raw authority = sum of in-neighbor hub scores, raw hub =
+    * sum of out-neighbor RAW authorities, then the hub frame alone is
+    * rescaled to max 1_000_000 by floor division through the round's
+    * maximum (one normalization per round — the deterministic integer
+    * stand-in for the textbook L2 step; the hub rescale bounds next
+    * round's sums so nothing overflows a long: ra <= maxdeg*10^6,
+    * rh <= maxdeg²*10^6). The reported authority is the FINAL round's
+    * raw frame rescaled the same way.
+    *
+    * Scale shape per round: two chained edge joins against node-sized
+    * score frames + partial-agg groupBys, ONE lineage cut (the hub
+    * frame, which is consumed twice: its own max and the rescale
+    * projection — an un-cut double consumption re-ran the whole edge
+    * join per normalization, measured 14.4 s vs 6.4 s at sf0.1). The
+    * round maximum is a 1-row aggregate crossed back in broadcast (the
+    * `text_keywords` global-threshold pattern), and the score side of
+    * each edge join carries an explicit broadcast hint — checkpointed
+    * frames have no size stats, so without it the optimizer shuffles
+    * the EDGE list every half-step (the pageRank `broadcastRanks`
+    * lesson; disable via `broadcastScores = false` when nodes outgrow
+    * executor memory, pairing with bucketed edges).
+    * Output: (node, hub_m, auth_m) for every node in the edge list,
+    * zeros for nodes a score never reached.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      broadcastScores: Boolean = true): DataFrame = {
+    require(iterations >= 1)
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastScores) broadcast(df) else df
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    // input must be cheap to consume twice (checkpointed or a thin
+    // projection of a checkpoint)
+    def rescaled(r: DataFrame, keyCol: String, vCol: String): DataFrame = {
+      val mx = r.agg(max(col(vCol)).as("mx"))
+      r.crossJoin(broadcast(mx))
+        .select(col(keyCol).as("node"),
+          expr(s"$vCol * 1000000L div mx").as("s"))
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("s"))
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      val rawA0 = e.join(
+          hint(hub.select(col("node").as("src"), col("s").as("h"))), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
+      // consumed twice only in the final round (hub chain + the reported
+      // authority) — cut it just there
+      val rawA = if (i == iterations) rawA0.localCheckpoint() else rawA0
+      val rawH = e.join(
+          hint(rawA.select(col("dst"), col("ra").as("a"))), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("rh"))
+        .localCheckpoint()
+      hub = rescaled(rawH, "src", "rh")
+      if (i == iterations) auth = rescaled(rawA, "dst", "ra")
+    }
+    nodes
+      .join(hub.select(col("node"), col("s").as("hub_m")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("s").as("auth_m")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_m"), lit(0L)).as("hub_m"),
+        coalesce(col("auth_m"), lit(0L)).as("auth_m"))
+  }
+
   /** Multi-source BFS over a SYMMETRIC edge list: hop distance from the
     * nearest seed, frontier expansion for `maxHops` synchronous rounds
     * (exact for every node within `maxHops` of a seed; farther nodes are

@@ -246,6 +246,15 @@ object ScaleSmoke {
         greatest(col("src"), col("dst")).as("dst")).distinct()
       graft.functions.Graph.triangleCountsAdj(half).mat()
     }
+    time("hits (3 rounds, deg~40)") {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      graft.functions.Graph.hits(sym, "src", "dst", iterations = 3).mat()
+    }
     time("kcore peel (k=30, deg~40)") {
       // incremental peeling on the same deg~40 graph, half-edge input:
       // one degree aggregate + per-round dead-frontier subtraction —

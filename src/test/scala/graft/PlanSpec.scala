@@ -175,6 +175,10 @@ class PlanSpec extends SparkSpec {
       // semantic packing rides the same bounded corpus x centroids
       // broadcast assignment; the pack itself is a cell-keyed window
       "pack_semantic",
+      // HITS rescales each half-step through a 1-row max aggregate
+      // crossed back in (broadcast) — the text_keywords global-threshold
+      // pattern, 1 row by construction
+      "graph_hits",
       // ADC's distance table is queries x codebook (m x corpus/centroidEvery
       // rows, broadcast) — bounded by construction; the corpus-side scan
       // then equi-joins it on (j, code)

@@ -125,6 +125,68 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hits equals a naive integer HITS on random graphs") {
+    def naiveHits(adj: Map[Long, Set[Long]], iters: Int): Map[Long, (Long, Long)] = {
+      // symmetric adj: in-neighbors == out-neighbors. One normalization
+      // per round (hub side); reported authority = final RAW frame
+      // rescaled — the hits() contract
+      val nodes = adj.keys.toSeq.sorted
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      for (i <- 1 to iters) {
+        val ra = nodes.map(n => n -> adj(n).toSeq.map(hub).sum).toMap
+        val rh = nodes.map(n => n -> adj(n).toSeq.map(ra).sum).toMap
+        val mxh = rh.values.max
+        hub = rh.view.mapValues(v => v * 1000000L / mxh).toMap
+        if (i == iters) {
+          val mxa = ra.values.max
+          auth = ra.view.mapValues(v => v * 1000000L / mxa).toMap
+        }
+      }
+      nodes.map(n => n -> (hub(n), auth(n))).toMap
+    }
+    for (seed <- Seq(47L, 53L); iters <- Seq(1, 3)) {
+      val (sym, adj) = randomGraph(seed, 22, 80)
+      val got = Graph.hits(sym.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === naiveHits(adj, iters), s"seed $seed iters $iters")
+    }
+  }
+
+  test("hits: symmetric star — center is the sole top authority") {
+    val star = ((1L to 5L).map(l => (0L, l)) ++ (1L to 5L).map(l => (l, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.hits(star, "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // hand-traced: every hub rescales back to 1e6 each round; authority
+    // stays (center 1e6, each leaf 200000 = 1e6 div 5)
+    assert(got === ((0L -> (1000000L, 1000000L)) +:
+      (1L to 5L).map(_ -> (1000000L, 200000L))).toMap)
+  }
+
+  test("pageRank served from a bucketed edge table equals the direct path") {
+    // the cluster serving form: edges written once via Lake.writeBucketed
+    // (catalog-backed, bucketed on src), then pageRank with
+    // broadcastRanks=false + checkpointEdges=false — per round only the
+    // node-sized rank frame shuffles to the edge bucketing
+    // (GraphScaleProbe asserts the zero-ShuffleExchange plan at 1M nodes;
+    // here: fixed-point bit-equality on the real co-purchase graph)
+    val d = "/root/testdata/sf0.001"
+    val edges = Graph.copurchaseEdges(graft.sources.Tables.lineitem(spark, d))
+    val direct = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    spark.sql("DROP TABLE IF EXISTS pr_edges_spec")
+    val base = java.nio.file.Files.createTempDirectory("graft-predges").toString
+    graft.sinks.Lake.writeBucketed(edges, "pr_edges_spec", s"$base/edges",
+      Seq("src"), numBuckets = 8)
+    val served = Graph.pageRank(spark.table("pr_edges_spec"), "src", "dst",
+        iterations = 5, broadcastRanks = false, checkpointEdges = false)
+      .as[(Long, Long)].collect().toMap
+    assert(served === direct, "bucketed serving path diverges from direct pageRank")
+  }
+
   test("bfsHops: chain distances, unreached nodes absent, seeds at hop 0") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
     val sym = chain ++ chain.map(_.swap)

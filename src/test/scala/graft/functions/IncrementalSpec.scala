@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The IVM contract: a stored summary merged with a delta summary must be
+  * bit-identical to recomputing over the whole input — per batch split,
+  * per fold order, including keys that exist on only one side.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def collectSummary(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("l_returnflag", "l_linestatus")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("merge(base, delta) is bit-identical to the full recompute") {
+    val full = collectSummary(
+      graft.SparkEntry.queries("tpch_q1_pricing")(spark, d))
+    val merged = collectSummary(
+      graft.SparkEntry.queries("tpch_q1_incremental")(spark, d))
+    assert(merged === full)
+  }
+
+  test("per-batch summaries fold to the full summary in any batch split") {
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val full = collectSummary(Incremental.pricingSummary(li))
+    // three uneven batches by orderkey residue, folded left-to-right
+    val batches = Seq(
+      li.filter(pmod(col("l_orderkey"), lit(5)) < 2),
+      li.filter(pmod(col("l_orderkey"), lit(5)) === 2),
+      li.filter(pmod(col("l_orderkey"), lit(5)) > 2))
+      .map(Incremental.pricingSummary)
+    val folded = batches.reduce(Incremental.mergePricingSummaries)
+    assert(collectSummary(folded) === full)
+  }
+
+  test("keys present in only one side pass through the merge") {
+    // synthetic summaries with disjoint + overlapping keys
+    val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
+                ("N", "O", 5L, 50L, 45L, 47L, 1L))
+      .toDF("l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
+        "sum_disc_c", "sum_charge_c", "n")
+    val b = Seq(("A", "F", 1L, 10L, 9L, 10L, 1L),
+                ("R", "F", 7L, 70L, 63L, 66L, 3L))
+      .toDF("l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
+        "sum_disc_c", "sum_charge_c", "n")
+    val got = collectSummary(Incremental.mergePricingSummaries(a, b))
+    assert(got === Seq(
+      ("A", "F", 11L, 110L, 99L, 105L, 3L),
+      ("N", "O", 5L, 50L, 45L, 47L, 1L),
+      ("R", "F", 7L, 70L, 63L, 66L, 3L)))
+  }
+}
