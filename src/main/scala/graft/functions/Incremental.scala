@@ -43,6 +43,60 @@ object Incremental {
           .as("sum_charge_c"),
         count(lit(1)).as("n"))
 
+  /** Streaming IVM: maintain the pricing summary under a micro-batched
+    * lineitem delta stream. Every micro-batch computes its own
+    * delta-sized summary, merges it with the LATEST summary version
+    * written by an EARLIER batch, and overwrites `summaryDir/v=<batchId>`
+    * — deterministic per batch id, so an at-least-once foreachBatch
+    * replay re-reads exactly the pre-batch state (its own half-written
+    * version is excluded by `v < batchId`) and re-produces identical
+    * contents: exactly-once summary state without transactions, the
+    * [[graft.streaming.StreamOps.dedupIngestStream]] `excludeBatchId`
+    * idea applied to a summary table.
+    *
+    * Scale shape per micro-batch: one delta-sized aggregate + a merge
+    * over two |keys|-row frames + one |keys|-row snapshot write. The
+    * version listing is one driver-side directory scan (one entry per
+    * micro-batch — compact by deleting versions below the last commit
+    * on whatever retention the caller runs). Read the current summary
+    * with [[latestSummary]].
+    */
+  def maintainPricingSummary(
+      deltaLineitem: DataFrame,
+      summaryDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaLineitem.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val delta = pricingSummary(batch.toDF())
+        val merged = latestSummary(batch.sparkSession, summaryDir,
+            beforeBatch = Some(batchId))
+          .map(mergePricingSummaries(_, delta)).getOrElse(delta)
+        // |keys| rows: one file is the right layout for a summary table
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$summaryDir/v=$batchId")
+        ()
+      }
+
+  /** Newest summary snapshot under `summaryDir` (strictly below
+    * `beforeBatch` when given — the replay-exclusion read). None before
+    * the first commit. One bounded driver-side listing, never data-sized.
+    */
+  def latestSummary(
+      spark: org.apache.spark.sql.SparkSession,
+      summaryDir: String,
+      beforeBatch: Option[Long] = None): Option[DataFrame] = {
+    val dir = new java.io.File(summaryDir)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(v => beforeBatch.forall(v < _))
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$summaryDir/v=${versions.max}"))
+  }
+
   /** Key-wise monoid merge of two pricing summaries: integer sums and
     * counts add; keys present in only one side pass through (the union +
     * re-aggregate form — associative, order-free, and the plan is a

@@ -38,6 +38,44 @@ class IncrementalSpec extends SparkSpec {
     assert(collectSummary(folded) === full)
   }
 
+  test("streaming maintenance: folded micro-batch summaries equal the " +
+      "full recompute, and a replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val li = graft.sources.Tables.lineitem(spark, d)
+      .select("l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .as[(java.sql.Timestamp, String, String, Double, Double, Double, Double)]
+      .collect().toSeq
+    val full = collectSummary(
+      Incremental.pricingSummary(graft.sources.Tables.lineitem(spark, d)))
+    val base = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, String, Double, Double, Double, Double)]
+    val delta = input.toDF().toDF("l_shipdate", "l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val q = Incremental.maintainPricingSummary(delta, s"$base/summary", s"$base/ck").start()
+    try {
+      // three uneven micro-batches
+      val (b1, rest) = li.splitAt(li.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = Incremental.latestSummary(spark, s"$base/summary")
+    assert(streamed.isDefined)
+    assert(collectSummary(streamed.get) === full)
+    // replay batch 1: re-running its write against the same version dir
+    // must regenerate IDENTICAL contents (pre-batch state excluded by
+    // v < batchId), leaving the final summary unchanged
+    val b1df = li.take(li.size / 3).toDF("l_shipdate", "l_returnflag",
+      "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val replayDelta = Incremental.pricingSummary(b1df)
+    val prev0 = Incremental.latestSummary(spark, s"$base/summary", beforeBatch = Some(0L))
+    assert(prev0.isEmpty, "batch 0's replay must see no earlier state")
+    replayDelta.coalesce(1).write.mode("overwrite").parquet(s"$base/summary/v=0")
+    val after = Incremental.latestSummary(spark, s"$base/summary")
+    assert(collectSummary(after.get) === full, "replay of batch 0 changed the summary")
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
