@@ -1416,6 +1416,16 @@ object SparkEntry {
         "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
         .orderBy("node")
     },
+    // Deterministic random walks (the DeepWalk corpus step): one
+    // 4-step walk per seed part, next hop = salted-md5 argmin over
+    // out-neighbors — RNG-free, reproducible, SQL-twinnable.
+    "graph_walks" -> { (s, d) =>
+      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4)
+        .orderBy("wid", "step")
+    },
     // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
     // (the deterministic stand-in for L2 normalization) — eigenvector-
     // style centrality without PageRank's teleport, bit-exact vs the
@@ -1606,6 +1616,36 @@ object SparkEntry {
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
+  /** DuckDB twin of [[graft.functions.Graph.deterministicWalks]]
+    * (4 steps unrolled): sN = per-step salted-hash candidates,
+    * wN = the argmin pick. Same 48-bit md5 idiom as `shuffle_shards`. */
+  private val walksOracle: String = {
+    val stepCtes = (1 to 4).map { s =>
+      s"""s$s AS (SELECT w.wid, p.dst,
+              CAST(('0x' || substr(md5(
+                CAST(w.wid AS VARCHAR) || '_' || CAST(p.dst AS VARCHAR) || '_$s'),
+                1, 12)) AS BIGINT) AS h
+            FROM w${s - 1} w JOIN pairs p ON p.src = w.node),
+          w$s AS (SELECT wid, $s AS step, dst AS node FROM (
+              SELECT wid, dst, row_number() OVER (
+                PARTITION BY wid ORDER BY h, dst) AS rn FROM s$s)
+            WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          w0 AS (SELECT src AS wid, 0 AS step, src AS node
+                 FROM (SELECT DISTINCT src FROM pairs) WHERE src % 40 = 0),
+          $stepCtes
+        SELECT wid, step, node FROM (
+          SELECT * FROM w0 UNION ALL SELECT * FROM w1
+          UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+          UNION ALL SELECT * FROM w4)
+        ORDER BY wid, step"""
+  }
+
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
@@ -1613,6 +1653,7 @@ object SparkEntry {
     "link_prediction" -> linkPredictionOracle,
     "graph_hops" -> bfsOracle,
     "graph_hits" -> hitsOracle,
+    "graph_walks" -> walksOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -622,6 +622,57 @@ object Graph {
         coalesce(col("auth_m"), lit(0L)).as("auth_m"))
   }
 
+  /** Deterministic random-walk sampling (the DeepWalk/node2vec corpus
+    * step, RNG-free): one fixed-length walk per seed, where step s moves
+    * from `cur` to the out-neighbor minimizing the salted 48-bit hash
+    * `md5(wid_dst_s)` (tie-break by dst) — pseudo-random but a pure
+    * function of (walk, candidate, step), so runs are reproducible
+    * across engines and an unrolled SQL twin matches bit-for-bit, the
+    * same stance as `shuffleShards`' hkey. Salting with the WALK id
+    * (not the current node) decorrelates walks that pass through the
+    * same hub. A walk ends early only at a sink (no out-edges — never
+    * on a symmetric graph).
+    *
+    * Scale shape per step: the edge list joins the walk-sized frontier
+    * (broadcast by default; `broadcastFrontier = false` shuffles the
+    * frontier to the edge partitioning for walk sets beyond executor
+    * memory), then a narrow min(struct) argmax per walk — the hash
+    * ride-along costs one md5 per candidate edge, and nothing larger
+    * than (frontier x avg-degree) ever materializes. Output:
+    * (walk_id, step, node), step 0 = the seed.
+    */
+  def deterministicWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      steps: Int,
+      broadcastFrontier: Boolean = true): DataFrame = {
+    require(steps >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var frontier = seeds.select(col("node").as("wid"), col("node").as("cur"))
+      .localCheckpoint()
+    var walks = frontier.select(col("wid"), lit(0).as("step"), col("cur").as("node"))
+    for (s <- 1 to steps) {
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val cand = e.join(f, e("src") === f("cur"))
+        .select(col("wid"), col("dst"),
+          conv(substring(md5(
+            concat_ws("_", col("wid"), col("dst"), lit(s))), 1, 12), 16, 10)
+            .cast("long").as("h"))
+      // frontier is consumed twice (trace union + next step's join) —
+      // cut the walk-sized frame per step, the kCoreHalf posture
+      frontier = cand.groupBy(col("wid"))
+        .agg(min(struct(col("h"), col("dst"))).as("pick"))
+        .select(col("wid"), col("pick.dst").as("cur"))
+        .localCheckpoint()
+      walks = walks.unionAll(
+        frontier.select(col("wid"), lit(s).as("step"), col("cur").as("node")))
+    }
+    walks
+  }
+
   /** Multi-source BFS over a SYMMETRIC edge list: hop distance from the
     * nearest seed, frontier expansion for `maxHops` synchronous rounds
     * (exact for every node within `maxHops` of a seed; farther nodes are

@@ -246,6 +246,17 @@ object ScaleSmoke {
         greatest(col("src"), col("dst")).as("dst")).distinct()
       graft.functions.Graph.triangleCountsAdj(half).mat()
     }
+    time("walks (4 steps, 1/40 seeds)") {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      graft.functions.Graph.deterministicWalks(sym, "src", "dst", seeds, steps = 4).mat()
+    }
     time("hits (3 rounds, deg~40)") {
       val edges = spark.range(docsN * 20)
         .select((col("id") % docsN).as("src"),

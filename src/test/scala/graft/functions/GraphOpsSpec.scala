@@ -166,6 +166,46 @@ class GraphOpsSpec extends SparkSpec {
       (1L to 5L).map(_ -> (1000000L, 200000L))).toMap)
   }
 
+  test("deterministicWalks equals a naive salted-md5 walk on random graphs") {
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    for (seed <- Seq(59L, 61L)) {
+      val (sym, adj) = randomGraph(seed, 18, 60)
+      val seedsSeq = adj.keys.toSeq.sorted.take(5)
+      val got = Graph.deterministicWalks(sym.toDF("src", "dst"),
+          "src", "dst", seedsSeq.toDF("node"), steps = 3)
+        .as[(Long, Int, Long)].collect().toSet
+      val naive = seedsSeq.flatMap { wid =>
+        var cur = wid
+        (wid, 0, wid) +: (1 to 3).flatMap { s =>
+          val nbrs = adj.getOrElse(cur, Set.empty)
+          if (nbrs.isEmpty) None
+          else {
+            cur = nbrs.toSeq.map(d => (h48(s"${wid}_${d}_$s"), d)).min._2
+            Some((wid, s, cur))
+          }
+        }
+      }.toSet
+      assert(got === naive, s"seed $seed")
+    }
+  }
+
+  test("deterministicWalks: a directed chain walks straight down it") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.deterministicWalks(chain, "src", "dst",
+        Seq(0L).toDF("node"), steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === Set((0L, 0, 0L), (0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)))
+    // a sink seed stops after step 0
+    val short = Graph.deterministicWalks(chain, "src", "dst",
+        Seq(3L).toDF("node"), steps = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(short === Set((3L, 0, 3L)))
+  }
+
   test("pageRank served from a bucketed edge table equals the direct path") {
     // the cluster serving form: edges written once via Lake.writeBucketed
     // (catalog-backed, bucketed on src), then pageRank with
