@@ -1426,6 +1426,19 @@ object SparkEntry {
       graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4)
         .orderBy("wid", "step")
     },
+    // Walk-corpus generation (the DeepWalk skip-gram step): window-2
+    // co-occurrence pairs over the deterministic walks — the SGNS
+    // training pairs the walks exist to produce. One walk-frame
+    // self-join; pair volume is walks x steps x 2w, independent of |E|.
+    "graph_walk_pairs" -> { (s, d) =>
+      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      graft.functions.Graph.skipGramPairs(
+        graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4),
+        window = 2)
+        .orderBy("center", "context")
+    },
     // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
     // (the deterministic stand-in for L2 normalization) — eigenvector-
     // style centrality without PageRank's teleport, bit-exact vs the
@@ -1616,10 +1629,11 @@ object SparkEntry {
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
-  /** DuckDB twin of [[graft.functions.Graph.deterministicWalks]]
-    * (4 steps unrolled): sN = per-step salted-hash candidates,
-    * wN = the argmin pick. Same 48-bit md5 idiom as `shuffle_shards`. */
-  private val walksOracle: String = {
+  /** Shared CTE body of the [[graft.functions.Graph.deterministicWalks]]
+    * twins (4 steps unrolled): sN = per-step salted-hash candidates,
+    * wN = the argmin pick, wk = the full (wid, step, node) trace. Same
+    * 48-bit md5 idiom as `shuffle_shards`. */
+  private val walksCte: String = {
     val stepCtes = (1 to 4).map { s =>
       s"""s$s AS (SELECT w.wid, p.dst,
               CAST(('0x' || substr(md5(
@@ -1631,20 +1645,33 @@ object SparkEntry {
                 PARTITION BY wid ORDER BY h, dst) AS rn FROM s$s)
             WHERE rn = 1)"""
     }.mkString(",\n          ")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem),
           pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                     FROM li a JOIN li b
                       ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey <> b.l_partkey),
           w0 AS (SELECT src AS wid, 0 AS step, src AS node
                  FROM (SELECT DISTINCT src FROM pairs) WHERE src % 40 = 0),
-          $stepCtes
-        SELECT wid, step, node FROM (
-          SELECT * FROM w0 UNION ALL SELECT * FROM w1
+          $stepCtes,
+          wk AS (SELECT * FROM w0 UNION ALL SELECT * FROM w1
           UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
-          UNION ALL SELECT * FROM w4)
-        ORDER BY wid, step"""
+          UNION ALL SELECT * FROM w4)"""
   }
+
+  private val walksOracle: String =
+    s"""WITH $walksCte
+        SELECT wid, step, node FROM wk ORDER BY wid, step"""
+
+  /** DuckDB twin of [[graft.functions.Graph.skipGramPairs]] over the
+    * same unrolled walks: both-direction window-2 co-occurrence counts. */
+  private val walkPairsOracle: String =
+    s"""WITH $walksCte
+        SELECT a.node AS center, b.node AS context, count(*) AS pair_cnt
+        FROM wk a JOIN wk b
+          ON a.wid = b.wid AND a.step <> b.step
+         AND abs(a.step - b.step) <= 2
+        GROUP BY 1, 2
+        ORDER BY center, context"""
 
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
@@ -1654,6 +1681,7 @@ object SparkEntry {
     "graph_hops" -> bfsOracle,
     "graph_hits" -> hitsOracle,
     "graph_walks" -> walksOracle,
+    "graph_walk_pairs" -> walkPairsOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -415,10 +415,11 @@ object Graph {
       dstCol: String,
       k: Int,
       rounds: Int,
-      broadcastAlive: Boolean = true): DataFrame = {
+      broadcastAlive: Boolean = true,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
     def degrees(ed: DataFrame): DataFrame =
       ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
     def surviving(ed: DataFrame, alive: DataFrame): DataFrame = {
@@ -467,9 +468,13 @@ object Graph {
       half: DataFrame,
       k: Int,
       rounds: Int,
-      broadcastDead: Boolean = true): DataFrame = {
+      broadcastDead: Boolean = true,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    val e = half.select(col("src"), col("dst")).localCheckpoint()
+    // checkpointEdges = false: keep a stored bucketed table's scan (a
+    // checkpoint erases bucketing and reinstates the per-round Exchange)
+    val e0 = half.select(col("src"), col("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
     // losses toward BOTH endpoints from edges whose other endpoint died
     def loss(dead: DataFrame): DataFrame = {
       val nb = if (broadcastDead) broadcast(dead) else dead
@@ -557,9 +562,13 @@ object Graph {
     * rescaled to max 1_000_000 by floor division through the round's
     * maximum (one normalization per round — the deterministic integer
     * stand-in for the textbook L2 step; the hub rescale bounds next
-    * round's sums so nothing overflows a long: ra <= maxdeg*10^6,
-    * rh <= maxdeg²*10^6). The reported authority is the FINAL round's
-    * raw frame rescaled the same way.
+    * round's raw SUMS to a long: ra <= maxdeg*10^6, rh <= maxdeg²*10^6).
+    * The rescale PRODUCT `raw * 10^6` can exceed a long once maxdeg²*10^6
+    * passes Long.MaxValue/10^6 (maxdeg > ~3034), so the multiply is
+    * widened to DECIMAL(38,0) before the floor division — exact for any
+    * realistic degree, and it matches the DuckDB twin, which promotes the
+    * same product to HUGEINT. The reported authority is the FINAL
+    * round's raw frame rescaled the same way.
     *
     * Scale shape per round: two chained edge joins against node-sized
     * score frames + partial-agg groupBys, ONE lineage cut (the hub
@@ -573,6 +582,15 @@ object Graph {
     * the EDGE list every half-step (the pageRank `broadcastRanks`
     * lesson; disable via `broadcastScores = false` when nodes outgrow
     * executor memory, pairing with bucketed edges).
+    *
+    * Cluster path (the [[pageRank]] `checkpointEdges` pattern, doubled
+    * because HITS joins the edge list on BOTH keys): store the edge list
+    * twice — bucketed by `src` (passed as `edges`) and by `dst` (passed
+    * as `edgesByDst`) — and set `checkpointEdges = false` +
+    * `broadcastScores = false`. Each half-step then joins its own
+    * pre-bucketed scan, so per round only the node-sized score frames
+    * shuffle and the edge side has ZERO exchanges (GraphScaleProbe
+    * measures this at 1M nodes / 40M edges and asserts the plan).
     * Output: (node, hub_m, auth_m) for every node in the edge list,
     * zeros for nodes a score never reached.
     */
@@ -581,12 +599,19 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      broadcastScores: Boolean = true): DataFrame = {
+      broadcastScores: Boolean = true,
+      checkpointEdges: Boolean = true,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1)
     def hint(df: DataFrame): DataFrame =
       if (broadcastScores) broadcast(df) else df
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    // the dst half-step's edge side: the same edge SET, ideally stored
+    // bucketed by dst (a src-bucketed scan still shuffles on the dst key)
+    val eD = edgesByDst
+      .map(_.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .getOrElse(e)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -596,7 +621,10 @@ object Graph {
       val mx = r.agg(max(col(vCol)).as("mx"))
       r.crossJoin(broadcast(mx))
         .select(col(keyCol).as("node"),
-          expr(s"$vCol * 1000000L div mx").as("s"))
+          // widen the multiply: raw * 10^6 overflows a long for
+          // maxdeg > ~3034; the quotient itself is always <= 10^6
+          expr(s"CAST(CAST($vCol AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+            .as("s"))
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("s"))
     var auth: DataFrame = null
@@ -607,7 +635,7 @@ object Graph {
       // consumed twice only in the final round (hub chain + the reported
       // authority) — cut it just there
       val rawA = if (i == iterations) rawA0.localCheckpoint() else rawA0
-      val rawH = e.join(
+      val rawH = eD.join(
           hint(rawA.select(col("dst"), col("ra").as("a"))), "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
         .localCheckpoint()
@@ -647,10 +675,15 @@ object Graph {
       dstCol: String,
       seeds: DataFrame,
       steps: Int,
-      broadcastFrontier: Boolean = true): DataFrame = {
+      broadcastFrontier: Boolean = true,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(steps >= 1)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    // checkpointEdges = false is the stored-bucketed-table escape: a
+    // localCheckpoint would ERASE bucketing metadata and reinstate the
+    // per-step edge Exchange (the pageRank lesson) — skip it when the
+    // input is already a cheap-to-rescan src-bucketed table
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
     var frontier = seeds.select(col("node").as("wid"), col("node").as("cur"))
       .localCheckpoint()
     var walks = frontier.select(col("wid"), lit(0).as("step"), col("cur").as("node"))
@@ -696,12 +729,15 @@ object Graph {
       dstCol: String,
       seeds: Seq[Long],
       maxHops: Int,
-      broadcastFrontier: Boolean = true): DataFrame = {
+      broadcastFrontier: Boolean = true,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(seeds.nonEmpty && maxHops >= 1)
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    // checkpointEdges = false: keep a stored bucketed table's scan (a
+    // checkpoint erases bucketing and reinstates the per-round Exchange)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
     var visited = seeds.toDF("node").select(col("node"), lit(0).as("hop"))
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHops) {
@@ -714,5 +750,36 @@ object Graph {
       frontier = next
     }
     visited
+  }
+
+  /** Walk-corpus generation — the DeepWalk skip-gram step over
+    * [[deterministicWalks]] output `(wid, step, node)`: every ordered
+    * (center, context) node pair co-occurring within `window` steps of
+    * the SAME walk, with its corpus count. Both directions are emitted
+    * (context before and after the center, the textbook skip-gram
+    * contract), so a walk of length L contributes at most 2·w·L pairs.
+    * This is the training-data product the walks exist for: feed
+    * (center, context, pair_cnt) to any SGNS-style embedding trainer.
+    *
+    * Scale shape: ONE self-join of the walk frame keyed on the walk id
+    * with a bounded step-band predicate — volume is walks × steps × 2w
+    * by construction, INDEPENDENT of the edge count (the edge list never
+    * appears; the smoke row in SCALING.md pins this), then a
+    * partial-aggregating pair groupBy. The per-wid join fan-out is the
+    * walk length, never a degree.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
+    val a = walks.select(col("wid"), col("step").as("si"), col("node").as("center"))
+    val b = walks.select(col("wid"), col("step").as("sj"), col("node").as("context"))
+    // USING-column join: both sides descend from the same frame, so a
+    // `a("wid") === b("wid")` condition self-join-resolves to a trivially
+    // true predicate (a cross join per walk pair) — Seq("wid") keeps the
+    // equi-join key unambiguous
+    a.join(b, Seq("wid"))
+      .filter(col("sj") =!= col("si") &&
+        abs(col("sj") - col("si")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("pair_cnt"))
   }
 }

@@ -15,13 +15,24 @@ import graft.operators.CoreOps
   * same algebra Spark's own partial aggregates exploit map-side, lifted
   * to a STORED summary table. Maintenance cost is sized by the delta
   * (one scan of the new rows + a merge on |keys| rows), never the lake.
-  * Deletions/retractions follow the same algebra with negated counts —
-  * out of scope here because the corpus is append-only.
+  * Deletions/retractions follow the same algebra with NEGATED counts —
+  * [[negateDatasheetState]] composes with [[graft.sinks.Lake.deleteByIds]]
+  * so a COW delete downdates the maintained view without a rescan
+  * (IncrementalSpec's retraction case).
+  *
+  * Non-monoid aggregates (the datasheet's exact distinct counts) are
+  * maintained via SUPPORT COUNTS — the classic IVM device: keep one
+  * counted row per distinct key, derive `count(DISTINCT ...)` as "rows
+  * with cnt > 0". The support table is distinct-value-sized (the
+  * intrinsic floor for EXACT distinct maintenance; swap in the HLL
+  * sketch union from [[Sketches]] when approximate is acceptable), and
+  * each delta touches only its own keys.
   *
   * `IncrementalSpec` proves merge(base, delta) is bit-identical to the
-  * full recompute, and the `tpch_q1_incremental` gate row proves it
-  * against the independent DuckDB oracle (whose SQL is the PLAIN full
-  * aggregate — the merged path must land on the same hash).
+  * full recompute, and the `tpch_q1_incremental` / `datasheet_incremental`
+  * gate rows prove it against the independent DuckDB oracle (whose SQL
+  * is the PLAIN full aggregate — the merged path must land on the same
+  * hash).
   */
 object Incremental {
 
@@ -80,21 +91,36 @@ object Incremental {
         ()
       }
 
-  /** Newest summary snapshot under `summaryDir` (strictly below
-    * `beforeBatch` when given — the replay-exclusion read). None before
-    * the first commit. One bounded driver-side listing, never data-sized.
+  /** Newest COMMITTED summary snapshot under `summaryDir` (strictly
+    * below `beforeBatch` when given — the replay-exclusion read). None
+    * before the first commit. One bounded driver-side listing, never
+    * data-sized.
+    *
+    * Listed through the Hadoop FileSystem bound to the path, so the
+    * versioned dir works on any supported filesystem (hdfs://, s3a://,
+    * file:) — a `java.io.File` listing would silently return nothing on
+    * a remote store and collapse the maintained summary to the last
+    * delta. Only versions carrying the `_SUCCESS` commit marker count:
+    * a concurrent reader racing an in-flight `mode("overwrite")` (which
+    * deletes the marker first) never observes a half-written snapshot.
     */
   def latestSummary(
       spark: org.apache.spark.sql.SparkSession,
       summaryDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val dir = new java.io.File(summaryDir)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .filter(v => beforeBatch.forall(v < _))
-    if (versions.isEmpty) None
-    else Some(spark.read.parquet(s"$summaryDir/v=${versions.max}"))
+    import org.apache.hadoop.fs.Path
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else {
+      val versions = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .filter(v => beforeBatch.forall(v < _))
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(s"$summaryDir/v=${versions.max}"))
+    }
   }
 
   /** Key-wise monoid merge of two pricing summaries: integer sums and
@@ -114,5 +140,100 @@ object Incremental {
         sum(col("sum_disc_c")).as("sum_disc_c"),
         sum(col("sum_charge_c")).as("sum_charge_c"),
         sum(col("n")).as("n"))
+  }
+
+  /** Maintained state for [[Curation.datasheet]] — the IVM generalization
+    * beyond Q1's pure monoid, because the datasheet mixes monoid columns
+    * with two EXACT distinct counts:
+    *
+    *  - `scalars` (source, n_docs, n_tokens, sum_quality_milli): a plain
+    *    per-key monoid, |sources| rows — merges like the pricing summary.
+    *  - `digests` (source, digest, cnt): one row per distinct (source,
+    *    content md5), cnt = docs carrying it; `n_uniq_texts` derives as
+    *    "rows with cnt > 0". Distinct-content-sized — the intrinsic
+    *    state floor for EXACT distinct maintenance (store it as a table;
+    *    each delta's merge touches only its own keys). When approximate
+    *    is acceptable, the mergeable HLL union in [[Sketches]] replaces
+    *    this table with a fixed-width register set.
+    *  - `langs` (source, lang, cnt): same device at |sources × langs|
+    *    rows.
+    *
+    * Insertions merge with positive counts; retractions merge the
+    * DELETED rows' state through [[negateDatasheetState]] — support
+    * counts make deletion exact (a digest's count drops to 0 only when
+    * its last copy dies), which is what a scalar distinct-count summary
+    * can never do.
+    */
+  final case class DatasheetState(
+      scalars: DataFrame, digests: DataFrame, langs: DataFrame)
+
+  /** The datasheet state of one document slice (a base corpus or a
+    * delta batch) — three partial-aggregating groupBys over the slice.
+    */
+  def datasheetState(
+      docs: DataFrame,
+      textCol: String,
+      srcCol: String,
+      langCol: String): DatasheetState = DatasheetState(
+    scalars = docs.groupBy(col(srcCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+      sum(TextAnalysis.qualityMilli(col(textCol))).as("sum_quality_milli")),
+    digests = docs.groupBy(col(srcCol).as("source"), md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("cnt")),
+    langs = docs.groupBy(col(srcCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Key-wise monoid merge of two datasheet states. Support rows whose
+    * count reaches 0 are dropped (a retraction that kills a key removes
+    * its row, so derived distinct counts stay exact); scalar rows keep
+    * even n_docs = 0 sources — [[datasheetFromState]] filters them, and
+    * keeping them makes the merge associative without a special case.
+    */
+  def mergeDatasheetStates(a: DatasheetState, b: DatasheetState): DatasheetState =
+    DatasheetState(
+      scalars = a.scalars.unionAll(b.scalars.select(
+          col("source"), col("n_docs"), col("n_tokens"), col("sum_quality_milli")))
+        .groupBy(col("source")).agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("sum_quality_milli")).as("sum_quality_milli")),
+      digests = a.digests.unionAll(b.digests.select(
+          col("source"), col("digest"), col("cnt")))
+        .groupBy(col("source"), col("digest")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0),
+      langs = a.langs.unionAll(b.langs.select(
+          col("source"), col("lang"), col("cnt")))
+        .groupBy(col("source"), col("lang")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0))
+
+  /** The retraction form: the state of the DELETED rows with every count
+    * and sum negated — merge it to downdate the maintained view after a
+    * [[graft.sinks.Lake.deleteByIds]] copy-on-write delete, no rescan of
+    * the surviving corpus.
+    */
+  def negateDatasheetState(s: DatasheetState): DatasheetState = DatasheetState(
+    scalars = s.scalars.select(col("source"),
+      (-col("n_docs")).as("n_docs"),
+      (-col("n_tokens")).as("n_tokens"),
+      (-col("sum_quality_milli")).as("sum_quality_milli")),
+    digests = s.digests.select(col("source"), col("digest"), (-col("cnt")).as("cnt")),
+    langs = s.langs.select(col("source"), col("lang"), (-col("cnt")).as("cnt")))
+
+  /** Derive the exact [[Curation.datasheet]] frame from a maintained
+    * state: distinct counts are support-row counts per source (cnt > 0
+    * by merge invariant), fully-retracted sources disappear exactly as
+    * a recompute would drop them. Cost is state-sized, never corpus-
+    * sized.
+    */
+  def datasheetFromState(s: DatasheetState): DataFrame = {
+    val uniq = s.digests.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_uniq_texts"))
+    val nl = s.langs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"))
+    s.scalars.filter(col("n_docs") > 0)
+      .join(uniq, "source").join(nl, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_uniq_texts"), col("sum_quality_milli"), col("n_langs"))
   }
 }

@@ -898,6 +898,22 @@ object LlmQueries {
       Curation.datasheet(Tables.documents(s, d), "text", "source", "lang")
         .orderBy("source")
     },
+    // IVM beyond the Q1 monoid: the datasheet rebuilt as merge(base
+    // state, delta state) — monoid scalars plus SUPPORT-COUNT tables for
+    // the two exact distinct counts — must land on the SAME hash as the
+    // oracle's plain full aggregate. Delta work is delta-sized; the
+    // retraction path (negated counts after a COW delete) is pinned in
+    // IncrementalSpec.
+    "datasheet_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = Incremental.datasheetState(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "text", "source", "lang")
+      val delta = Incremental.datasheetState(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), "text", "source", "lang")
+      Incremental.datasheetFromState(
+        Incremental.mergeDatasheetStates(base, delta))
+        .orderBy("source")
+    },
     // CCNet-style LM-perplexity gate: keep docs whose trigram surprisal
     // is within 1.25x the corpus mean (head+middle of the quality
     // distribution). Integer cross-multiplied threshold — no division,
@@ -1233,6 +1249,30 @@ object LlmQueries {
         FROM p JOIN nbt USING (bench_id)
         WHERE CAST(floor(inter * 1000.0 / nb) AS BIGINT) >= 100
         ORDER BY doc_id, bench_id"""
+
+  /** Shared by `corpus_datasheet` and `datasheet_incremental`: the
+    * oracle is the PLAIN full aggregate in both cases — the merged
+    * state path must reproduce its hash exactly.
+    */
+  private val datasheetOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+          m AS (SELECT source, lang, text, len(toks) AS ntok, length(text) AS nchars,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
+                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
+                FROM base),
+          q AS (SELECT source, lang, text, ntok,
+                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
+                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
+                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
+                    AS quality_milli
+                FROM m)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts,
+                 CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM q GROUP BY source ORDER BY source"""
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2155,25 +2195,10 @@ object LlmQueries {
                  FROM lab)
           SELECT cluster_id, doc_id AS keep_doc_id, quality_milli
           FROM rk WHERE rn = 1 ORDER BY cluster_id""",
-    "corpus_datasheet" ->
-      s"""WITH base AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
-          m AS (SELECT source, lang, text, len(toks) AS ntok, length(text) AS nchars,
-                  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct,
-                  len(list_filter(toks, t -> t IN ${stopSql("en")})) AS stops
-                FROM base),
-          q AS (SELECT source, lang, text, ntok,
-                  CAST(floor((least(CAST(ntok AS DOUBLE), 256.0) / 256.0 * 0.4 +
-                    least(CAST(stops AS DOUBLE) * 4.0 / greatest(CAST(ntok AS DOUBLE), 1.0), 1.0) * 0.4 +
-                    (1.0 - least(CAST(punct AS DOUBLE) / greatest(CAST(nchars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.2) * 1000) AS BIGINT)
-                    AS quality_milli
-                FROM m)
-          SELECT source,
-                 CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
-                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq_texts,
-                 CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli,
-                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-          FROM q GROUP BY source ORDER BY source""",
+    "corpus_datasheet" -> datasheetOracleSql,
+    // the IVM-merged datasheet must land on the SAME plain-full-aggregate
+    // hash — the monoid+support-count proof against an independent engine
+    "datasheet_incremental" -> datasheetOracleSql,
     // chains the SAME CTE fragments as the four standalone stage oracles:
     // minhash CC losers + contamination hits + lm gate + md5-bucket split
     "pipeline_keep" ->

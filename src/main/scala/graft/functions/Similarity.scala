@@ -574,6 +574,13 @@ object Similarity {
     * complex-typed aggregates fall off the fast HashAggregate path);
     * vectors re-attach via a join on vec_id afterwards.
     */
+  private def cellAssign(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.join(broadcast(centroids))
+      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+
   /** Public nearest-centroid cell assignment for a raw `(vec_id, vec)`
     * corpus against `(cid, cd, cn)` centroids (e.g. from
     * [[kmeansCentroids]]) → `(vec_id, cid)` — the semantic-cell label
@@ -584,13 +591,6 @@ object Similarity {
     */
   def semanticCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
     cellAssign(withNorm(corpus, "vec", "v"), centroids)
-
-  private def cellAssign(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.join(broadcast(centroids))
-      .withColumn("a_score_q4", q4(dotProduct(col("cd"), col("vd")), col("cn"), col("vn")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("a_score_q4"), (-col("cid")).as("neg_cid"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
 
   /** IVF probe/rank core with caller-supplied centroids `(cid, cd, cn)` —
     * lets the index quality (modulo-sampled vs k-means-refined centroids,

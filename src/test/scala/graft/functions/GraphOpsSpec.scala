@@ -166,6 +166,63 @@ class GraphOpsSpec extends SparkSpec {
       (1L to 5L).map(_ -> (1000000L, 200000L))).toMap)
   }
 
+  test("hits rescale is exact past Long.MaxValue/1e6 raw scores") {
+    // parallel-edge amplified 2-node graph: ra = 4000e6, rh = 1.6e13, so
+    // the rescale product rh * 1e6 = 1.6e19 OVERFLOWS a long (Long.Max
+    // ~9.2e18) — the pre-r12 multiply wrapped negative here while the
+    // DuckDB twin (HUGEINT) stayed exact. The DECIMAL(38,0) widening
+    // must land both nodes at exactly 1e6 hub and 1e6 authority.
+    val dup = (1 to 4000).flatMap(_ => Seq((0L, 1L), (1L, 0L))).toDF("src", "dst")
+    val got = Graph.hits(dup, "src", "dst", iterations = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(0L -> (1000000L, 1000000L), 1L -> (1000000L, 1000000L)))
+  }
+
+  test("hits served from src- and dst-bucketed edge tables equals direct") {
+    // the cluster form doubled for hits' two propagation directions: the
+    // SAME edge set stored twice (bucketed by src for the authority
+    // half-step, by dst for the hub half-step), broadcastScores=false +
+    // checkpointEdges=false — bit-equality with the direct path; the
+    // zero-edge-side-exchange plan is asserted at 1M nodes in
+    // GraphScaleProbe
+    val d = "/root/testdata/sf0.001"
+    val edges = Graph.copurchaseEdges(graft.sources.Tables.lineitem(spark, d))
+    val direct = Graph.hits(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("graft-hitsedges").toString
+    spark.sql("DROP TABLE IF EXISTS hits_edges_src")
+    spark.sql("DROP TABLE IF EXISTS hits_edges_dst")
+    graft.sinks.Lake.writeBucketed(edges, "hits_edges_src", s"$base/src",
+      Seq("src"), numBuckets = 8)
+    graft.sinks.Lake.writeBucketed(edges, "hits_edges_dst", s"$base/dst",
+      Seq("dst"), numBuckets = 8)
+    val served = Graph.hits(spark.table("hits_edges_src"), "src", "dst",
+        iterations = 3, broadcastScores = false, checkpointEdges = false,
+        edgesByDst = Some(spark.table("hits_edges_dst")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served === direct, "bucketed hits serving path diverges from direct")
+  }
+
+  test("skipGramPairs: window band, both directions, repeat counting") {
+    val walks = Seq(
+      (10L, 0, 0L), (10L, 1, 1L), (10L, 2, 2L), (10L, 3, 3L), // distinct chain
+      (20L, 0, 7L), (20L, 1, 8L), (20L, 2, 7L))               // repeated node
+      .toDF("wid", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val chainPairs = Set( // |i-j| <= 2, i != j, both directions, cnt 1 each
+      (0L, 1L), (0L, 2L), (1L, 0L), (1L, 2L), (1L, 3L),
+      (2L, 0L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L))
+      .map { case (a, b) => (a, b, 1L) }
+    // walk 20 (7,8,7): (7,8) from steps (0,1)+(2,1), (8,7) from (1,0)+(1,2),
+    // (7,7) from (0,2)+(2,0)
+    val repeatPairs = Set((7L, 8L, 2L), (8L, 7L, 2L), (7L, 7L, 2L))
+    assert(got === chainPairs ++ repeatPairs)
+    // pairs never cross walks: node 3 (walk 10) and node 7 (walk 20)
+    assert(!got.exists(p => p._1 === 3L && p._2 === 7L))
+  }
+
   test("deterministicWalks equals a naive salted-md5 walk on random graphs") {
     def h48(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -76,6 +76,66 @@ class IncrementalSpec extends SparkSpec {
     assert(collectSummary(after.get) === full, "replay of batch 0 changed the summary")
   }
 
+  private def collectDatasheet(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("datasheet state merge is bit-identical to the full datasheet " +
+      "(monoid scalars + support-count distincts), in any fold order") {
+    val docs = graft.sources.Tables.documents(spark, d)
+    val full = collectDatasheet(Curation.datasheet(docs, "text", "source", "lang"))
+    val parts = Seq(
+      docs.filter(pmod(col("doc_id"), lit(5)) < 2),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2),
+      docs.filter(pmod(col("doc_id"), lit(5)) > 2))
+      .map(Incremental.datasheetState(_, "text", "source", "lang"))
+    val folded = parts.reduce(Incremental.mergeDatasheetStates)
+    assert(collectDatasheet(Incremental.datasheetFromState(folded)) === full)
+    // right-fold too: the merge must be order-free
+    val foldedR = parts.reverse.reduce(Incremental.mergeDatasheetStates)
+    assert(collectDatasheet(Incremental.datasheetFromState(foldedR)) === full)
+  }
+
+  test("retraction: a COW delete composes with a negated-state downdate") {
+    // the GDPR path end-to-end: a corpus lake partitioned by source, a
+    // maintained datasheet state, then Lake.deleteByIds removes docs and
+    // the state is DOWNDATED by merging the deleted slice's negated
+    // state — no rescan of the survivors. Support counts make the two
+    // exact distinct counts retraction-correct: a digest's row dies only
+    // with its last copy.
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text", "source", "lang")
+    val lakeDir = java.nio.file.Files.createTempDirectory("graft-ds-lake").toString
+    docs.write.mode("overwrite").partitionBy("source").parquet(lakeDir)
+    val state0 = Incremental.datasheetState(docs, "text", "source", "lang")
+    // delete every 7th doc (hits several sources and some duplicate texts)
+    val delIds = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("doc_id").as[Long].collect().toSeq
+    val deletedSlice = docs.filter(col("doc_id").isin(delIds: _*))
+      .localCheckpoint() // must be captured BEFORE the lake rewrite
+    val stats = graft.sinks.Lake.deleteByIds(spark, lakeDir, "source", "doc_id", delIds)
+    assert(stats.rowsDeleted === delIds.size)
+    val downdated = Incremental.mergeDatasheetStates(state0,
+      Incremental.negateDatasheetState(
+        Incremental.datasheetState(deletedSlice, "text", "source", "lang")))
+    val survivors = spark.read.parquet(lakeDir)
+    assert(collectDatasheet(Incremental.datasheetFromState(downdated)) ===
+      collectDatasheet(Curation.datasheet(survivors, "text", "source", "lang")),
+      "downdated state diverges from the recompute over the surviving lake")
+    // full retraction of one source: its row must VANISH from the view,
+    // exactly as a recompute would drop it
+    val (srcGone :: _) = docs.select("source").distinct()
+      .as[String].collect().toList.sorted: @unchecked
+    val goneSlice = survivors.filter(col("source") === srcGone)
+    val downdated2 = Incremental.mergeDatasheetStates(downdated,
+      Incremental.negateDatasheetState(
+        Incremental.datasheetState(goneSlice, "text", "source", "lang")))
+    val view2 = collectDatasheet(Incremental.datasheetFromState(downdated2))
+    assert(!view2.exists(_._1 == srcGone), "fully-retracted source survived")
+    assert(view2 === collectDatasheet(Curation.datasheet(
+      survivors.filter(col("source") =!= srcGone), "text", "source", "lang")))
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
