@@ -6,6 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
+  *   0. A fixed 2-workload SYNTHETIC host-window canary runs FIRST in
+  *      its own fresh session and publishes `window_factor` (see
+  *      `canaryRef`): the artifact qualifies its own host window, so
+  *      cross-round totals are comparable numerically instead of via
+  *      SCALING.md prose.
   *   1. Phase 1 splits by cost, because isolation is only load-bearing
   *      for the heavy tail. The round-9 A/B (same day, same corpus)
   *      measured: (a) a fully SHARED session — even one scrubbed
@@ -172,6 +177,20 @@ object Bench {
       graft.operators.CoreOps.sessionSummaryChunked(
         skewCorpus(spark, n), "user_id", "ts", 14400000000L, 21600000000L, "value")))
 
+  /** Slow-phase queries the DriftAB adjudications flagged as JIT-TIERING
+    * (their plans keep speeding up across FULL-SCALE runs — iterative
+    * LSH/k-means/LM/pagerank shapes; `dedup_embedding_lsh` measured
+    * 6.8 → 1.9 → 1.3 s within ONE fresh session): a single unconfirmed
+    * run can record a half-converged number that reads as ±10-25% drift,
+    * so for THESE the convergence-loop trigger drops from >25% && >0.3s
+    * to >10% && >0.15s (r11 verdict directive). Non-iterative queries
+    * keep the wider trigger — at 10% they would chase host jitter.
+    */
+  private val jitTieringFlagged: Set[String] = Set(
+    "dedup_embedding_lsh", "dedup_embedding_pairs", "bpe_merges",
+    "sim_topk_ivf_kmeans", "quality_lm_gate", "text_lm_surprisal",
+    "nb_langid", "pipeline_keep", "graph_pagerank", "graph_ppr")
+
   /** Per-query seconds out of a prior BENCH_FULL.json (the `"queries"`
     * object) — names are `[a-z0-9_]+`, so a regex scan is a full parser.
     */
@@ -202,6 +221,22 @@ object Bench {
       System.err.println(
         f"[bench] phase $name%-10s ${(now - phaseT0.getAndSet(now)) / 1e9}%7.1f s")
     }
+
+    // ---- Phase 0: host-window canary, FIRST and in its own fresh
+    // session (graft.tools.HostCanary scaladoc: fixed synthetic
+    // workloads, pinned references, geometric-mean factor). Load
+    // average rides along as corroborating context.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val canaryResults: Seq[(String, Double)] = {
+      val s0 = newSession(cpus)
+      val out = graft.tools.HostCanary.measure(s0)
+      s0.stop()
+      System.gc()
+      out
+    }
+    val windowFactor: Double = graft.tools.HostCanary.factor(canaryResults)
+    phaseDone("canary")
 
     // ---- Phase 1: the shipped queries, split by cost (protocol notes
     // 1-2). SPARK_GRAFT_BENCH_ISOLATE=1 restores full per-query
@@ -277,9 +312,14 @@ object Bench {
               // half-converged number. Keep re-running while the latest
               // run undercuts the previous by >20% (still descending),
               // cap 4 runs total; converged queries never pay it.
+              // DriftAB-flagged tiering plans get a TIGHTER trigger
+              // (>10% && >0.15s): their single-run numbers carry
+              // half-converged JIT states that read as 10-25% drift
+              val (relThr, absThr) =
+                if (jitTieringFlagged(name)) (0.10, 0.15) else (0.25, 0.3)
               val suspicious = first._2 && (prev.get(name) match {
-                case Some(p) => math.abs(first._1 - p) > 0.3 &&
-                  math.abs(first._1 - p) > 0.25 * p
+                case Some(p) => math.abs(first._1 - p) > absThr &&
+                  math.abs(first._1 - p) > relThr * p
                 case None    => true // first measurement: confirm it
               })
               if (!suspicious) first
@@ -372,9 +412,22 @@ object Bench {
     // time the served queries — ranking parity with the one-shot forms is
     // spec-proven, so these are bench-only entries (no oracle row). ----
     val sparkSrv = newSession(cpus)
-    val servedResults = {
+    val (servedResults, servedBuilds) = {
       import org.apache.spark.sql.functions._
       import graft.functions.{Similarity, TextAnalysis}
+      // build-vs-serve attribution (r11 verdict directive 5): the served
+      // phase's wall is dominated by the one-time untimed index/table
+      // builds — publish each build's seconds (`served_build` block) so
+      // the artifact explains its own wall instead of reading as
+      // overhead. A production path pays a build ONCE per corpus
+      // snapshot; the per-query medians are what repeats.
+      val builds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def built[T](name: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        builds += name -> (System.nanoTime() - t0) / 1e9
+        r
+      }
       val emb = graft.sources.Tables.embeddings(sparkSrv, sfDir)
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -384,26 +437,42 @@ object Bench {
       // accumulate index copies under the temp dir
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-idx"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
-      Similarity.writeInt8Index(corpus, s"$idx/int8")
-      Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq", centroidEvery = 25, m = 8, dim = 64)
-      TextAnalysis.writeInvertedIndex(graft.sources.Tables.documents(sparkSrv, sfDir),
-        "text", "doc_id", s"$idx/bm25")
+      built("int8")(Similarity.writeInt8Index(corpus, s"$idx/int8"))
+      built("ivfpq")(Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq",
+        centroidEvery = 25, m = 8, dim = 64))
+      built("bm25")(TextAnalysis.writeInvertedIndex(
+        graft.sources.Tables.documents(sparkSrv, sfDir),
+        "text", "doc_id", s"$idx/bm25"))
       // graph serving: the co-purchase edge list written ONCE as a
       // src-bucketed catalog table (the 100 TB layout), then pageRank
       // with broadcastRanks=false + checkpointEdges=false — per round
       // only the node-sized rank frame shuffles to the edge bucketing
       // (zero edge-side exchanges, GraphScaleProbe-pinned; bit-equality
-      // with the direct path pinned in GraphOpsSpec)
+      // with the direct path pinned in GraphOpsSpec). HITS joins edges
+      // on BOTH keys, so its serving layout is the same edge set stored
+      // TWICE — bucketed by src and by dst (the r12 `edgesByDst` path;
+      // bit-equality pinned in GraphOpsSpec, zero-exchange plan in
+      // GraphScaleProbe).
       sparkSrv.sql("DROP TABLE IF EXISTS graft_bench_edges")
-      graft.sinks.Lake.writeBucketed(
-        graft.functions.Graph.copurchaseEdges(
-          graft.sources.Tables.lineitem(sparkSrv, sfDir)),
-        "graft_bench_edges", s"$idx/edges", Seq("src"), numBuckets = 32)
+      sparkSrv.sql("DROP TABLE IF EXISTS graft_bench_edges_dst")
+      val copurchase = graft.functions.Graph.copurchaseEdges(
+        graft.sources.Tables.lineitem(sparkSrv, sfDir)).localCheckpoint()
+      built("edges_src")(graft.sinks.Lake.writeBucketed(
+        copurchase, "graft_bench_edges", s"$idx/edges", Seq("src"), numBuckets = 32))
+      built("edges_dst")(graft.sinks.Lake.writeBucketed(
+        copurchase, "graft_bench_edges_dst", s"$idx/edges_dst", Seq("dst"),
+        numBuckets = 32))
+      copurchase.unpersist(blocking = true)
       val bucketedEdges = sparkSrv.table("graft_bench_edges")
+      val bucketedEdgesDst = sparkSrv.table("graft_bench_edges_dst")
       val served: Seq[(String, () => DataFrame)] = Seq(
         "graph_pagerank_served" -> (() =>
           graft.functions.Graph.pageRank(bucketedEdges, "src", "dst",
             iterations = 5, broadcastRanks = false, checkpointEdges = false)),
+        "graph_hits_served" -> (() =>
+          graft.functions.Graph.hits(bucketedEdges, "src", "dst",
+            iterations = 3, broadcastScores = false, checkpointEdges = false,
+            edgesByDst = Some(bucketedEdgesDst))),
         "sim_topk_int8_served" -> (() =>
           Similarity.int8TopKFromIndex(sparkSrv, queries, s"$idx/int8", k = 5)),
         "sim_topk_ivfpq_served" -> (() =>
@@ -415,10 +484,11 @@ object Bench {
       served.foreach { case (_, fn) =>
         try exec(fn()) catch { case _: Throwable => () } // warm-up
       }
-      served.map { case (name, fn) =>
+      val rs = served.map { case (name, fn) =>
         val (sec, ok) = timed(runs)(exec(fn()))
         (name, sec, ok)
       }
+      (rs, builds.toSeq)
     }
     sparkSrv.stop()
     System.gc()
@@ -521,6 +591,11 @@ object Bench {
     val okResults = results.filter(_._3)
     val skewQs = entries(skewResults.filter(_._3)).mkString("{", ",", "}")
     val servedQs = entries(servedResults.filter(_._3)).mkString("{", ",", "}")
+    val servedBuildQs = servedBuilds.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+      .mkString("{", ",", "}")
+    val canaryQs = canaryResults.filter(_._2 > 0)
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    val windowQs = s""""canary":$canaryQs,"window_factor":${ms3(windowFactor)},"load_avg":${ms3(loadAvg)}"""
     val retimedQs = retimed.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val errors = (results ++ servedResults ++ skewResults)
@@ -537,7 +612,7 @@ object Bench {
       (if (isolate) "isolated" else s"${math.max(1, math.min(4, sys.env.getOrElse("SPARK_GRAFT_BENCH_FASTGROUPS", "3").toInt))}grp") +
       ";served:med3;skew:warm+1"
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":"$protocol","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$windowQs,"queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":"$protocol","errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -550,7 +625,7 @@ object Bench {
     val budgetTotal = 1750
     val slowestFirst = entries(okResults.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","window_factor":${ms3(windowFactor)},"queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
       .map { case (sk, er) =>
         val room = budgetTotal - mk(Nil, sk, er).length

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host-window canary (r11 verdict directive 2): two fixed SYNTHETIC
+  * workloads — one codegen'd scan/CPU shape, one 1M-group shuffle shape
+  * — timed first in a fresh session. `window_factor` = geometric mean
+  * of (now / reference) qualifies the virtualized host's current window
+  * (three same-day r11 runs on identical code read 146/223/344 s; the
+  * factor makes cross-round artifacts numerically comparable —
+  * `bench_compare.py` normalizes deltas by the factor ratio).
+  *
+  * Synthetic rather than engine queries so the canary prices the HOST,
+  * never the round's code changes: the pinned reference survives every
+  * engine edit and never needs re-measurement. References were measured
+  * in the 2026-08-15 (r12) window via `runMain graft.tools.HostCanary`;
+  * factor ~1.0 = that window, >1.3 = degraded host.
+  *
+  * Standalone use — check the window BEFORE committing to a 5-minute
+  * bench run: `sbt 'runMain graft.tools.HostCanary'` prints one JSON
+  * line with the two timings and the factor.
+  */
+object HostCanary {
+
+  /** Pinned reference seconds: the best of three consecutive r12
+    * measurements (0.438/0.445/0.455 and 3.27/3.36/3.60) in an idle
+    * window — the factor reads ~1.0-1.1 there and scales up as the
+    * host degrades.
+    */
+  val ref: Seq[(String, Double)] = Seq(
+    "canary_cpu" -> 0.44,
+    "canary_shuffle" -> 3.27)
+
+  /** The fixed workloads; `n` rows of `spark.range`. Aggregates are
+    * overflow-free (max / pmod'd sums): ANSI mode is on, and a wrapped
+    * long would abort the canary instead of timing it.
+    */
+  def body(spark: SparkSession, name: String, n: Long): DataFrame = name match {
+    case "canary_cpu" => // codegen'd scan: xxhash chain into a 1-row agg
+      spark.range(n).select(
+        max(xxhash64(xxhash64(col("id")), col("id") + 1L)).as("h"))
+    case _ => // shuffle: 1M-group aggregate + a second exchange (sort)
+      spark.range(n).groupBy(pmod(col("id") * 2654435761L, lit(1000000L)).as("g"))
+        .agg(count(lit(1)).as("n"), max(col("id")).as("s"))
+        .orderBy(col("g"))
+  }
+
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Warm once at 1/100 size (codegen), then min-of-2 at full size.
+    * -1.0 marks a failed workload (excluded from the factor).
+    */
+  def measure(spark: SparkSession): Seq[(String, Double)] =
+    ref.map { case (name, _) =>
+      val full = if (name == "canary_cpu") 400000000L else 16000000L
+      try {
+        exec(body(spark, name, full / 100)) // codegen warm
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(body(spark, name, full))
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, times.min)
+      } catch { case _: Throwable => (name, -1.0) }
+    }
+
+  /** Geometric mean of now/ref over the successful workloads; -1.0 when
+    * none succeeded.
+    */
+  def factor(results: Seq[(String, Double)]): Double = {
+    val ratios = results.zip(ref).collect {
+      case ((_, sec), (_, r)) if sec > 0 => sec / r
+    }
+    if (ratios.isEmpty) -1.0
+    else math.exp(ratios.map(math.log).sum / ratios.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus.toInt, "host-canary")
+    val rs = measure(spark)
+    val qs = rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"canary":$qs,"window_factor":${factor(rs)}%.3f}""")
+    spark.stop()
+  }
+}
