@@ -21,11 +21,21 @@ import graft.sinks.Lake
   * shuffles. Equality of the two paths' fixed-point iterates is
   * asserted before timing.
   *
-  * Usage: runMain graft.tools.GraphScaleProbe [millionsOfNodes...]
+  * `hits` mode (r12): the same A/B for HITS, whose two half-steps join
+  * the edge list on BOTH keys — the cluster layout is the edge set
+  * stored TWICE (bucketed by src and by dst, `Graph.hits` edgesByDst
+  * doc); the probe asserts the zero-edge-side-exchange plan on EACH
+  * half-step and measures broadcastScores=false against the default
+  * broadcast path at the same size.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [hits] [millionsOfNodes...]
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toDouble) else Seq(1.0)
+    val hitsMode = args.contains("hits")
+    val sizeArgs = args.filterNot(_ == "hits")
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toDouble) else Seq(1.0)
+    if (hitsMode) { hitsProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -80,6 +90,75 @@ object GraphScaleProbe {
         f"bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
       spark.sql(s"DROP TABLE IF EXISTS pr_edges_probe")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    spark.stop()
+  }
+
+  private def hitsProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-hits")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val edges = spark.range(nodes * 40).select(
+        (col("id") / 40).cast("long").as("src"),
+        pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-hits-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      spark.sql("DROP TABLE IF EXISTS hits_edges_probe_src")
+      spark.sql("DROP TABLE IF EXISTS hits_edges_probe_dst")
+      Lake.writeBucketed(edges, "hits_edges_probe_src", s"$base/src",
+        Seq("src"), numBuckets = 32)
+      Lake.writeBucketed(edges, "hits_edges_probe_dst", s"$base/dst",
+        Seq("dst"), numBuckets = 32)
+      val eSrc = spark.table("hits_edges_probe_src")
+      val eDst = spark.table("hits_edges_probe_dst")
+
+      // plan proof, BOTH half-steps: each bucketed edge scan must join
+      // its key without an edge-side ShuffleExchange — the only shuffle
+      // is the node-sized score frame landing on the edge bucketing
+      val score = eSrc.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("s")).localCheckpoint()
+      val authStep = eSrc
+        .join(score.select(col("node").as("src"), col("s").as("h")), "src")
+        .select(col("dst"), col("h"))
+      val hubStep = eDst
+        .join(score.select(col("node").as("dst"), col("s").as("a")), "dst")
+        .select(col("src"), col("a"))
+      for ((name, step) <- Seq("auth(src)" -> authStep, "hub(dst)" -> hubStep)) {
+        val plan = step.queryExecution.executedPlan.toString
+        val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+        val bucketedScan = plan.contains("Bucketed: true")
+        println(s"[graphscale-hits] m=$m half-step $name " +
+          s"shuffle-exchanges=$nShuffles (bucketed scan: $bucketedScan)")
+        assert(nShuffles <= 1, s"$name edge side must not shuffle:\n$plan")
+        assert(bucketedScan, s"$name edge scan must read bucketed:\n$plan")
+      }
+
+      // fixed-point equality of the two paths before timing
+      val viaBucket = Graph.hits(eSrc, "src", "dst", iterations = 3,
+        broadcastScores = false, checkpointEdges = false, edgesByDst = Some(eDst))
+      val viaBroadcast = Graph.hits(edges, "src", "dst", iterations = 3)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaBroadcast).count() == 0L &&
+          viaBroadcast.exceptAll(viaBucket).count() == 0L,
+          "bucketed/non-broadcast hits diverged from the broadcast path")
+      }
+      mat(viaBucket); mat(viaBroadcast) // warm both
+      val tBucket = med(mat(Graph.hits(eSrc, "src", "dst", 3,
+        broadcastScores = false, checkpointEdges = false, edgesByDst = Some(eDst))))
+      val tBcast = med(mat(Graph.hits(edges, "src", "dst", 3)))
+      println(f"[graphscale-hits] nodes=$nodes edges=${nodes * 40} " +
+        f"bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
+      spark.sql("DROP TABLE IF EXISTS hits_edges_probe_src")
+      spark.sql("DROP TABLE IF EXISTS hits_edges_probe_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
     spark.stop()
   }
