@@ -189,7 +189,10 @@ object Bench {
   private val jitTieringFlagged: Set[String] = Set(
     "dedup_embedding_lsh", "dedup_embedding_pairs", "bpe_merges",
     "sim_topk_ivf_kmeans", "quality_lm_gate", "text_lm_surprisal",
-    "nb_langid", "pipeline_keep", "graph_pagerank", "graph_ppr")
+    "nb_langid", "pipeline_keep", "graph_pagerank", "graph_ppr",
+    // r12 adjudication: fresh-session runs tier 9-12s -> 1.2-2.5s; its
+    // prev median crossed slowCut in r11, so it lands here from r12 on
+    "search_hybrid_rrf")
 
   /** Per-query seconds out of a prior BENCH_FULL.json (the `"queries"`
     * object) — names are `[a-z0-9_]+`, so a regex scan is a full parser.

@@ -257,6 +257,25 @@ object ScaleSmoke {
         .filter(pmod(col("node"), lit(40)) === 0)
       graft.functions.Graph.deterministicWalks(sym, "src", "dst", seeds, steps = 4).mat()
     }
+    // pair step timed ALONE over pre-built (checkpointed) walks: its plan
+    // never touches the edge list, so cost is walks x steps x 2w — the
+    // edge count enters only the untimed walk build above
+    if (onlyRe.forall(_.matches("walk pairs (w=2, pair step only)"))) {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      val walks = graft.functions.Graph.deterministicWalks(
+        sym, "src", "dst", seeds, steps = 4).localCheckpoint()
+      time("walk pairs (w=2, pair step only)") {
+        graft.functions.Graph.skipGramPairs(walks, window = 2).mat()
+      }
+      graft.functions.Checkpoints.unpersist(walks)
+    }
     time("hits (3 rounds, deg~40)") {
       val edges = spark.range(docsN * 20)
         .select((col("id") % docsN).as("src"),
