@@ -1101,6 +1101,21 @@ object SparkEntry {
         .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
         .orderBy("day_start")
     },
+    // IVM twin of daily_active_users: merge(base state, delta state) over
+    // (day, user) support counts + the per-day event monoid must land on
+    // the SAME hash as the oracle's plain count(DISTINCT) aggregate —
+    // the maintained-dashboard form (delta work is delta-sized;
+    // retractions via negated counts, IncrementalSpec).
+    "dau_incremental" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.functions.Incremental.dauFromState(
+        graft.functions.Incremental.mergeDauStates(
+          graft.functions.Incremental.dauState(
+            ev.filter(pmod(col("event_id"), lit(10)) =!= 0)),
+          graft.functions.Incremental.dauState(
+            ev.filter(pmod(col("event_id"), lit(10)) === 0))))
+        .orderBy("day_start")
+    },
     // Event-rate anomaly days: per event type, days whose volume exceeds
     // 1.15x the trailing-7-day average — the monitoring query every event
     // pipeline runs (threshold tuned to the corpus's daily noise so the
@@ -2085,6 +2100,11 @@ object SparkEntry {
          SELECT c.user_id, c.n, CAST((c.n * 1000) // t.t AS BIGINT) AS permille
          FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 20""",
     "daily_active_users" ->
+      """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
+                count(DISTINCT user_id) AS dau, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // the IVM-merged DAU must land on the same plain-aggregate hash
+    "dau_incremental" ->
       """SELECT (epoch_us(ts)//86400000000)*86400 AS day_start,
                 count(DISTINCT user_id) AS dau, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",

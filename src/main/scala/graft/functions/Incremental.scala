@@ -236,4 +236,51 @@ object Incremental {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_uniq_texts"), col("sum_quality_milli"), col("n_langs"))
   }
+
+  /** Maintained state for the daily-active-users dashboard — the same
+    * support-count device at (day, user) granularity: `days` is the
+    * per-day event-count monoid, `users` one counted row per (day,
+    * user). DAU derives as "user rows with cnt > 0 per day", exact
+    * under both inserts and retractions. State is |days × active users|
+    * — the intrinsic exact-distinct floor; the `Sketches` HLL per-day
+    * union is the fixed-width approximate escape.
+    */
+  final case class DauState(days: DataFrame, users: DataFrame)
+
+  /** State of one event slice. Day boundary = the same
+    * `window(ts, "1 day").start` second the `daily_active_users` gate
+    * query uses.
+    */
+  def dauState(events: DataFrame): DauState = {
+    val day = window(col("ts"), "1 day").getField("start")
+      .cast("long").as("day_start")
+    DauState(
+      days = events.groupBy(day).agg(count(lit(1)).as("n")),
+      users = events.groupBy(day, col("user_id"))
+        .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Key-wise monoid merge; fully-cancelled user rows drop (retraction
+    * exactness), zero-count days are filtered at derive time.
+    */
+  def mergeDauStates(a: DauState, b: DauState): DauState = DauState(
+    days = a.days.unionAll(b.days.select(col("day_start"), col("n")))
+      .groupBy(col("day_start")).agg(sum(col("n")).as("n")),
+    users = a.users.unionAll(b.users.select(
+        col("day_start"), col("user_id"), col("cnt")))
+      .groupBy(col("day_start"), col("user_id")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0))
+
+  /** Retraction form: negated counts for a deleted event slice. */
+  def negateDauState(s: DauState): DauState = DauState(
+    days = s.days.select(col("day_start"), (-col("n")).as("n")),
+    users = s.users.select(col("day_start"), col("user_id"), (-col("cnt")).as("cnt")))
+
+  /** The exact (day_start, dau, n) dashboard from a maintained state. */
+  def dauFromState(s: DauState): DataFrame = {
+    val dau = s.users.groupBy(col("day_start")).agg(count(lit(1)).as("dau"))
+    s.days.filter(col("n") > 0)
+      .join(dau, "day_start")
+      .select(col("day_start"), col("dau"), col("n"))
+  }
 }

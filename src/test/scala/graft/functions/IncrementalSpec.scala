@@ -136,6 +136,31 @@ class IncrementalSpec extends SparkSpec {
       survivors.filter(col("source") =!= srcGone), "text", "source", "lang")))
   }
 
+  test("DAU state: fold equals the full dashboard; retraction is exact") {
+    val ev = graft.sources.Tables.events(spark, d)
+    def dash(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("day_start").as[(Long, Long, Long)].collect().toSeq
+    val full = dash(graft.SparkEntry.queries("daily_active_users")(spark, d))
+    val parts = Seq(
+      ev.filter(pmod(col("event_id"), lit(3)) === 0),
+      ev.filter(pmod(col("event_id"), lit(3)) === 1),
+      ev.filter(pmod(col("event_id"), lit(3)) === 2))
+      .map(Incremental.dauState)
+    val folded = parts.reduce(Incremental.mergeDauStates)
+    assert(dash(Incremental.dauFromState(folded)) === full)
+    // retract one slice: the downdated state must equal the recompute
+    // over the remainder — including users whose LAST event of a day
+    // died (dau drops) vs users with other same-day events (dau holds)
+    val gone = ev.filter(pmod(col("event_id"), lit(3)) === 2)
+    val down = Incremental.mergeDauStates(folded,
+      Incremental.negateDauState(Incremental.dauState(gone)))
+    val remainder = ev.filter(pmod(col("event_id"), lit(3)) =!= 2)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("day_start"), col("dau"), col("n"))
+    assert(dash(Incremental.dauFromState(down)) === dash(remainder))
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
