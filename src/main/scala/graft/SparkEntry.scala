@@ -1441,6 +1441,20 @@ object SparkEntry {
       graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4)
         .orderBy("wid", "step")
     },
+    // Second-order biased walks (node2vec p/q sampling, RNG-free):
+    // backtrack discouraged (ret 100), distance-1 neutral (1000),
+    // exploration favored (out 2500) — the integer Efraimidis-Spirakis
+    // race over the same salted hash, bit-reproducible vs the unrolled
+    // oracle. Per step: one edge-vs-frontier join + one candidate-vs-
+    // adjacency join on the previous node.
+    "graph_walks_biased" -> { (s, d) =>
+      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      graft.functions.Graph.node2vecWalks(e, "src", "dst", seeds, steps = 4,
+        retPermille = 100, inPermille = 1000, outPermille = 2500)
+        .orderBy("wid", "step")
+    },
     // Walk-corpus generation (the DeepWalk skip-gram step): window-2
     // co-occurrence pairs over the deterministic walks — the SGNS
     // training pairs the walks exist to produce. One walk-frame
@@ -1677,6 +1691,51 @@ object SparkEntry {
     s"""WITH $walksCte
         SELECT wid, step, node FROM wk ORDER BY wid, step"""
 
+  /** DuckDB twin of [[graft.functions.Graph.node2vecWalks]] (4 steps
+    * unrolled): cN = candidates with the p/q weight CASE (backtrack /
+    * distance-1 via a LEFT JOIN back onto pairs / escape), bN = the
+    * (wid, prev, cur) state after the `(h*1000)//w` race argmin. Step 1
+    * is flat-weighted (no previous node), the node2vec convention.
+    */
+  private val biasedWalksOracle: String = {
+    val stepCtes = (1 to 4).map { s =>
+      val weight =
+        if (s == 1) "1000"
+        else """CASE WHEN p.dst = b.prev THEN 100
+                     WHEN p2.src IS NOT NULL THEN 1000
+                     ELSE 2500 END"""
+      val nbrJoin =
+        if (s == 1) ""
+        else "LEFT JOIN pairs p2 ON p2.src = b.prev AND p2.dst = p.dst"
+      s"""c$s AS (SELECT b.wid, b.cur, p.dst,
+              CAST(('0x' || substr(md5(
+                CAST(b.wid AS VARCHAR) || '_' || CAST(p.dst AS VARCHAR) || '_$s'),
+                1, 12)) AS BIGINT) AS h,
+              $weight AS w
+            FROM b${s - 1} b JOIN pairs p ON p.src = b.cur
+            $nbrJoin),
+          b$s AS (SELECT wid, cur AS prev, dst AS cur FROM (
+              SELECT wid, cur, dst, row_number() OVER (
+                PARTITION BY wid ORDER BY (h * 1000) // w, dst) AS rn FROM c$s)
+            WHERE rn = 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          b0 AS (SELECT src AS wid, src AS prev, src AS cur
+                 FROM (SELECT DISTINCT src FROM pairs) WHERE src % 40 = 0),
+          $stepCtes
+        SELECT wid, step, node FROM (
+          SELECT wid, 0 AS step, cur AS node FROM b0
+          UNION ALL SELECT wid, 1, cur FROM b1
+          UNION ALL SELECT wid, 2, cur FROM b2
+          UNION ALL SELECT wid, 3, cur FROM b3
+          UNION ALL SELECT wid, 4, cur FROM b4)
+        ORDER BY wid, step"""
+  }
+
   /** DuckDB twin of [[graft.functions.Graph.skipGramPairs]] over the
     * same unrolled walks: both-direction window-2 co-occurrence counts. */
   private val walkPairsOracle: String =
@@ -1696,6 +1755,7 @@ object SparkEntry {
     "graph_hops" -> bfsOracle,
     "graph_hits" -> hitsOracle,
     "graph_walks" -> walksOracle,
+    "graph_walks_biased" -> biasedWalksOracle,
     "graph_walk_pairs" -> walkPairsOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =

@@ -752,6 +752,88 @@ object Graph {
     visited
   }
 
+  /** Second-order BIASED deterministic walks — the node2vec sampling
+    * contract (Grover & Leskovec, KDD 2016) made RNG-free: having
+    * stepped t → v, the next hop x is weighted by
+    * {{{
+    *   w(x) = retPermille  if x == t              (backtrack, 1/p)
+    *          inPermille   if {t, x} is an edge   (BFS-ish, distance 1)
+    *          outPermille  otherwise              (DFS-ish, 1/q)
+    * }}}
+    * and the pick minimizes `(h * 1000) div w(x)` where h is the same
+    * salted 48-bit `md5(wid_dst_step)` as [[deterministicWalks]] — the
+    * integer Efraimidis–Spirakis race: a candidate's effective key
+    * shrinks in proportion to its weight, so higher-weight moves win
+    * more races, every pick is a pure function of (walk, step,
+    * candidate, previous node), and an unrolled SQL twin reproduces the
+    * trace bit-for-bit. Step 1 has no previous node and is unbiased
+    * (flat weight 1000), the node2vec convention.
+    *
+    * Scale shape per step: [[deterministicWalks]]' edge-vs-frontier join
+    * plus ONE candidate-vs-adjacency join on the PREVIOUS node — the
+    * adjacency frame (node → sorted neighbor array, the
+    * [[triangleCountsAdj]] posture, built ONCE before the loop) is
+    * node-sized, and the distance-1 test is an in-row
+    * `array_contains` — so per step nothing beyond (frontier ×
+    * avg-degree) ever shuffles and the edge list is never re-keyed.
+    * Then the same narrow min(struct) argmax per walk. Output:
+    * (wid, step, node); compose [[skipGramPairs]] for the training-pair
+    * corpus.
+    */
+  def node2vecWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      steps: Int,
+      retPermille: Int,
+      inPermille: Int,
+      outPermille: Int,
+      broadcastFrontier: Boolean = true,
+      checkpointEdges: Boolean = true): DataFrame = {
+    require(steps >= 1 && retPermille >= 1 && inPermille >= 1 && outPermille >= 1)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    // node-sized adjacency for the distance-1 test, built once — per-step
+    // probes join it on the walk's previous node, never the edge list
+    val adj = e.groupBy(col("src").as("prev"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    var frontier = seeds
+      .select(col("node").as("wid"), col("node").as("prev"), col("node").as("cur"))
+      .localCheckpoint()
+    var walks = frontier.select(col("wid"), lit(0).as("step"), col("cur").as("node"))
+    for (s <- 1 to steps) {
+      val f = if (broadcastFrontier) broadcast(frontier) else frontier
+      val cand = e.join(f, e("src") === f("cur"))
+        .select(col("wid"), col("prev"), col("cur"), col("dst"),
+          conv(substring(md5(
+            concat_ws("_", col("wid"), col("dst"), lit(s))), 1, 12), 16, 10)
+            .cast("long").as("h"))
+      val weighted =
+        if (s == 1) cand.withColumn("w", lit(1000L)) // no prev yet: unbiased
+        else cand.join(adj, Seq("prev"), "left")
+          .withColumn("w",
+            when(col("dst") === col("prev"), lit(retPermille.toLong))
+              .otherwise(when(
+                coalesce(array_contains(col("nbrs"), col("dst")), lit(false)),
+                lit(inPermille.toLong))
+                .otherwise(lit(outPermille.toLong))))
+          .drop("nbrs")
+      // h < 2^48, so h * 1000 stays far inside a long; the race key is
+      // floor(h * 1000 / w) — weight-proportional and engine-portable
+      frontier = weighted
+        .withColumn("k", expr("(h * 1000L) div w"))
+        .groupBy(col("wid"), col("cur"))
+        .agg(min(struct(col("k"), col("dst"))).as("pick"))
+        .select(col("wid"), col("cur").as("prev"), col("pick.dst").as("cur"))
+        .localCheckpoint()
+      walks = walks.unionAll(
+        frontier.select(col("wid"), lit(s).as("step"), col("cur").as("node")))
+    }
+    walks
+  }
+
   /** Walk-corpus generation — the DeepWalk skip-gram step over
     * [[deterministicWalks]] output `(wid, step, node)`: every ordered
     * (center, context) node pair co-occurring within `window` steps of

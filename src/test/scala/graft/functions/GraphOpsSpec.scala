@@ -250,6 +250,67 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("node2vecWalks equals a naive biased walk on random graphs") {
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    def naive(adj: Map[Long, Set[Long]], seedsSeq: Seq[Long], steps: Int,
+        ret: Long, in: Long, out: Long): Set[(Long, Int, Long)] =
+      seedsSeq.flatMap { wid =>
+        var prev = wid
+        var cur = wid
+        (wid, 0, wid) +: (1 to steps).flatMap { s =>
+          val nbrs = adj.getOrElse(cur, Set.empty)
+          if (nbrs.isEmpty) None
+          else {
+            val pick = nbrs.toSeq.map { d =>
+              val w =
+                if (s == 1) 1000L
+                else if (d == prev) ret
+                else if (adj.getOrElse(prev, Set.empty).contains(d)) in
+                else out
+              ((h48(s"${wid}_${d}_$s") * 1000L / w, d), d)
+            }.minBy(_._1)._2
+            prev = cur; cur = pick
+            Some((wid, s, cur))
+          }
+        }
+      }.toSet
+    for (seed <- Seq(67L, 71L); (r, i, o) <- Seq((100L, 1000L, 2500L), (4000L, 500L, 1000L))) {
+      val (sym, adj) = randomGraph(seed, 18, 60)
+      val seedsSeq = adj.keys.toSeq.sorted.take(6)
+      val got = Graph.node2vecWalks(sym.toDF("src", "dst"), "src", "dst",
+          seedsSeq.toDF("node"), steps = 4,
+          retPermille = r.toInt, inPermille = i.toInt, outPermille = o.toInt)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got === naive(adj, seedsSeq, 4, r, i, o), s"seed $seed weights ($r,$i,$o)")
+    }
+  }
+
+  test("node2vecWalks: the return weight moves the backtrack rate") {
+    val (sym, adj) = randomGraph(97L, 30, 120)
+    val seedsSeq = adj.keys.toSeq.sorted.take(10).toDF("node")
+    def backtracks(retPermille: Int): Long = {
+      val w = Graph.node2vecWalks(sym.toDF("src", "dst"), "src", "dst",
+          seedsSeq, steps = 5, retPermille, inPermille = 1000, outPermille = 1000)
+        .as[(Long, Int, Long)].collect().toSeq
+      // immediate backtracks: node at step s equals node at step s-2
+      val byWalk = w.groupBy(_._1).values
+      byWalk.map { trace =>
+        val m = trace.map(t => t._2 -> t._3).toMap
+        (2 to 5).count(s => m.contains(s) && m.get(s) == m.get(s - 2)).toLong
+      }.sum
+    }
+    val lo = backtracks(1)       // backtracking ~forbidden (race key x1000)
+    val hi = backtracks(1000000) // backtracking ~forced (race key /1000)
+    // not exactly 0 vs max: degree-1 dead ends force a backtrack at any
+    // weight, and a 1e-3-tail hash can still win a forbidden race — the
+    // pinned property is the ORDER, which is what the p parameter means
+    assert(lo < hi, s"return weight had no effect: lo=$lo hi=$hi")
+  }
+
   test("deterministicWalks: a directed chain walks straight down it") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.deterministicWalks(chain, "src", "dst",
