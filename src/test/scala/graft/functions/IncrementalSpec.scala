@@ -136,6 +136,43 @@ class IncrementalSpec extends SparkSpec {
       survivors.filter(col("source") =!= srcGone), "text", "source", "lang")))
   }
 
+  test("streaming datasheet maintenance: micro-batched state equals the " +
+      "full datasheet, and a replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text", "source", "lang")
+    val rows = docs.as[(Long, String, String, String)].collect().toSeq
+    val full = collectDatasheet(Curation.datasheet(docs, "text", "source", "lang"))
+    val base = java.nio.file.Files.createTempDirectory("graft-ds-ivm").toString
+    val input = MemoryStream[(Long, String, String, String)]
+    val delta = input.toDF().toDF("doc_id", "text", "source", "lang")
+    val q = Incremental.maintainDatasheet(delta, "text", "source", "lang",
+      s"$base/state", s"$base/ck").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = Incremental.latestDatasheetState(spark, s"$base/state")
+    assert(streamed.isDefined)
+    assert(collectDatasheet(Incremental.datasheetFromState(streamed.get)) === full)
+    // replay batch 0 against its own version dir: the pre-batch read
+    // excludes v=0 (v < batchId), so the rewrite regenerates identical
+    // contents and the final maintained view is unchanged
+    val b1df = rows.take(rows.size / 3)
+      .toDF("doc_id", "text", "source", "lang")
+    val replayDelta = Incremental.datasheetState(b1df, "text", "source", "lang")
+    assert(Incremental.latestDatasheetState(spark, s"$base/state",
+      beforeBatch = Some(0L)).isEmpty, "batch 0's replay must see no earlier state")
+    for ((name, df) <- Seq("scalars" -> replayDelta.scalars,
+        "digests" -> replayDelta.digests, "langs" -> replayDelta.langs))
+      df.write.mode("overwrite").parquet(s"$base/state/v=0/$name")
+    val after = Incremental.latestDatasheetState(spark, s"$base/state")
+    assert(collectDatasheet(Incremental.datasheetFromState(after.get)) === full,
+      "replay of batch 0 changed the maintained datasheet")
+  }
+
   test("DAU state: fold equals the full dashboard; retraction is exact") {
     val ev = graft.sources.Tables.events(spark, d)
     def dash(df: org.apache.spark.sql.DataFrame) =
