@@ -82,7 +82,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      signature and is the regression to chase.
   */
 object Bench {
-  private def newSession(cpus: String): SparkSession = {
+  private[graft] def newSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

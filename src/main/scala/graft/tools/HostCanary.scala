@@ -23,14 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object HostCanary {
 
-  /** Pinned reference seconds: the best of three consecutive r12
-    * measurements (0.438/0.445/0.455 and 3.27/3.36/3.60) in an idle
-    * window — the factor reads ~1.0-1.1 there and scales up as the
-    * host degrades.
+  /** Pinned reference seconds, measured IN PROTOCOL POSITION (the
+    * phase-0 fresh `Bench.newSession` of the r12 idle-window full run:
+    * 0.476 / 1.979). The session config is load-bearing: the same
+    * shuffle canary reads ~3.3 s under `GraftSession.local` (AQE
+    * `initialPartitionNum = 4x cores` pays per-partition overhead the
+    * Bench session doesn't), which is why [[main]] builds the
+    * Bench-identical session rather than GraftSession — references and
+    * measurements must share one config or the factor is meaningless.
     */
   val ref: Seq[(String, Double)] = Seq(
-    "canary_cpu" -> 0.44,
-    "canary_shuffle" -> 3.27)
+    "canary_cpu" -> 0.47,
+    "canary_shuffle" -> 1.98)
 
   /** The fixed workloads; `n` rows of `spark.range`. Aggregates are
     * overflow-free (max / pmod'd sums): ANSI mode is on, and a wrapped
@@ -79,7 +83,8 @@ object HostCanary {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.GraftSession.local(cpus.toInt, "host-canary")
+    // the Bench phase-0 session, NOT GraftSession.local — see `ref`
+    val spark = graft.Bench.newSession(cpus)
     val rs = measure(spark)
     val qs = rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(f"""{"canary":$qs,"window_factor":${factor(rs)}%.3f}""")
