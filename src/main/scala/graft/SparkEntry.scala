@@ -1375,6 +1375,15 @@ object SparkEntry {
         "src", "dst", iterations = 5)
         .orderBy("node")
     },
+    // Weighted PageRank over the same graph with co-occurrence weights
+    // (w = orders containing both parts): per-edge contribution
+    // (r * w) div W(u), the multiplicity the unweighted build discards.
+    "graph_pagerank_weighted" -> { (s, d) =>
+      graft.functions.Graph.pageRankWeighted(
+        graft.functions.Graph.copurchaseEdgesWeighted(Tables.lineitem(s, d)),
+        "src", "dst", "w", iterations = 5)
+        .orderBy("node")
+    },
     // Data-quality audit: per-column profile of orders in ONE aggregate
     // pass (nulls, exact distincts, portable min/max reprs).
     "table_profile_orders" -> { (s, d) =>
@@ -1510,6 +1519,31 @@ object SparkEntry {
                       ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey <> b.l_partkey),
           deg AS (SELECT src, count(*) AS outd FROM pairs GROUP BY 1),
+          it0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+          $its
+        SELECT node, r AS rank_micro FROM it5 ORDER BY node"""
+  }
+
+  /** DuckDB twin of [[graft.functions.Graph.pageRankWeighted]] over the
+    * co-occurrence-weighted co-purchase graph: contribution
+    * `(r * w) // W(u)`, same unrolled 5-round chain. */
+  private val pagerankWeightedOracle: String = {
+    val its = (1 to 5).map { k =>
+      s"""it$k AS (SELECT p.dst AS node,
+              CAST(150000 + (850 * SUM((i.r * p.w) // d.tw)) // 1000 AS BIGINT) AS r
+            FROM pairs p
+            JOIN it${k - 1} i ON i.node = p.src
+            JOIN deg d ON d.src = p.src
+            GROUP BY 1)"""
+    }.mkString(",\n          ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                           count(*) AS w
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+                    GROUP BY 1, 2),
+          deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM pairs GROUP BY 1),
           it0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
           $its
         SELECT node, r AS rank_micro FROM it5 ORDER BY node"""
@@ -1749,6 +1783,7 @@ object SparkEntry {
 
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
+    "graph_pagerank_weighted" -> pagerankWeightedOracle,
     "graph_ppr" -> pprOracle,
     "graph_kcore" -> kcoreOracle,
     "link_prediction" -> linkPredictionOracle,

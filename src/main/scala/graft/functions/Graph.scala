@@ -92,6 +92,58 @@ object Graph {
     rank.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Weighted PageRank — [[pageRank]] with per-edge long weights (the
+    * real-graph form: co-purchase counts, interaction strengths, link
+    * multiplicities):
+    * {{{
+    *   r_k+1(v) = (1000 - dampMilli) * 1000
+    *            + (dampMilli * Σ_{u→v} ((r_k(u) * w(u,v)) div W(u))) div 1000
+    * }}}
+    * with W(u) = Σ out-weights of u — floor division throughout, so the
+    * iterate stays a pure function of longs and the unrolled SQL twin
+    * matches bit-for-bit. With all weights 1 this IS [[pageRank]]
+    * (W = outdeg, contribution r div outd — GraphOpsSpec pins the
+    * equality). Long bounds: the per-edge product r*w needs
+    * r < Long.Max / w_max; total mass conservation keeps r near
+    * N*10^6 / in-hubs, so with counts-as-weights (w ≤ ~10^6) this holds
+    * to billions of nodes — the same headroom argument as the unweighted
+    * form, one multiply wider.
+    *
+    * Plan per round is [[pageRank]]'s exactly: one edge-vs-rank join
+    * (broadcast or bucketed via `broadcastRanks`/`checkpointEdges`) +
+    * one partial-agg groupBy; the weight rides the edge row.
+    */
+  def pageRankWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      dampMilli: Int = 850,
+      broadcastRanks: Boolean = true,
+      checkpointEvery: Int = 8,
+      checkpointEdges: Boolean = true): DataFrame = {
+    require(iterations >= 1 && dampMilli >= 0 && dampMilli <= 1000)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      .localCheckpoint()
+    val base = (1000L - dampMilli) * 1000L
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (i <- 1 to iterations) {
+      val ranks = deg.join(rank, deg("src") === rank("node"))
+        .select(col("src"), col("tw"), col("r"))
+      rank = e
+        .join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
+        .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
+        .groupBy(col("node"))
+        .agg(expr(s"${base}L + ($dampMilli * sum(c)) div 1000").as("r"))
+      if (i % checkpointEvery == 0 && i < iterations) rank = rank.localCheckpoint()
+    }
+    rank.select(col("node"), col("r").as("rank_micro"))
+  }
+
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
     * (the "related to these items" recommendation primitive), so rank
     * measures proximity to the seed set rather than global centrality.
@@ -300,6 +352,24 @@ object Graph {
   def copurchaseEdges(lineitem: DataFrame): DataFrame = {
     val half = copurchaseHalfEdges(lineitem)
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[copurchaseEdges]] with co-occurrence weights: w({u,v}) = how many
+    * orders contain both parts — the multiplicity the unweighted build's
+    * `distinct` throws away, and exactly what [[pageRankWeighted]]
+    * wants. Same shape as the half-edge build with the dedup `distinct`
+    * replaced by a partial-agg count (cheaper: counts combine map-side),
+    * then mirrored.
+    */
+  def copurchaseEdgesWeighted(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val half = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk").as("src"), col("pk2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
 
   /** [[triangleCounts]] over the HALF-edge form (each {u,v} once,

@@ -250,6 +250,33 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("pageRankWeighted: w=1 degenerates to pageRank; naive weighted " +
+      "fixed-point equivalence") {
+    val (sym, adj) = randomGraph(83L, 20, 70)
+    // w = 1 everywhere: (r * 1) div tw == r div outd — bit-identical
+    val flat = sym.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val viaW = Graph.pageRankWeighted(flat, "src", "dst", "w", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRank(sym.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(viaW === plain, "w=1 weighted pagerank diverges from pageRank")
+    // deterministic weights (hash-derived, 1..5), naive JVM fixed point
+    val weighted = sym.map { case (s, d) => (s, d, 1L + math.abs((s * 31 + d) % 5)) }
+    val w = weighted.map { case (s, d, ww) => ((s, d), ww) }.toMap
+    val tw = weighted.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = weighted.groupBy(_._2).view.mapValues(_.map {
+        case (s, _, ww) => r(s) * ww / tw(s)
+      }.sum).toMap
+      r = contrib.map { case (n, c) => n -> (150000L + 850L * c / 1000L) }
+    }
+    val gotW = Graph.pageRankWeighted(weighted.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(gotW === r, "weighted pagerank diverges from the naive fixed point")
+  }
+
   test("node2vecWalks equals a naive biased walk on random graphs") {
     def h48(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
