@@ -1499,6 +1499,29 @@ object SparkEntry {
         graft.functions.Incremental.pricingSummary(
           li.filter(pmod(col("l_orderkey"), lit(10)) === 0)))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+    // Join-view IVM: a materialized orders x customer view maintained as
+    // V_old + (dA x B_old) + (A_old x dB) + (dA x dB) — deltas on BOTH
+    // sides at once — must land on the oracle's plain-join hash (joins
+    // distribute over union; each delta term is delta-priced).
+    "join_view_incremental" -> { (s, d) =>
+      import graft.operators.CoreOps.scaledCenti
+      val a = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        scaledCenti(col("o_totalprice")).as("o_totalprice_c"))
+      val b = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_name"),
+        scaledCenti(col("c_acctbal")).as("c_acctbal_c"))
+      val (aOld, aDelta) = (a.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+        a.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      val (bOld, bDelta) = (b.filter(pmod(col("custkey"), lit(7)) =!= 0),
+        b.filter(pmod(col("custkey"), lit(7)) === 0))
+      aOld.join(bOld, "custkey")
+        .unionByName(graft.functions.Incremental.deltaJoinView(
+          aOld, aDelta, bOld, bDelta, "custkey"))
+        .select(col("o_orderkey"), col("custkey"), col("o_totalprice_c"),
+          col("c_name"), col("c_acctbal_c"))
+        .orderBy("o_orderkey")
     })
 
   /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
@@ -1881,6 +1904,14 @@ object SparkEntry {
     // the incremental (merged base+delta) form must land on the SAME
     // hash as the plain full aggregate — that equality IS the IVM proof
     "tpch_q1_incremental" -> q1OracleSql,
+    // plain full join: the composed delta terms must hash-match it
+    "join_view_incremental" ->
+      """SELECT o.o_orderkey, c.c_custkey AS custkey,
+                CAST(floor(o.o_totalprice*100) AS BIGINT) AS o_totalprice_c,
+                c.c_name,
+                CAST(floor(c.c_acctbal*100) AS BIGINT) AS c_acctbal_c
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
     "tpch_q3_top_orders" ->
       """SELECT o_orderkey,
                 CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c

@@ -284,6 +284,34 @@ object Incremental {
       .select(col("day_start"), col("dau"), col("n"))
   }
 
+  /** Delta maintenance for a materialized two-sided equi-join view
+    * V = A ⋈ B — the join-view side of IVM, beyond the aggregate
+    * monoids: when batches ΔA and ΔB arrive together,
+    * {{{  ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)  }}}
+    * and `V_new = V_old ∪ ΔV` — joins distribute over union, so the
+    * composed parts equal the full `A_new ⋈ B_new` EXACTLY (the
+    * `join_view_incremental` gate row lands the composed form on the
+    * oracle's plain-join hash). Work is delta-sized on each term: the
+    * two cross terms probe a stored side with a delta (broadcast the
+    * delta when it fits; bucketed stored sides make the probes
+    * exchange-free, the [[graft.sinks.Lake.writeBucketed]] layout), and
+    * ΔA ⋈ ΔB is delta × delta.
+    *
+    * Retractions need no re-join at all: deleting D_A ⊆ A removes
+    * exactly the view rows whose A-side key-and-row matches D_A — one
+    * keyed ANTI join on the view (IncrementalSpec's case uses the
+    * A-side primary key).
+    */
+  def deltaJoinView(
+      aOld: DataFrame,
+      aDelta: DataFrame,
+      bOld: DataFrame,
+      bDelta: DataFrame,
+      key: String): DataFrame =
+    aDelta.join(bOld, key)
+      .unionByName(aOld.join(bDelta, key))
+      .unionByName(aDelta.join(bDelta, key))
+
   private val datasheetParts = Seq("scalars", "digests", "langs")
 
   /** Streaming IVM for the datasheet — [[maintainPricingSummary]]'s

@@ -173,6 +173,35 @@ class IncrementalSpec extends SparkSpec {
       "replay of batch 0 changed the maintained datasheet")
   }
 
+  test("join view: composed delta terms equal the full join; an A-side " +
+      "retraction is one ANTI join on the view") {
+    import graft.operators.CoreOps.scaledCenti
+    val a = graft.sources.Tables.orders(spark, d).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      scaledCenti(col("o_totalprice")).as("p_c"))
+    val b = graft.sources.Tables.customer(spark, d).select(
+      col("c_custkey").as("custkey"), col("c_name"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "custkey", "p_c", "c_name")
+        .as[(Long, Long, Long, String)].collect().toSet
+    val full = rows(a.join(b, "custkey"))
+    val (aOld, aDelta) = (a.filter(pmod(col("o_orderkey"), lit(4)) =!= 0),
+      a.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+    val (bOld, bDelta) = (b.filter(pmod(col("custkey"), lit(3)) =!= 0),
+      b.filter(pmod(col("custkey"), lit(3)) === 0))
+    val composed = aOld.join(bOld, "custkey").unionByName(
+      Incremental.deltaJoinView(aOld, aDelta, bOld, bDelta, "custkey"))
+    assert(rows(composed) === full, "delta-composed view diverges from the full join")
+    // retraction: deleting A-rows removes exactly their view rows — one
+    // keyed ANTI join, no re-join of the surviving sides
+    val dead = a.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val retracted = composed.join(dead.select(col("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    val recomputed = a.filter(pmod(col("o_orderkey"), lit(5)) =!= 0).join(b, "custkey")
+    assert(rows(retracted) === rows(recomputed),
+      "ANTI-join retraction diverges from the survivor re-join")
+  }
+
   test("DAU state: fold equals the full dashboard; retraction is exact") {
     val ev = graft.sources.Tables.events(spark, d)
     def dash(df: org.apache.spark.sql.DataFrame) =
