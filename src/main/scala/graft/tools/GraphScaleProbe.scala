@@ -28,14 +28,22 @@ import graft.sinks.Lake
   * half-step and measures broadcastScores=false against the default
   * broadcast path at the same size.
   *
-  * Usage: runMain graft.tools.GraphScaleProbe [hits] [millionsOfNodes...]
+  * `bfs` mode (r12): the same A/B for multi-source BFS, whose hop-2
+  * frontier on a small-diameter graph is already near-node-sized — the
+  * case where a frontier broadcast stops fitting an executor.
+  * `broadcastFrontier=false, checkpointEdges=false` over the
+  * src-bucketed table shuffles only the frontier per hop.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs] [millionsOfNodes...]
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
     val hitsMode = args.contains("hits")
-    val sizeArgs = args.filterNot(_ == "hits")
+    val bfsMode = args.contains("bfs")
+    val sizeArgs = args.filterNot(a => a == "hits" || a == "bfs")
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toDouble) else Seq(1.0)
     if (hitsMode) { hitsProbe(sizes); return }
+    if (bfsMode) { bfsProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -159,6 +167,67 @@ object GraphScaleProbe {
       spark.sql("DROP TABLE IF EXISTS hits_edges_probe_src")
       spark.sql("DROP TABLE IF EXISTS hits_edges_probe_dst")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    spark.stop()
+  }
+
+  private def bfsProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-bfs")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L)
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val edges = spark.range(nodes * 40).select(
+        (col("id") / 40).cast("long").as("src"),
+        pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-bfs-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      spark.sql("DROP TABLE IF EXISTS bfs_edges_probe")
+      Lake.writeBucketed(edges, "bfs_edges_probe", path, Seq("src"), numBuckets = 32)
+      val bucketed = spark.table("bfs_edges_probe")
+
+      // plan proof: the per-hop frontier join over the bucketed table
+      // exchanges ONLY the frontier (node-sized) — never the edge side.
+      // The probe frontier is the FULL node set with payload columns so
+      // it cannot auto-broadcast: the property under test is precisely
+      // the non-broadcast case (a small frontier broadcasts and the
+      // question never arises).
+      val frontier = bucketed.select(col("src").as("node")).distinct()
+        .select(col("node"), (col("node") * 2).as("p1"), (col("node") * 3).as("p2"))
+        .localCheckpoint()
+      val hop = bucketed.join(frontier, bucketed("src") === frontier("node"))
+        .select(col("dst"))
+      val plan = hop.queryExecution.executedPlan.toString
+      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val bucketedScan = plan.contains("Bucketed: true")
+      println(s"[graphscale-bfs] m=$m hop-join shuffle-exchanges=$nShuffles " +
+        s"(bucketed scan: $bucketedScan)")
+      assert(nShuffles <= 1, s"edge side must not shuffle:\n$plan")
+      assert(bucketedScan, s"edge scan must read bucketed:\n$plan")
+
+      val viaBucket = Graph.bfsHops(bucketed, "src", "dst", seeds, maxHops = 3,
+        broadcastFrontier = false, checkpointEdges = false)
+      val viaBroadcast = Graph.bfsHops(edges, "src", "dst", seeds, maxHops = 3)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaBroadcast).count() == 0L &&
+          viaBroadcast.exceptAll(viaBucket).count() == 0L,
+          "bucketed/non-broadcast bfs diverged from the broadcast path")
+      }
+      mat(viaBucket); mat(viaBroadcast)
+      val tBucket = med(mat(Graph.bfsHops(bucketed, "src", "dst", seeds, 3,
+        broadcastFrontier = false, checkpointEdges = false)))
+      val tBcast = med(mat(Graph.bfsHops(edges, "src", "dst", seeds, 3)))
+      println(f"[graphscale-bfs] nodes=$nodes edges=${nodes * 40} " +
+        f"bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
+      spark.sql("DROP TABLE IF EXISTS bfs_edges_probe")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
     spark.stop()
   }
