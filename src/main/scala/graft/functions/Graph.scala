@@ -880,9 +880,24 @@ object Graph {
           conv(substring(md5(
             concat_ws("_", col("wid"), col("dst"), lit(s))), 1, 12), 16, 10)
             .cast("long").as("h"))
+      // the step only needs adjacency rows for the frontier's PREV set —
+      // semi-restrict the node-sized adj to a frontier-sized slice and
+      // broadcast it, so the candidate frame never shuffles for the
+      // distance-1 test. Local A/B vs the full-adj join is noise-level
+      // (the gate graph's adj broadcasts whole), but the full frame
+      // stops broadcasting at cluster node counts while the slice stays
+      // frontier-sized at ANY graph size — the same reasoning as the
+      // frontier broadcast itself
+      lazy val prevAdj = {
+        val pset = frontier.select(col("prev")).distinct()
+        val slice = adj.join(
+          if (broadcastFrontier) broadcast(pset) else pset,
+          Seq("prev"), "left_semi")
+        if (broadcastFrontier) broadcast(slice) else slice
+      }
       val weighted =
         if (s == 1) cand.withColumn("w", lit(1000L)) // no prev yet: unbiased
-        else cand.join(adj, Seq("prev"), "left")
+        else cand.join(prevAdj, Seq("prev"), "left")
           .withColumn("w",
             when(col("dst") === col("prev"), lit(retPermille.toLong))
               .otherwise(when(
