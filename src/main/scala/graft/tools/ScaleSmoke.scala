@@ -276,6 +276,31 @@ object ScaleSmoke {
       }
       graft.functions.Checkpoints.unpersist(walks)
     }
+    time("biased walks (4 steps, 1/40 seeds)") {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      graft.functions.Graph.node2vecWalks(sym, "src", "dst", seeds, steps = 4,
+        retPermille = 100, inPermille = 1000, outPermille = 2500).mat()
+    }
+    time("weighted pagerank (5 rounds)") {
+      // hash-derived weights 1..5 on the same deg~40 graph
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src"), col("dst"))
+        .agg((pmod(xxhash64(col("src"), col("dst")), lit(5)) + 1).as("w"))
+      graft.functions.Graph.pageRankWeighted(sym, "src", "dst", "w",
+        iterations = 5).mat()
+    }
     time("hits (3 rounds, deg~40)") {
       val edges = spark.range(docsN * 20)
         .select((col("id") % docsN).as("src"),
