@@ -284,6 +284,21 @@ object Incremental {
       .select(col("day_start"), col("dau"), col("n"))
   }
 
+  /** Generic keyed count-table merge — the support-count monoid every
+    * maintained distinct/rank view above builds on, exposed for ad-hoc
+    * views (e.g. the `top_terms_incremental` gate row maintains a
+    * vocabulary-sized term-count state and derives the top-k from it:
+    * the expensive corpus explode is paid delta-sized, the rank
+    * re-derives from state). Fully-cancelled keys drop, so retractions
+    * (negated counts) stay exact.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame, keys: Seq[String], cnt: String): DataFrame = {
+    val cols = (keys :+ cnt).map(col)
+    a.select(cols: _*).unionAll(b.select(cols: _*))
+      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+      .filter(col(cnt) =!= 0)
+  }
+
   /** Delta maintenance for a materialized two-sided equi-join view
     * V = A ⋈ B — the join-view side of IVM, beyond the aggregate
     * monoids: when batches ΔA and ΔB arrive together,

@@ -584,6 +584,24 @@ object LlmQueries {
         .orderBy(col("n").desc, col("t"))
         .limit(20)
     },
+    // IVM for a ranking dashboard: the top-terms view re-derived from a
+    // MAINTAINED term-count state (merge of base + delta counts via the
+    // generic support-count monoid) must rank to the same top 20 — the
+    // corpus explode is paid delta-sized; the rank is a state-sized
+    // TakeOrdered. Retractions ride the same algebra (negated counts).
+    "top_terms_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def counts(slice: org.apache.spark.sql.DataFrame) = slice
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      Incremental.mergeCounts(
+          counts(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)),
+          counts(docs.filter(pmod(col("doc_id"), lit(10)) === 0)),
+          Seq("t"), "n")
+        .orderBy(col("n").desc, col("t"))
+        .limit(20)
+    },
     // Integer-exact BM25 keyword search (retrieval twin of the ANN
     // family): query-term prune before any shuffle, broadcast stats,
     // TakeOrderedAndProject top-k.
@@ -1420,6 +1438,13 @@ object LlmQueries {
             JOIN sig sb ON sb.doc_id = c.b)
           WHERE jaccard_milli >= 300 ORDER BY a, b""",
     "top_terms" ->
+      """SELECT t, count(*) AS n
+         FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                 x -> x <> '')) AS t
+               FROM documents)
+         GROUP BY 1 ORDER BY n DESC, t LIMIT 20""",
+    // the IVM-merged counts state must rank to the same top 20
+    "top_terms_incremental" ->
       """SELECT t, count(*) AS n
          FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
                  x -> x <> '')) AS t

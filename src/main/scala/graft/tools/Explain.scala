@@ -18,7 +18,11 @@ object Explain {
       "event_transitions", "lang_confusion", "dedup_cluster_sizes",
       "graph_triangles", "pack_dedup_aware", "a4_sessions_auto",
       "t1_rolling_auto", "graph_kcore", "link_prediction", "graph_hops",
-      "pack_semantic")
+      "pack_semantic",
+      // round 12
+      "graph_walk_pairs", "graph_walks_biased", "graph_pagerank_weighted",
+      "datasheet_incremental", "dau_incremental", "join_view_incremental",
+      "top_terms_incremental")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
