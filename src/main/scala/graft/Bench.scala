@@ -628,7 +628,7 @@ object Bench {
     val budgetTotal = 1750
     val slowestFirst = entries(okResults.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","window_factor":${ms3(windowFactor)},"queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","window_factor":${ms3(windowFactor)},"queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
       .map { case (sk, er) =>
         val room = budgetTotal - mk(Nil, sk, er).length
