@@ -476,6 +476,20 @@ object Bench {
           graft.functions.Graph.hits(bucketedEdges, "src", "dst",
             iterations = 3, broadcastScores = false, checkpointEdges = false,
             edgesByDst = Some(bucketedEdgesDst))),
+        // the nightly walk-corpus regeneration path: walks + skip-gram
+        // pairs straight off the stored bucketed edge table — no edge
+        // rebuild, no checkpoint materialization (checkpointEdges=false
+        // keeps the bucketed scan; the frontier stays broadcast, it is
+        // walk-sized)
+        "graph_walk_pairs_served" -> (() => {
+          import org.apache.spark.sql.functions.{col, pmod, lit}
+          val seeds = bucketedEdges.select(col("src").as("node")).distinct()
+            .filter(pmod(col("node"), lit(40)) === 0)
+          graft.functions.Graph.skipGramPairs(
+            graft.functions.Graph.deterministicWalks(bucketedEdges,
+              "src", "dst", seeds, steps = 4, checkpointEdges = false),
+            window = 2)
+        }),
         "sim_topk_int8_served" -> (() =>
           Similarity.int8TopKFromIndex(sparkSrv, queries, s"$idx/int8", k = 5)),
         "sim_topk_ivfpq_served" -> (() =>
