@@ -663,6 +663,15 @@ object Graph {
     * measures this at 1M nodes / 40M edges and asserts the plan).
     * Output: (node, hub_m, auth_m) for every node in the edge list,
     * zeros for nodes a score never reached.
+    *
+    * PRECONDITION (require-style, not runtime-checked by default):
+    * `edgesByDst`, when given, must hold EXACTLY the same edge set as
+    * `edges` — it exists only to carry a second physical layout of one
+    * logical table. Divergent tables (e.g. both written from a
+    * nondeterministic, non-checkpointed frame — localCheckpoint before
+    * the double write, as Bench does) make the fixed point silently
+    * wrong. `verifyEdgeSets = true` adds a debug count-equality guard
+    * (two extra passes over the edge tables; leave off in production).
     */
   def hits(
       edges: DataFrame,
@@ -671,8 +680,15 @@ object Graph {
       iterations: Int,
       broadcastScores: Boolean = true,
       checkpointEdges: Boolean = true,
-      edgesByDst: Option[DataFrame] = None): DataFrame = {
+      edgesByDst: Option[DataFrame] = None,
+      verifyEdgeSets: Boolean = false): DataFrame = {
     require(iterations >= 1)
+    if (verifyEdgeSets) edgesByDst.foreach { d =>
+      val (ne, nd) = (edges.count(), d.count())
+      require(ne == nd,
+        s"hits: edges ($ne rows) and edgesByDst ($nd rows) differ — the two " +
+          "frames must be the SAME edge set in two physical layouts")
+    }
     def hint(df: DataFrame): DataFrame =
       if (broadcastScores) broadcast(df) else df
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -113,11 +113,24 @@ object Incremental {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) None
     else {
-      val versions = fs.listStatus(root).toSeq
+      val dirs = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(st => beforeBatch.forall(
+          st.getPath.getName.stripPrefix("v=").toLong < _))
+      val versions = dirs
         .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .filter(v => beforeBatch.forall(v < _))
+      // versioned dirs exist but NONE carries a commit marker: either a
+      // transient mid-overwrite race (at most the newest version) or a
+      // committer-config mismatch (mapreduce.fileoutputcommitter.
+      // marksuccessfuljobs=false writes no markers at all) — the latter
+      // would silently collapse every maintained summary to the latest
+      // delta alone, so surface it instead of returning a quiet None
+      if (versions.isEmpty && dirs.nonEmpty)
+        System.err.println(s"[graft] WARN latestSummary: ${dirs.length} " +
+          s"version dir(s) under $summaryDir but none carries _SUCCESS — " +
+          "mid-overwrite race, or the committer writes no success markers " +
+          "(marksuccessfuljobs=false); the maintained summary reads as absent")
       if (versions.isEmpty) None
       else Some(spark.read.parquet(s"$summaryDir/v=${versions.max}"))
     }
@@ -384,12 +397,21 @@ object Incremental {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) None
     else {
-      val versions = fs.listStatus(root).toSeq
+      val dirs = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(st => beforeBatch.forall(
+          st.getPath.getName.stripPrefix("v=").toLong < _))
+      val versions = dirs
         .filter(st => datasheetParts.forall(p =>
           fs.exists(new Path(st.getPath, s"$p/_SUCCESS"))))
         .map(_.getPath.getName.stripPrefix("v=").toLong)
-        .filter(v => beforeBatch.forall(v < _))
+      // same committer-config tripwire as latestSummary: dirs without a
+      // single fully-marked version must not silently read as "no state"
+      if (versions.isEmpty && dirs.nonEmpty)
+        System.err.println(s"[graft] WARN latestDatasheetState: " +
+          s"${dirs.length} version dir(s) under $stateDir but none has all " +
+          "three _SUCCESS markers — mid-overwrite race, or the committer " +
+          "writes no success markers (marksuccessfuljobs=false)")
       if (versions.isEmpty) None
       else {
         val v = versions.max

@@ -65,6 +65,12 @@ object DriftAB {
       pool.submit(new Runnable {
         def run(): Unit = {
           val sess = spark.newSession()
+          // job group is thread-local: tag every sibling job so teardown
+          // can cancel the in-flight Spark work (a thread interrupt alone
+          // does not cancel running jobs — shutdownNow would otherwise
+          // wait out awaitTermination and race spark.stop())
+          sess.sparkContext.setJobGroup("driftab-sibling",
+            "DriftAB concurrent sibling load", interruptOnCancel = true)
           val it = Iterator.continually(siblingLoad).flatten
           while (!stop.get()) {
             val q = it.next()
@@ -87,6 +93,9 @@ object DriftAB {
         s"sibling clones (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
     }
     stop.set(true)
+    // cancel in-flight sibling jobs FIRST — prompt teardown instead of
+    // waiting out a 120 s query under interrupt
+    spark.sparkContext.cancelJobGroup("driftab-sibling")
     pool.shutdownNow()
     pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
     spark.stop()

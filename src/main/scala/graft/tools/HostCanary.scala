@@ -71,11 +71,16 @@ object HostCanary {
     }
 
   /** Geometric mean of now/ref over the successful workloads; -1.0 when
-    * none succeeded.
+    * none succeeded. Results pair with their reference BY NAME (not by
+    * position): a caller passing a filtered or reordered seq — e.g. one
+    * with failed -1.0 entries removed — must not silently pair a timing
+    * with the wrong pinned reference.
     */
   def factor(results: Seq[(String, Double)]): Double = {
-    val ratios = results.zip(ref).collect {
-      case ((_, sec), (_, r)) if sec > 0 => sec / r
+    val refByName = ref.toMap
+    val ratios = results.collect {
+      case (name, sec) if sec > 0 && refByName.contains(name) =>
+        sec / refByName(name)
     }
     if (ratios.isEmpty) -1.0
     else math.exp(ratios.map(math.log).sum / ratios.size)

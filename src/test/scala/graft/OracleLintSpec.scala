@@ -57,37 +57,66 @@ class OracleLintSpec extends AnyFunSuite {
     i
   }
 
-  /** Positions where `sum(...)` (plus optional FILTER clause) is followed
-    * by the DuckDB integer-division operator.
+  /** Word-boundary positions of `sum(` tokens (`checksum(x)` is not a
+    * sum — require a non-identifier char, or start-of-string, before).
     */
-  private def unsafeDivisions(sql: String): Seq[Int] = {
+  private def sumTokens(sql: String): Seq[Int] = {
     val lower = sql.toLowerCase
-    val casts = bigintCastSpans(sql)
     val out = Seq.newBuilder[Int]
     var from = lower.indexOf("sum")
     while (from >= 0) {
-      // word boundary: `checksum(x)` must not match as `sum(x)` — require a
-      // non-identifier char (or start-of-string) before the `sum` token.
-      // Known residual false negative: a PARENTHESIZED expression of sums,
-      // e.g. `(sum(a) - sum(b)) // n`, escapes this scanner (the `//` does
-      // not directly follow a sum's closing paren); none exist in the map.
       val boundary = from == 0 || {
         val c = sql.charAt(from - 1)
         !(Character.isLetterOrDigit(c) || c == '_')
       }
-      var p = skipWs(sql, from + 3)
-      if (boundary && p < sql.length && sql.charAt(p) == '(') {
-        var q = skipWs(sql, matchParen(sql, p))
-        if (lower.startsWith("filter", q)) {
-          val fp = skipWs(sql, q + 6)
-          if (fp < sql.length && sql.charAt(fp) == '(') q = skipWs(sql, matchParen(sql, fp))
-        }
-        if (sql.startsWith("//", q) && !casts.exists { case (a, b) => from > a && q < b })
-          out += from
-      }
+      val p = skipWs(sql, from + 3)
+      if (boundary && p < sql.length && sql.charAt(p) == '(') out += from
       from = lower.indexOf("sum", from + 3)
     }
     out.result()
+  }
+
+  /** Positions where a HUGEINT-typed expression meets the DuckDB integer
+    * division operator uncast. Two passes:
+    *   1. direct — `sum(...)` (plus optional FILTER clause) immediately
+    *      followed by `//`;
+    *   2. parenthesized — `( ... ) //` where the parenthesized expression
+    *      contains a `sum(` token (e.g. `(sum(a) - sum(b)) // n`: the
+    *      difference of HUGEINTs is still HUGEINT, and the `//` does not
+    *      directly follow a sum's closing paren — the r12 pinned false
+    *      negative, now detected).
+    * A division whose span sits inside a `CAST(... AS BIGINT)` is safe.
+    */
+  private def unsafeDivisions(sql: String): Seq[Int] = {
+    val lower = sql.toLowerCase
+    val casts = bigintCastSpans(sql)
+    val sums = sumTokens(sql)
+    def castedOver(from: Int, q: Int): Boolean =
+      casts.exists { case (a, b) => from > a && q < b }
+    val out = Seq.newBuilder[(Int, Int)] // (reported position, div position)
+    // pass 1: sum(...) [FILTER (...)] //
+    sums.foreach { from =>
+      val p = skipWs(sql, from + 3)
+      var q = skipWs(sql, matchParen(sql, p))
+      if (lower.startsWith("filter", q)) {
+        val fp = skipWs(sql, q + 6)
+        if (fp < sql.length && sql.charAt(fp) == '(') q = skipWs(sql, matchParen(sql, fp))
+      }
+      if (sql.startsWith("//", q) && !castedOver(from, q)) out += ((from, q))
+    }
+    // pass 2: ( ...sum(... ) //  — any paren group containing a sum token
+    var open = sql.indexOf('(')
+    while (open >= 0) {
+      val end = matchParen(sql, open)
+      val q = skipWs(sql, end)
+      if (sql.startsWith("//", q) &&
+          sums.exists(s => s > open && s < end) &&
+          !castedOver(open, q))
+        out += ((open, q))
+      open = sql.indexOf('(', open + 1)
+    }
+    // a direct hit inside a flagged paren group reports once (the paren)
+    out.result().map(_._1).distinct.sorted
   }
 
   test("every oracle `sum(...) //` division is wrapped in CAST(... AS BIGINT)") {
@@ -115,14 +144,19 @@ class OracleLintSpec extends AnyFunSuite {
     // word boundary: an identifier merely ENDING in "sum" is not sum()
     assert(unsafeDivisions("SELECT checksum(x) // 4 AS m FROM t").isEmpty)
     assert(unsafeDivisions("SELECT my_sum(x) // 4 AS m FROM t").isEmpty)
-    // documented residual FALSE NEGATIVE (scanner limitation, pinned so a
-    // future tightening shows up as a diff here): a PARENTHESIZED sum
-    // expression whose `//` follows the outer paren, not a sum's closing
-    // paren, escapes detection — such a division is still a HUGEINT
-    // division in DuckDB, so none may exist in the oracle map (the
-    // positive lint above would not catch one; authors must CAST it).
-    assert(unsafeDivisions("SELECT (sum(a) - sum(b)) // n AS m FROM t").isEmpty,
-      "scanner unexpectedly catches the parenthesized form — update the " +
-        "scaladoc and this pin together")
+    // the r12 pinned FALSE NEGATIVE, now a positive detection (r12 verdict
+    // directive 7): a PARENTHESIZED sum expression whose `//` follows the
+    // outer paren is still a HUGEINT division in DuckDB — the paren-
+    // matching pass catches it
+    assert(unsafeDivisions("SELECT (sum(a) - sum(b)) // n AS m FROM t").nonEmpty,
+      "paren-matching pass must flag `(sum(a) - sum(b)) // n`")
+    assert(unsafeDivisions("SELECT (2 * sum(a)) // n AS m FROM t").nonEmpty)
+    // ...and the CAST-wrapped parenthesized form stays safe
+    assert(unsafeDivisions(
+      "SELECT CAST((sum(a) - sum(b)) // n AS BIGINT) AS m FROM t").isEmpty)
+    // a paren group WITHOUT a sum followed by `//` is plain BIGINT division
+    assert(unsafeDivisions("SELECT (a - b) // n AS m FROM t").isEmpty)
+    // checksum inside a paren group is not a sum token
+    assert(unsafeDivisions("SELECT (checksum(x) - 1) // 4 AS m FROM t").isEmpty)
   }
 }
