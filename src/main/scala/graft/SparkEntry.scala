@@ -1522,6 +1522,38 @@ object SparkEntry {
         .select(col("o_orderkey"), col("custkey"), col("o_totalprice_c"),
           col("c_name"), col("c_acctbal_c"))
         .orderBy("o_orderkey")
+    },
+    // Join+AGGREGATE IVM (the composite rung above join_view_incremental,
+    // the tpch_q3/q10 revenue-dashboard shape): the customer-revenue view
+    // gamma(orders x customer) maintained as merge(gamma(old join),
+    // gamma(deltaJoinView)) under deltas on BOTH sides — the join delta
+    // folds into the per-key monoid state (integer sums + support count),
+    // the full view is never materialized, and the merged state must land
+    // on the oracle's PLAIN full join+aggregate hash. Retractions via
+    // negated partial sums (IncrementalSpec).
+    "join_agg_incremental" -> { (s, d) =>
+      import graft.operators.CoreOps.scaledCenti
+      import graft.functions.Incremental
+      val a = Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"), col("o_orderkey"),
+        scaledCenti(col("o_totalprice")).as("o_totalprice_c"))
+      val b = Tables.customer(s, d).select(
+        col("c_custkey").as("custkey"), col("c_name"))
+      val (aOld, aDelta) = (a.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+        a.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      val (bOld, bDelta) = (b.filter(pmod(col("custkey"), lit(7)) =!= 0),
+        b.filter(pmod(col("custkey"), lit(7)) === 0))
+      val keys = Seq("custkey", "c_name")
+      val sums = Seq("o_totalprice_c")
+      Incremental.mergeJoinAggStates(
+        Incremental.joinAggState(aOld.join(bOld, "custkey"), keys, sums),
+        Incremental.joinAggState(
+          Incremental.deltaJoinView(aOld, aDelta, bOld, bDelta, "custkey"),
+          keys, sums),
+        keys, sums)
+        .select(col("custkey"), col("c_name"),
+          col("o_totalprice_c").as("revenue_c"), col("n").as("n_orders"))
+        .orderBy("custkey")
     })
 
   /** DuckDB twin of [[graft.functions.Graph.pageRank]]: the 5 rounds
@@ -1912,6 +1944,15 @@ object SparkEntry {
                 CAST(floor(c.c_acctbal*100) AS BIGINT) AS c_acctbal_c
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_orderkey""",
+    // plain full join+aggregate: the delta-folded monoid state must
+    // hash-match it (the join-agg IVM proof against an independent engine)
+    "join_agg_incremental" ->
+      """SELECT o.o_custkey AS custkey, c.c_name,
+                CAST(sum(CAST(floor(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                count(*) AS n_orders
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2
+         ORDER BY custkey""",
     "tpch_q3_top_orders" ->
       """SELECT o_orderkey,
                 CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c

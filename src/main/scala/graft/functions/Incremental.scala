@@ -340,6 +340,56 @@ object Incremental {
       .unionByName(aOld.join(bDelta, key))
       .unionByName(aDelta.join(bDelta, key))
 
+  /** Grouped-monoid state of a JOIN-view slice — the composite rung
+    * above [[deltaJoinView]]: the materialized view is `γ(A ⋈ B)`
+    * (the tpch_q3/q10 revenue-dashboard shape, join THEN grouped
+    * integer sums), and because the aggregate is a per-key monoid,
+    * {{{  γ(V_new) = merge(γ(V_old), γ(ΔV))  }}}
+    * with ΔV from [[deltaJoinView]] — the join delta folds into the
+    * AGGREGATE state without ever re-materializing the view. Each state
+    * row carries its integer `sumCols` partials plus a support count
+    * `n` (rows of the view feeding the key), so retractions are exact:
+    * merge the deleted view slice's [[negateJoinAggState]] and a key
+    * vanishes precisely when its last view row dies. The
+    * `join_agg_incremental` gate row lands the merged base+delta state
+    * on the PLAIN full join+aggregate oracle hash.
+    *
+    * Scale shape: state is |keys| rows; a delta prices one delta-join
+    * (see [[deltaJoinView]] — broadcast/bucketed probes) plus a
+    * delta-keys-sized aggregate and a |keys|-row merge. The full view
+    * is never stored and never rescanned.
+    */
+  def joinAggState(
+      viewRows: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: sumCols.map(c => sum(col(c)).as(c))
+    viewRows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Key-wise monoid merge of two join-aggregate states: support counts
+    * and integer sums add; keys whose support cancels to 0 drop (their
+    * sums are 0 by the same cancellation), keeping derived views exact
+    * under retraction.
+    */
+  def mergeJoinAggStates(
+      a: DataFrame, b: DataFrame,
+      keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val cols = (keys ++ sumCols :+ "n").map(col)
+    val aggs = sum(col("n")).as("n") +: sumCols.map(c => sum(col(c)).as(c))
+    a.select(cols: _*).unionAll(b.select(cols: _*))
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") =!= 0)
+  }
+
+  /** Retraction form: the state of a DELETED view slice with the support
+    * count and every sum negated — merge it to downdate the maintained
+    * aggregate after deleting rows from a base side (the deleted view
+    * slice is `deletedA ⋈ B` — one delta-sized join, never a rescan).
+    */
+  def negateJoinAggState(
+      s: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+    s.select(keys.map(col) ++ sumCols.map(c => (-col(c)).as(c)) :+
+      (-col("n")).as("n"): _*)
+
   private val datasheetParts = Seq("scalars", "digests", "langs")
 
   /** Streaming IVM for the datasheet — [[maintainPricingSummary]]'s
@@ -357,8 +407,10 @@ object Incremental {
     * is distinct-content-sized, so the versioned FULL REWRITE per batch
     * — the simplest exactly-once layout, right for dashboard-refresh
     * cadences — prices a digests pass per commit. A 100 TB deployment
-    * graduates the digests frame to a bucketed table maintained by
-    * keyed merge (only the delta's keys rewrite), or swaps in the
+    * graduates the digests frame to [[mergeCountsPartitioned]]'s
+    * hash-partitioned state table (only the partitions holding the
+    * delta's keys rewrite — delta-sized maintenance, IncrementalSpec
+    * proves untouched partitions stay byte-identical), or swaps in the
     * [[Sketches]] HLL union when approximate uniqueness is acceptable;
     * the merge algebra is identical in all three layouts.
     */
@@ -383,6 +435,114 @@ object Incremental {
           df.write.mode("overwrite").parquet(s"$stateDir/v=$batchId/$name")
         ()
       }
+
+  /** The large-state graduation of [[mergeCounts]] (the `digests` scale
+    * note in [[maintainDatasheet]]): maintain a keyed count table as a
+    * parquet table PARTITIONED by a stable hash of the key,
+    * `__p = pmod(xxhash64(keys...), partitions)`, so a delta batch
+    * rewrites ONLY the partitions its keys hash into — maintenance is
+    * priced by the delta (its own aggregate + a merge over the affected
+    * partition slices), never by the distinct-key-sized state. This is
+    * exactly [[graft.sinks.Lake.deleteByIds]]'s copy-on-write discipline
+    * applied to a maintained view: locate affected partitions, re-read
+    * only them (partition-pruned scan), dynamic-partition-overwrite only
+    * them; untouched partition directories are never opened and stay
+    * byte-identical (IncrementalSpec asserts this on the file bytes).
+    *
+    * Layout under `stateDir`: `data/__p=N/...` (the state rows, columns
+    * `keys :+ cnt`) and `applied/batch=<id>` (commit markers).
+    *
+    * Replay idempotence: each batch merge is guarded by its marker — a
+    * foreachBatch replay of an already-applied batch returns `false` and
+    * touches nothing, so at-least-once delivery keeps counts exact. The
+    * marker commits AFTER the data overwrite; like [[graft.sinks.Lake]]'s
+    * COW operations this is NOT crash-atomic — a failure between the
+    * partition overwrite and the marker write can leave affected
+    * partitions half-merged (untouched partitions are never at risk).
+    * Snapshot affected partitions first, or use the versioned
+    * full-rewrite layout ([[maintainDatasheet]]), when crash-atomicity
+    * is a hard requirement; a transactional table format gives both
+    * properties at once.
+    *
+    * Negative-count deltas retract ([[mergeCounts]] algebra): a key
+    * whose count cancels to 0 is dropped from its rewritten partition,
+    * and a partition whose every key cancels has its directory removed
+    * (dynamic overwrite cannot express "write nothing").
+    *
+    * Returns true when the batch applied, false when its marker already
+    * existed (replay no-op).
+    */
+  def mergeCountsPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      delta: DataFrame,
+      keys: Seq[String],
+      cnt: String,
+      partitions: Int,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(partitions >= 1)
+    val dataDir = s"$stateDir/data"
+    val marker = new Path(s"$stateDir/applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    val part = pmod(xxhash64(keys.map(col): _*), lit(partitions)).as("__p")
+    // pre-aggregate the delta to one row per key BEFORE the merge (the
+    // delta may carry repeats), then pin it: it is consumed up to three
+    // times (affected-partition listing, merge, survivor accounting)
+    val deltaAgg = delta.select((keys :+ cnt).map(col): _*)
+      .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+      .filter(col(cnt) =!= 0)
+      .select(col("*"), part)
+      .localCheckpoint()
+    val affected = deltaAgg.select(col("__p")).distinct()
+      .collect().map(_.getLong(0)) // bounded by `partitions`, never key-sized
+    val hasState = fs.exists(new Path(dataDir))
+    val merged0 =
+      if (!hasState) deltaAgg.drop("__p")
+      else {
+        // partition-pruned read of ONLY the affected state slices
+        val slice = spark.read.parquet(dataDir)
+          .where(col("__p").isin(affected: _*))
+          .select((keys :+ cnt).map(col): _*)
+        mergeCounts(slice, deltaAgg.drop("__p"), keys, cnt)
+      }
+    // re-derive __p (a pure function of the keys) and pin the result:
+    // Spark refuses to overwrite a path still feeding the running plan
+    val merged = merged0.select(col("*"), part).localCheckpoint()
+    val emptied = {
+      val live = merged.select(col("__p")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      affected.filterNot(live)
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.write.mode("overwrite").partitionBy("__p").parquet(dataDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    emptied.foreach(p => fs.delete(new Path(dataDir, s"__p=$p"), true))
+    fs.mkdirs(marker)
+    true
+  }
+
+  /** The maintained count table of [[mergeCountsPartitioned]] as a frame
+    * (columns `keys :+ cnt`); empty when no batch has ever applied.
+    */
+  def readCountsPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      keys: Seq[String],
+      cnt: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(s"$stateDir/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataDir)) None
+    else Some(spark.read.parquet(dataDir.toString)
+      .select((keys :+ cnt).map(col): _*))
+  }
 
   /** Newest fully-committed datasheet state under `stateDir` (strictly
     * below `beforeBatch` when given). A version qualifies only when all

@@ -227,6 +227,113 @@ class IncrementalSpec extends SparkSpec {
     assert(dash(Incremental.dauFromState(down)) === dash(remainder))
   }
 
+  test("join+aggregate view: delta-folded monoid state equals the full " +
+      "recompute; retraction via negated partial sums is exact") {
+    import graft.operators.CoreOps.scaledCenti
+    val a = graft.sources.Tables.orders(spark, d).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      scaledCenti(col("o_totalprice")).as("p_c"))
+    val b = graft.sources.Tables.customer(spark, d).select(
+      col("c_custkey").as("custkey"), col("c_name"))
+    val keys = Seq("custkey", "c_name")
+    val sums = Seq("p_c")
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.select("custkey", "c_name", "p_c", "n")
+        .orderBy("custkey").as[(Long, String, Long, Long)].collect().toSeq
+    def full(orders: org.apache.spark.sql.DataFrame) =
+      view(orders.join(b, "custkey").groupBy(col("custkey"), col("c_name"))
+        .agg(sum(col("p_c")).as("p_c"), count(lit(1)).as("n")))
+    val (aOld, aDelta) = (a.filter(pmod(col("o_orderkey"), lit(4)) =!= 0),
+      a.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+    val (bOld, bDelta) = (b.filter(pmod(col("custkey"), lit(3)) =!= 0),
+      b.filter(pmod(col("custkey"), lit(3)) === 0))
+    val state = Incremental.mergeJoinAggStates(
+      Incremental.joinAggState(aOld.join(bOld, "custkey"), keys, sums),
+      Incremental.joinAggState(
+        Incremental.deltaJoinView(aOld, aDelta, bOld, bDelta, "custkey"),
+        keys, sums),
+      keys, sums)
+    assert(view(state) === full(a),
+      "delta-folded join-agg state diverges from the full recompute")
+    // retraction: delete some orders — the deleted view slice is ONE
+    // delta-sized join; its negated state downdates the aggregate exactly,
+    // including customers whose LAST order dies (key drops from the view)
+    val dead = a.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+    val down = Incremental.mergeJoinAggStates(state,
+      Incremental.negateJoinAggState(
+        Incremental.joinAggState(dead.join(b, "custkey"), keys, sums),
+        keys, sums),
+      keys, sums)
+    assert(view(down) === full(a.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)),
+      "negated-sum retraction diverges from the survivor recompute")
+  }
+
+  test("partitioned count table: a delta rewrites only its own partitions " +
+      "(untouched partitions byte-identical), replay is a no-op, and the " +
+      "maintained state equals the full recompute") {
+    val docs = graft.sources.Tables.documents(spark, d)
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source"), md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("cnt"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cntpart").toString
+    val keys = Seq("source", "digest")
+    val parts = 8
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      digests(b0), keys, "cnt", parts, batchId = 0L))
+    // snapshot every data file's raw-byte CRC before the second delta
+    def fileCrcs(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$stateDir/data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map { p =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(java.nio.file.Files.readAllBytes(p))
+          p.toString -> crc.getValue
+        }.toMap
+    }
+    val before = fileCrcs()
+    // second delta: a handful of docs — few digest keys, so they hash
+    // into a strict subset of the partitions
+    val delta1 = digests(b1.orderBy("doc_id").limit(5)).localCheckpoint()
+    val affected = delta1
+      .select(pmod(xxhash64(col("source"), col("digest")), lit(parts)).as("p"))
+      .distinct().as[Long].collect().toSet
+    assert(affected.size < parts,
+      s"test premise: the delta must miss some partitions (hit $affected)")
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      delta1, keys, "cnt", parts, batchId = 1L))
+    val after = fileCrcs()
+    // untouched partitions: every pre-existing file OUTSIDE the affected
+    // partitions is still present with identical bytes
+    val untouchedBefore = before.filter { case (p, _) =>
+      !affected.exists(a => p.contains(s"__p=$a/")) }
+    untouchedBefore.foreach { case (p, crc) =>
+      assert(after.get(p).contains(crc),
+        s"untouched partition file rewritten or removed: $p")
+    }
+    // replay of batch 1: marker-guarded no-op, bytes unchanged everywhere
+    assert(!Incremental.mergeCountsPartitioned(spark, stateDir,
+      delta1, keys, "cnt", parts, batchId = 1L))
+    assert(fileCrcs() === after, "replayed batch mutated the state table")
+    // the maintained table equals the full recompute over both batches
+    val got = Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt")
+    assert(got.isDefined)
+    val want = Incremental.mergeCounts(digests(b0), delta1, keys, "cnt")
+    assert(got.get.exceptAll(want).isEmpty && want.exceptAll(got.get).isEmpty,
+      "maintained count table diverges from the recompute")
+    // retraction: negative counts remove their keys; a fully-cancelled
+    // batch leaves exactly the b0 state
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      delta1.select(col("source"), col("digest"), (-col("cnt")).as("cnt")),
+      keys, "cnt", parts, batchId = 2L))
+    val got2 = Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt").get
+    val want2 = digests(b0)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "negative-count retraction diverges from the pre-delta state")
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
