@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Compare two BENCH_FULL.json artifacts per query.
 
-Usage: python3 scripts/bench_compare.py <old.json> <new.json> [threshold_pct]
+Usage: python3 scripts/bench_compare.py <old.json> <new.json> [threshold_pct] [--force]
 
 Prints queries whose |delta| exceeds the threshold (default 15%) on a
 meaningful base (max(old, new) > 0.2s), plus totals. Exit 0 iff none exceed.
@@ -14,20 +14,63 @@ reference window), every new-side time is divided by the factor RATIO
 The raw (unnormalized) numbers are still what gets printed, alongside
 the ratio, so nothing is hidden by the adjustment.
 
+Run quality (r12 verdict directive 8): every comparison prints each
+side's `run_quality` verdict — the artifact's own field when present
+(r13+ artifacts carry it), else derived here from the retimed block
+(undercuts: retime > 20% and > 0.3s BELOW the main number — the
+documented contamination signature; >= 3 undercuts = degraded,
+>= 1 = suspect). A DEGRADED side makes the whole comparison
+meaningless (the r12 snapshot seeded exactly this confusion), so the
+script REFUSES (exit 2) unless --force is given, and then annotates
+every line as tainted.
+
 The retimed block of the NEW artifact, when present, is used to adjudicate:
 a flagged query whose retime lands back inside the threshold is reported as
 a placement artifact, not a regression.
 """
 import json, sys
 
+def run_quality(art):
+    """(verdict, n_undercuts): the artifact's own field, else derived."""
+    q = art.get("queries", {})
+    retimed = art.get("retimed", {})
+    under = sum(1 for k, r in retimed.items()
+                if r and r > 0 and k in q and q[k] - r > 0.3 and r < 0.8 * q[k])
+    own = art.get("run_quality")
+    if own:
+        return own, art.get("retime_undercuts", under)
+    return ("degraded" if under >= 3 else "suspect" if under >= 1 else "ok"), under
+
 def main():
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    thr = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.15
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    thr = float(args[2]) / 100 if len(args) > 2 else 0.15
     oq, nq = old["queries"], new["queries"]
     retimed = new.get("retimed", {})
     wf_old, wf_new = old.get("window_factor", 0), new.get("window_factor", 0)
     wratio = (wf_new / wf_old) if wf_old and wf_new and wf_old > 0 and wf_new > 0 else 1.0
+
+    q_old, u_old = run_quality(old)
+    q_new, u_new = run_quality(new)
+    print(f"run_quality old: {q_old} ({u_old} retime undercuts"
+          + (f", wf {old['window_factor']:.2f}->{old['window_factor_end']:.2f}"
+             if "window_factor_end" in old else "") + ")"
+          f"  new: {q_new} ({u_new} retime undercuts"
+          + (f", wf {new['window_factor']:.2f}->{new['window_factor_end']:.2f}"
+             if "window_factor_end" in new else "") + ")")
+    degraded = [s for s, v in (("old", q_old), ("new", q_new)) if v == "degraded"]
+    if degraded:
+        msg = (f"REFUSING comparison: {' and '.join(degraded)} artifact(s) are "
+               f"run_quality=degraded — the documented discard rule; re-run the "
+               f"bench in a recovered window (pass --force to compare anyway)")
+        if not force:
+            print(msg)
+            sys.exit(2)
+        print(msg.replace("REFUSING", "WARNING (--force): proceeding with a") +
+              " — every delta below is TAINTED")
+
     shared = sorted(set(oq) & set(nq))
     flagged, artifacts = [], []
     for k in shared:
@@ -41,14 +84,15 @@ def main():
                 artifacts.append((k, a, b, r))
             else:
                 flagged.append((k, a, b, d))
+    taint = " [TAINTED: degraded side]" if degraded else ""
     print(f"shared queries: {len(shared)}  old total: {sum(oq[k] for k in shared):.1f}s"
           f"  new total: {sum(nq[k] for k in shared):.1f}s"
           + (f"  window ratio new/old: {wratio:.2f} (normalized)" if wratio != 1.0
-             else "  (no window normalization)"))
+             else "  (no window normalization)") + taint)
     for k, a, b, r in artifacts:
-        print(f"  placement-artifact {k}: {a:.2f} -> {b:.2f} (retimed {r:.2f}, inside threshold)")
+        print(f"  placement-artifact {k}: {a:.2f} -> {b:.2f} (retimed {r:.2f}, inside threshold){taint}")
     for k, a, b, d in sorted(flagged, key=lambda x: -abs(x[3])):
-        print(f"  FLAG {k}: {a:.2f} -> {b:.2f} ({d*100:+.0f}% window-normalized)")
+        print(f"  FLAG {k}: {a:.2f} -> {b:.2f} ({d*100:+.0f}% window-normalized){taint}")
     new_only = sorted(set(nq) - set(oq))
     if new_only:
         print(f"new-only queries: {', '.join(new_only)}")

@@ -10,7 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      its own fresh session and publishes `window_factor` (see
   *      `canaryRef`): the artifact qualifies its own host window, so
   *      cross-round totals are comparable numerically instead of via
-  *      SCALING.md prose.
+  *      SCALING.md prose. The SAME canary re-runs LAST
+  *      (`window_factor_end`, r12 directive 1): a start-only factor
+  *      cannot see contention arriving mid-run, which is exactly how the
+  *      r12 driver artifact degraded. Both factors + the retime-undercut
+  *      count fold into a `run_quality` verdict field ("ok" / "suspect" /
+  *      "degraded", rule published as `run_quality_rule`), so a degraded
+  *      artifact SELF-DECLARES and `bench_compare.py` refuses to treat it
+  *      as a baseline.
+  *   0b. The co-purchase GRAPH FAMILY is benched the served way (r12
+  *      directive 2): the three edge shapes (symmetric / weighted / half)
+  *      are derived from lineitem ONCE per run — timed, attributed in the
+  *      `family_build` block — and stored as parquet; each family row
+  *      then runs in its own fresh session off the stored tables under
+  *      the same warm2+1(convergence) protocol as the slow tail. ~12 rows
+  *      no longer embed the identical edge build (~15-20 s/run); the gate
+  *      forms stay self-contained for oracle isolation, and ISOLATE=1
+  *      keeps the one-shot forms.
   *   1. Phase 1 splits by cost, because isolation is only load-bearing
   *      for the heavy tail. The round-9 A/B (same day, same corpus)
   *      measured: (a) a fully SHARED session — even one scrubbed
@@ -194,6 +210,50 @@ object Bench {
     // prev median crossed slowCut in r11, so it lands here from r12 on
     "search_hybrid_rrf")
 
+  /** The slow-tail per-query timing protocol (doc note 2), shared by the
+    * slow phase and the graph-family phase: two tiny warms when a
+    * same-plan warm form exists, ONE timed full-scale run, and the
+    * in-phase adaptive convergence loop (re-run while still descending
+    * >20%, cap 4) whenever the first run drifts beyond the trigger vs
+    * the previous round's median — tighter trigger for DriftAB-flagged
+    * JIT-tiering plans. Falls back to 2-run-min when no warm form
+    * exists.
+    */
+  private def slowTimed(
+      name: String,
+      prev: Map[String, Double],
+      runsCap: Int,
+      warm: Option[() => Unit],
+      full: () => Unit): (Double, Boolean) = {
+    def one(): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { full(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    warm match {
+      case None => timedMin(math.min(runsCap, 2))(full())
+      case Some(w) =>
+        try { w(); w() } catch { case _: Throwable => () }
+        val first = one()
+        val (relThr, absThr) =
+          if (jitTieringFlagged(name)) (0.10, 0.15) else (0.25, 0.3)
+        val suspicious = first._2 && (prev.get(name) match {
+          case Some(p) => math.abs(first._1 - p) > absThr &&
+            math.abs(first._1 - p) > relThr * p
+          case None    => true // first measurement: confirm it
+        })
+        if (!suspicious) first
+        else {
+          var runsDone = Seq(first)
+          while (runsDone.length < 4 && runsDone.forall(_._2) &&
+              (runsDone.length < 2 ||
+                runsDone.last._1 < 0.8 * runsDone(runsDone.length - 2)._1))
+            runsDone = runsDone :+ one()
+          (runsDone.map(_._1).min, runsDone.forall(_._2))
+        }
+    }
+  }
+
   /** Per-query seconds out of a prior BENCH_FULL.json (the `"queries"`
     * object) — names are `[a-z0-9_]+`, so a regex scan is a full parser.
     */
@@ -251,6 +311,9 @@ object Bench {
     // (unknown cost: isolate first, classify next round).
     val slowCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOWCUT", "1.0").toDouble
     val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // build-vs-operator attribution for the graph-family phase
+    // (`family_build` artifact block) — empty under ISOLATE=1
+    val familyBuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results =
       if (isolate) allQueries.map { case (name, fn) =>
         val spark = newSession(cpus)
@@ -261,7 +324,13 @@ object Bench {
         (name, sec, ok)
       }
       else {
-        val (slowQs, fastQs) = allQueries.partition { case (name, _) =>
+        // the co-purchase graph family splits off first: benched the
+        // served way (r12 verdict directive 2) — see the family phase
+        val familyNames = SparkEntry.graphFamilyQueries.keySet
+        val (famQs, nonFamily) = allQueries.partition {
+          case (name, _) => familyNames(name)
+        }
+        val (slowQs, fastQs) = nonFamily.partition { case (name, _) =>
           prev.get(name).forall(_ >= slowCut)
         }
         // slow tail: per-query fresh sessions — the round-9 A/B measured
@@ -285,56 +354,70 @@ object Bench {
         })
         val warmOk = warmDir.nonEmpty &&
           new java.io.File(warmDir, "lineitem.parquet").exists()
+        // ---- Phase 1a: the co-purchase graph family, benched the served
+        // way (r12 verdict directive 2). Every family row used to re-derive
+        // the SAME edge list from lineitem inside its timed run (~12
+        // identical builds, 15-20 s/run and growing each round); a
+        // production path derives the edge tables once per corpus snapshot
+        // and runs every graph operator off the stored tables. So: the
+        // three co-purchase shapes are built ONCE into parquet — timed,
+        // attributed in the artifact's `family_build` block — and each
+        // operator row then runs in its OWN fresh session (the slow-tail
+        // isolation contract) reading the stored tables, timed by the
+        // same warm2+1(convergence) protocol as the slow phase. The gate
+        // forms stay self-contained (Verify prices the build per query
+        // for oracle isolation), and ISOLATE=1 keeps the one-shot forms.
+        val famDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-family"
+        val familyResults =
+          if (famQs.isEmpty) Nil
+          else {
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(famDir))
+            val sB = newSession(cpus)
+            def build(name: String, df: DataFrame, path: String): Unit = {
+              val t0 = System.nanoTime()
+              df.write.mode("overwrite").parquet(path)
+              familyBuilds += name -> (System.nanoTime() - t0) / 1e9
+            }
+            val fr = SparkEntry.copurchaseFrames(sB, sfDir)
+            build("edges", fr.edges, s"$famDir/full/edges")
+            build("edges_weighted", fr.weighted, s"$famDir/full/weighted")
+            build("half_edges", fr.half, s"$famDir/full/half")
+            if (warmOk) { // tiny same-plan tables for the off-clock JIT warms
+              val tw = SparkEntry.copurchaseFrames(sB, warmDir)
+              tw.edges.write.mode("overwrite").parquet(s"$famDir/warm/edges")
+              tw.weighted.write.mode("overwrite").parquet(s"$famDir/warm/weighted")
+              tw.half.write.mode("overwrite").parquet(s"$famDir/warm/half")
+            }
+            sB.stop()
+            System.gc()
+            val out = famQs.zipWithIndex.map { case ((name, _), i) =>
+              val spark = newSession(cpus)
+              val fn = SparkEntry.graphFamilyQueries(name)
+              def frames(kind: String) = SparkEntry.CopurchaseFrames(
+                spark.read.parquet(s"$famDir/$kind/edges"),
+                spark.read.parquet(s"$famDir/$kind/weighted"),
+                spark.read.parquet(s"$famDir/$kind/half"))
+              val warm = if (warmOk) Some(() => exec(fn(frames("warm")))) else None
+              val (sec, ok) = slowTimed(name, prev, runs, warm,
+                () => exec(fn(frames("full"))))
+              spark.stop()
+              if (i % 6 == 5) System.gc()
+              (name, sec, ok)
+            }
+            phaseDone("family")
+            out
+          }
+        // slow tail: TWO tiny warms (iterative plans tier the JIT across
+        // executions — the r9 A/B measured +20-45% hot after a single
+        // warm), ONE timed full-scale run, drift-triggered convergence
+        // loop — see slowTimed (r10 recorded +17-65% single-run
+        // inflations on unchanged queries; the r11 A/B measured heavy
+        // plans still tiering at run 3: 6.8 -> 1.9 -> 1.3 s).
         val slowResults = slowQs.zipWithIndex.map { case ((name, fn), i) =>
           val spark = newSession(cpus)
-          def one(): (Double, Boolean) = {
-            val t0 = System.nanoTime()
-            val ok = try { exec(fn(spark, sfDir)); true }
-                     catch { case _: Throwable => false }
-            ((System.nanoTime() - t0) / 1e9, ok)
-          }
-          val (sec, ok) =
-            if (!warmOk) timedMin(math.min(runs, 2))(exec(fn(spark, sfDir)))
-            else {
-              // TWO tiny warms, not one: iterative plans (bpe_merges,
-              // k-means, the LM gates) tier the JIT across executions —
-              // the r9 A/B measured them +20-45% hot after a single warm.
-              // A second ~0.2s sf0.001 pass buys the tier-up off-clock.
-              try { exec(fn(spark, warmDir)); exec(fn(spark, warmDir)) }
-              catch { case _: Throwable => () }
-              val first = one()
-              // cross-check on DRIFT (either direction), not just
-              // regression: r10 recorded +17-65% single-run inflations on
-              // unchanged queries that were never confirmed. |delta| >25%
-              // and >0.3s vs the protocol-matched history triggers a
-              // CONVERGENCE loop, not one fixed retry: the r11 A/B
-              // measured heavy plans tiering across FULL-SCALE runs
-              // (dedup_embedding_lsh 6.8 -> 1.9 -> 1.3 s in one fresh
-              // session — the tiny warms bound run 1, they don't buy
-              // full-scale steady state), so min-of-2 can still record a
-              // half-converged number. Keep re-running while the latest
-              // run undercuts the previous by >20% (still descending),
-              // cap 4 runs total; converged queries never pay it.
-              // DriftAB-flagged tiering plans get a TIGHTER trigger
-              // (>10% && >0.15s): their single-run numbers carry
-              // half-converged JIT states that read as 10-25% drift
-              val (relThr, absThr) =
-                if (jitTieringFlagged(name)) (0.10, 0.15) else (0.25, 0.3)
-              val suspicious = first._2 && (prev.get(name) match {
-                case Some(p) => math.abs(first._1 - p) > absThr &&
-                  math.abs(first._1 - p) > relThr * p
-                case None    => true // first measurement: confirm it
-              })
-              if (!suspicious) first
-              else {
-                var runsDone = Seq(first)
-                while (runsDone.length < 4 && runsDone.forall(_._2) &&
-                    (runsDone.length < 2 ||
-                      runsDone.last._1 < 0.8 * runsDone(runsDone.length - 2)._1))
-                  runsDone = runsDone :+ one()
-                (runsDone.map(_._1).min, runsDone.forall(_._2))
-              }
-            }
+          val warm = if (warmOk) Some(() => exec(fn(spark, warmDir))) else None
+          val (sec, ok) = slowTimed(name, prev, runs, warm,
+            () => exec(fn(spark, sfDir)))
           spark.stop()
           if (i % 6 == 5) System.gc()
           (name, sec, ok)
@@ -405,7 +488,7 @@ object Bench {
         spark.stop()
         System.gc()
         phaseDone("fast")
-        (slowResults ++ fastResults).sortBy(_._1)
+        (familyResults ++ slowResults ++ fastResults).sortBy(_._1)
       }
 
     // ---- Phase 1.5: from-index SERVING forms. The one-shot bench
@@ -591,6 +674,53 @@ object Bench {
     }
     phaseDone("retime")
 
+    // ---- Phase 4: END-of-run canary (r12 verdict directive 1). The
+    // phase-0 canary qualifies only the START of the run: contention
+    // arriving mid-run — exactly the r12 degraded-artifact failure mode
+    // (load_avg 3.1 at start, walk-family numbers 3x later) — is
+    // invisible to a single factor. Re-running the same pinned workloads
+    // LAST makes mid-run drift a published number, folded into
+    // `run_quality` below.
+    val canaryEndResults: Seq[(String, Double)] = {
+      val sE = newSession(cpus)
+      val out = graft.tools.HostCanary.measure(sE)
+      sE.stop()
+      System.gc()
+      out
+    }
+    val windowFactorEnd: Double = graft.tools.HostCanary.factor(canaryEndResults)
+    phaseDone("canary-end")
+
+    // ---- Run-quality verdict: the repo's documented discard rule, made
+    // an artifact FIELD so a degraded run self-declares instead of
+    // requiring SCALING.md prose (r12 verdict directive 1b). Signals:
+    //  - retime UNDERCUTS: flagged queries whose clean-session retime
+    //    lands >20% and >0.3s BELOW the main number — the contamination
+    //    signature (the main phase was inflated); a wide undercut set
+    //    means the run's window degraded mid-flight;
+    //  - canary DRIFT: |wf_end - wf_start| / wf_start — the host window
+    //    moved while the run was in it.
+    val mainSec = results.collect { case (n, s, true) => n -> s }.toMap
+    val retimeUndercuts = retimed.count { case (name, r) =>
+      r > 0 && mainSec.get(name).exists(m => m - r > 0.3 && r < 0.8 * m)
+    }
+    val canaryDrift =
+      if (windowFactor > 0 && windowFactorEnd > 0)
+        math.abs(windowFactorEnd - windowFactor) / windowFactor
+      else -1.0 // a canary failed: the window cannot be qualified
+    val runQuality =
+      if (retimeUndercuts >= 3 || canaryDrift > 0.25) "degraded"
+      else if (retimeUndercuts >= 1 || canaryDrift > 0.15 || canaryDrift < 0)
+        "suspect"
+      else "ok"
+    val runQualityRule = "degraded: retime undercuts(>20% and >0.3s) >= 3 " +
+      "or |wf_end-wf_start|/wf_start > 0.25 -> discard and re-run in a " +
+      "recovered window; suspect: undercuts >= 1 or drift > 0.15 or a " +
+      "canary failed"
+    System.err.println(f"[bench] run_quality=$runQuality " +
+      f"(undercuts=$retimeUndercuts, wf_start=$windowFactor%.3f, " +
+      f"wf_end=$windowFactorEnd%.3f)")
+
     // ---- Reporting. The driver captures only the LAST ~2000 chars of
     // stdout and parses one JSON line out of it (sbt appends ~70 chars of
     // its own after us). A full 70+-query map with 9-digit doubles is
@@ -612,7 +742,15 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryQs = canaryResults.filter(_._2 > 0)
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
-    val windowQs = s""""canary":$canaryQs,"window_factor":${ms3(windowFactor)},"load_avg":${ms3(loadAvg)}"""
+    val canaryEndQs = canaryEndResults.filter(_._2 > 0)
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    val windowQs = s""""canary":$canaryQs,"window_factor":${ms3(windowFactor)},""" +
+      s""""canary_end":$canaryEndQs,"window_factor_end":${ms3(windowFactorEnd)},""" +
+      s""""canary_drift":${ms3(canaryDrift)},"retime_undercuts":$retimeUndercuts,""" +
+      s""""run_quality":"$runQuality","run_quality_rule":"$runQualityRule",""" +
+      s""""load_avg":${ms3(loadAvg)}"""
+    val familyBuildQs = familyBuilds
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val retimedQs = retimed.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val errors = (results ++ servedResults ++ skewResults)
@@ -625,11 +763,11 @@ object Bench {
     // full-scale run (+1 on >25% drift); fast = median-of-3, min-of-2
     // under 0.4s, 2-3 concurrent session clones; served = median-of-3;
     // skew = warm(2M)+1.
-    val protocol = "slow:warm2+1(conv<=4 on drift);fast:med3|min2 x" +
+    val protocol = "family:stored-edges warm2+1;slow:warm2+1(conv<=4 on drift);fast:med3|min2 x" +
       (if (isolate) "isolated" else s"${math.max(1, math.min(4, sys.env.getOrElse("SPARK_GRAFT_BENCH_FASTGROUPS", "3").toInt))}grp") +
       ";served:med3;skew:warm+1"
     val fullJson =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$windowQs,"queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":"$protocol","errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",$windowQs,"queries":${entries(okResults).mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"family_build":$familyBuildQs,"retimed":$retimedQs,"skew_demo":$skewQs,"runs_per_query":"$protocol","errors":$errors,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -642,7 +780,7 @@ object Bench {
     val budgetTotal = 1750
     val slowestFirst = entries(okResults.sortBy(-_._2))
     def mk(qs: Seq[String], skew: String, errs: String): String =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","window_factor":${ms3(windowFactor)},"queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","window_factor":${ms3(windowFactor)},"window_factor_end":${ms3(windowFactorEnd)},"run_quality":"$runQuality","canary":$canaryQs,"canary_end":$canaryEndQs,"queries":${qs.mkString("{", ",", "}")},"served":$servedQs,"served_build":$servedBuildQs,"family_build":$familyBuildQs,"skew_demo":$skew,"runs_per_query":"$protocol","errors":$errs,"n_queries":${okResults.size},"n_errors":${results.size - okResults.size},"full":"$fullPath","sf":"$sfDir"}"""
     val line = Seq((skewQs, errors), (skewQs, "[]"), ("{}", "[]")).iterator
       .map { case (sk, er) =>
         val room = budgetTotal - mk(Nil, sk, er).length

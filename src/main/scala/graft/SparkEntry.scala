@@ -29,10 +29,160 @@ object SparkEntry {
     queries("tpch_q3_top_orders")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
-    analyticsQueries ++ graft.functions.LlmQueries.queries
+    analyticsQueries ++ graphFamilyOneShot ++ graft.functions.LlmQueries.queries
 
   def oracleSql: Map[String, String] = coreOracles ++
     analyticsOracles ++ graft.functions.LlmQueries.oracles
+
+  /** The three co-purchase edge frames every graph-family query derives
+    * from lineitem — one logical build, three shapes (directed-symmetric,
+    * co-occurrence-weighted, degree-ordered half edges). Frames are lazy
+    * plans; a consumer pays only for the shape(s) it reads.
+    */
+  final case class CopurchaseFrames(
+      edges: DataFrame, weighted: DataFrame, half: DataFrame)
+
+  def copurchaseFrames(s: SparkSession, d: String): CopurchaseFrames = {
+    val li = Tables.lineitem(s, d)
+    CopurchaseFrames(
+      edges = graft.functions.Graph.copurchaseEdges(li),
+      weighted = graft.functions.Graph.copurchaseEdgesWeighted(li),
+      half = graft.functions.Graph.copurchaseHalfEdges(li))
+  }
+
+  /** 1/40-seed set for the walk-corpus queries. */
+  private def walkSeeds(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(40)) === 0)
+
+  /** The co-purchase graph family over PRE-BUILT edge frames — the
+    * amortized form (r12 verdict directive 2): `Bench` builds the edge
+    * tables ONCE per run (timed, attributed in the artifact's
+    * `family_build` block) and times each operator row off the stored
+    * tables, instead of every row re-deriving the identical edge list
+    * from lineitem (~12 rebuilds per bench run, growing each round).
+    * The [[queries]] gate forms delegate here with a self-contained
+    * [[copurchaseFrames]] build, so Verify's oracle isolation — every
+    * gate query a closed expression over the raw tables — is unchanged,
+    * and the two forms cannot drift (one body).
+    */
+  val graphFamilyQueries: Map[String, CopurchaseFrames => DataFrame] = Map(
+    // Iterative graph computation: 5 synchronous PageRank rounds over
+    // the symmetric part co-purchase graph, integer fixed-point so the
+    // unrolled-CTE oracle matches every iterate bit-for-bit.
+    "graph_pagerank" -> { f =>
+      graft.functions.Graph.pageRank(f.edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    },
+    // Weighted PageRank over the same graph with co-occurrence weights
+    // (w = orders containing both parts): per-edge contribution
+    // (r * w) div W(u), the multiplicity the unweighted build discards.
+    "graph_pagerank_weighted" -> { f =>
+      graft.functions.Graph.pageRankWeighted(
+        f.weighted, "src", "dst", "w", iterations = 5)
+        .orderBy("node")
+    },
+    // Personalized PageRank from a 5-part seed set: proximity-to-seeds
+    // ranking, the "related items" recommendation primitive.
+    "graph_ppr" -> { f =>
+      graft.functions.Graph.personalizedPageRank(
+        f.edges, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 4)
+        .orderBy("node")
+    },
+    // Per-node triangle counts via degree-ordered orientation — the
+    // bounded-fan-out shape that survives power-law hubs. r11: the
+    // adjacency-intersection plan (Graph.triangleCountsAdj) — TriangleProbe
+    // proved the wedge JOIN was 73-92% of wall, and replacing it with
+    // explode(array_intersect) over sqrt(E)-bounded adjacency arrays cut
+    // the query 55% (8.55 -> 3.81 s at sf0.1), hash unchanged.
+    "graph_triangles" -> { f =>
+      graft.functions.Graph.triangleCountsAdj(f.half).orderBy("node")
+    },
+    // k-core: the "dense engagement core" of the co-purchase graph —
+    // synchronous peeling over the half-edge form (5 rounds ≥ fixpoint
+    // depth at every test SF: 3 at sf0.001, 5 at sf0.01, 5 at sf0.1 —
+    // GraphOpsSpec pins the fixpoint property), survivors reported with
+    // their in-core degree. k=80 bites at this graph's density (median
+    // degree ~115): sf0.01 peels 1903 → 1857.
+    "graph_kcore" -> { f =>
+      graft.functions.Graph.kCoreHalf(f.half, k = 80, rounds = 5)
+        .orderBy("node")
+    },
+    // Link prediction: top 100 non-adjacent part pairs by integer
+    // Adamic–Adar mass through bounded-degree common neighbors — the
+    // "customers who bought these also bought" candidate generator.
+    "link_prediction" -> { f =>
+      graft.functions.Graph.commonNeighborLinks(
+        f.edges, "src", "dst", degCap = 64, topK = 100)
+    },
+    // Multi-source BFS: hop distance (<= 3) from a 5-part watchlist over
+    // the co-purchase graph — frontier-only expansion per round.
+    "graph_hops" -> { f =>
+      graft.functions.Graph.bfsHops(
+        f.edges, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
+        .orderBy("node")
+    },
+    // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
+    // (the deterministic stand-in for L2 normalization) — eigenvector-
+    // style centrality without PageRank's teleport, bit-exact vs the
+    // unrolled oracle.
+    "graph_hits" -> { f =>
+      graft.functions.Graph.hits(f.edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    },
+    // Deterministic random walks (the DeepWalk corpus step): one
+    // 4-step walk per seed part, next hop = salted-md5 argmin over
+    // out-neighbors — RNG-free, reproducible, SQL-twinnable.
+    "graph_walks" -> { f =>
+      graft.functions.Graph.deterministicWalks(
+        f.edges, "src", "dst", walkSeeds(f.edges), steps = 4)
+        .orderBy("wid", "step")
+    },
+    // Second-order biased walks (node2vec p/q sampling, RNG-free):
+    // backtrack discouraged (ret 100), distance-1 neutral (1000),
+    // exploration favored (out 2500) — the integer Efraimidis-Spirakis
+    // race over the same salted hash, bit-reproducible vs the unrolled
+    // oracle. Per step: one edge-vs-frontier join + one candidate-vs-
+    // adjacency join on the previous node.
+    "graph_walks_biased" -> { f =>
+      graft.functions.Graph.node2vecWalks(
+        f.edges, "src", "dst", walkSeeds(f.edges), steps = 4,
+        retPermille = 100, inPermille = 1000, outPermille = 2500)
+        .orderBy("wid", "step")
+    },
+    // Walk-corpus generation (the DeepWalk skip-gram step): window-2
+    // co-occurrence pairs over the deterministic walks — the SGNS
+    // training pairs the walks exist to produce. One walk-frame
+    // self-join; pair volume is walks x steps x 2w, independent of |E|.
+    "graph_walk_pairs" -> { f =>
+      graft.functions.Graph.skipGramPairs(
+        graft.functions.Graph.deterministicWalks(
+          f.edges, "src", "dst", walkSeeds(f.edges), steps = 4),
+        window = 2)
+        .orderBy("center", "context")
+    },
+    // SGNS negative-sampling corpus (completes the embedding-training
+    // product): 3 deterministic md5 draws per skip-gram pair from the
+    // unigram^(3/4) noise distribution (Mikolov et al. 2013), the 3/4
+    // power integer-exact through Q10 log space and the interval lookup
+    // a bucketed EQUI-join — bit-reproducible vs the range-join oracle.
+    "graph_walk_negatives" -> { f =>
+      graft.functions.Graph.sgnsNegatives(
+        graft.functions.Graph.deterministicWalks(
+          f.edges, "src", "dst", walkSeeds(f.edges), steps = 4),
+        window = 2, negatives = 3)
+        .orderBy("center", "context", "neg_rank")
+    })
+
+  /** The self-contained gate forms of the graph family: one body
+    * ([[graphFamilyQueries]]) applied to a per-query [[copurchaseFrames]]
+    * build — what Verify runs (oracle isolation: the build is part of
+    * the query) and what `SPARK_GRAFT_BENCH_ISOLATE=1` times.
+    */
+  private val graphFamilyOneShot: Map[String, (SparkSession, String) => DataFrame] =
+    graphFamilyQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, d: String) => fn(copurchaseFrames(s, d)))
+    }
 
   /** Shared input/aggregation of the two funnel query forms: clicks and
     * purchases as (user_id, event_type, ts_us, event_id); per-user click
@@ -1366,24 +1516,9 @@ object SparkEntry {
         (df, t) => df.withColumnRenamed(t, s"${t}_centi"))
         .orderBy("day_us")
     },
-    // Iterative graph computation: 5 synchronous PageRank rounds over
-    // the symmetric part co-purchase graph, integer fixed-point so the
-    // unrolled-CTE oracle matches every iterate bit-for-bit.
-    "graph_pagerank" -> { (s, d) =>
-      graft.functions.Graph.pageRank(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", iterations = 5)
-        .orderBy("node")
-    },
-    // Weighted PageRank over the same graph with co-occurrence weights
-    // (w = orders containing both parts): per-edge contribution
-    // (r * w) div W(u), the multiplicity the unweighted build discards.
-    "graph_pagerank_weighted" -> { (s, d) =>
-      graft.functions.Graph.pageRankWeighted(
-        graft.functions.Graph.copurchaseEdgesWeighted(Tables.lineitem(s, d)),
-        "src", "dst", "w", iterations = 5)
-        .orderBy("node")
-    },
+    // (the co-purchase graph family lives in graphFamilyQueries above —
+    // one body for the gate's self-contained forms and Bench's amortized
+    // prebuilt-edge forms)
     // Data-quality audit: per-column profile of orders in ONE aggregate
     // pass (nulls, exact distincts, portable min/max reprs).
     "table_profile_orders" -> { (s, d) =>
@@ -1392,100 +1527,6 @@ object SparkEntry {
         "o_orderstatus" -> "string", "o_totalprice" -> "double_centi",
         "o_orderdate" -> "ts_us", "o_orderpriority" -> "string"))
         .orderBy("column")
-    },
-    // Personalized PageRank from a 5-part seed set: proximity-to-seeds
-    // ranking, the "related items" recommendation primitive.
-    "graph_ppr" -> { (s, d) =>
-      graft.functions.Graph.personalizedPageRank(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), iterations = 4)
-        .orderBy("node")
-    },
-    // Per-node triangle counts via degree-ordered orientation — the
-    // bounded-fan-out shape that survives power-law hubs. r11: the
-    // adjacency-intersection plan (Graph.triangleCountsAdj) — TriangleProbe
-    // proved the wedge JOIN was 73-92% of wall, and replacing it with
-    // explode(array_intersect) over sqrt(E)-bounded adjacency arrays cut
-    // the query 55% (8.55 -> 3.81 s at sf0.1), hash unchanged.
-    "graph_triangles" -> { (s, d) =>
-      graft.functions.Graph.triangleCountsAdj(
-        graft.functions.Graph.copurchaseHalfEdges(Tables.lineitem(s, d)))
-        .orderBy("node")
-    },
-    // k-core: the "dense engagement core" of the co-purchase graph —
-    // synchronous peeling over the half-edge form (5 rounds ≥ fixpoint
-    // depth at every test SF: 3 at sf0.001, 5 at sf0.01, 5 at sf0.1 —
-    // GraphOpsSpec pins the fixpoint property), survivors reported with
-    // their in-core degree. k=80 bites at this graph's density (median
-    // degree ~115): sf0.01 peels 1903 → 1857.
-    "graph_kcore" -> { (s, d) =>
-      graft.functions.Graph.kCoreHalf(
-        graft.functions.Graph.copurchaseHalfEdges(Tables.lineitem(s, d)),
-        k = 80, rounds = 5)
-        .orderBy("node")
-    },
-    // Link prediction: top 100 non-adjacent part pairs by integer
-    // Adamic–Adar mass through bounded-degree common neighbors — the
-    // "customers who bought these also bought" candidate generator.
-    "link_prediction" -> { (s, d) =>
-      graft.functions.Graph.commonNeighborLinks(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", degCap = 64, topK = 100)
-    },
-    // Multi-source BFS: hop distance (<= 3) from a 5-part watchlist over
-    // the co-purchase graph — frontier-only expansion per round.
-    "graph_hops" -> { (s, d) =>
-      graft.functions.Graph.bfsHops(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
-        .orderBy("node")
-    },
-    // Deterministic random walks (the DeepWalk corpus step): one
-    // 4-step walk per seed part, next hop = salted-md5 argmin over
-    // out-neighbors — RNG-free, reproducible, SQL-twinnable.
-    "graph_walks" -> { (s, d) =>
-      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
-      val seeds = e.select(col("src").as("node")).distinct()
-        .filter(pmod(col("node"), lit(40)) === 0)
-      graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4)
-        .orderBy("wid", "step")
-    },
-    // Second-order biased walks (node2vec p/q sampling, RNG-free):
-    // backtrack discouraged (ret 100), distance-1 neutral (1000),
-    // exploration favored (out 2500) — the integer Efraimidis-Spirakis
-    // race over the same salted hash, bit-reproducible vs the unrolled
-    // oracle. Per step: one edge-vs-frontier join + one candidate-vs-
-    // adjacency join on the previous node.
-    "graph_walks_biased" -> { (s, d) =>
-      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
-      val seeds = e.select(col("src").as("node")).distinct()
-        .filter(pmod(col("node"), lit(40)) === 0)
-      graft.functions.Graph.node2vecWalks(e, "src", "dst", seeds, steps = 4,
-        retPermille = 100, inPermille = 1000, outPermille = 2500)
-        .orderBy("wid", "step")
-    },
-    // Walk-corpus generation (the DeepWalk skip-gram step): window-2
-    // co-occurrence pairs over the deterministic walks — the SGNS
-    // training pairs the walks exist to produce. One walk-frame
-    // self-join; pair volume is walks x steps x 2w, independent of |E|.
-    "graph_walk_pairs" -> { (s, d) =>
-      val e = graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d))
-      val seeds = e.select(col("src").as("node")).distinct()
-        .filter(pmod(col("node"), lit(40)) === 0)
-      graft.functions.Graph.skipGramPairs(
-        graft.functions.Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4),
-        window = 2)
-        .orderBy("center", "context")
-    },
-    // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
-    // (the deterministic stand-in for L2 normalization) — eigenvector-
-    // style centrality without PageRank's teleport, bit-exact vs the
-    // unrolled oracle.
-    "graph_hits" -> { (s, d) =>
-      graft.functions.Graph.hits(
-        graft.functions.Graph.copurchaseEdges(Tables.lineitem(s, d)),
-        "src", "dst", iterations = 3)
-        .orderBy("node")
     },
     // Incremental view maintenance: the Q1 summary rebuilt as
     // merge(base-batch summary, delta-batch summary) — must land on the
@@ -1836,6 +1877,46 @@ object SparkEntry {
         GROUP BY 1, 2
         ORDER BY center, context"""
 
+  /** `log2(x) * 1024` in DuckDB (the [[graft.functions.TextAnalysis]]
+    * bit-length idiom: integer part from the binary digit count, 10-bit
+    * linear interpolation — identical arithmetic on both engines). */
+  private def duckLog2Q10(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + " +
+      s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+
+  /** DuckDB twin of [[graft.functions.Graph.sgnsNegatives]]: the same
+    * unrolled walks -> unigram counts -> integer cnt^(3/4) weights
+    * (Q10 log round-trip) -> cumulative intervals -> 3 md5 draws per
+    * skip-gram pair, resolved with a plain RANGE join (the Spark side's
+    * bucketed equi-join must produce the identical assignment). */
+  private val walkNegativesOracle: String =
+    s"""WITH $walksCte,
+          uni AS (SELECT node, count(*) AS cnt FROM wk GROUP BY 1),
+          wts AS (SELECT node,
+                    ((y % 1024 + 1024) * (CAST(1 AS BIGINT) << (y // 1024))) // 1024 AS w
+                  FROM (SELECT node, (3 * ${duckLog2Q10("cnt")}) // 4 AS y FROM uni)),
+          cum AS (SELECT node, w,
+                    CAST(SUM(w) OVER (ORDER BY node
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+                  FROM wts),
+          iv AS (SELECT node, hi - w AS lo, hi FROM cum),
+          tot AS (SELECT max(hi) AS t FROM iv),
+          prs AS (SELECT a.node AS center, b.node AS context, count(*) AS pair_cnt
+                  FROM wk a JOIN wk b
+                    ON a.wid = b.wid AND a.step <> b.step
+                   AND abs(a.step - b.step) <= 2
+                  GROUP BY 1, 2),
+          drw AS (SELECT center, context, pair_cnt, j AS neg_rank,
+                    CAST(('0x' || substr(md5(
+                      CAST(center AS VARCHAR) || '_' || CAST(context AS VARCHAR)
+                        || '_' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % t AS draw
+                  FROM prs
+                  CROSS JOIN tot
+                  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j))
+        SELECT d.center, d.context, d.pair_cnt, d.neg_rank, i.node AS neg_node
+        FROM drw d JOIN iv i ON d.draw >= i.lo AND d.draw < i.hi
+        ORDER BY center, context, neg_rank"""
+
   private val analyticsOracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_pagerank_weighted" -> pagerankWeightedOracle,
@@ -1847,6 +1928,7 @@ object SparkEntry {
     "graph_walks" -> walksOracle,
     "graph_walks_biased" -> biasedWalksOracle,
     "graph_walk_pairs" -> walkPairsOracle,
+    "graph_walk_negatives" -> walkNegativesOracle,
     "table_profile_orders" -> {
       def row(c: String, minR: String, maxR: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,

@@ -965,4 +965,90 @@ object Graph {
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("pair_cnt"))
   }
+
+  /** SGNS noise-distribution table over a walk corpus — the
+    * unigram^(3/4) sampling distribution of Mikolov et al. 2013
+    * ("Distributed Representations of Words and Phrases", §2.2), the
+    * third product an embedding trainer needs next to the walks and the
+    * [[skipGramPairs]]: per corpus node, a half-open cumulative interval
+    * `[lo, hi)` whose width is the node's noise weight, so a uniform
+    * draw in `[0, max hi)` selects a negative with probability
+    * proportional to `count^0.75`.
+    *
+    * Integer-exact `x^0.75` (cross-engine reproducible, no libm `pow`):
+    * through Q10 log space — `y = (3 * log2Q10(cnt)) div 4`, then back
+    * via the exact inverse of the bit-length log's linear interpolation,
+    * `w = ((y mod 1024 + 1024) * 2^(y div 1024)) div 1024` — pure
+    * bit-length/shift/`div` arithmetic on both engines, the
+    * [[TextAnalysis.log2Q10Sql]] stance. Weight is >= 1 for any cnt >= 1,
+    * so every corpus node is drawable.
+    *
+    * Scale shape: one corpus-sized unigram count (partial-agg groupBy),
+    * then ONE vocabulary-sized cumulative window (a single-partition
+    * sort — the noise table is vocab-sized by definition, never
+    * corpus-sized; at 100 TB the vocab of a node corpus is the node
+    * count, and the table materializes once per corpus snapshot).
+    * Output: (node, w, lo, hi), ordered intervals keyed by node id.
+    */
+  def sgnsNoiseTable(walks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uni = walks.groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+    val w = uni
+      .withColumn("y",
+        expr(s"(3 * ${TextAnalysis.log2Q10Sql("cnt")}) div 4"))
+      .withColumn("w", expr(
+        "((y % 1024 + 1024) * shiftleft(CAST(1 AS BIGINT), CAST(y div 1024 AS INT))) div 1024"))
+    val cum = Window.orderBy(col("node"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("hi", sum(col("w")).over(cum))
+      .select(col("node"), col("w"), (col("hi") - col("w")).as("lo"), col("hi"))
+  }
+
+  /** The SGNS negative-sampling corpus: for every [[skipGramPairs]]
+    * (center, context) pair, `negatives` deterministic draws from the
+    * [[sgnsNoiseTable]] distribution — the complete training-example
+    * product (positive pair + its k negatives) for a skip-gram
+    * negative-sampling embedding trainer, RNG-free: draw j for a pair is
+    * `md5(center_context_j) mod total`, a pure function of the pair, so
+    * runs reproduce bit-for-bit and the DuckDB twin matches by hash.
+    * Accidental collisions with the true context are NOT resampled
+    * (word2vec's own negative sampler doesn't either).
+    *
+    * Scale shape: pair volume is walks × steps × 2·window ×
+    * `negatives` — independent of |E| (the edge list never appears;
+    * SCALING.md smoke-pins flatness at 5× edges). The interval lookup is
+    * an EQUI-join, not a range join: the `[0, total)` axis splits into
+    * `buckets` fixed-width buckets, each noise interval explodes onto
+    * the buckets it overlaps (vocab + buckets rows — intervals are
+    * near-uniform after the 3/4-power flattening, so overlap fan-out is
+    * ~2), each draw hashes to its bucket, and the residual `lo <= draw
+    * < hi` filter runs inside the hash-join row — no broadcast
+    * nested-loop, no vocab × draws blowup, the same bucketed-range-join
+    * device as the as-of join. Output: (center, context, pair_cnt,
+    * neg_rank, neg_node).
+    */
+  def sgnsNegatives(
+      walks: DataFrame,
+      window: Int,
+      negatives: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(negatives >= 1 && buckets >= 1)
+    val noise = sgnsNoiseTable(walks).localCheckpoint() // vocab-sized
+    val total = noise.agg(max(col("hi"))).head().getLong(0)
+    val bw = (total + buckets - 1) / buckets // bucket width, >= 1
+    val intervals = noise
+      .withColumn("b", explode(expr(s"sequence(lo div $bw, (hi - 1) div $bw)")))
+      .select(col("b"), col("node"), col("lo"), col("hi"))
+    val draws = skipGramPairs(walks, window)
+      .withColumn("neg_rank", explode(expr(s"sequence(1L, ${negatives}L)")))
+      .withColumn("draw",
+        conv(substring(md5(concat_ws("_",
+          col("center"), col("context"), col("neg_rank"))), 1, 12), 16, 10)
+          .cast("long") % lit(total))
+      .withColumn("b", expr(s"draw div $bw"))
+    draws.join(intervals, "b")
+      .filter(col("lo") <= col("draw") && col("draw") < col("hi"))
+      .select(col("center"), col("context"), col("pair_cnt"),
+        col("neg_rank"), col("node").as("neg_node"))
+  }
 }

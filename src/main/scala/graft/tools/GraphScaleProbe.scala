@@ -34,16 +34,26 @@ import graft.sinks.Lake
   * `broadcastFrontier=false, checkpointEdges=false` over the
   * src-bucketed table shuffles only the frontier per hop.
   *
-  * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs] [millionsOfNodes...]
+  * `walks` mode (r13): the same A/B for node2vec biased walks with a
+  * DENSE seed set (one walk per even node — the training-corpus shape
+  * where the walk set outgrows an executor broadcast):
+  * `broadcastFrontier=false, checkpointEdges=false` rides the
+  * src-bucketed table for both the per-step candidate join AND the
+  * once-per-run adjacency build; per step only the walk-sized frontier
+  * and the (frontier × degree) candidate frame shuffle.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs|walks] [millionsOfNodes...]
   */
 object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
     val hitsMode = args.contains("hits")
     val bfsMode = args.contains("bfs")
-    val sizeArgs = args.filterNot(a => a == "hits" || a == "bfs")
+    val walksMode = args.contains("walks")
+    val sizeArgs = args.filterNot(a => a == "hits" || a == "bfs" || a == "walks")
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toDouble) else Seq(1.0)
     if (hitsMode) { hitsProbe(sizes); return }
     if (bfsMode) { bfsProbe(sizes); return }
+    if (walksMode) { walksProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -167,6 +177,71 @@ object GraphScaleProbe {
       spark.sql("DROP TABLE IF EXISTS hits_edges_probe_src")
       spark.sql("DROP TABLE IF EXISTS hits_edges_probe_dst")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    spark.stop()
+  }
+
+  private def walksProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-walks")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val edges = spark.range(nodes * 40).select(
+        (col("id") / 40).cast("long").as("src"),
+        pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-walk-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      spark.sql("DROP TABLE IF EXISTS walk_edges_probe")
+      Lake.writeBucketed(edges, "walk_edges_probe", path, Seq("src"), numBuckets = 32)
+      val bucketed = spark.table("walk_edges_probe")
+
+      // plan proof: the per-step candidate join over the bucketed table
+      // exchanges ONLY the frontier — never the edge side. Payload
+      // columns keep the probe frontier from auto-broadcasting (the
+      // property under test is the non-broadcast case).
+      val frontier = bucketed.select(col("src").as("wid"),
+          col("src").as("prev"), col("src").as("cur"))
+        .distinct().localCheckpoint()
+      val cand = bucketed.join(frontier, bucketed("src") === frontier("cur"))
+        .select(col("wid"), col("prev"), col("dst"))
+      val plan = cand.queryExecution.executedPlan.toString
+      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val bucketedScan = plan.contains("Bucketed: true")
+      println(s"[graphscale-walks] m=$m cand-join shuffle-exchanges=$nShuffles " +
+        s"(bucketed scan: $bucketedScan)")
+      assert(nShuffles <= 1, s"edge side must not shuffle:\n$plan")
+      assert(bucketedScan, s"edge scan must read bucketed:\n$plan")
+
+      // dense seed set: one walk per EVEN node — the walk-corpus shape
+      // where the frontier outgrows an executor broadcast
+      def seedsOf(e: DataFrame) = e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(2)) === 0)
+      def run(e: DataFrame, bcast: Boolean, ckpt: Boolean) =
+        Graph.node2vecWalks(e, "src", "dst", seedsOf(e), steps = 4,
+          retPermille = 100, inPermille = 1000, outPermille = 2500,
+          broadcastFrontier = bcast, checkpointEdges = ckpt)
+      // bit-equality of the two paths before timing
+      val viaBucket = run(bucketed, bcast = false, ckpt = false)
+      val viaBroadcast = run(edges, bcast = true, ckpt = true)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaBroadcast).count() == 0L &&
+          viaBroadcast.exceptAll(viaBucket).count() == 0L,
+          "bucketed/non-broadcast node2vec walks diverged from the broadcast path")
+      }
+      mat(viaBucket); mat(viaBroadcast) // warm both
+      val tBucket = med(mat(run(bucketed, bcast = false, ckpt = false)))
+      val tBcast = med(mat(run(edges, bcast = true, ckpt = true)))
+      println(f"[graphscale-walks] nodes=$nodes edges=${nodes * 40} " +
+        f"walks=${nodes / 2} bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
+      spark.sql("DROP TABLE IF EXISTS walk_edges_probe")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
     spark.stop()
   }

@@ -276,6 +276,25 @@ object ScaleSmoke {
       }
       graft.functions.Checkpoints.unpersist(walks)
     }
+    // negatives step timed ALONE over pre-built walks: like the pair
+    // step, the plan never touches the edge list — cost is pairs x k
+    // draws + the vocab-sized noise table, flat in |E|
+    if (onlyRe.forall(_.matches("walk negatives (k=3, step only)"))) {
+      val edges = spark.range(docsN * 20)
+        .select((col("id") % docsN).as("src"),
+          pmod(xxhash64(col("id")), lit(docsN)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = sym.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+      val walks = graft.functions.Graph.deterministicWalks(
+        sym, "src", "dst", seeds, steps = 4).localCheckpoint()
+      time("walk negatives (k=3, step only)") {
+        graft.functions.Graph.sgnsNegatives(walks, window = 2, negatives = 3).mat()
+      }
+      graft.functions.Checkpoints.unpersist(walks)
+    }
     time("biased walks (4 steps, 1/40 seeds)") {
       val edges = spark.range(docsN * 20)
         .select((col("id") % docsN).as("src"),

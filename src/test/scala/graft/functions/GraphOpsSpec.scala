@@ -379,4 +379,51 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2)) // 3,4 beyond; 8,9 disconnected
   }
+
+  test("sgnsNegatives: exactly k per pair; the bucketed equi-join equals " +
+      "a naive range join; weights follow the integer cnt^(3/4)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val e = Graph.copurchaseEdges(graft.sources.Tables.lineitem(spark, d))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(40)) === 0)
+    val walks = Graph.deterministicWalks(e, "src", "dst", seeds, steps = 4)
+      .localCheckpoint()
+    val k = 4
+    val got = Graph.sgnsNegatives(walks, window = 2, negatives = k, buckets = 64)
+      .localCheckpoint()
+    // every (center, context) pair emits exactly k negatives — i.e. each
+    // draw lands in exactly ONE noise interval through the bucketed join
+    val nPairs = Graph.skipGramPairs(walks, window = 2).count()
+    assert(got.count() === nPairs * k)
+    assert(got.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("neg_rank")).as("r"))
+      .filter(col("n") =!= k || col("r") =!= k).count() === 0L)
+    // the bucketed equi-join must assign each draw to the same interval a
+    // naive range join would (recall-loss-free bucketing)
+    val noise = Graph.sgnsNoiseTable(walks).localCheckpoint()
+    val total = noise.agg(max(col("hi"))).head().getLong(0)
+    val naive = Graph.skipGramPairs(walks, window = 2)
+      .withColumn("neg_rank", explode(expr(s"sequence(1L, ${k}L)")))
+      .withColumn("draw",
+        conv(substring(md5(concat_ws("_",
+          col("center"), col("context"), col("neg_rank"))), 1, 12), 16, 10)
+          .cast("long") % lit(total))
+      .join(noise, col("draw") >= col("lo") && col("draw") < col("hi"))
+      .select(col("center"), col("context"), col("pair_cnt"),
+        col("neg_rank"), col("node").as("neg_node"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "bucketed interval join diverges from the naive range join")
+    // weight spot-checks: the integer Q10 round-trip of cnt^(3/4)
+    // (exact at powers of 16: 16^(3/4) = 8)
+    def w(cnt: Long): Long = {
+      val y = 3L * graft.functions.TextAnalysis.log2Q10(cnt) / 4L
+      ((y % 1024 + 1024) * (1L << (y / 1024).toInt)) / 1024
+    }
+    assert(w(1L) === 1L)
+    assert(w(16L) === 8L)
+    assert(w(256L) === 64L)
+    // monotone, and strictly flatter than linear on a doubling
+    assert(w(100L) > w(50L) && w(100L) < 2 * w(50L))
+  }
 }
