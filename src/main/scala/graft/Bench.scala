@@ -314,6 +314,7 @@ object Bench {
     // build-vs-operator attribution for the graph-family phase
     // (`family_build` artifact block) — empty under ISOLATE=1
     val familyBuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val familyNames = SparkEntry.graphFamilyQueries.keySet
     val results =
       if (isolate) allQueries.map { case (name, fn) =>
         val spark = newSession(cpus)
@@ -326,7 +327,6 @@ object Bench {
       else {
         // the co-purchase graph family splits off first: benched the
         // served way (r12 verdict directive 2) — see the family phase
-        val familyNames = SparkEntry.graphFamilyQueries.keySet
         val (famQs, nonFamily) = allQueries.partition {
           case (name, _) => familyNames(name)
         }
@@ -630,8 +630,12 @@ object Bench {
           // FAST-phase queries only (wall directive): slow-tail queries
           // already measured in their own fresh session with an in-phase
           // adaptive second run — a retime would repeat the identical
-          // protocol and learn nothing.
-          p < slowCut &&
+          // protocol and learn nothing. Family queries never retime for
+          // the same reason, AND a retime would run the one-shot form
+          // (edge build embedded) — protocol-mismatched against their
+          // stored-table main number, which would fake the "retimed
+          // above main" contamination signature.
+          p < slowCut && !familyNames(name) &&
           math.abs(sec - p) > 0.3 && math.abs(sec - p) / p > 0.15) => name
       }
       if (flagged.isEmpty) Nil
