@@ -698,7 +698,11 @@ object Bench {
       System.gc()
       out
     }
-    val windowFactorEnd: Double = graft.tools.HostCanary.factor(canaryEndResults)
+    // scored against the END-position pinned references (HostCanary.refEnd):
+    // the end canary runs in a JIT-warm JVM and reads ~30-40% below the
+    // cold-JVM phase-0 protocol on an unchanged window — position-matched
+    // references keep `canary_drift` a statement about the HOST, not the JVM
+    val windowFactorEnd: Double = graft.tools.HostCanary.factorEnd(canaryEndResults)
     phaseDone("canary-end")
 
     // ---- Run-quality verdict: the repo's documented discard rule, made

@@ -36,6 +36,22 @@ object HostCanary {
     "canary_cpu" -> 0.47,
     "canary_shuffle" -> 1.98)
 
+  /** Pinned references for the END-of-run canary position (r13). The end
+    * canary runs in the bench's ~12-minute-old JVM where Spark's shuffle
+    * and codegen machinery is fully JIT-warm, so its readings are
+    * systematically ~30-40% below the cold-JVM phase-0 numbers on an
+    * UNCHANGED host window (measured across the six r13 full runs:
+    * end-position walls 5-8 s vs phase-0 17-25 s, cpu 0.29-0.43 vs
+    * 0.41-1.21). Comparing an end reading against the phase-0 reference
+    * therefore manufactures 20-30% phantom "drift" on a flat window —
+    * each position needs its own reference. Pinned as the median
+    * end-position readings of those six runs (cpu 0.347/0.288/0.301/
+    * 0.322/0.425/0.286; shuffle 1.929/1.786/1.782/1.906/1.426/1.293).
+    */
+  val refEnd: Seq[(String, Double)] = Seq(
+    "canary_cpu" -> 0.32,
+    "canary_shuffle" -> 1.78)
+
   /** The fixed workloads; `n` rows of `spark.range`. Aggregates are
     * overflow-free (max / pmod'd sums): ANSI mode is on, and a wrapped
     * long would abort the canary instead of timing it.
@@ -76,8 +92,17 @@ object HostCanary {
     * with failed -1.0 entries removed — must not silently pair a timing
     * with the wrong pinned reference.
     */
-  def factor(results: Seq[(String, Double)]): Double = {
-    val refByName = ref.toMap
+  def factor(results: Seq[(String, Double)]): Double =
+    factorAgainst(results, ref)
+
+  /** [[factor]] against the end-of-run pinned references — use for
+    * measurements taken in the warm-JVM end position. */
+  def factorEnd(results: Seq[(String, Double)]): Double =
+    factorAgainst(results, refEnd)
+
+  private def factorAgainst(
+      results: Seq[(String, Double)], refs: Seq[(String, Double)]): Double = {
+    val refByName = refs.toMap
     val ratios = results.collect {
       case (name, sec) if sec > 0 && refByName.contains(name) =>
         sec / refByName(name)
