@@ -770,18 +770,28 @@ object Bench {
       if (windowFactor > 0 && windowFactorEnd > 0)
         math.abs(windowFactorEnd - windowFactor) / windowFactor
       else -1.0 // a canary failed: the window cannot be qualified
+    // Drift thresholds are CALIBRATED above the instrument's measured
+    // noise floor: across the seven r13 full runs, four whose query
+    // totals agreed within ±3% (220.7-233.2 s — flat-window runs by the
+    // numbers they exist to qualify) still read start/end factor drifts
+    // of 15-37%, i.e. the two-position canary pair is noisier than the
+    // totals it qualifies. A threshold below that floor marks every run
+    // degraded and the field stops discriminating; the r12 failure mode
+    // this exists to catch was 1.5-3x mid-run contention (drift >> 0.5).
     val runQuality =
-      if (retimeUndercuts + retimeFailures >= 3 || canaryDrift > 0.25) "degraded"
-      else if (retimeUndercuts + retimeFailures >= 1 || canaryDrift > 0.15 ||
+      if (retimeUndercuts + retimeFailures >= 3 || canaryDrift > 0.5) "degraded"
+      else if (retimeUndercuts + retimeFailures >= 1 || canaryDrift > 0.2 ||
         canaryDrift < 0) "suspect"
       else "ok"
     val runQualityRule = "degraded: uncorrected window-normalized retime " +
       "undercuts (>20% and >0.3s vs PUBLISHED numbers, retimes scaled by " +
       "wf_start/wf_end) plus failed retimes >= 3, or " +
-      "|wf_end-wf_start|/wf_start > 0.25 -> discard and re-run in a " +
-      "recovered window; suspect: any of those >= 1, or drift > 0.15, or " +
-      "a canary failed; retime_undercuts_raw diagnoses pre-publication " +
-      "shared-phase inflation"
+      "|wf_end-wf_start|/wf_start > 0.5 (calibrated above the pair's " +
+      "measured 15-37% flat-window noise floor; the r12 failure class " +
+      "reads 1.5-3x) -> discard and re-run in a recovered window; " +
+      "suspect: any of those >= 1, or drift > 0.2, or a canary failed; " +
+      "retime_undercuts_raw diagnoses pre-publication shared-phase " +
+      "inflation"
     System.err.println(f"[bench] run_quality=$runQuality " +
       f"(undercuts=$retimeUndercuts raw=$retimeUndercutsRaw " +
       f"failed=$retimeFailures published=${retimePublished.size}, " +
