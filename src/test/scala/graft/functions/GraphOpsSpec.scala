@@ -380,6 +380,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2)) // 3,4 beyond; 8,9 disconnected
   }
 
+  test("node2vecWalks served from a bucketed edge table equals the direct path") {
+    // the cluster serving form (r13): src-bucketed stored edges with
+    // broadcastFrontier=false + checkpointEdges=false — GraphScaleProbe's
+    // `walks` mode asserts the zero-edge-exchange plan and measures it at
+    // 1M nodes; here the fixed-point bit-equality is pinned in CI on the
+    // real co-purchase graph
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val edges = Graph.copurchaseEdges(graft.sources.Tables.lineitem(spark, d))
+    def seedsOf(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(40)) === 0)
+    val direct = Graph.node2vecWalks(edges, "src", "dst", seedsOf(edges),
+        steps = 4, retPermille = 100, inPermille = 1000, outPermille = 2500)
+      .as[(Long, Int, Long)].collect().toSet
+    spark.sql("DROP TABLE IF EXISTS n2v_edges_spec")
+    val base = java.nio.file.Files.createTempDirectory("graft-n2vedges").toString
+    graft.sinks.Lake.writeBucketed(edges, "n2v_edges_spec", s"$base/edges",
+      Seq("src"), numBuckets = 8)
+    val bucketed = spark.table("n2v_edges_spec")
+    val served = Graph.node2vecWalks(bucketed, "src", "dst", seedsOf(bucketed),
+        steps = 4, retPermille = 100, inPermille = 1000, outPermille = 2500,
+        broadcastFrontier = false, checkpointEdges = false)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(served === direct,
+      "bucketed/non-broadcast node2vec serving path diverges from direct walks")
+  }
+
   test("sgnsNegatives: exactly k per pair; the bucketed equi-join equals " +
       "a naive range join; weights follow the integer cnt^(3/4)") {
     import org.apache.spark.sql.functions._
