@@ -469,6 +469,18 @@ object Incremental {
     * and a partition whose every key cancels has its directory removed
     * (dynamic overwrite cannot express "write nothing").
     *
+    * Operating rule for `partitions`: a uniformly-hashed delta of k
+    * distinct keys touches min(k, P) partitions, so the delta-sized
+    * rewrite property holds only while P is comfortably above the
+    * typical delta's key count — size P for the DELTA cadence, not the
+    * state size (e.g. hourly 10k-key deltas over a billion-key state
+    * want P in the hundreds of thousands; trade against small-file
+    * pressure on the store). When deltas are corpus-sized fractions
+    * (millions of keys), every partition is touched regardless and the
+    * versioned full rewrite ([[maintainDatasheet]]) or the [[Sketches]]
+    * HLL union is the better layout — the merge algebra is identical,
+    * so switching layouts is free.
+    *
     * Returns true when the batch applied, false when its marker already
     * existed (replay no-op).
     */
