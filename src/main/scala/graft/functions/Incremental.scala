@@ -540,6 +540,34 @@ object Incremental {
     true
   }
 
+  /** Streaming maintainer for the [[mergeCountsPartitioned]] state table
+    * — the large-state twin of [[maintainDatasheet]]'s versioned scheme:
+    * each micro-batch aggregates its own delta and keyed-merges it into
+    * the partitioned table under the batch id. Exactly-once under
+    * foreachBatch's at-least-once replay comes from the per-batch commit
+    * marker (an already-applied batch returns without touching the
+    * table), instead of the versioned scheme's pre-batch-read trick —
+    * which is what makes the write DELTA-SIZED here: only the partitions
+    * holding the batch's keys rewrite, never the distinct-key-sized
+    * state. Same crash caveat as [[mergeCountsPartitioned]].
+    */
+  def maintainCountsPartitioned(
+      deltaRows: DataFrame,
+      stateDir: String,
+      keys: Seq[String],
+      cnt: String,
+      partitions: Int,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaRows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        mergeCountsPartitioned(batch.sparkSession, stateDir, batch.toDF(),
+          keys, cnt, partitions, batchId)
+        ()
+      }
+
   /** The maintained count table of [[mergeCountsPartitioned]] as a frame
     * (columns `keys :+ cnt`); empty when no batch has ever applied.
     */

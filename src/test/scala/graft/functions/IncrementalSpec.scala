@@ -334,6 +334,43 @@ class IncrementalSpec extends SparkSpec {
       "negative-count retraction diverges from the pre-delta state")
   }
 
+  test("streaming partitioned count maintenance: micro-batched keyed " +
+      "merges equal the full recompute, and a replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text", "source")
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source"), md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("cnt"))
+    val keys = Seq("source", "digest")
+    val base = java.nio.file.Files.createTempDirectory("graft-cntstream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val delta = input.toDF().toDF("doc_id", "text", "source")
+      .select(col("source"), md5(col("text")).as("digest"), lit(1L).as("cnt"))
+    val q = Incremental.maintainCountsPartitioned(delta, s"$base/state",
+      keys, "cnt", partitions = 8, s"$base/ck").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      for (b <- Seq(b1, b2, b3)) { input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Incremental.readCountsPartitioned(spark, s"$base/state", keys, "cnt")
+    assert(got.isDefined)
+    val want = digests(docs)
+    assert(got.get.exceptAll(want).isEmpty && want.exceptAll(got.get).isEmpty,
+      "streamed partitioned count table diverges from the full recompute")
+    // replay batch 0 directly (the foreachBatch at-least-once case): the
+    // commit marker makes it a no-op — counts unchanged
+    val b1df = rows.take(rows.size / 3).toDF("doc_id", "text", "source")
+    assert(!Incremental.mergeCountsPartitioned(spark, s"$base/state",
+      digests(b1df), keys, "cnt", partitions = 8, batchId = 0L))
+    val after = Incremental.readCountsPartitioned(spark, s"$base/state", keys, "cnt").get
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "replayed batch 0 changed the maintained count table")
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),
