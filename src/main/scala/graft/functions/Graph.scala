@@ -257,12 +257,17 @@ object Graph {
     * @return `(node, label, hops)` for every node reachable within
     *         `rounds` hops of a seed (unreached nodes are absent)
     */
-  def labelPropagation(knn: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(knn: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, "labelPropagation needs at least one round")
     import org.apache.spark.sql.expressions.Window
-    val edges = knn
+    // checkpointEdges = false: keep a stored table's bucketing on vec_id
+    // (the per-round join key after the rename — alias-aware output
+    // partitioning carries it through) so the edge side never
+    // re-exchanges; the checkpoint is only right for in-memory inputs
+    val edges0 = knn
       .select(col("qid").as("node"), col("vec_id").as("nbr"), col("rank"))
-      .localCheckpoint()
+    val edges = if (checkpointEdges) edges0.localCheckpoint() else edges0
     var labels = seeds
       .select(col("node"), col("label").cast("long").as("label"),
         lit(0L).as("hops"))
@@ -300,12 +305,22 @@ object Graph {
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      assumeSymmetric: Boolean = false,
+      checkpointEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, "communityLabels needs at least one round")
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
+    // cluster path (GraphScaleProbe `lpa` mode): feed a PRE-symmetrized
+    // edge table stored bucketed by dst with assumeSymmetric = true,
+    // checkpointEdges = false — the symmetrize+distinct (an edge-sized
+    // shuffle) is paid once at write time and the per-round label join
+    // rides the bucketing with zero edge-side exchanges; only the
+    // node-sized label frame moves per round
+    val sym0 =
+      if (assumeSymmetric) edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      else edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+    val sym = if (checkpointEdges) sym0.localCheckpoint() else sym0
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -362,15 +377,75 @@ object Graph {
     * then mirrored.
     */
   def copurchaseEdgesWeighted(lineitem: DataFrame): DataFrame = {
+    val half = copurchaseHalfWeights(lineitem)
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** The half form (src < dst, one row per unordered pair) of
+    * [[copurchaseEdgesWeighted]] — the canonical COUNT TABLE under the
+    * weighted graph: `w` is "orders containing both parts", a per-key
+    * sum over orders, so it is a [[Incremental.mergeCounts]] monoid.
+    */
+  def copurchaseHalfWeights(lineitem: DataFrame): DataFrame = {
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val half = li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+    li.join(li.withColumnRenamed("pk", "pk2"), "ok")
       .filter(col("pk") < col("pk2"))
       .groupBy(col("pk").as("src"), col("pk2").as("dst"))
       .agg(count(lit(1)).as("w"))
-    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
+
+  /** Incremental maintenance of the weighted co-purchase edge table —
+    * the 100 TB graph-serving story: the weighted graph is a count table
+    * keyed by (src, dst) ([[copurchaseHalfWeights]]), and order batches
+    * contribute ADDITIVE pair counts (each order's pairs are counted
+    * once, and orders are disjoint across batches), so
+    * [[Incremental.mergeCountsPartitioned]] maintains the stored table
+    * delta-sized: the batch pays its own basket self-join — Σ|basket|²/2
+    * over ONLY the new orders — plus a rewrite of just the hash
+    * partitions its pairs land in. The family/served phases then read a
+    * MAINTAINED table instead of rebuilding from the full lineitem per
+    * snapshot; a 1% order delta prices ~1% of the build join (SCALING.md
+    * has the measured row).
+    *
+    * Contract: each batch must carry COMPLETE orders (every lineitem row
+    * of each new order in the same batch) — a basket split across
+    * batches would never see its cross-batch pairs. Order-stream
+    * ingestion delivers exactly this shape. Cancellations retract with
+    * `sign = -1` over the cancelled orders' rows (same complete-basket
+    * contract); pairs whose weight cancels to zero drop from the table.
+    *
+    * Replay-idempotent per batch id (the count table's marker), so an
+    * at-least-once foreachBatch delivery keeps weights exact. Returns
+    * false on an already-applied batch.
+    */
+  def maintainCopurchaseWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      lineitemDelta: DataFrame,
+      partitions: Int,
+      batchId: Long,
+      sign: Long = 1L): Boolean = {
+    require(sign == 1L || sign == -1L, "sign must be +1 (new orders) or -1 (cancelled)")
+    val half = copurchaseHalfWeights(lineitemDelta)
+      .select(col("src"), col("dst"), (col("w") * lit(sign)).as("w"))
+    Incremental.mergeCountsPartitioned(spark, stateDir, half,
+      Seq("src", "dst"), "w", partitions, batchId)
+  }
+
+  /** The maintained weighted co-purchase graph, mirrored back to the
+    * symmetric form every Graph operator consumes — bit-identical rows
+    * to a full [[copurchaseEdgesWeighted]] rebuild over the same orders
+    * (GraphSpec proves it batch-by-batch, including a retraction).
+    * None before the first applied batch.
+    */
+  def readCopurchaseWeights(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    Incremental.readCountsPartitioned(spark, stateDir, Seq("src", "dst"), "w")
+      .map(half => half.unionAll(
+        half.select(col("dst").as("src"), col("src").as("dst"), col("w"))))
 
   /** [[triangleCounts]] over the HALF-edge form (each {u,v} once,
     * src < dst): degrees come from one incidence explode instead of the
@@ -539,16 +614,24 @@ object Graph {
       k: Int,
       rounds: Int,
       broadcastDead: Boolean = true,
-      checkpointEdges: Boolean = true): DataFrame = {
+      checkpointEdges: Boolean = true,
+      halfByDst: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && rounds >= 1)
     // checkpointEdges = false: keep a stored bucketed table's scan (a
     // checkpoint erases bucketing and reinstates the per-round Exchange)
     val e0 = half.select(col("src"), col("dst"))
     val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    // the loss step joins the edge list on BOTH keys, so the cluster
+    // layout (broadcastDead = false — round 1's dead set is node-scale
+    // when k peels aggressively) is the hits edgesByDst device: the half
+    // table stored twice, bucketed by src and by dst, each join riding
+    // its own bucketing with zero edge-side exchanges (GraphScaleProbe
+    // `kcore` mode asserts the plans and measures the A/B)
+    val eDst = halfByDst.map(_.select(col("src"), col("dst"))).getOrElse(e)
     // losses toward BOTH endpoints from edges whose other endpoint died
     def loss(dead: DataFrame): DataFrame = {
       val nb = if (broadcastDead) broadcast(dead) else dead
-      e.join(nb, e("dst") === nb("node")).select(e("src").as("n"))
+      eDst.join(nb, eDst("dst") === nb("node")).select(eDst("src").as("n"))
         .unionAll(e.join(nb, e("src") === nb("node")).select(e("dst").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("l"))
     }

@@ -390,6 +390,51 @@ object Incremental {
     s.select(keys.map(col) ++ sumCols.map(c => (-col(c)).as(c)) :+
       (-col("n")).as("n"): _*)
 
+  /** Streaming maintainer for the join+aggregate view γ(A ⋈ B) — the
+    * foreachBatch twin of the batch-proven [[joinAggState]] fold, on
+    * [[maintainPricingSummary]]'s versioned-snapshot scheme: per
+    * micro-batch the A-side delta joins the stored dimension once
+    * (ΔV = ΔA ⋈ B, the one live term of [[deltaJoinView]] when only A
+    * streams), its [[joinAggState]] merges with the latest COMMITTED
+    * state strictly below this batch id, and the result lands at
+    * `stateDir/v=<batchId>` — deterministic per batch id, so an
+    * at-least-once replay re-reads exactly the pre-batch state and
+    * regenerates identical contents (exactly-once without transactions).
+    * Only `_SUCCESS`-marked versions count as committed ([[latestSummary]]
+    * does the listing), so readers racing a write never see a partial
+    * snapshot.
+    *
+    * Scale shape per micro-batch: one delta-vs-dimension join (broadcast
+    * the delta when it fits; a [[graft.sinks.Lake.writeBucketed]] B makes
+    * the probe exchange-free), a delta-keys-sized aggregate, and a
+    * |keys|-row merge + snapshot — the full view is never stored or
+    * rescanned. Retractions stay a batch-tier concern: fold the deleted
+    * slice's [[negateJoinAggState]] with [[mergeJoinAggStates]] and write
+    * the next version (same algebra, IncrementalSpec's retraction case).
+    */
+  def maintainJoinAggView(
+      deltaA: DataFrame,
+      b: DataFrame,
+      joinKey: String,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      stateDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaA.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val deltaState = joinAggState(batch.toDF().join(b, joinKey), keys, sumCols)
+        val merged = latestSummary(batch.sparkSession, stateDir,
+            beforeBatch = Some(batchId))
+          .map(mergeJoinAggStates(_, deltaState, keys, sumCols))
+          .getOrElse(deltaState)
+        // |keys| rows: one file is the right layout for a summary table
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        ()
+      }
+
   private val datasheetParts = Seq("scalars", "digests", "langs")
 
   /** Streaming IVM for the datasheet — [[maintainPricingSummary]]'s
@@ -498,6 +543,20 @@ object Incremental {
     val marker = new Path(s"$stateDir/applied/batch=$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return false
+    // `partitions` is baked into every stored __p value, so a caller
+    // passing a different P than the table was built with would prune
+    // the wrong slices and strand stale rows under the old modulus —
+    // silently wrong counts. Pin P in a meta marker on the first batch
+    // and fail fast on any later mismatch.
+    val metaRoot = new Path(s"$stateDir/meta")
+    if (fs.exists(metaRoot)) {
+      val stored = fs.listStatus(metaRoot).map(_.getPath.getName)
+        .collectFirst { case s if s.startsWith("partitions=") =>
+          s.stripPrefix("partitions=").toInt }
+      stored.foreach(p => require(p == partitions,
+        s"count table at $stateDir was built with partitions=$p; " +
+          s"refusing to merge with partitions=$partitions"))
+    } else fs.mkdirs(new Path(metaRoot, s"partitions=$partitions"))
     val part = pmod(xxhash64(keys.map(col): _*), lit(partitions)).as("__p")
     // pre-aggregate the delta to one row per key BEFORE the merge (the
     // delta may carry repeats), then pin it: it is consumed up to three
@@ -509,7 +568,19 @@ object Incremental {
       .localCheckpoint()
     val affected = deltaAgg.select(col("__p")).distinct()
       .collect().map(_.getLong(0)) // bounded by `partitions`, never key-sized
-    val hasState = fs.exists(new Path(dataDir))
+    if (affected.isEmpty) {
+      // empty or fully-cancelling delta (streaming routinely delivers
+      // empty micro-batches): writing an empty frame would create a
+      // schemaless data/ dir that poisons every later read — commit the
+      // marker and touch nothing
+      fs.mkdirs(marker)
+      return true
+    }
+    // state exists only when actual partition data survives — an
+    // all-cancelling batch can empty the table to a bare _SUCCESS, and
+    // reading that fails with "unable to infer schema"
+    val hasState = fs.exists(new Path(dataDir)) &&
+      fs.listStatus(new Path(dataDir)).exists(_.getPath.getName.startsWith("__p="))
     val merged0 =
       if (!hasState) deltaAgg.drop("__p")
       else {
@@ -579,7 +650,10 @@ object Incremental {
     import org.apache.hadoop.fs.Path
     val dataDir = new Path(s"$stateDir/data")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dataDir)) None
+    // same live-partition gate as the merge: an all-cancelling batch can
+    // leave a bare _SUCCESS with no schema to infer
+    if (!fs.exists(dataDir) ||
+        !fs.listStatus(dataDir).exists(_.getPath.getName.startsWith("__p="))) None
     else Some(spark.read.parquet(dataDir.toString)
       .select((keys :+ cnt).map(col): _*))
   }

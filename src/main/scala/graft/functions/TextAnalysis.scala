@@ -211,6 +211,7 @@ object TextAnalysis {
       idCol: String,
       path: String,
       buckets: Int = 64): Unit = {
+    IndexLayout.writeParams(df.sparkSession, path, Map("buckets" -> buckets.toLong))
     val base = df.select(col(idCol).as("doc_id"),
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
     val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
@@ -218,10 +219,84 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
       .join(lens, "doc_id")
       .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    lens.agg(count(lit(1)).as("n"), sum(col("len")).as("tot"),
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("bucket", "batch").parquet(s"$path/postings")
+    lens.agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"),
         lit(buckets.toLong).as("buckets"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .withColumn("batch", lit(IndexLayout.BaseBatch))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$path/stats")
+  }
+
+  /** Append a document batch into an existing [[writeInvertedIndex]]
+    * layout — the keyword-search member of the idempotent-append index
+    * family (LSH bands, int8/IVF+PQ codes, perceptual hashes): the
+    * batch's postings land in `bucket=<k>/batch=<id>` partitions, so
+    * query-time bucket pruning sees appended terms exactly like base
+    * terms, and the batch's own (n docs, total length) stats row lands
+    * under `stats/batch=<id>`.
+    *
+    * Unlike the ANN indexes' FROZEN codebooks, nothing here is stale by
+    * construction: per-term df recomputes live from the unioned postings
+    * of a term's single bucket, and the corpus stats (BM25's N and the
+    * length norm's avgdl) are COUNT MONOIDS, so [[readIndexStats]] sums
+    * the per-batch rows to the exact corpus values — a search after an
+    * append ranks IDENTICALLY to a one-shot rebuild over the same
+    * documents (spec-proven, `FunctionsSpec`), with no refresh cadence
+    * to manage.
+    *
+    * IDEMPOTENT per batch id: a repeated call with the same `batchId`
+    * (foreachBatch's at-least-once replay) dynamic-overwrites exactly its
+    * own partitions instead of double-counting postings or stats. Without
+    * an explicit `batchId` the next free id is allocated from the layout
+    * (non-replayable — streaming callers must pass the micro-batch id).
+    * Documents must be NEW ids: re-submitting an indexed doc_id would
+    * duplicate its postings across batch partitions (dedup upstream —
+    * this is an append, not an upsert).
+    */
+  def appendToInvertedIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      buckets: Int = 64,
+      batchId: Option[Long] = None): Unit = {
+    // a mismatched bucket count would route appended postings into
+    // different partitions than the layout's — query-time pruning would
+    // silently miss them forever after. Fail here instead.
+    IndexLayout.requireParams(df.sparkSession, path, Map("buckets" -> buckets.toLong))
+    if (df.isEmpty) return // nothing to land; keeps empty micro-batches free
+    val id = batchId.getOrElse(
+      IndexLayout.maxBatchId(df.sparkSession, s"$path/postings") + 1)
+    val base = df.select(col(idCol).as("doc_id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
+      .localCheckpoint() // feeds both the postings join and the stats row
+    IndexLayout.overwriteBatchPartitions(
+      base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .join(lens, "doc_id")
+        .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
+        .withColumn("batch", lit(id)),
+      s"$path/postings", Seq("bucket", "batch"))
+    IndexLayout.overwriteBatchPartitions(
+      lens.agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"),
+          lit(buckets.toLong).as("buckets"))
+        .withColumn("batch", lit(id)),
+      s"$path/stats", Seq("batch"))
+  }
+
+  /** Exact corpus stats of a (possibly appended-to) inverted index:
+    * n and tot are count monoids, so the per-batch stats rows SUM to the
+    * one-shot values; `buckets` is a layout constant (append-guarded by
+    * the params table). One bounded read of a rows-per-batch table.
+    */
+  def readIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Long, Long, Long) = {
+    val r = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"),
+        max(col("buckets")).as("buckets")).head()
+    (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
   }
 
   /** Driver-side twin of [[portableHash48]] (md5-prefix, same 48 bits) —
@@ -245,8 +320,8 @@ object TextAnalysis {
       k1Milli: Long = 1200L,
       bMilli: Long = 750L,
       topK: Int = 50): DataFrame = {
-    val stats = spark.read.parquet(s"$indexPath/stats")
-    val buckets = stats.select(col("buckets")).head().getLong(0)
+    val (n, tot, buckets) = readIndexStats(spark, indexPath)
+    val stats = spark.range(1).select(lit(n).as("n"), lit(tot).as("tot"))
     // the index stores lowercased terms: fold BEFORE bucketing, or a
     // mixed-case query reads the wrong bucket partition and finds nothing
     val qTerms = queryTerms.map(_.toLowerCase)
@@ -282,10 +357,7 @@ object TextAnalysis {
       bMilli: Long = 750L,
       topK: Int = 50,
       statsRow: Option[(Long, Long, Long)] = None): DataFrame = {
-    val (n, tot, buckets) = statsRow.getOrElse {
-      val r = spark.read.parquet(s"$indexPath/stats").head()
-      (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
-    }
+    val (n, tot, buckets) = statsRow.getOrElse(readIndexStats(spark, indexPath))
     // qt feeds both the driver-side term collect and the postings join
     val qt = queries.select(col("qid"),
         explode(filter(split(lower(col("terms")), "\\s+"), t => length(t) > 0)).as("t"))

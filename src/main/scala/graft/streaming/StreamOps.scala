@@ -279,11 +279,14 @@ object StreamOps {
       topK: Int)(
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // the index is static for the stream's lifetime; first batch reads
-    // the 1-row stats table, later batches reuse it
-    lazy val stats = {
-      val r = queryStream.sparkSession.read.parquet(s"$indexPath/stats").head()
-      (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
-    }
+    // the stats table (summed across any appended batches — see
+    // `TextAnalysis.readIndexStats`), later batches reuse it. A serving
+    // stream racing a concurrent ingest ([[bm25IngestStream]]) scores
+    // with stats frozen at first read — restart the serving stream on
+    // the refresh cadence to pick up the ingested corpus size.
+    lazy val stats =
+      graft.functions.TextAnalysis.readIndexStats(
+        queryStream.sparkSession, indexPath)
     queryStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
@@ -292,6 +295,32 @@ object StreamOps {
             statsRow = Some(stats)))
     }
   }
+
+  /** Continuous keyword-index ingest — the BM25 member of the ingest
+    * family ([[dedupIngestStream]] for LSH, the int8/IVF+PQ appenders for
+    * ANN): every micro-batch of documents is tokenized once and appended
+    * into the materialized inverted index under the micro-batch id
+    * (`TextAnalysis.appendToInvertedIndex` — postings land in their term
+    * buckets, the batch's corpus-stats row lands beside them), so an
+    * at-least-once replay overwrites its own batch partitions instead of
+    * double-counting: exactly-once index contents without transactions.
+    * A search against the index after any batch ranks identically to a
+    * one-shot rebuild over all ingested docs (stats are count monoids —
+    * nothing is frozen). `indexPath` must hold a seeded
+    * [[graft.functions.TextAnalysis.writeInvertedIndex]] layout.
+    */
+  def bm25IngestStream(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexPath: String,
+      buckets: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.functions.TextAnalysis.appendToInvertedIndex(
+          batch.toDF(), textCol, idCol, indexPath, buckets,
+          batchId = Some(batchId))
+    }
 
   /** Continuous dedup ingest: every micro-batch of documents (`idCol`,
     * `textCol`) is checked for near-dups against the materialized LSH

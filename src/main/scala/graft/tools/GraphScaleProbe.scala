@@ -42,18 +42,36 @@ import graft.sinks.Lake
   * once-per-run adjacency build; per step only the walk-sized frontier
   * and the (frontier × degree) candidate frame shuffle.
   *
-  * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs|walks] [millionsOfNodes...]
+  * `kcore` mode (r14): the A/B for incremental k-core peeling, whose
+  * loss step joins the half-edge list on BOTH keys against the
+  * newly-dead set — round 1's dead set is NODE-SCALE when k peels
+  * aggressively (the case where `broadcastDead` stops fitting), so the
+  * cluster layout is the hits device: the half table stored twice
+  * (bucketed by src and by dst, `kCoreHalf.halfByDst`), each loss join
+  * riding its own bucketing.
+  *
+  * `lpa` mode (r14): the A/B for synchronous label propagation
+  * (`communityLabels`), whose per-round join probes the symmetric edge
+  * list with the node-sized label frame — `assumeSymmetric = true,
+  * checkpointEdges = false` over a dst-bucketed PRE-symmetrized table
+  * pays the symmetrize shuffle once at write time and moves only the
+  * label frame per round.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs|walks|kcore|lpa] [millionsOfNodes...]
   */
 object GraphScaleProbe {
+  private val modes = Set("hits", "bfs", "walks", "kcore", "lpa")
   def main(args: Array[String]): Unit = {
     val hitsMode = args.contains("hits")
     val bfsMode = args.contains("bfs")
     val walksMode = args.contains("walks")
-    val sizeArgs = args.filterNot(a => a == "hits" || a == "bfs" || a == "walks")
+    val sizeArgs = args.filterNot(modes)
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toDouble) else Seq(1.0)
     if (hitsMode) { hitsProbe(sizes); return }
     if (bfsMode) { bfsProbe(sizes); return }
     if (walksMode) { walksProbe(sizes); return }
+    if (args.contains("kcore")) { kcoreProbe(sizes); return }
+    if (args.contains("lpa")) { lpaProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -241,6 +259,146 @@ object GraphScaleProbe {
       println(f"[graphscale-walks] nodes=$nodes edges=${nodes * 40} " +
         f"walks=${nodes / 2} bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
       spark.sql("DROP TABLE IF EXISTS walk_edges_probe")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    spark.stop()
+  }
+
+  private def kcoreProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-kcore")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      // half form (src < dst, deduped): mean degree ~76 after the
+      // least/greatest fold, so k = 72 kills a node-scale slab in round 1
+      // — the dense-dead shape where broadcastDead stops fitting
+      val half = spark.range(nodes * 40).select(
+          (col("id") / 40).cast("long").as("a"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .distinct()
+      val k = 72
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-kcore-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      spark.sql("DROP TABLE IF EXISTS kcore_half_probe_src")
+      spark.sql("DROP TABLE IF EXISTS kcore_half_probe_dst")
+      Lake.writeBucketed(half, "kcore_half_probe_src", s"$base/src",
+        Seq("src"), numBuckets = 32)
+      Lake.writeBucketed(half, "kcore_half_probe_dst", s"$base/dst",
+        Seq("dst"), numBuckets = 32)
+      val eSrc = spark.table("kcore_half_probe_src")
+      val eDst = spark.table("kcore_half_probe_dst")
+
+      // plan proof, BOTH loss-join halves: with a node-scale dead frame
+      // (payload column blocks auto-broadcast) each bucketed edge scan
+      // joins its own key with no edge-side ShuffleExchange
+      val dead = eSrc.select(col("src").as("node")).distinct()
+        .select(col("node"), (col("node") * 2).as("pay")).localCheckpoint()
+      val dstHalf = eDst.join(dead, eDst("dst") === dead("node"))
+        .select(eDst("src").as("n"))
+      val srcHalf = eSrc.join(dead, eSrc("src") === dead("node"))
+        .select(eSrc("dst").as("n"))
+      for ((name, step) <- Seq("loss(dst)" -> dstHalf, "loss(src)" -> srcHalf)) {
+        val plan = step.queryExecution.executedPlan.toString
+        val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+        val bucketedScan = plan.contains("Bucketed: true")
+        println(s"[graphscale-kcore] m=$m $name " +
+          s"shuffle-exchanges=$nShuffles (bucketed scan: $bucketedScan)")
+        assert(nShuffles <= 1, s"$name edge side must not shuffle:\n$plan")
+        assert(bucketedScan, s"$name edge scan must read bucketed:\n$plan")
+      }
+
+      // bit-equality of the two paths before timing
+      val viaBucket = Graph.kCoreHalf(eSrc, k, rounds = 5,
+        broadcastDead = false, checkpointEdges = false, halfByDst = Some(eDst))
+      val viaBroadcast = Graph.kCoreHalf(half, k, rounds = 5)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaBroadcast).count() == 0L &&
+          viaBroadcast.exceptAll(viaBucket).count() == 0L,
+          "bucketed/non-broadcast kCoreHalf diverged from the broadcast path")
+      }
+      mat(viaBucket); mat(viaBroadcast) // warm both
+      val tBucket = med(mat(Graph.kCoreHalf(eSrc, k, 5,
+        broadcastDead = false, checkpointEdges = false, halfByDst = Some(eDst))))
+      val tBcast = med(mat(Graph.kCoreHalf(half, k, 5)))
+      println(f"[graphscale-kcore] nodes=$nodes halfedges≈${nodes * 38} k=$k " +
+        f"bucketed_nobcast=$tBucket%.2f broadcast_ckpt=$tBcast%.2f")
+      spark.sql("DROP TABLE IF EXISTS kcore_half_probe_src")
+      spark.sql("DROP TABLE IF EXISTS kcore_half_probe_dst")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+    spark.stop()
+  }
+
+  private def lpaProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-lpa")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def med(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val edges = spark.range(nodes * 20).select(
+        (col("id") / 20).cast("long").as("a"),
+        pmod(xxhash64(col("id")), lit(nodes)).as("b"))
+        .filter(col("a") =!= col("b"))
+      // pre-symmetrized + deduped ONCE at write time (the shuffle the
+      // bucketed path amortizes), stored bucketed by dst — the per-round
+      // label join's edge key
+      val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-lpa-edges-$m"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      spark.sql("DROP TABLE IF EXISTS lpa_sym_probe")
+      Lake.writeBucketed(sym, "lpa_sym_probe", path, Seq("dst"), numBuckets = 32)
+      val bucketed = spark.table("lpa_sym_probe")
+
+      // plan proof: the per-round vote join exchanges ONLY the node-sized
+      // label frame — the dst-bucketed edge scan never re-shuffles
+      val labels = bucketed.select(col("dst").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      val vote = bucketed
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src"), col("label"))
+      val plan = vote.queryExecution.executedPlan.toString
+      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val bucketedScan = plan.contains("Bucketed: true")
+      println(s"[graphscale-lpa] m=$m vote-join shuffle-exchanges=$nShuffles " +
+        s"(bucketed scan: $bucketedScan)")
+      assert(nShuffles <= 1, s"edge side must not shuffle:\n$plan")
+      assert(bucketedScan, s"edge scan must read bucketed:\n$plan")
+
+      // bit-equality before timing: the pre-symmetrized bucketed path and
+      // the in-memory symmetrize-inside path run the same fixed rounds
+      val viaBucket = Graph.communityLabels(bucketed, "src", "dst", rounds = 3,
+        assumeSymmetric = true, checkpointEdges = false)
+      val viaDefault = Graph.communityLabels(edges, "a", "b", rounds = 3)
+      if (nodes <= 1000000L) {
+        assert(viaBucket.exceptAll(viaDefault).count() == 0L &&
+          viaDefault.exceptAll(viaBucket).count() == 0L,
+          "bucketed LPA diverged from the default symmetrize-inside path")
+      }
+      mat(viaBucket); mat(viaDefault) // warm both
+      val tBucket = med(mat(Graph.communityLabels(bucketed, "src", "dst", 3,
+        assumeSymmetric = true, checkpointEdges = false)))
+      val tDefault = med(mat(Graph.communityLabels(edges, "a", "b", 3)))
+      println(f"[graphscale-lpa] nodes=$nodes symedges≈${nodes * 38} " +
+        f"bucketed_presym=$tBucket%.2f default_ckpt=$tDefault%.2f")
+      spark.sql("DROP TABLE IF EXISTS lpa_sym_probe")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
     spark.stop()

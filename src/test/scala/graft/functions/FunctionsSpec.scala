@@ -490,6 +490,52 @@ class FunctionsSpec extends SparkSpec {
       s"read $readBuckets of $totalBuckets buckets")
   }
 
+  test("appendToInvertedIndex: ranking after appends is identical to the " +
+      "one-shot rebuild; a replayed batch is a no-op; a bucket mismatch " +
+      "fails fast") {
+    val all = (0L until 300L).map { i =>
+      val rare = if (i % 40 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} w${i % 13} here$rare")
+    }.toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") < 200)
+    val b1 = all.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+    val b2 = all.filter(col("doc_id") >= 250)
+    val q = Seq("alpha", "zeta")
+    def rank(path: String) = TextAnalysis.bm25SearchFromIndex(spark, path, q,
+      topK = 25).as[(Long, Long)].collect().toSeq
+    // one-shot rebuild over everything = the reference ranking
+    val full = java.nio.file.Files.createTempDirectory("graft-inv-full").toString
+    TextAnalysis.writeInvertedIndex(all, "text", "doc_id", full, buckets = 16)
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-app").toString
+    TextAnalysis.writeInvertedIndex(base, "text", "doc_id", idx, buckets = 16)
+    TextAnalysis.appendToInvertedIndex(b1, "text", "doc_id", idx, buckets = 16,
+      batchId = Some(0L))
+    TextAnalysis.appendToInvertedIndex(b2, "text", "doc_id", idx, buckets = 16,
+      batchId = Some(1L))
+    // nothing is frozen: df recomputes live from the unioned postings and
+    // the stats rows SUM to the exact corpus (n, tot) — appended ranking
+    // must equal the rebuild bit-for-bit, not merely approximately
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, full))
+    assert(rank(idx) === rank(full),
+      "appended-index ranking diverges from the one-shot rebuild")
+    // replay batch 1 (foreachBatch at-least-once): overwrites its own
+    // batch partitions — ranking and stats unchanged
+    TextAnalysis.appendToInvertedIndex(b2, "text", "doc_id", idx, buckets = 16,
+      batchId = Some(1L))
+    assert(rank(idx) === rank(full), "replayed append changed the ranking")
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, full),
+      "replayed append double-counted the stats")
+    // an append with a different bucket count would route postings where
+    // query-time pruning never looks — must fail loudly, not corrupt
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(b2, "text", "doc_id", idx, buckets = 32,
+        batchId = Some(2L))
+    }
+    assert(ex.getMessage.contains("buckets"))
+  }
+
   test("nearDupsAgainstIndex finds new-vs-corpus near-dups from the index alone") {
     val tpl = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq(

@@ -454,4 +454,67 @@ class GraphOpsSpec extends SparkSpec {
     // monotone, and strictly flatter than linear on a doubling
     assert(w(100L) > w(50L) && w(100L) < 2 * w(50L))
   }
+
+  test("cluster-path knobs are result-invariant: kCoreHalf halfByDst, " +
+      "communityLabels assumeSymmetric, labelPropagation checkpointEdges") {
+    import org.apache.spark.sql.functions._
+    val (sym, _) = randomGraph(seed = 77L, nodes = 120, draws = 900)
+    val symDf = sym.toDF("src", "dst").localCheckpoint()
+    val half = symDf.filter(col("src") < col("dst"))
+    // kCoreHalf: the two-table non-broadcast path (the probe's cluster
+    // layout) must be bit-identical to the default single-frame path
+    val a = Graph.kCoreHalf(half, k = 6, rounds = 4)
+    val b = Graph.kCoreHalf(half, k = 6, rounds = 4,
+      broadcastDead = false, checkpointEdges = false, halfByDst = Some(half))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // communityLabels: pre-symmetrized input with the symmetrize skipped
+    // equals the symmetrize-inside default
+    val c = Graph.communityLabels(half, "src", "dst", rounds = 3)
+    val d = Graph.communityLabels(symDf.distinct(), "src", "dst", rounds = 3,
+      assumeSymmetric = true, checkpointEdges = false)
+    assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty)
+    // labelPropagation: skipping the edge checkpoint changes no rows
+    val knn = symDf.select(col("src").as("qid"), col("dst").as("vec_id"),
+      pmod(col("dst"), lit(5)).as("rank"))
+    val seeds = Seq((0L, 1L), (1L, 2L)).toDF("node", "label")
+    val e = Graph.labelPropagation(knn, seeds, rounds = 2)
+    val f = Graph.labelPropagation(knn, seeds, rounds = 2, checkpointEdges = false)
+    assert(e.exceptAll(f).isEmpty && f.exceptAll(e).isEmpty)
+  }
+
+  test("maintained co-purchase weight table equals the full rebuild " +
+      "batch-by-batch; replay is a no-op; an order cancellation retracts") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cpw").toString
+    // three order-batches (split by l_orderkey → COMPLETE baskets, the
+    // maintenance contract), applied in sequence
+    val batches = (0 to 2).map(r => li.filter(pmod(col("l_orderkey"), lit(3)) === r))
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    for ((b, i) <- batches.zipWithIndex) {
+      assert(Graph.maintainCopurchaseWeights(spark, stateDir, b,
+        partitions = 16, batchId = i.toLong))
+      val want = Graph.copurchaseEdgesWeighted(
+        li.filter(pmod(col("l_orderkey"), lit(3)) <= i))
+      val got = Graph.readCopurchaseWeights(spark, stateDir).get
+      assert(same(got, want),
+        s"maintained weighted edge table diverges from the rebuild after batch $i")
+    }
+    // replay batch 1: marker-guarded no-op
+    assert(!Graph.maintainCopurchaseWeights(spark, stateDir, batches(1),
+      partitions = 16, batchId = 1L))
+    assert(same(Graph.readCopurchaseWeights(spark, stateDir).get,
+      Graph.copurchaseEdgesWeighted(li)))
+    // cancel batch 2's orders (sign = -1, same complete-basket contract):
+    // the table downdates to exactly the batch-0+1 rebuild — pairs whose
+    // weight cancels to zero drop
+    assert(Graph.maintainCopurchaseWeights(spark, stateDir, batches(2),
+      partitions = 16, batchId = 3L, sign = -1L))
+    assert(same(Graph.readCopurchaseWeights(spark, stateDir).get,
+      Graph.copurchaseEdgesWeighted(
+        li.filter(pmod(col("l_orderkey"), lit(3)) =!= 2))),
+      "retraction diverges from the survivor rebuild")
+  }
 }

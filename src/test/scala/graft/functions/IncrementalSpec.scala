@@ -268,6 +268,53 @@ class IncrementalSpec extends SparkSpec {
       "negated-sum retraction diverges from the survivor recompute")
   }
 
+  test("streaming join+agg maintenance: micro-batched state equals the " +
+      "full join+aggregate, and a replayed batch is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.CoreOps.scaledCenti
+    val a = graft.sources.Tables.orders(spark, d).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      scaledCenti(col("o_totalprice")).as("p_c"))
+    val b = graft.sources.Tables.customer(spark, d).select(
+      col("c_custkey").as("custkey"), col("c_name"))
+    val keys = Seq("custkey", "c_name")
+    val sums = Seq("p_c")
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.select("custkey", "c_name", "p_c", "n")
+        .orderBy("custkey").as[(Long, String, Long, Long)].collect().toSeq
+    val want = view(Incremental.joinAggState(a.join(b, "custkey"), keys, sums))
+    val base = java.nio.file.Files.createTempDirectory("graft-joinagg").toString
+    val rows = a.as[(Long, Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long)]
+    val delta = input.toDF().toDF("custkey", "o_orderkey", "p_c")
+    val q = Incremental.maintainJoinAggView(delta, b, "custkey", keys, sums,
+      s"$base/state", s"$base/ck").start()
+    try {
+      val (b1, rest) = rows.splitAt(rows.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      for (bx <- Seq(b1, b2, b3)) { input.addData(bx); q.processAllAvailable() }
+    } finally q.stop()
+    val got = Incremental.latestSummary(spark, s"$base/state")
+    assert(got.isDefined)
+    assert(view(got.get) === want,
+      "streamed join+agg state diverges from the full join+aggregate")
+    // replay batch 0 by hand (the foreachBatch at-least-once case): the
+    // beforeBatch=0 read finds NO earlier committed version, so the
+    // regenerated v=0 holds exactly batch 0's own state — and the LATEST
+    // version (v=2) that readers consult is untouched
+    val b1df = rows.take(rows.size / 3).toDF("custkey", "o_orderkey", "p_c")
+    val replayed = Incremental.latestSummary(spark, s"$base/state",
+        beforeBatch = Some(0L))
+      .map(Incremental.mergeJoinAggStates(_,
+        Incremental.joinAggState(b1df.join(b, "custkey"), keys, sums), keys, sums))
+      .getOrElse(Incremental.joinAggState(b1df.join(b, "custkey"), keys, sums))
+    replayed.coalesce(1).write.mode("overwrite").parquet(s"$base/state/v=0")
+    val after = Incremental.latestSummary(spark, s"$base/state")
+    assert(after.isDefined && view(after.get) === want,
+      "replayed batch 0 changed the served join+agg state")
+  }
+
   test("partitioned count table: a delta rewrites only its own partitions " +
       "(untouched partitions byte-identical), replay is a no-op, and the " +
       "maintained state equals the full recompute") {
@@ -369,6 +416,48 @@ class IncrementalSpec extends SparkSpec {
     val after = Incremental.readCountsPartitioned(spark, s"$base/state", keys, "cnt").get
     assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
       "replayed batch 0 changed the maintained count table")
+  }
+
+  test("partitioned count table: empty first batch cannot poison the state, " +
+      "an all-cancelling table read is None, and a partition-count mismatch " +
+      "fails fast") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cntedge").toString
+    val keys = Seq("k")
+    val empty = Seq.empty[(String, Long)].toDF("k", "cnt")
+    // batch 0 is EMPTY (streaming routinely delivers empty micro-batches):
+    // it must commit its marker without creating a schemaless data/ dir
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      empty, keys, "cnt", partitions = 4, batchId = 0L))
+    assert(Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt").isEmpty)
+    // a fully-cancelling batch (sums to zero per key) is the same case
+    val cancel = Seq(("a", 3L), ("a", -3L)).toDF("k", "cnt")
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      cancel, keys, "cnt", partitions = 4, batchId = 1L))
+    // real data still lands cleanly after the empty batches
+    val d2 = Seq(("a", 2L), ("b", 1L)).toDF("k", "cnt")
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      d2, keys, "cnt", partitions = 4, batchId = 2L))
+    val got = Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt").get
+    assert(got.orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 2L), ("b", 1L)))
+    // retract EVERYTHING: the table empties to no live partitions — the
+    // read must report None (not fail on a bare _SUCCESS), and a later
+    // batch must treat the table as fresh state
+    val kill = Seq(("a", -2L), ("b", -1L)).toDF("k", "cnt")
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      kill, keys, "cnt", partitions = 4, batchId = 3L))
+    assert(Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt").isEmpty)
+    assert(Incremental.mergeCountsPartitioned(spark, stateDir,
+      Seq(("c", 7L)).toDF("k", "cnt"), keys, "cnt", partitions = 4, batchId = 4L))
+    assert(Incremental.readCountsPartitioned(spark, stateDir, keys, "cnt")
+      .get.as[(String, Long)].collect().toSeq === Seq(("c", 7L)))
+    // the table was built with P=4: merging with a different modulus would
+    // prune the wrong slices and strand stale rows — it must fail fast
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.mergeCountsPartitioned(spark, stateDir,
+        Seq(("d", 1L)).toDF("k", "cnt"), keys, "cnt", partitions = 8, batchId = 5L)
+    }
+    assert(ex.getMessage.contains("partitions=4"))
   }
 
   test("keys present in only one side pass through the merge") {

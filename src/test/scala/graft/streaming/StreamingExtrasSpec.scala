@@ -301,6 +301,36 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq === expectZeta)
   }
 
+  test("bm25IngestStream: streamed appends make docs searchable with " +
+      "rankings identical to the one-shot rebuild") {
+    import graft.functions.TextAnalysis
+    val all = (0L until 150L).map { i =>
+      val rare = if (i % 25 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} here$rare")
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-ing").toString
+    // seed with the first 50 docs, stream the rest in two micro-batches
+    TextAnalysis.writeInvertedIndex(all.take(50).toDF("doc_id", "text"),
+      "text", "doc_id", idx, buckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bm25IngestStream(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", idx, buckets = 8)
+      .start()
+    try {
+      input.addData(all.slice(50, 100): _*); q.processAllAvailable()
+      input.addData(all.slice(100, 150): _*); q.processAllAvailable()
+    } finally q.stop()
+    val full = java.nio.file.Files.createTempDirectory("graft-inv-ing-f").toString
+    TextAnalysis.writeInvertedIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", full, buckets = 8)
+    def rank(p: String) = TextAnalysis.bm25SearchFromIndex(spark, p,
+      Seq("zeta", "alpha"), topK = 20).as[(Long, Long)].collect().toSeq
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, full))
+    assert(rank(idx) === rank(full),
+      "streamed-ingest index ranking diverges from the one-shot rebuild")
+  }
+
   test("dedupIngestStream catches dups against rows the stream itself wrote") {
     import graft.functions.Dedup
     val tpl = "the quick brown fox jumps over the lazy dog again and again today"
