@@ -31,14 +31,20 @@ a placement artifact, not a regression.
 import json, sys
 
 def run_quality(art):
-    """(verdict, n_undercuts): the artifact's own field, else derived."""
+    """(verdict, n_undercuts): the artifact's own field, else derived.
+
+    r14+ artifacts drop the always-zero published-undercut field (retime
+    publication makes it definitionally 0 — r13 ADVICE); the raw
+    pre-publication count is the informative number where present.
+    """
     q = art.get("queries", {})
     retimed = art.get("retimed", {})
     under = sum(1 for k, r in retimed.items()
                 if r and r > 0 and k in q and q[k] - r > 0.3 and r < 0.8 * q[k])
     own = art.get("run_quality")
     if own:
-        return own, art.get("retime_undercuts", under)
+        return own, art.get("retime_undercuts_raw",
+                            art.get("retime_undercuts", under))
     return ("degraded" if under >= 3 else "suspect" if under >= 1 else "ok"), under
 
 def main():
@@ -54,12 +60,25 @@ def main():
 
     q_old, u_old = run_quality(old)
     q_new, u_new = run_quality(new)
-    print(f"run_quality old: {q_old} ({u_old} retime undercuts"
+    print(f"run_quality old: {q_old} ({u_old} raw retime undercuts"
           + (f", wf {old['window_factor']:.2f}->{old['window_factor_end']:.2f}"
              if "window_factor_end" in old else "") + ")"
-          f"  new: {q_new} ({u_new} retime undercuts"
+          f"  new: {q_new} ({u_new} raw retime undercuts"
           + (f", wf {new['window_factor']:.2f}->{new['window_factor_end']:.2f}"
              if "window_factor_end" in new else "") + ")")
+    # r14+: rows whose automatic fresh-session re-run did not resolve a
+    # >3x-vs-history reading — per-row implausibility inside a window the
+    # canaries may still call flat (the r13 9-19x blind spot)
+    for side, art in (("old", old), ("new", new)):
+        anoms = art.get("row_anomalies", [])
+        if anoms:
+            reruns = art.get("row_reruns", {})
+            detail = ", ".join(
+                f"{a} (rerun {reruns[a]:.2f}s)" if reruns.get(a, -1) > 0 else a
+                for a in anoms)
+            print(f"ROW ANOMALIES ({side}): {detail} — these rows read >3x "
+                  f"their previous median and a fresh-session re-run did not "
+                  f"resolve them; treat their deltas as unadjudicated")
     degraded = [s for s, v in (("old", q_old), ("new", q_new)) if v == "degraded"]
     if degraded:
         msg = (f"REFUSING comparison: {' and '.join(degraded)} artifact(s) are "

@@ -6,18 +6,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
   * Protocol (steady-state, self-contamination-free):
-  *   0. A fixed 2-workload SYNTHETIC host-window canary runs FIRST in
+  *   0. A fixed 3-workload SYNTHETIC host-window canary runs FIRST in
   *      its own fresh session and publishes `window_factor` (see
   *      `canaryRef`): the artifact qualifies its own host window, so
   *      cross-round totals are comparable numerically instead of via
-  *      SCALING.md prose. The SAME canary re-runs LAST
+  *      SCALING.md prose. The workloads sample the three channels the
+  *      bench is gated on — codegen CPU, the exchange machinery, and
+  *      (r14) parquet scan throughput of a written-this-run table, the
+  *      served/family phases' channel the first two never priced (the
+  *      r13 blind spot). The SAME canary re-runs LAST
   *      (`window_factor_end`, r12 directive 1): a start-only factor
   *      cannot see contention arriving mid-run, which is exactly how the
-  *      r12 driver artifact degraded. Both factors + the retime-undercut
-  *      count fold into a `run_quality` verdict field ("ok" / "suspect" /
-  *      "degraded", rule published as `run_quality_rule`), so a degraded
-  *      artifact SELF-DECLARES and `bench_compare.py` refuses to treat it
-  *      as a baseline.
+  *      r12 driver artifact degraded. Both factors + the retime-failure
+  *      count + the row-anomaly screen (note 7) fold into a `run_quality`
+  *      verdict field ("ok" / "suspect" / "degraded", rule published as
+  *      `run_quality_rule`), so a degraded artifact SELF-DECLARES and
+  *      `bench_compare.py` refuses to treat it as a baseline.
   *   0b. The co-purchase GRAPH FAMILY is benched the served way (r12
   *      directive 2): the three edge shapes (symmetric / weighted / half)
   *      are derived from lineitem ONCE per run — timed, attributed in the
@@ -102,6 +106,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      retimed ABOVE main is the opposite signature (the retime session
   *      itself hit contention), never substitutes, and is the regression
   *      to chase.
+  *   7. Per-row PLAUSIBILITY screen (r13 verdict directive 2): after
+  *      publication, any row >3x its previous-round median (and >1s over
+  *      it) gets ONE automatic fresh-session protocol-matched re-run —
+  *      family rows off the stored famDir tables, served rows off the
+  *      re-attached bucketed tables/indexes (Lake.registerBucketed),
+  *      everything else its gate form. A re-run landing back below the
+  *      trigger resolves the row (min publishes); one that persists is
+  *      named in `row_anomalies` and caps run_quality at "suspect".
+  *      `SPARK_GRAFT_BENCH_INFLATE=name:3.5` is the self-test hook
+  *      (inflates every measurement of the row -> persists; `:once`
+  *      inflates only the main -> resolves).
   */
 object Bench {
   private[graft] def newSession(cpus: String): SparkSession = {
@@ -260,19 +275,47 @@ object Bench {
     }
   }
 
-  /** Per-query seconds out of a prior BENCH_FULL.json (the `"queries"`
-    * object) — names are `[a-z0-9_]+`, so a regex scan is a full parser.
+  /** Per-query seconds out of a named block (`"queries"`, `"served"`) of
+    * a prior BENCH_FULL.json — names are `[a-z0-9_]+`, so a regex scan is
+    * a full parser.
     */
-  private def prevQuerySeconds(path: String): Map[String, Double] =
+  private def prevBlock(path: String, block: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { m =>
+      ("\"" + block + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map { m =>
         """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(m.group(1))
           .map(p => p.group(1) -> p.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+
+  private def prevQuerySeconds(path: String): Map[String, Double] =
+    prevBlock(path, "queries")
+
+  /** Synthetic row inflation for the row-plausibility self-test (r13
+    * verdict directive 2's "Done" clause): `SPARK_GRAFT_BENCH_INFLATE=
+    * "name:factor[:once][,name:factor...]"` multiplies that row's
+    * measured seconds at every measurement point — main phase AND the
+    * plausibility re-run — so the detector's PERSISTENT arm fires
+    * (row_anomalies + run_quality suspect). With the `:once` suffix only
+    * the main-phase number inflates and the clean re-run RESOLVES the
+    * anomaly (the transient-glitch path). Never set outside the
+    * self-test.
+    */
+  private val inflateSpec: Map[String, (Double, Boolean)] =
+    sys.env.get("SPARK_GRAFT_BENCH_INFLATE").map { s =>
+      s.split(",").filter(_.nonEmpty).map { e =>
+        val parts = e.split(":")
+        parts(0) -> (parts(1).toDouble, parts.length > 2 && parts(2) == "once")
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def inflate(name: String, sec: Double, rerun: Boolean = false): Double =
+    inflateSpec.get(name) match {
+      case Some((f, once)) if !(once && rerun) => sec * f
+      case _ => sec
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -280,7 +323,9 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     // the previous round's numbers — read BEFORE this run overwrites them
-    val prev = prevQuerySeconds(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath)
+    val prev = prevQuerySeconds(prevPath)
+    val prevServed = prevBlock(prevPath, "served")
 
     // phase wall-clock accounting on stderr — the harness overhead is
     // 85% of the end-to-end cost, so it must be inspectable per phase
@@ -321,6 +366,39 @@ object Bench {
     // (`family_build` artifact block) — empty under ISOLATE=1
     val familyBuilds = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val familyNames = SparkEntry.graphFamilyQueries.keySet
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      if (p != null) p.resolve("sf0.001").toString else ""
+    })
+    val warmOk = warmDir.nonEmpty &&
+      new java.io.File(warmDir, "lineitem.parquet").exists()
+    // per-run UNIQUE dirs for the stored family tables and the served
+    // indexes (r13 ADVICE: a fixed tmpdir path let two concurrent bench
+    // invocations clobber each other's tables mid-phase and leaked the
+    // tables after every run) — both live until the row-plausibility
+    // phase is done re-running off them, then are deleted
+    val famDir = java.nio.file.Files
+      .createTempDirectory("graft-bench-family").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bench-idx").toString
+    // plan capture from INSIDE the harness (r13 verdict directive 1: a
+    // fresh Explain after an anomalous run cannot rule out an
+    // environment-sensitive plan flip — capture what the bench itself
+    // would run). SPARK_GRAFT_BENCH_EXPLAIN=1 dumps the formatted plan
+    // of every family/served row next to the artifact.
+    val explainDir: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1")) None
+      else Some(java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$fullPath.plans")).toString)
+    def capturePlan(name: String, df: => DataFrame): Unit =
+      explainDir.foreach { d =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      }
     val results =
       if (isolate) allQueries.map { case (name, fn) =>
         val spark = newSession(cpus)
@@ -328,7 +406,7 @@ object Bench {
         val (sec, ok) = timed(runs)(exec(fn(spark, sfDir)))
         spark.stop()
         System.gc()
-        (name, sec, ok)
+        (name, inflate(name, sec), ok)
       }
       else {
         // the co-purchase graph family splits off first: benched the
@@ -354,12 +432,6 @@ object Bench {
         // min of the two. Halves the slow phase's timed compute; heavy
         // queries no longer appear in the retime phase (their main
         // number IS the clean fresh-session measurement).
-        val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
-          val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
-          if (p != null) p.resolve("sf0.001").toString else ""
-        })
-        val warmOk = warmDir.nonEmpty &&
-          new java.io.File(warmDir, "lineitem.parquet").exists()
         // ---- Phase 1a: the co-purchase graph family, benched the served
         // way (r12 verdict directive 2). Every family row used to re-derive
         // the SAME edge list from lineitem inside its timed run (~12
@@ -373,11 +445,9 @@ object Bench {
         // same warm2+1(convergence) protocol as the slow phase. The gate
         // forms stay self-contained (Verify prices the build per query
         // for oracle isolation), and ISOLATE=1 keeps the one-shot forms.
-        val famDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-family"
         val familyResults =
           if (famQs.isEmpty) Nil
           else {
-            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(famDir))
             val sB = newSession(cpus)
             def build(name: String, df: DataFrame, path: String): Unit = {
               val t0 = System.nanoTime()
@@ -406,9 +476,10 @@ object Bench {
               val warm = if (warmOk) Some(() => exec(fn(frames("warm")))) else None
               val (sec, ok) = slowTimed(name, prev, runs, warm,
                 () => exec(fn(frames("full"))))
+              capturePlan(name, fn(frames("full")))
               spark.stop()
               if (i % 6 == 5) System.gc()
-              (name, sec, ok)
+              (name, inflate(name, sec), ok)
             }
             phaseDone("family")
             out
@@ -426,7 +497,7 @@ object Bench {
             () => exec(fn(spark, sfDir)))
           spark.stop()
           if (i % 6 == 5) System.gc()
-          (name, sec, ok)
+          (name, inflate(name, sec), ok)
         }
         phaseDone("slow")
         // fast queries: r11 runs them CONCURRENTLY across 2-3 session
@@ -471,7 +542,7 @@ object Bench {
             try scrub(spark, forceGc = d % 24 == 0)
             finally scrubLock.writeLock().unlock()
           }
-          (name, sec, ok)
+          (name, inflate(name, sec), ok)
         }
         val fastResults =
           if (nGroups == 1)
@@ -503,6 +574,59 @@ object Bench {
     // only the partition-pruned index read (query-priced). Build untimed,
     // time the served queries — ranking parity with the one-shot forms is
     // spec-proven, so these are bench-only entries (no oracle row). ----
+    // the served rows, constructible in ANY session off the on-disk
+    // index/table layouts — the main served phase uses the building
+    // session (register = false: writeBucketed registered the catalog
+    // tables there); a row-plausibility re-run builds a FRESH session and
+    // re-attaches the bucketed tables via Lake.registerBucketed (no
+    // rewrite), so the re-run times the identical stored-table plan
+    def servedDefs(s: SparkSession, register: Boolean)
+        : Seq[(String, () => DataFrame)] = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{Similarity, TextAnalysis}
+      if (register) {
+        graft.sinks.Lake.registerBucketed(s, "graft_bench_edges",
+          s"$idx/edges", "src BIGINT, dst BIGINT", Seq("src"), 32)
+        graft.sinks.Lake.registerBucketed(s, "graft_bench_edges_dst",
+          s"$idx/edges_dst", "src BIGINT, dst BIGINT", Seq("dst"), 32)
+      }
+      val emb = graft.sources.Tables.embeddings(s, sfDir)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val bucketedEdges = s.table("graft_bench_edges")
+      val bucketedEdgesDst = s.table("graft_bench_edges_dst")
+      Seq(
+        "graph_pagerank_served" -> (() =>
+          graft.functions.Graph.pageRank(bucketedEdges, "src", "dst",
+            iterations = 5, broadcastRanks = false, checkpointEdges = false)),
+        "graph_hits_served" -> (() =>
+          graft.functions.Graph.hits(bucketedEdges, "src", "dst",
+            iterations = 3, broadcastScores = false, checkpointEdges = false,
+            edgesByDst = Some(bucketedEdgesDst))),
+        // the nightly walk-corpus regeneration path: walks + skip-gram
+        // pairs straight off the stored bucketed edge table — no edge
+        // rebuild, no checkpoint materialization (checkpointEdges=false
+        // keeps the bucketed scan; the frontier stays broadcast, it is
+        // walk-sized)
+        "graph_walk_pairs_served" -> (() => {
+          val seeds = bucketedEdges.select(col("src").as("node")).distinct()
+            .filter(pmod(col("node"), lit(40)) === 0)
+          graft.functions.Graph.skipGramPairs(
+            graft.functions.Graph.deterministicWalks(bucketedEdges,
+              "src", "dst", seeds, steps = 4, checkpointEdges = false),
+            window = 2)
+        }),
+        "sim_topk_int8_served" -> (() =>
+          Similarity.int8TopKFromIndex(s, queries, s"$idx/int8", k = 5)),
+        "sim_topk_ivfpq_served" -> (() =>
+          Similarity.ivfPqTopKFromIndex(s, queries, corpus, s"$idx/ivfpq",
+            k = 5, centroidEvery = 25, nprobe = 3, m = 8, dim = 64)),
+        "search_bm25_served" -> (() =>
+          TextAnalysis.bm25SearchFromIndex(s, s"$idx/bm25",
+            Seq("window", "hash", "stream", "dup"), topK = 50)))
+    }
     val sparkSrv = newSession(cpus)
     val (servedResults, servedBuilds) = {
       import org.apache.spark.sql.functions._
@@ -521,14 +645,7 @@ object Bench {
         r
       }
       val emb = graft.sources.Tables.embeddings(sparkSrv, sfDir)
-      val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        .localCheckpoint()
       val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      // fixed path, rebuilt per run: repeated bench runs must not
-      // accumulate index copies under the temp dir
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-bench-idx"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
       built("int8")(Similarity.writeInt8Index(corpus, s"$idx/int8"))
       built("ivfpq")(Similarity.writeIvfPqIndex(corpus, s"$idx/ivfpq",
         centroidEvery = 25, m = 8, dim = 64))
@@ -555,44 +672,14 @@ object Bench {
         copurchase, "graft_bench_edges_dst", s"$idx/edges_dst", Seq("dst"),
         numBuckets = 32))
       copurchase.unpersist(blocking = true)
-      val bucketedEdges = sparkSrv.table("graft_bench_edges")
-      val bucketedEdgesDst = sparkSrv.table("graft_bench_edges_dst")
-      val served: Seq[(String, () => DataFrame)] = Seq(
-        "graph_pagerank_served" -> (() =>
-          graft.functions.Graph.pageRank(bucketedEdges, "src", "dst",
-            iterations = 5, broadcastRanks = false, checkpointEdges = false)),
-        "graph_hits_served" -> (() =>
-          graft.functions.Graph.hits(bucketedEdges, "src", "dst",
-            iterations = 3, broadcastScores = false, checkpointEdges = false,
-            edgesByDst = Some(bucketedEdgesDst))),
-        // the nightly walk-corpus regeneration path: walks + skip-gram
-        // pairs straight off the stored bucketed edge table — no edge
-        // rebuild, no checkpoint materialization (checkpointEdges=false
-        // keeps the bucketed scan; the frontier stays broadcast, it is
-        // walk-sized)
-        "graph_walk_pairs_served" -> (() => {
-          import org.apache.spark.sql.functions.{col, pmod, lit}
-          val seeds = bucketedEdges.select(col("src").as("node")).distinct()
-            .filter(pmod(col("node"), lit(40)) === 0)
-          graft.functions.Graph.skipGramPairs(
-            graft.functions.Graph.deterministicWalks(bucketedEdges,
-              "src", "dst", seeds, steps = 4, checkpointEdges = false),
-            window = 2)
-        }),
-        "sim_topk_int8_served" -> (() =>
-          Similarity.int8TopKFromIndex(sparkSrv, queries, s"$idx/int8", k = 5)),
-        "sim_topk_ivfpq_served" -> (() =>
-          Similarity.ivfPqTopKFromIndex(sparkSrv, queries, corpus, s"$idx/ivfpq",
-            k = 5, centroidEvery = 25, nprobe = 3, m = 8, dim = 64)),
-        "search_bm25_served" -> (() =>
-          TextAnalysis.bm25SearchFromIndex(sparkSrv, s"$idx/bm25",
-            Seq("window", "hash", "stream", "dup"), topK = 50)))
+      val served = servedDefs(sparkSrv, register = false)
       served.foreach { case (_, fn) =>
         try exec(fn()) catch { case _: Throwable => () } // warm-up
       }
       val rs = served.map { case (name, fn) =>
         val (sec, ok) = timed(runs)(exec(fn()))
-        (name, sec, ok)
+        capturePlan(name, fn())
+        (name, inflate(name, sec), ok)
       }
       (rs, builds.toSeq)
     }
@@ -663,7 +750,7 @@ object Bench {
           try exec(fn(s3, sfDir)) catch { case _: Throwable => () } // warm-up
           val (sec, ok) = timedMin(math.min(runs, 2))(exec(fn(s3, sfDir)))
           s3.stop()
-          (name, if (ok) sec else -1.0)
+          (name, if (ok) inflate(name, sec, rerun = true) else -1.0)
         }
         val fastOut = if (fastNow.isEmpty) Nil else {
           val s3 = newSession(cpus)
@@ -674,7 +761,7 @@ object Bench {
             scrub(s3, forceGc = false)
             // a query that FAILS in the retime session must not record a
             // near-instant "fast" median that reads as a placement artifact
-            (name, if (ok) sec else -1.0)
+            (name, if (ok) inflate(name, sec, rerun = true) else -1.0)
           }
           s3.stop()
           out
@@ -683,6 +770,104 @@ object Bench {
       }
     }
     phaseDone("retime")
+
+    // ---- Retime PUBLICATION (see protocol note 6) — computed BEFORE the
+    // row-plausibility screen so the screen tests the numbers the
+    // artifact will actually publish.
+    val retimeSec = retimed.filter(_._2 > 0).toMap
+    val publishedResults0 = results.map { case (name, sec, ok) =>
+      retimeSec.get(name) match {
+        case Some(r) if ok && r < sec => (name, r, ok)
+        case _ => (name, sec, ok)
+      }
+    }
+    val retimePublished = results.collect {
+      case (name, sec, true) if retimeSec.get(name).exists(_ < sec) => name
+    }
+
+    // ---- Phase 3b: per-row PLAUSIBILITY (r13 verdict directive 2). The
+    // run-quality canaries qualify the WINDOW; they cannot see a single
+    // row reading far above its own history inside an "ok" window — the
+    // r13 driver artifact carried three stored-table graph rows at 9-19x
+    // the committed clean numbers and still self-declared ok. So: any
+    // published row above 3x its previous-round median (and >1s over it —
+    // sub-second rows are the retime phase's jurisdiction) triggers ONE
+    // automatic fresh-session, protocol-matched re-run — family rows
+    // re-read the stored famDir tables, served rows re-attach the
+    // bucketed tables/indexes via Lake.registerBucketed, everything else
+    // runs its gate form. A re-run landing back below the trigger
+    // RESOLVES the row (the min publishes — a fresh re-run can only
+    // remove inflation); one that persists lands the row in
+    // `row_anomalies` and caps run_quality at "suspect": the number is
+    // either real or environmental, and a human adjudicates with the
+    // plan dumps (SPARK_GRAFT_BENCH_EXPLAIN=1) and the scan canary.
+    def rowAnomalous(sec: Double, p: Double): Boolean = sec > 3 * p && sec - p > 1.0
+    val mainCand = publishedResults0.collect {
+      case (n, s, true) if prev.get(n).exists(p => rowAnomalous(s, p)) => n -> s }
+    val servedCand = servedResults.collect {
+      case (n, s, true) if prevServed.get(n).exists(p => rowAnomalous(s, p)) => n -> s }
+    val servedNameSet = servedResults.map(_._1).toSet
+    def rerunRow(name: String): (Double, Boolean) = {
+      val s = newSession(cpus)
+      try {
+        if (servedNameSet(name)) {
+          val fn = servedDefs(s, register = true).toMap.apply(name)
+          try exec(fn()) catch { case _: Throwable => () } // warm-up
+          val (sec, ok) = timedMin(2)(exec(fn()))
+          (inflate(name, sec, rerun = true), ok)
+        } else if (familyNames(name) && !isolate) {
+          val fn = SparkEntry.graphFamilyQueries(name)
+          def frames(kind: String) = SparkEntry.CopurchaseFrames(
+            s.read.parquet(s"$famDir/$kind/edges"),
+            s.read.parquet(s"$famDir/$kind/weighted"),
+            s.read.parquet(s"$famDir/$kind/half"))
+          if (warmOk) { try exec(fn(frames("warm"))) catch { case _: Throwable => () } }
+          val (sec, ok) = timedMin(2)(exec(fn(frames("full"))))
+          (inflate(name, sec, rerun = true), ok)
+        } else {
+          val fn = SparkEntry.queries(name)
+          if (warmOk) { try exec(fn(s, warmDir)) catch { case _: Throwable => () } }
+          val (sec, ok) = timedMin(2)(exec(fn(s, sfDir)))
+          (inflate(name, sec, rerun = true), ok)
+        }
+      } finally { s.stop(); System.gc() }
+    }
+    val rowReruns: Map[String, Double] =
+      (mainCand ++ servedCand).map { case (name, _) =>
+        val (sec, ok) = try rerunRow(name) catch { case _: Throwable => (-1.0, false) }
+        name -> (if (ok) sec else -1.0)
+      }.toMap
+    val rowAnomalies: Seq[String] = (mainCand ++ servedCand).collect {
+      case (name, _) if {
+        val r = rowReruns.getOrElse(name, -1.0)
+        val pOpt = prev.get(name).orElse(prevServed.get(name))
+        r <= 0 || pOpt.exists(p => rowAnomalous(r, p))
+      } => name
+    }
+    val publishedResults = publishedResults0.map { case (n, s, ok) =>
+      rowReruns.get(n) match {
+        case Some(r) if ok && r > 0 && r < s => (n, r, ok)
+        case _ => (n, s, ok)
+      }
+    }
+    val servedFinal = servedResults.map { case (n, s, ok) =>
+      rowReruns.get(n) match {
+        case Some(r) if ok && r > 0 && r < s => (n, r, ok)
+        case _ => (n, s, ok)
+      }
+    }
+    if (rowReruns.nonEmpty) {
+      System.err.println(s"[bench] row-plausibility re-runs: " +
+        rowReruns.map { case (n, r) => f"$n=$r%.2f" }.mkString(", ") +
+        (if (rowAnomalies.nonEmpty)
+          s"; PERSISTING anomalies: ${rowAnomalies.mkString(", ")}" else ""))
+      phaseDone("plausibility")
+    }
+    // the stored family tables and served indexes are no longer needed
+    // once the plausibility re-runs are done (r13 ADVICE: delete per-run
+    // dirs instead of leaking fixed tmpdir paths)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(famDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
 
     // ---- Phase 4: END-of-run canary (r12 verdict directive 1). The
     // phase-0 canary qualifies only the START of the run: contention
@@ -708,61 +893,36 @@ object Bench {
     // ---- Run-quality verdict: the repo's documented discard rule, made
     // an artifact FIELD so a degraded run self-declares instead of
     // requiring SCALING.md prose (r12 verdict directive 1b). Signals:
-    //  - retime UNDERCUTS: flagged queries whose clean-session retime
-    //    lands >20% and >0.3s BELOW the main number — the contamination
-    //    signature (the main phase was inflated). The test is
-    //    WINDOW-NORMALIZED: retimes run at the END of the run under the
-    //    wf_end window while mains ran earlier under ~wf_start, so a
-    //    retime is scaled by wf_start/wf_end (when the window improved)
-    //    before comparing — otherwise a host whose window drifts 15-25%
-    //    within every ~13-min run (this host, measured four consecutive
-    //    runs) marks EVERY run degraded and the field stops
-    //    distinguishing genuine contamination (the r12 artifact's 2-3x
-    //    undercuts survive any window normalization).
+    //  - FAILED retimes: a flagged query whose clean-session retime
+    //    errored leaves its main number standing UNADJUDICATED.
+    //    (Published-number retime undercuts are definitionally ZERO
+    //    under retime publication — any retime below its main was
+    //    substituted INTO the published map, so nothing published can
+    //    still undercut; r13 shipped the field anyway and its rule text
+    //    overstated what was measured — r13 ADVICE. The PRE-publication
+    //    undercut count survives as `retime_undercuts_raw`, a diagnostic
+    //    of how inflamed the shared fast phase was before correction,
+    //    deliberately NOT a quality arm: on a drifting host it reads
+    //    10-14 from the fast/slow routing flip-flop alone.)
     //  - canary DRIFT: |wf_end - wf_start| / wf_start — the host window
     //    moved while the run was in it; monotone drift alone caps the
     //    verdict at "suspect" until it exceeds the degraded threshold.
-    // ---- Retime PUBLICATION: when a flagged query's clean-session
-    // retime reads BELOW its shared-session median, the retime is the
-    // protocol-correct number and is what the `queries` map publishes
-    // (names listed in `retime_published`; the raw pair stays visible in
-    // `retimed`). Rationale: the concurrent shared session can only
-    // INFLATE a query (contention adds wall, never removes it beyond
-    // noise), so main >> retime means the main was measured wrong, and
-    // publishing it anyway feeds next round's fast/slow routing an
-    // inflated prev — measured here as a permanent oscillation: a ~0.7 s
-    // query publishes 1.4 s from the shared session, routes to the slow
-    // phase next round, publishes a clean 0.7 s, routes back fast, and
-    // flip-flops forever, reading as 10-14 "undercuts" per run on a
-    // drifting host. A retime ABOVE main is the opposite signature (the
-    // retime session itself hit contention) and never substitutes.
-    val retimeSec = retimed.filter(_._2 > 0).toMap
-    val publishedResults = results.map { case (name, sec, ok) =>
-      retimeSec.get(name) match {
-        case Some(r) if ok && r < sec => (name, r, ok)
-        case _ => (name, sec, ok)
-      }
-    }
-    val retimePublished = results.collect {
-      case (name, sec, true) if retimeSec.get(name).exists(_ < sec) => name
-    }
+    //  - PERSISTING row anomalies (phase 3b): a row >3x its own history
+    //    whose automatic fresh-session re-run did not resolve it — the
+    //    r13 blind spot (window canaries flat, three rows 9-19x).
     val mainSec = publishedResults.collect { case (n, s, true) => n -> s }.toMap
     val wfRatio = // >1 when the window IMPROVED over the run
       if (windowFactor > 0 && windowFactorEnd > 0) windowFactor / windowFactorEnd
       else 1.0
-    // undercuts are computed on the PUBLISHED numbers: a substituted
-    // query is corrected, not degraded — what remains here is inflation
-    // the substitution could not reach. Raw (pre-substitution,
-    // window-normalized) undercuts ride along as a diagnostic of how
-    // inflamed the shared phase was before correction.
-    def undercutsAgainst(sec: Map[String, Double]): Int =
+    // raw = pre-substitution, window-normalized: how many flagged mains
+    // the clean retimes undercut before publication corrected them
+    val retimeUndercutsRaw = {
+      val rawSec = results.collect { case (n, s, true) => n -> s }.toMap
       retimed.count { case (name, r) =>
         val rAdj = r * math.max(1.0, wfRatio) // rescale to the start window
-        r > 0 && sec.get(name).exists(m => m - rAdj > 0.3 && rAdj < 0.8 * m)
+        r > 0 && rawSec.get(name).exists(m => m - rAdj > 0.3 && rAdj < 0.8 * m)
       }
-    val retimeUndercuts = undercutsAgainst(mainSec)
-    val retimeUndercutsRaw =
-      undercutsAgainst(results.collect { case (n, s, true) => n -> s }.toMap)
+    }
     // a FAILED retime (-1) leaves its flagged main standing uncorrected —
     // that is an unadjudicated number, not a corrected one
     val retimeFailures = retimed.count(_._2 <= 0)
@@ -779,22 +939,23 @@ object Bench {
     // degraded and the field stops discriminating; the r12 failure mode
     // this exists to catch was 1.5-3x mid-run contention (drift >> 0.5).
     val runQuality =
-      if (retimeUndercuts + retimeFailures >= 3 || canaryDrift > 0.5) "degraded"
-      else if (retimeUndercuts + retimeFailures >= 1 || canaryDrift > 0.2 ||
-        canaryDrift < 0) "suspect"
+      if (retimeFailures >= 3 || canaryDrift > 0.5) "degraded"
+      else if (retimeFailures >= 1 || canaryDrift > 0.2 || canaryDrift < 0 ||
+        rowAnomalies.nonEmpty) "suspect"
       else "ok"
-    val runQualityRule = "degraded: uncorrected window-normalized retime " +
-      "undercuts (>20% and >0.3s vs PUBLISHED numbers, retimes scaled by " +
-      "wf_start/wf_end) plus failed retimes >= 3, or " +
-      "|wf_end-wf_start|/wf_start > 0.5 (calibrated above the pair's " +
-      "measured 15-37% flat-window noise floor; the r12 failure class " +
-      "reads 1.5-3x) -> discard and re-run in a recovered window; " +
-      "suspect: any of those >= 1, or drift > 0.2, or a canary failed; " +
+    val runQualityRule = "degraded: failed retimes >= 3 (published-number " +
+      "retime undercuts are definitionally zero under retime publication; " +
       "retime_undercuts_raw diagnoses pre-publication shared-phase " +
-      "inflation"
+      "inflation), or |wf_end-wf_start|/wf_start > 0.5 (calibrated above " +
+      "the pair's measured 15-37% flat-window noise floor; the r12 " +
+      "failure class reads 1.5-3x) -> discard and re-run in a recovered " +
+      "window; suspect: failed retime >= 1, drift > 0.2, a canary failed, " +
+      "or a row_anomalies entry (a row >3x and >1s over its previous " +
+      "median whose automatic fresh-session re-run did not resolve it)"
     System.err.println(f"[bench] run_quality=$runQuality " +
-      f"(undercuts=$retimeUndercuts raw=$retimeUndercutsRaw " +
-      f"failed=$retimeFailures published=${retimePublished.size}, " +
+      f"(raw_undercuts=$retimeUndercutsRaw " +
+      f"failed=$retimeFailures published=${retimePublished.size} " +
+      f"row_anomalies=${rowAnomalies.size}, " +
       f"wf_start=$windowFactor%.3f, wf_end=$windowFactorEnd%.3f)")
 
     // ---- Reporting. The driver captures only the LAST ~2000 chars of
@@ -814,7 +975,7 @@ object Bench {
     // retime-corrected numbers (see retime publication above).
     val okResults = publishedResults.filter(_._3)
     val skewQs = entries(skewResults.filter(_._3)).mkString("{", ",", "}")
-    val servedQs = entries(servedResults.filter(_._3)).mkString("{", ",", "}")
+    val servedQs = entries(servedFinal.filter(_._3)).mkString("{", ",", "}")
     val servedBuildQs = servedBuilds.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val canaryQs = canaryResults.filter(_._2 > 0)
@@ -823,17 +984,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val windowQs = s""""canary":$canaryQs,"window_factor":${ms3(windowFactor)},""" +
       s""""canary_end":$canaryEndQs,"window_factor_end":${ms3(windowFactorEnd)},""" +
-      s""""canary_drift":${ms3(canaryDrift)},"retime_undercuts":$retimeUndercuts,""" +
+      s""""canary_drift":${ms3(canaryDrift)},""" +
       s""""retime_undercuts_raw":$retimeUndercutsRaw,""" +
       s""""retime_failures":$retimeFailures,""" +
       s""""retime_published":${retimePublished.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""row_anomalies":${rowAnomalies.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""row_reruns":${rowReruns.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")},""" +
       s""""run_quality":"$runQuality","run_quality_rule":"$runQualityRule",""" +
       s""""load_avg":${ms3(loadAvg)}"""
     val familyBuildQs = familyBuilds
       .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     val retimedQs = retimed.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val errors = (results ++ servedResults ++ skewResults)
+    val errors = (results ++ servedFinal ++ skewResults)
       .collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = okResults.map(_._2).sum

@@ -310,4 +310,30 @@ object Lake {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Re-attach an EXISTING [[writeBucketed]] layout to a (new) session's
+    * catalog without rewriting a byte — the in-memory catalog dies with
+    * its SparkContext, but the bucketed files (bucket id encoded in the
+    * file names) and their sort order are all on disk; a CREATE TABLE
+    * with the same CLUSTERED/SORTED BY spec over the same location
+    * restores the exchange-free join property in any later session.
+    * `schemaDdl` must match the written schema (e.g. "src BIGINT, dst
+    * BIGINT") and `bucketCols`/`numBuckets` the original write's —
+    * BucketingSpec pins result equality and the bucketed scan.
+    */
+  def registerBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      path: String,
+      schemaDdl: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "registerBucketed: bucketCols must be non-empty")
+    val bc = bucketCols.mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING parquet
+         |CLUSTERED BY ($bc) SORTED BY ($bc) INTO $numBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 }

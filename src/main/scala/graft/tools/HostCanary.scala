@@ -31,10 +31,18 @@ object HostCanary {
     * Bench session doesn't), which is why [[main]] builds the
     * Bench-identical session rather than GraftSession — references and
     * measurements must share one config or the factor is meaningless.
+    *
+    * `canary_scan` (r14, verdict directive 3) prices cold-ish parquet
+    * scan throughput of a table written earlier in the same session —
+    * the served/family phases' gating channel that the cpu/shuffle pair
+    * never samples. References measured 2026-08-15 (r14 window,
+    * cpu/shuffle factors ~1.0 at the time of measurement) via
+    * `runMain graft.tools.HostCanary`.
     */
   val ref: Seq[(String, Double)] = Seq(
     "canary_cpu" -> 0.47,
-    "canary_shuffle" -> 1.98)
+    "canary_shuffle" -> 1.98,
+    "canary_scan" -> 1.00)
 
   /** Pinned references for the END-of-run canary position (r13). The end
     * canary runs in the bench's ~12-minute-old JVM where Spark's shuffle
@@ -48,9 +56,15 @@ object HostCanary {
     * end-position readings of those six runs (cpu 0.347/0.288/0.301/
     * 0.322/0.425/0.286; shuffle 1.929/1.786/1.782/1.906/1.426/1.293).
     */
+  /** The scan workload shows NO warm-JVM speedup (I/O-bound, unlike the
+    * cpu/shuffle pair's 30-40%): its end reference sits at ~its cold
+    * reference (r14 calibration: cold 0.78-1.02, warm 1.10 in the same
+    * ~0.8-1.0 window; both positions' refs set from those medians).
+    */
   val refEnd: Seq[(String, Double)] = Seq(
     "canary_cpu" -> 0.32,
-    "canary_shuffle" -> 1.78)
+    "canary_shuffle" -> 1.78,
+    "canary_scan" -> 1.05)
 
   /** The fixed workloads; `n` rows of `spark.range`. Aggregates are
     * overflow-free (max / pmod'd sums): ANSI mode is on, and a wrapped
@@ -66,23 +80,65 @@ object HostCanary {
         .orderBy(col("g"))
   }
 
+  /** The disk-scan workload's fixed table (r13 verdict directive 3): the
+    * cpu canary prices codegen throughput and the shuffle canary the
+    * exchange machinery, but the bench's served/family phases are gated
+    * on PARQUET SCAN throughput of tables written earlier in the same
+    * run — exactly the channel neither samples (the r13 blind spot: three
+    * stored-table graph rows read 9-19x while both canaries said "flat").
+    * So: write a fixed-shape table once (untimed setup — it shares the
+    * written-this-run freshness of the real stored tables), then time
+    * full scans that aggregate EVERY column (no pruning, no pushdown —
+    * the max()s keep the scan the only cost). ~390 MB on disk, the
+    * family/served tables' scale.
+    */
+  private def scanTable(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id"),
+      xxhash64(col("id")).as("h1"),
+      xxhash64(col("id"), lit(1)).as("h2"),
+      conv(pmod(xxhash64(col("id"), lit(2)), lit(1L << 40)).cast("string"),
+        10, 16).as("s"))
+
+  private def scanAll(df: DataFrame): DataFrame =
+    df.agg(max(col("id")), max(col("h1")), max(col("h2")), max(col("s")))
+
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   /** Warm once at 1/100 size (codegen), then min-of-2 at full size.
-    * -1.0 marks a failed workload (excluded from the factor).
+    * -1.0 marks a failed workload (excluded from the factor). The scan
+    * workload writes its table to a per-call temp dir (untimed), times
+    * 2 full-column scans, and removes the table.
     */
   def measure(spark: SparkSession): Seq[(String, Double)] =
     ref.map { case (name, _) =>
-      val full = if (name == "canary_cpu") 400000000L else 16000000L
       try {
-        exec(body(spark, name, full / 100)) // codegen warm
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          exec(body(spark, name, full))
-          (System.nanoTime() - t0) / 1e9
+        if (name == "canary_scan") {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-canary-scan").toString
+          try {
+            val n = 30000000L
+            scanTable(spark, n).write.mode("overwrite").parquet(dir) // untimed
+            exec(scanAll(spark.read.parquet(dir).limit(300000))) // codegen warm
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              exec(scanAll(spark.read.parquet(dir)))
+              (System.nanoTime() - t0) / 1e9
+            }
+            (name, times.min)
+          } finally org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(dir))
+        } else {
+          val full = if (name == "canary_cpu") 400000000L else 16000000L
+          exec(body(spark, name, full / 100)) // codegen warm
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            exec(body(spark, name, full))
+            (System.nanoTime() - t0) / 1e9
+          }
+          (name, times.min)
         }
-        (name, times.min)
       } catch { case _: Throwable => (name, -1.0) }
     }
 
@@ -118,6 +174,16 @@ object HostCanary {
     val rs = measure(spark)
     val qs = rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(f"""{"canary":$qs,"window_factor":${factor(rs)}%.3f}""")
-    spark.stop()
+    // `repeat`: measure again in the now-JIT-warm JVM — the END-position
+    // protocol shape (used to calibrate refEnd; a fresh session in the
+    // same JVM, like Bench's phase 4)
+    if (args.contains("repeat")) {
+      spark.stop()
+      val s2 = graft.Bench.newSession(cpus)
+      val rs2 = measure(s2)
+      val qs2 = rs2.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      println(f"""{"canary_warm":$qs2,"window_factor_end":${factorEnd(rs2)}%.3f}""")
+      s2.stop()
+    } else spark.stop()
   }
 }

@@ -43,4 +43,41 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("registerBucketed re-attaches an existing layout: same rows, " +
+      "bucketed scan, no edge-side exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS reg_edges")
+      val base = java.nio.file.Files.createTempDirectory("graft-regbucket").toString
+      val edges = graft.functions.Graph.copurchaseEdges(Tables.lineitem(spark, d))
+      graft.sinks.Lake.writeBucketed(edges, "reg_edges", s"$base/e",
+        Seq("src"), numBuckets = 8)
+      val want = spark.table("reg_edges").orderBy("src", "dst")
+        .collect().toSeq
+      // drop the catalog entry (what a SparkContext stop does to the
+      // in-memory catalog) and re-attach the SAME files — no rewrite
+      spark.sql("DROP TABLE reg_edges")
+      graft.sinks.Lake.registerBucketed(spark, "reg_edges", s"$base/e",
+        "src BIGINT, dst BIGINT", Seq("src"), numBuckets = 8)
+      val got = spark.table("reg_edges")
+      assert(got.orderBy("src", "dst").collect().toSeq === want,
+        "re-attached table must read the identical rows")
+      // the bucketing property must survive re-attachment: a join on the
+      // bucket key must not exchange the edge side
+      val probe = got.join(
+        got.select(col("src")).distinct().withColumn("pay", col("src") * 2),
+        "src")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"re-attached scan must read bucketed:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"edge side must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
