@@ -31,11 +31,15 @@ a placement artifact, not a regression.
 import json, sys
 
 def run_quality(art):
-    """(verdict, n_undercuts): the artifact's own field, else derived.
+    """(verdict, n_undercuts, label): the artifact's own field, else derived.
 
     r14+ artifacts drop the always-zero published-undercut field (retime
     publication makes it definitionally 0 — r13 ADVICE); the raw
-    pre-publication count is the informative number where present.
+    pre-publication count is the informative number where present. The
+    label says WHICH count is being shown: a pre-r14 artifact's
+    `retime_undercuts` is the published (post-substitution) count, ~0 by
+    construction — printing it as "raw" would misread an old run's fast
+    phase as uninflamed when its raw diagnostic was never recorded.
     """
     q = art.get("queries", {})
     retimed = art.get("retimed", {})
@@ -43,9 +47,14 @@ def run_quality(art):
                 if r and r > 0 and k in q and q[k] - r > 0.3 and r < 0.8 * q[k])
     own = art.get("run_quality")
     if own:
-        return own, art.get("retime_undercuts_raw",
-                            art.get("retime_undercuts", under))
-    return ("degraded" if under >= 3 else "suspect" if under >= 1 else "ok"), under
+        if "retime_undercuts_raw" in art:
+            return own, art["retime_undercuts_raw"], "raw retime undercuts"
+        if "retime_undercuts" in art:
+            return own, art["retime_undercuts"], ("published retime undercuts" +
+                " (pre-r14 artifact; raw count was not recorded)")
+        return own, under, "derived retime undercuts"
+    return ("degraded" if under >= 3 else "suspect" if under >= 1 else "ok"
+            ), under, "derived retime undercuts"
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--force"]
@@ -58,12 +67,12 @@ def main():
     wf_old, wf_new = old.get("window_factor", 0), new.get("window_factor", 0)
     wratio = (wf_new / wf_old) if wf_old and wf_new and wf_old > 0 and wf_new > 0 else 1.0
 
-    q_old, u_old = run_quality(old)
-    q_new, u_new = run_quality(new)
-    print(f"run_quality old: {q_old} ({u_old} raw retime undercuts"
+    q_old, u_old, l_old = run_quality(old)
+    q_new, u_new, l_new = run_quality(new)
+    print(f"run_quality old: {q_old} ({u_old} {l_old}"
           + (f", wf {old['window_factor']:.2f}->{old['window_factor_end']:.2f}"
              if "window_factor_end" in old else "") + ")"
-          f"  new: {q_new} ({u_new} raw retime undercuts"
+          f"  new: {q_new} ({u_new} {l_new}"
           + (f", wf {new['window_factor']:.2f}->{new['window_factor_end']:.2f}"
              if "window_factor_end" in new else "") + ")")
     # r14+: rows whose automatic fresh-session re-run did not resolve a

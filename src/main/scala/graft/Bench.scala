@@ -381,6 +381,13 @@ object Bench {
       .createTempDirectory("graft-bench-family").toString
     val idx = java.nio.file.Files
       .createTempDirectory("graft-bench-idx").toString
+    // the happy path deletes both after the plausibility phase; an
+    // aborted run (OOM, kill, a failure outside the per-query catch)
+    // would otherwise leak multi-GB table/index dirs per attempt
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(famDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    }))
     // plan capture from INSIDE the harness (r13 verdict directive 1: a
     // fresh Explain after an anomalous run cannot rule out an
     // environment-sensitive plan flip — capture what the bench itself
@@ -584,19 +591,24 @@ object Bench {
         : Seq[(String, () => DataFrame)] = {
       import org.apache.spark.sql.functions._
       import graft.functions.{Similarity, TextAnalysis}
-      if (register) {
+      // everything here is LAZY so a single-row plausibility re-run
+      // (which picks ONE thunk out of the returned seq) pays only its
+      // own row's setup — not an embeddings localCheckpoint plus two
+      // catalog registrations it never touches. The main served phase
+      // runs all six thunks and forces the lot exactly once, as before.
+      lazy val registered: Unit = if (register) {
         graft.sinks.Lake.registerBucketed(s, "graft_bench_edges",
           s"$idx/edges", "src BIGINT, dst BIGINT", Seq("src"), 32)
         graft.sinks.Lake.registerBucketed(s, "graft_bench_edges_dst",
           s"$idx/edges_dst", "src BIGINT, dst BIGINT", Seq("dst"), 32)
       }
-      val emb = graft.sources.Tables.embeddings(s, sfDir)
-      val queries = emb.filter(col("vec_id") < 20)
+      lazy val emb = graft.sources.Tables.embeddings(s, sfDir)
+      lazy val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         .localCheckpoint()
-      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
-      val bucketedEdges = s.table("graft_bench_edges")
-      val bucketedEdgesDst = s.table("graft_bench_edges_dst")
+      lazy val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      lazy val bucketedEdges = { registered; s.table("graft_bench_edges") }
+      lazy val bucketedEdgesDst = { registered; s.table("graft_bench_edges_dst") }
       Seq(
         "graph_pagerank_served" -> (() =>
           graft.functions.Graph.pageRank(bucketedEdges, "src", "dst",

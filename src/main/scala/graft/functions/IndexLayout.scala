@@ -51,6 +51,21 @@ private[graft] object IndexLayout {
       .foldLeft(BaseBatch)(math.max)
   }
 
+  /** Whether `root` holds any `batch=<id>` partition directories (depth
+    * 1 or 2). A layout WITHOUT them predates the batch convention: an
+    * append into it would write `bucket=K/batch=N` next to flat
+    * `bucket=K` files — a mixed-depth partition tree Spark's discovery
+    * rejects ("Conflicting directory structures"), bricking every
+    * subsequent read of the index. Appenders fail fast on false.
+    */
+  def hasBatchDirs(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Seq("batch=*", "*/batch=*").exists { pat =>
+      Option(fs.globStatus(new Path(p, pat))).exists(_.nonEmpty)
+    }
+  }
+
   /** Persist the index's SHAPE PARAMETERS (band counts, bucket counts,
     * codebook dims ...) as a 1-row table under `<root>/params`, making
     * the layout self-describing: a reader or appender called with

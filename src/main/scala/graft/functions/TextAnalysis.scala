@@ -252,6 +252,17 @@ object TextAnalysis {
     * Documents must be NEW ids: re-submitting an indexed doc_id would
     * duplicate its postings across batch partitions (dedup upstream —
     * this is an append, not an upsert).
+    *
+    * CRASH ATOMICITY: postings land first, the stats row LAST — the
+    * stats row is the batch's COMMIT MARKER. A crash between the two
+    * writes leaves orphan postings partitions, which every search path
+    * ignores ([[committedBatchIds]] filters the postings read to
+    * stats-marked batches — orphan docs would otherwise inflate tf/df
+    * while the corpus n/tot excluded them, silently skewing IDF for
+    * every query). A replay with the SAME batch id replaces the orphans
+    * and commits; a later append under a fresh id leaves them as
+    * invisible garbage (harmless, reclaimed by the next replay or
+    * rebuild).
     */
   def appendToInvertedIndex(
       df: DataFrame,
@@ -260,29 +271,47 @@ object TextAnalysis {
       path: String,
       buckets: Int = 64,
       batchId: Option[Long] = None): Unit = {
+    val spark = df.sparkSession
     // a mismatched bucket count would route appended postings into
     // different partitions than the layout's — query-time pruning would
     // silently miss them forever after. Fail here instead.
-    IndexLayout.requireParams(df.sparkSession, path, Map("buckets" -> buckets.toLong))
+    IndexLayout.requireParams(spark, path, Map("buckets" -> buckets.toLong))
+    // a pre-batch-convention layout (postings under flat bucket=K/, no
+    // batch level) cannot be appended to: the mixed-depth partition tree
+    // would brick every later read of the WHOLE index. Fail loudly.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings")) ||
+      IndexLayout.hasBatchDirs(spark, s"$path/postings"),
+      s"inverted index at $path predates the batch=<id> layout " +
+        "(flat bucket partitions) — rebuild it with writeInvertedIndex " +
+        "before appending; appending would corrupt the partition tree")
     if (df.isEmpty) return // nothing to land; keeps empty micro-batches free
     val id = batchId.getOrElse(
-      IndexLayout.maxBatchId(df.sparkSession, s"$path/postings") + 1)
+      IndexLayout.maxBatchId(spark, s"$path/postings") + 1)
     val base = df.select(col(idCol).as("doc_id"),
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
     val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
       .localCheckpoint() // feeds both the postings join and the stats row
-    IndexLayout.overwriteBatchPartitions(
-      base.select(col("doc_id"), explode(col("toks")).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-        .join(lens, "doc_id")
-        .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
-        .withColumn("batch", lit(id)),
-      s"$path/postings", Seq("bucket", "batch"))
-    IndexLayout.overwriteBatchPartitions(
-      lens.agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"),
-          lit(buckets.toLong).as("buckets"))
-        .withColumn("batch", lit(id)),
-      s"$path/stats", Seq("batch"))
+    try {
+      IndexLayout.overwriteBatchPartitions(
+        base.select(col("doc_id"), explode(col("toks")).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+          .join(lens, "doc_id")
+          .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
+          .withColumn("batch", lit(id)),
+        s"$path/postings", Seq("bucket", "batch"))
+      IndexLayout.overwriteBatchPartitions(
+        lens.agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"),
+            lit(buckets.toLong).as("buckets"))
+          .withColumn("batch", lit(id)),
+        s"$path/stats", Seq("batch"))
+    } finally {
+      // a days-long bm25IngestStream calls this per micro-batch: without
+      // the unpersist each call pins a dead checkpoint block pair until
+      // driver GC (the dedupIngestStream rule)
+      lens.unpersist(); ()
+    }
   }
 
   /** Exact corpus stats of a (possibly appended-to) inverted index:
@@ -298,6 +327,21 @@ object TextAnalysis {
         max(col("buckets")).as("buckets")).head()
     (r.getAs[Long]("n"), r.getAs[Long]("tot"), r.getAs[Long]("buckets"))
   }
+
+  /** Batch ids whose stats row exists — the append protocol's COMMIT
+    * MARKERS (the stats row is written last; see
+    * [[appendToInvertedIndex]]'s crash-atomicity note). Search paths
+    * filter the postings read to this set so a crashed append's orphan
+    * postings stay invisible. One bounded read of the rows-per-batch
+    * stats table; the partition column is cast because partition
+    * discovery may infer `batch=0` as int.
+    */
+  def committedBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[Long] =
+    spark.read.parquet(s"$indexPath/stats")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
 
   /** Driver-side twin of [[portableHash48]] (md5-prefix, same 48 bits) —
     * lets the query side compute term buckets without a Spark job.
@@ -321,13 +365,15 @@ object TextAnalysis {
       bMilli: Long = 750L,
       topK: Int = 50): DataFrame = {
     val (n, tot, buckets) = readIndexStats(spark, indexPath)
+    val committed = committedBatchIds(spark, indexPath)
     val stats = spark.range(1).select(lit(n).as("n"), lit(tot).as("tot"))
     // the index stores lowercased terms: fold BEFORE bucketing, or a
     // mixed-case query reads the wrong bucket partition and finds nothing
     val qTerms = queryTerms.map(_.toLowerCase)
     val qBuckets = qTerms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
-      .filter(col("bucket").isin(qBuckets: _*)) // partition filter
+      .filter(col("bucket").isin(qBuckets: _*))   // partition filter
+      .filter(col("batch").isin(committed: _*))   // commit-marker visibility
       .filter(col("t").isin(qTerms: _*))        // parquet-pushed within bucket
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
@@ -356,8 +402,13 @@ object TextAnalysis {
       k1Milli: Long = 1200L,
       bMilli: Long = 750L,
       topK: Int = 50,
-      statsRow: Option[(Long, Long, Long)] = None): DataFrame = {
+      statsRow: Option[(Long, Long, Long)] = None,
+      committedIds: Option[Seq[Long]] = None): DataFrame = {
     val (n, tot, buckets) = statsRow.getOrElse(readIndexStats(spark, indexPath))
+    // frozen together with statsRow by a serving stream: visibility and
+    // corpus stats then stay COHERENT (a batch ingested mid-stream is
+    // neither scored nor counted until the stream's stats refresh)
+    val committed = committedIds.getOrElse(committedBatchIds(spark, indexPath))
     // qt feeds both the driver-side term collect and the postings join
     val qt = queries.select(col("qid"),
         explode(filter(split(lower(col("terms")), "\\s+"), t => length(t) > 0)).as("t"))
@@ -373,7 +424,8 @@ object TextAnalysis {
         .limit(0)
     val qBuckets = terms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
-      .filter(col("bucket").isin(qBuckets: _*)) // partition filter
+      .filter(col("bucket").isin(qBuckets: _*))   // partition filter
+      .filter(col("batch").isin(committed: _*))   // commit-marker visibility
       .filter(col("t").isin(terms: _*))         // parquet-pushed within bucket
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     val dfq = postings.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))

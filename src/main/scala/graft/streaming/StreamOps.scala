@@ -280,19 +280,24 @@ object StreamOps {
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // the index is static for the stream's lifetime; first batch reads
     // the stats table (summed across any appended batches — see
-    // `TextAnalysis.readIndexStats`), later batches reuse it. A serving
-    // stream racing a concurrent ingest ([[bm25IngestStream]]) scores
-    // with stats frozen at first read — restart the serving stream on
-    // the refresh cadence to pick up the ingested corpus size.
+    // `TextAnalysis.readIndexStats`) AND the committed batch-id set,
+    // later batches reuse both. A serving stream racing a concurrent
+    // ingest ([[bm25IngestStream]]) therefore scores a COHERENT frozen
+    // view: batches ingested mid-stream are neither visible in postings
+    // nor counted in n/tot — restart the serving stream on the refresh
+    // cadence to pick up the ingested corpus.
     lazy val stats =
       graft.functions.TextAnalysis.readIndexStats(
+        queryStream.sparkSession, indexPath)
+    lazy val committed =
+      graft.functions.TextAnalysis.committedBatchIds(
         queryStream.sparkSession, indexPath)
     queryStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           emit(graft.functions.TextAnalysis.bm25SearchManyFromIndex(
             batch.sparkSession, indexPath, batch.toDF(), topK = topK,
-            statsRow = Some(stats)))
+            statsRow = Some(stats), committedIds = Some(committed)))
     }
   }
 

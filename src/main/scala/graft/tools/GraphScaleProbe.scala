@@ -61,6 +61,18 @@ import graft.sinks.Lake
   */
 object GraphScaleProbe {
   private val modes = Set("hits", "bfs", "walks", "kcore", "lpa")
+
+  /** Shuffle-exchange count of a printed physical plan.
+    * `ShuffleExchangeExec.nodeName` is `"Exchange"` (the tree prints
+    * `Exchange hashpartitioning(...)`), NOT `"ShuffleExchange"` — the
+    * literal these probes originally grepped, which matched nothing, so
+    * every `nShuffles <= 1` assert before r14 was vacuous (caught in
+    * review; the probes were re-run with this counter and the claims
+    * re-certified — SCALING.md). The lookbehind excludes
+    * `BroadcastExchange`, whose node name does embed the word.
+    */
+  private def shuffleExchanges(plan: String): Int =
+    "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
   def main(args: Array[String]): Unit = {
     val hitsMode = args.contains("hits")
     val bfsMode = args.contains("bfs")
@@ -102,7 +114,7 @@ object GraphScaleProbe {
       val plan = round.queryExecution.executedPlan.toString
       // count only SHUFFLE exchanges: a BroadcastExchange of the node-sized
       // rank frame would not exercise the edge-side-shuffle-free property
-      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val nShuffles = shuffleExchanges(plan)
       val bucketedScan = plan.contains("Bucketed: true")
       println(s"[graphscale] m=$m round-join shuffle-exchanges=$nShuffles " +
         s"(bucketed scan: $bucketedScan)")
@@ -169,7 +181,7 @@ object GraphScaleProbe {
         .select(col("src"), col("a"))
       for ((name, step) <- Seq("auth(src)" -> authStep, "hub(dst)" -> hubStep)) {
         val plan = step.queryExecution.executedPlan.toString
-        val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+        val nShuffles = shuffleExchanges(plan)
         val bucketedScan = plan.contains("Bucketed: true")
         println(s"[graphscale-hits] m=$m half-step $name " +
           s"shuffle-exchanges=$nShuffles (bucketed scan: $bucketedScan)")
@@ -230,7 +242,7 @@ object GraphScaleProbe {
       val cand = bucketed.join(frontier, bucketed("src") === frontier("cur"))
         .select(col("wid"), col("prev"), col("dst"))
       val plan = cand.queryExecution.executedPlan.toString
-      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val nShuffles = shuffleExchanges(plan)
       val bucketedScan = plan.contains("Bucketed: true")
       println(s"[graphscale-walks] m=$m cand-join shuffle-exchanges=$nShuffles " +
         s"(bucketed scan: $bucketedScan)")
@@ -309,7 +321,7 @@ object GraphScaleProbe {
         .select(eSrc("dst").as("n"))
       for ((name, step) <- Seq("loss(dst)" -> dstHalf, "loss(src)" -> srcHalf)) {
         val plan = step.queryExecution.executedPlan.toString
-        val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+        val nShuffles = shuffleExchanges(plan)
         val bucketedScan = plan.contains("Bucketed: true")
         println(s"[graphscale-kcore] m=$m $name " +
           s"shuffle-exchanges=$nShuffles (bucketed scan: $bucketedScan)")
@@ -375,7 +387,7 @@ object GraphScaleProbe {
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .select(col("src"), col("label"))
       val plan = vote.queryExecution.executedPlan.toString
-      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val nShuffles = shuffleExchanges(plan)
       val bucketedScan = plan.contains("Bucketed: true")
       println(s"[graphscale-lpa] m=$m vote-join shuffle-exchanges=$nShuffles " +
         s"(bucketed scan: $bucketedScan)")
@@ -438,7 +450,7 @@ object GraphScaleProbe {
       val hop = bucketed.join(frontier, bucketed("src") === frontier("node"))
         .select(col("dst"))
       val plan = hop.queryExecution.executedPlan.toString
-      val nShuffles = "ShuffleExchange".r.findAllIn(plan).length
+      val nShuffles = shuffleExchanges(plan)
       val bucketedScan = plan.contains("Bucketed: true")
       println(s"[graphscale-bfs] m=$m hop-join shuffle-exchanges=$nShuffles " +
         s"(bucketed scan: $bucketedScan)")

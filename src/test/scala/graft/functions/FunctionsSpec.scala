@@ -536,6 +536,59 @@ class FunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("buckets"))
   }
 
+  test("appendToInvertedIndex crash window: orphan postings (no stats " +
+      "commit marker) are invisible to search; replaying the batch id " +
+      "heals; a pre-batch flat layout fails fast instead of corrupting") {
+    val all = (0L until 120L).map { i =>
+      val rare = if (i % 30 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} here$rare")
+    }.toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") < 100)
+    val b1 = all.filter(col("doc_id") >= 100)
+    val q = Seq("alpha", "zeta")
+    def rank(path: String) = TextAnalysis.bm25SearchFromIndex(spark, path, q,
+      topK = 20).as[(Long, Long)].collect().toSeq
+    val baseOnly = java.nio.file.Files.createTempDirectory("graft-inv-b").toString
+    TextAnalysis.writeInvertedIndex(base, "text", "doc_id", baseOnly, buckets = 16)
+    val full = java.nio.file.Files.createTempDirectory("graft-inv-f").toString
+    TextAnalysis.writeInvertedIndex(all, "text", "doc_id", full, buckets = 16)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-c").toString
+    TextAnalysis.writeInvertedIndex(base, "text", "doc_id", idx, buckets = 16)
+    TextAnalysis.appendToInvertedIndex(b1, "text", "doc_id", idx, buckets = 16,
+      batchId = Some(5L))
+    // simulate the crash between the postings write and the stats write:
+    // batch 5's postings are live on disk but its commit marker is gone
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/stats/batch=5"))
+    assert(TextAnalysis.committedBatchIds(spark, idx).sorted === Seq(-1L))
+    assert(rank(idx) === rank(baseOnly),
+      "orphan postings leaked into scoring: tf/df counted docs the " +
+        "corpus stats exclude")
+    // at-least-once replay of the same batch id replaces the orphans and
+    // commits — the index now equals the one-shot rebuild
+    TextAnalysis.appendToInvertedIndex(b1, "text", "doc_id", idx, buckets = 16,
+      batchId = Some(5L))
+    assert(rank(idx) === rank(full), "replayed batch did not heal the orphan")
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, full))
+
+    // pre-batch-convention layout: postings under flat bucket=K/ with no
+    // batch level — an append would write a mixed-depth partition tree
+    // that bricks partition discovery for the whole index. Must refuse.
+    val old = java.nio.file.Files.createTempDirectory("graft-inv-old").toString
+    base.select(col("doc_id"), lit("alpha").as("t"), lit(1L).as("tf"),
+        lit(5L).as("len"), pmod(col("doc_id"), lit(16)).as("bucket"))
+      .write.partitionBy("bucket").parquet(s"$old/postings")
+    val ex2 = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(b1, "text", "doc_id", old, buckets = 16,
+        batchId = Some(0L))
+    }
+    assert(ex2.getMessage.contains("predates"))
+    Seq(baseOnly, full, idx, old).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("nearDupsAgainstIndex finds new-vs-corpus near-dups from the index alone") {
     val tpl = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq(
