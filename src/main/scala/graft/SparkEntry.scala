@@ -98,6 +98,16 @@ object SparkEntry {
     "graph_triangles" -> { f =>
       graft.functions.Graph.triangleCountsAdj(f.half).orderBy("node")
     },
+    // Exact incremental triangle maintenance (r14): per-node count of
+    // triangles touching a 10%-of-edges delta (hash-split), the
+    // delta-sized update `counts(G) = counts(G \ D) + this` — cost
+    // |D| x degree, never |G|. The inclusion-exclusion (T1 - T2 + T3)
+    // is replayed verbatim by the DuckDB oracle.
+    "graph_triangles_delta" -> { f =>
+      val half = f.half.select(col("src"), col("dst"))
+      val delta = half.filter(pmod(col("src") * 31 + col("dst"), lit(10)) === 0)
+      graft.functions.Graph.triangleCountDelta(half, delta).orderBy("node")
+    },
     // k-core: the "dense engagement core" of the co-purchase graph —
     // synchronous peeling over the half-edge form (5 rounds ≥ fixpoint
     // depth at every test SF: 3 at sf0.001, 5 at sf0.01, 5 at sf0.1 —
@@ -1969,6 +1979,44 @@ object SparkEntry {
             UNION ALL SELECT b FROM t
             UNION ALL SELECT c FROM t)
           GROUP BY 1 ORDER BY node""",
+    "graph_triangles_delta" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          sym AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM li a JOIN li b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey),
+          half AS (SELECT src, dst FROM sym WHERE src < dst),
+          d AS (SELECT src AS u, dst AS v FROM half
+                WHERE (src * 31 + dst) % 10 = 0),
+          -- T1: closers of each delta edge in the full graph (a triangle
+          -- with k delta edges lands k times)
+          t1 AS (SELECT d.u, d.v, e1.dst AS w
+                 FROM d JOIN sym e1 ON e1.src = d.u
+                        JOIN sym e2 ON e2.src = d.v AND e2.dst = e1.dst),
+          symd AS (SELECT u, v FROM d UNION ALL SELECT v, u FROM d),
+          -- T2: two delta edges sharing w, closed by ANY full half-edge
+          t2 AS (SELECT w1.v AS u, w2.v AS v, w1.u AS w
+                 FROM symd w1 JOIN symd w2
+                   ON w1.u = w2.u AND w1.v < w2.v
+                 JOIN half h ON h.src = w1.v AND h.dst = w2.v),
+          -- T3: delta-only triangles, canonical-distinct (once each)
+          t3 AS (SELECT DISTINCT least(d.u, d.v, s1.v) AS u,
+                   d.u + d.v + s1.v - least(d.u, d.v, s1.v)
+                     - greatest(d.u, d.v, s1.v) AS v,
+                   greatest(d.u, d.v, s1.v) AS w
+                 FROM d JOIN symd s1 ON s1.u = d.u
+                        JOIN symd s2 ON s2.u = d.v AND s2.v = s1.v)
+          SELECT node, CAST(sum(m) AS BIGINT) AS tri_delta FROM (
+            SELECT u AS node, 1 AS m FROM t1
+            UNION ALL SELECT v, 1 FROM t1
+            UNION ALL SELECT w, 1 FROM t1
+            UNION ALL SELECT u, -1 FROM t2
+            UNION ALL SELECT v, -1 FROM t2
+            UNION ALL SELECT w, -1 FROM t2
+            UNION ALL SELECT u, 1 FROM t3
+            UNION ALL SELECT v, 1 FROM t3
+            UNION ALL SELECT w, 1 FROM t3)
+          GROUP BY 1 HAVING sum(m) <> 0 ORDER BY node""",
     "session_paths" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, event_type,

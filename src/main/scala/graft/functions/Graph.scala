@@ -144,6 +144,98 @@ object Graph {
     rank.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Convergence-driven PageRank with WARM START — the serving form of
+    * [[pageRank]]/[[pageRankWeighted]] that closes the loop r14's
+    * maintained edge table opened: when [[maintainCopurchaseWeights]]
+    * folds an order delta into the stored graph, the next rank snapshot
+    * does not need to start from uniform — it starts from the PREVIOUS
+    * snapshot's ranks (`init`) and iterates the same integer fixed-point
+    * map only until the largest per-node move is <= `tolMicro`. A small
+    * delta perturbs the fixed point slightly, so the warm path converges
+    * in a fraction of the cold rounds (GraphScaleProbe `warm` mode
+    * measures it at 1M nodes; SCALING.md has the row).
+    *
+    * Returns (ranks, roundsRun). Unlike the fixed-`iterations` gate
+    * forms, each round here pays a MATERIALIZATION (localCheckpoint +
+    * one max-abs-move aggregate) — the residual cannot be known without
+    * executing the round, so the linear-lineage trick does not apply.
+    * That is the price of adaptivity; the win is the rounds you skip.
+    *
+    * Semantics per round are EXACTLY [[pageRank]]'s (or
+    * [[pageRankWeighted]]'s when `weightCol` is set) — same floor-div
+    * integer recurrence, so a cold run (`init = None`) that happens to
+    * use k rounds lands bit-identically on `pageRank(..., iterations=k)`
+    * (spec-pinned). Two runs converged under the same `tolMicro` from
+    * different starts agree only within the tolerance band, not
+    * bit-for-bit — the documented serving trade-off (the gate's
+    * hash-compared queries keep the fixed-round forms).
+    *
+    * Warm-start bookkeeping: source nodes ABSENT from `init` (born by
+    * the delta) enter at the cold initial 10^6 so their out-mass is not
+    * silently zero in round 1; `init` rows whose node lost all edges
+    * stop contributing (they vanish from the degree frame) and drop
+    * from the output, matching the cold form's node set.
+    */
+  def pageRankUntil(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      tolMicro: Long,
+      maxRounds: Int = 50,
+      init: Option[DataFrame] = None,
+      weightCol: Option[String] = None,
+      dampMilli: Int = 850,
+      broadcastRanks: Boolean = true,
+      checkpointEdges: Boolean = true): (DataFrame, Int) = {
+    require(tolMicro >= 0 && maxRounds >= 1 && dampMilli >= 0 && dampMilli <= 1000)
+    val e0 = weightCol match {
+      case Some(w) => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(w).cast("long").as("w"))
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        lit(1L).as("w"))
+    }
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      .localCheckpoint()
+    val base = (1000L - dampMilli) * 1000L
+    var rank = init match {
+      case Some(prev) =>
+        // left join from the CURRENT source set: delta-born nodes get
+        // the cold initial value, stale init rows drop out
+        deg.select(col("src").as("node"))
+          .join(prev.select(col("node"), col("rank_micro").as("r")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("r"), lit(1000000L)).as("r"))
+          .localCheckpoint()
+      case None => deg.select(col("src").as("node"), lit(1000000L).as("r"))
+        .localCheckpoint()
+    }
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val ranks = deg.join(rank, deg("src") === rank("node"))
+        .select(col("src"), col("tw"), col("r"))
+      val next = e
+        .join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
+        .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
+        .groupBy(col("node"))
+        .agg(expr(s"${base}L + ($dampMilli * sum(c)) div 1000").as("r"))
+        .localCheckpoint()
+      // nodes with in-edges that never held a rank row yet (first round
+      // of a warm start on a delta-born sink) count their full entry as
+      // the move — one extra round settles them
+      val residRow = next.as("n")
+        .join(rank.as("o"), col("n.node") === col("o.node"), "left")
+        .agg(max(abs(col("n.r") - coalesce(col("o.r"), lit(1000000L)))))
+        .head()
+      // null max = empty rank frame (edgeless input): converged trivially
+      val resid = if (residRow.isNullAt(0)) 0L else residRow.getLong(0)
+      rounds += 1
+      converged = resid <= tolMicro
+      rank = next
+    }
+    (rank.select(col("node"), col("r").as("rank_micro")), rounds)
+  }
+
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
     * (the "related to these items" recommendation primitive), so rank
     * measures proximity to the seed set rather than global centrality.
@@ -491,6 +583,84 @@ object Graph {
         explode(array_intersect(col("nu"), col("nv"))).as("c"))
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Exact incremental triangle maintenance — the per-node count of
+    * triangles CONTAINING at least one delta edge, each such triangle
+    * counted exactly once (every node of it +1). The graph-IVM
+    * companion of [[maintainCopurchaseWeights]]: when an edge batch D
+    * lands, per-node triangle counts update as
+    * `counts(G ∪ D) = counts(G) + triangleCountDelta(G ∪ D, D)` and
+    * `counts(G \ D) = counts(G) - triangleCountDelta(G, D)` — pass the
+    * half-edge table that CONTAINS the delta (post-insert, pre-delete)
+    * plus the delta itself; bit-exact vs a full recompute
+    * (GraphOpsSpec, random graphs both directions).
+    *
+    * Inclusion-exclusion, arranged so nothing ever diffs the big table
+    * (no `exceptAll` against G): with T1 = Σ_{(u,v) ∈ D} closers of
+    * (u,v) in the full graph (a triangle with k delta edges lands k
+    * times), T2 = delta-delta wedges closed by ANY full half-edge (a
+    * 2-delta triangle lands once, a 3-delta one three times), T3 =
+    * delta-only triangles (canonical-distinct, once each):
+    * {{{ once-each = T1 - T2 + T3   // 1/0/0, 2-1+0, 3-3+1 }}}
+    *
+    * Scale shape: T1 is two delta-vs-edge joins (the first fans each
+    * delta edge to its endpoints' degrees, the second is key-keyed on
+    * (v, w) — at cluster scale run it against the src-bucketed stored
+    * sym table); T2/T3 are delta-sized self-joins. Cost is
+    * |D| x avg-degree, never |G| — the whole point.
+    *
+    * D must be genuine PRESENCE changes (half-form rows absent before an
+    * insert / present before a delete, src < dst, deduplicated).
+    * Returns (node, tri_delta) for affected nodes only (tri_delta > 0).
+    */
+  def triangleCountDelta(halfWithDelta: DataFrame, deltaHalf: DataFrame): DataFrame = {
+    val d = deltaHalf.select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint()
+    val full = halfWithDelta.select(col("src"), col("dst"))
+    val sym = full.unionAll(
+      full.select(col("dst").as("src"), col("src").as("dst")))
+    // T1: closers of each delta edge in the FULL graph — w adjacent to
+    // both u and v. The delta side is batch-sized: broadcast it.
+    val t1 = broadcast(d)
+      .join(sym.select(col("src").as("u"), col("dst").as("w")), "u")
+      .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    // T2: two delta edges sharing w, the (u, v) pair closed by any full
+    // half-edge (u < v matches the half form's key directly)
+    val symD = d.unionAll(d.select(col("v").as("u"), col("u").as("v")))
+    val t2 = symD.select(col("u").as("w"), col("v").as("u"))
+      .join(symD.select(col("u").as("w"), col("v").as("v")), "w")
+      .filter(col("u") < col("v"))
+      .join(full.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"))
+      .select(col("u"), col("v"), col("w"))
+    // T3: delta-only triangles, canonical-distinct so each counts once
+    val t3 = broadcast(d)
+      .join(symD.select(col("u"), col("v").as("w")), "u")
+      .join(symD.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+      .distinct()
+      .select(col("t")(0).as("u"), col("t")(1).as("v"), col("t")(2).as("w"))
+    def nodes(t: DataFrame, m: Long) = t.select(
+      explode(array(col("u"), col("v"), col("w"))).as("node"), lit(m).as("m"))
+    nodes(t1, 1L).unionAll(nodes(t2, -1L)).unionAll(nodes(t3, 1L))
+      .groupBy(col("node")).agg(sum(col("m")).as("tri_delta"))
+      .filter(col("tri_delta") =!= 0L)
+  }
+
+  /** Fold a [[triangleCountDelta]] into maintained per-node counts:
+    * `sign = +1` after an insert batch, `-1` after a delete. Zero rows
+    * drop so the maintained frame stays node-sparse like the full
+    * recompute's.
+    */
+  def applyTriangleDelta(counts: DataFrame, delta: DataFrame, sign: Long): DataFrame = {
+    require(sign == 1L || sign == -1L)
+    counts.select(col("node"), col("tri_cnt"))
+      .join(delta.select(col("node"), col("tri_delta")), Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("tri_cnt"), lit(0L)) +
+          lit(sign) * coalesce(col("tri_delta"), lit(0L))).as("tri_cnt"))
+      .filter(col("tri_cnt") =!= 0L)
   }
 
   /** The shared degree-ordered orientation of [[triangleCountsHalf]] /

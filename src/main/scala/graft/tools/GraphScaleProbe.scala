@@ -60,7 +60,7 @@ import graft.sinks.Lake
   * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs|walks|kcore|lpa] [millionsOfNodes...]
   */
 object GraphScaleProbe {
-  private val modes = Set("hits", "bfs", "walks", "kcore", "lpa")
+  private val modes = Set("hits", "bfs", "walks", "kcore", "lpa", "warm")
 
   /** Shuffle-exchange count of a printed physical plan.
     * `ShuffleExchangeExec.nodeName` is `"Exchange"` (the tree prints
@@ -84,6 +84,7 @@ object GraphScaleProbe {
     if (walksMode) { walksProbe(sizes); return }
     if (args.contains("kcore")) { kcoreProbe(sizes); return }
     if (args.contains("lpa")) { lpaProbe(sizes); return }
+    if (args.contains("warm")) { warmProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -412,6 +413,49 @@ object GraphScaleProbe {
         f"bucketed_presym=$tBucket%.2f default_ckpt=$tDefault%.2f")
       spark.sql("DROP TABLE IF EXISTS lpa_sym_probe")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+    spark.stop()
+  }
+
+  /** `warm` mode (r14): prices [[Graph.pageRankUntil]]'s warm start at
+    * scale — the serving loop over a MAINTAINED edge table
+    * ([[Graph.maintainCopurchaseWeights]]): after a 0.1%-of-edges delta,
+    * re-rank from the previous snapshot's fixed point vs from uniform.
+    * The win is ROUNDS (each round = one edge join + one agg + the
+    * residual materialization), so it compounds with whichever per-round
+    * layout (broadcast or bucketed) the graph runs.
+    */
+  private def warmProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-warm")
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val tol = 10000L // 1% of the 10^6 initial mass
+      def graph(flip: Boolean) = spark.range(nodes * 40).select(
+        (col("id") / 40).cast("long").as("src"),
+        when(lit(flip) && pmod(col("id"), lit(1000)) === 0,
+          pmod(xxhash64(col("id") + 7), lit(nodes)))
+          .otherwise(pmod(xxhash64(col("id")), lit(nodes))).as("dst"))
+        .localCheckpoint()
+      val g0 = graph(flip = false)
+      val g1 = graph(flip = true) // 0.1% of edges re-routed
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // previous snapshot's fixed point (not timed — it is the state the
+      // serving loop already holds)
+      val (ranks0, k0) = Graph.pageRankUntil(g0, "src", "dst", tol,
+        checkpointEdges = false)
+      val snap = ranks0.localCheckpoint()
+      val ((_, kCold), tCold) = timed(
+        Graph.pageRankUntil(g1, "src", "dst", tol, checkpointEdges = false))
+      val ((_, kWarm), tWarm) = timed(
+        Graph.pageRankUntil(g1, "src", "dst", tol, init = Some(snap),
+          checkpointEdges = false))
+      println(f"[graphscale-warm] nodes=$nodes edges=${nodes * 40} tol=$tol " +
+        f"prev_rounds=$k0 cold_rounds=$kCold cold=$tCold%.1f s " +
+        f"warm_rounds=$kWarm warm=$tWarm%.1f s " +
+        f"speedup=${tCold / tWarm}%.1fx")
     }
     spark.stop()
   }

@@ -517,4 +517,136 @@ class GraphOpsSpec extends SparkSpec {
         li.filter(pmod(col("l_orderkey"), lit(3)) =!= 2))),
       "retraction diverges from the survivor rebuild")
   }
+
+  test("triangleCountDelta: maintained per-node counts equal the full " +
+      "recompute bit-for-bit for inserts AND deletes, including planted " +
+      "2-delta-edge and 3-delta-edge triangles") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    for (seed <- Seq(41L, 43L); fracMod <- Seq(10, 4)) {
+      val (sym, _) = randomGraph(seed, 20, 140) // dense on purpose
+      val half = sym.filter(p => p._1 < p._2)
+      // planted: {100,101,102} all-delta (T3 term), {50,51,52} with the
+      // base edge (50,51) and two delta edges (T2 term) — the
+      // inclusion-exclusion must fire, not just the 1-new common case
+      val planted2Base = Seq((50L, 51L))
+      val planted2Delta = Seq((50L, 52L), (51L, 52L))
+      val planted3 = Seq((100L, 101L), (100L, 102L), (101L, 102L))
+      val (deltaRaw, baseRaw) = half.partition(p => (p._1 * 31 + p._2) % fracMod == 0)
+      val baseSeq = (baseRaw ++ planted2Base).distinct
+      val deltaSeq = (deltaRaw ++ planted2Delta ++ planted3).distinct
+      val base = baseSeq.toDF("src", "dst")
+      val delta = deltaSeq.toDF("src", "dst")
+      val full = (baseSeq ++ deltaSeq).toDF("src", "dst")
+      val cntBase = Graph.triangleCountsAdj(base)
+      val cntFull = Graph.triangleCountsAdj(full)
+      val d = Graph.triangleCountDelta(full, delta)
+      // the planted all-delta triangle is visible in the delta itself
+      assert(d.filter(col("node").isin(100L, 101L, 102L))
+        .count() === 3L, s"seed $seed mod $fracMod: T3 term missing")
+      assert(same(Graph.applyTriangleDelta(cntBase, d, 1L), cntFull),
+        s"seed $seed mod $fracMod: insert maintenance diverged from recompute")
+      assert(same(Graph.applyTriangleDelta(cntFull, d, -1L), cntBase),
+        s"seed $seed mod $fracMod: delete maintenance diverged from recompute")
+    }
+  }
+
+  test("pageRankUntil: a cold run of k rounds is bit-identical to " +
+      "pageRank(iterations = k); warm start after a small delta converges " +
+      "in fewer rounds to a tolerance-valid fixed point") {
+    import org.apache.spark.sql.functions._
+    // 60 nodes so the delta below stays SMALL relative to the graph —
+    // a 24-node fixture gave warm start no room to win (the new node's
+    // cold-entry mass perturbs a third of the graph)
+    val (sym, _) = randomGraph(31L, 60, 400)
+    val tol = 10000L // 1% of the 10^6 initial mass
+    val damp = 850
+    val g = sym.toDF("src", "dst")
+    val (cold, kCold) = Graph.pageRankUntil(g, "src", "dst", tol,
+      maxRounds = 60, dampMilli = damp)
+    assert(kCold > 1 && kCold < 60, s"cold rounds $kCold")
+    // round-for-round the recurrence is the gate form's: same rounds =
+    // same bits
+    val fixedK = Graph.pageRank(g, "src", "dst", iterations = kCold,
+      dampMilli = damp)
+    assert(cold.exceptAll(fixedK).isEmpty && fixedK.exceptAll(cold).isEmpty,
+      "convergence-driven cold run diverged from the fixed-round form")
+
+    // delta: connect a BRAND-NEW node 100 into the graph (symmetric) and
+    // add one cross edge — the maintained-edge-table refresh shape
+    val delta = Seq((100L, 0L), (0L, 100L), (100L, 5L), (5L, 100L),
+      (3L, 17L), (17L, 3L))
+    val g2 = (sym ++ delta).distinct.toDF("src", "dst")
+    val (coldNew, kColdNew) = Graph.pageRankUntil(g2, "src", "dst", tol,
+      maxRounds = 60, dampMilli = damp)
+    val (warm, kWarm) = Graph.pageRankUntil(g2, "src", "dst", tol,
+      maxRounds = 60, init = Some(cold), dampMilli = damp)
+    assert(kWarm < kColdNew,
+      s"warm start ($kWarm rounds) did not beat cold ($kColdNew) on the delta")
+    // the delta-born node entered at the cold initial value and holds a rank
+    assert(warm.filter(col("node") === 100L).count() === 1L)
+    // tolerance validity: one more application of the map moves nothing
+    // beyond tol (run exactly one round from the warm answer)
+    val (oneMore, _) = Graph.pageRankUntil(g2, "src", "dst",
+      tolMicro = Long.MaxValue, maxRounds = 1, init = Some(warm),
+      dampMilli = damp)
+    val maxMove = oneMore.as("a")
+      .join(warm.as("b"), col("a.node") === col("b.node"))
+      .agg(max(abs(col("a.rank_micro") - col("b.rank_micro"))))
+      .head().getLong(0)
+    assert(maxMove <= tol, s"warm answer not a tol-valid fixed point: $maxMove")
+    // warm and cold answers agree within the contraction band (both are
+    // tol-valid fixed points of the same map; they need not be bit-equal)
+    val gap = warm.as("a").join(coldNew.as("b"), col("a.node") === col("b.node"))
+      .agg(max(abs(col("a.rank_micro") - col("b.rank_micro"))))
+      .head().getLong(0)
+    assert(gap <= 4 * tol, s"warm/cold fixed points too far apart: $gap")
+
+    // the weighted path: same rounds = same bits vs pageRankWeighted
+    val wg = sym.map { case (s, d) => (s, d, 1L + (s + d) % 3) }
+      .toDF("src", "dst", "w")
+    val (wUntil, kw) = Graph.pageRankUntil(wg, "src", "dst", tol,
+      maxRounds = 60, weightCol = Some("w"), dampMilli = damp)
+    val wFixed = Graph.pageRankWeighted(wg, "src", "dst", "w",
+      iterations = kw, dampMilli = damp)
+    assert(wUntil.exceptAll(wFixed).isEmpty && wFixed.exceptAll(wUntil).isEmpty,
+      "weighted convergence run diverged from the fixed-round weighted form")
+  }
+
+  test("pageRankUntil warm start serves the MAINTAINED co-purchase table: " +
+      "after an order batch lands via mergeCountsPartitioned, re-ranking " +
+      "from the previous snapshot needs fewer rounds than from scratch") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cpw-warm").toString
+    val tol = 10000L
+    // seed: ~97% of orders; delta: the remaining ~3% (complete baskets)
+    val isDelta = pmod(col("l_orderkey"), lit(32)) === 0
+    assert(Graph.maintainCopurchaseWeights(spark, stateDir,
+      li.filter(!isDelta), partitions = 16, batchId = 0L))
+    val snap0 = Graph.readCopurchaseWeights(spark, stateDir).get
+    val (ranks0, _) = Graph.pageRankUntil(snap0, "src", "dst", tol,
+      weightCol = Some("w"))
+    assert(Graph.maintainCopurchaseWeights(spark, stateDir,
+      li.filter(isDelta), partitions = 16, batchId = 1L))
+    val snap1 = Graph.readCopurchaseWeights(spark, stateDir).get
+    val (_, kCold) = Graph.pageRankUntil(snap1, "src", "dst", tol,
+      weightCol = Some("w"))
+    val (warm, kWarm) = Graph.pageRankUntil(snap1, "src", "dst", tol,
+      init = Some(ranks0), weightCol = Some("w"))
+    assert(kWarm < kCold,
+      s"warm refresh ($kWarm rounds) did not beat cold ($kCold)")
+    // tol-validity of the warm answer on the refreshed graph
+    val (oneMore, _) = Graph.pageRankUntil(snap1, "src", "dst",
+      tolMicro = Long.MaxValue, maxRounds = 1, init = Some(warm),
+      weightCol = Some("w"))
+    val maxMove = oneMore.as("a")
+      .join(warm.as("b"), col("a.node") === col("b.node"))
+      .agg(max(abs(col("a.rank_micro") - col("b.rank_micro"))))
+      .head().getLong(0)
+    assert(maxMove <= tol, s"warm refresh not tol-valid: $maxMove")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+  }
 }
