@@ -1237,13 +1237,20 @@ object Graph {
     * so every corpus node is drawable.
     *
     * Scale shape: one corpus-sized unigram count (partial-agg groupBy),
-    * then ONE vocabulary-sized cumulative window (a single-partition
-    * sort — the noise table is vocab-sized by definition, never
-    * corpus-sized; at 100 TB the vocab of a node corpus is the node
-    * count, and the table materializes once per corpus snapshot).
+    * then a vocab-sized cumulative sum in the CHUNKED two-pass form
+    * (the `packSequencesChunked` / `lateDataSplit` idiom — this was the
+    * repo's last unpartitioned global window): per-chunk totals (a
+    * vocab/chunkDiv-row summary) prefix-sum via a broadcast triangular
+    * self-join, and the within-chunk remainder windows PARTITION BY
+    * chunk — no reducer ever sorts more than `chunkDiv` rows. `chunk =
+    * node div chunkDiv` is monotone in node, so the interval layout is
+    * BIT-IDENTICAL to the single-window form (`graph_walk_negatives`
+    * gate hash unchanged). Size `chunkDiv` so vocab/chunkDiv stays in
+    * the low tens of thousands (the triangular summary join is
+    * O((vocab/chunkDiv)^2) pairs); past that, nest a second level.
     * Output: (node, w, lo, hi), ordered intervals keyed by node id.
     */
-  def sgnsNoiseTable(walks: DataFrame): DataFrame = {
+  def sgnsNoiseTable(walks: DataFrame, chunkDiv: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val uni = walks.groupBy(col("node")).agg(count(lit(1)).as("cnt"))
     val w = uni
@@ -1251,9 +1258,17 @@ object Graph {
         expr(s"(3 * ${TextAnalysis.log2Q10Sql("cnt")}) div 4"))
       .withColumn("w", expr(
         "((y % 1024 + 1024) * shiftleft(CAST(1 AS BIGINT), CAST(y div 1024 AS INT))) div 1024"))
-    val cum = Window.orderBy(col("node"))
+      .withColumn("__chunk", expr(s"node div $chunkDiv"))
+    val chunkSums = w.groupBy(col("__chunk")).agg(sum(col("w")).as("__csum"))
+    val prevSums = chunkSums
+      .join(broadcast(chunkSums.select(col("__chunk").as("__pc"),
+          col("__csum").as("__psum"))),
+        col("__pc") < col("__chunk"), "left")
+      .groupBy(col("__chunk")).agg(sum(col("__psum")).as("__prev"))
+    val cum = Window.partitionBy(col("__chunk")).orderBy(col("node"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w.withColumn("hi", sum(col("w")).over(cum))
+    w.join(broadcast(prevSums), Seq("__chunk"))
+      .withColumn("hi", coalesce(col("__prev"), lit(0L)) + sum(col("w")).over(cum))
       .select(col("node"), col("w"), (col("hi") - col("w")).as("lo"), col("hi"))
   }
 

@@ -453,6 +453,12 @@ class GraphOpsSpec extends SparkSpec {
     assert(w(256L) === 64L)
     // monotone, and strictly flatter than linear on a doubling
     assert(w(100L) > w(50L) && w(100L) < 2 * w(50L))
+    // the chunked two-pass prefix sum is chunk-size-invariant: a tiny
+    // chunkDiv (many chunks, every boundary exercised) lays out the
+    // SAME intervals as one chunk holding the whole vocab
+    val chunked = Graph.sgnsNoiseTable(walks, chunkDiv = 4L)
+    assert(chunked.exceptAll(noise).isEmpty && noise.exceptAll(chunked).isEmpty,
+      "chunked noise-table prefix sum diverges from the single-chunk layout")
   }
 
   test("cluster-path knobs are result-invariant: kCoreHalf halfByDst, " +
