@@ -663,6 +663,87 @@ object Graph {
       .filter(col("tri_cnt") =!= 0L)
   }
 
+  /** Continuously-maintained per-node triangle counts — the streaming
+    * composition of [[triangleCountDelta]], on the repo's standard
+    * exactly-once state scheme ([[Incremental.latestSummary]]'s
+    * `_SUCCESS`-marked versioned snapshots + idempotent per-batch edge
+    * partitions): each micro-batch of NEW half-edges pays only its own
+    * delta-sized inclusion-exclusion, never a corpus recompute, and the
+    * maintained counts equal a full [[triangleCountsAdj]] over every
+    * edge ingested so far, bit-for-bit (GraphOpsSpec, batch by batch).
+    *
+    * State layout under `stateDir`:
+    *  - `edges/batch=<id>/` — the accumulated half-edge log, one
+    *    partition per batch, dynamic-overwritten on replay
+    *    (`IndexLayout.overwriteBatchPartitions`); "the graph before
+    *    batch b" is the partition-pruned read `batch < b`.
+    *  - `counts/v=<id>/` — node-sized count snapshots; only
+    *    `_SUCCESS`-marked versions count, the merge base is the latest
+    *    version STRICTLY below the batch id, so an at-least-once replay
+    *    re-reads exactly the pre-batch state and regenerates identical
+    *    contents. Returns false (no-op) on an already-committed id.
+    *
+    * Duplicate edges in a batch (or edges already present in the state)
+    * are dropped by an anti-join against the prior log — presence
+    * semantics, matching [[triangleCountDelta]]'s contract. Deletions
+    * stay a batch-tier concern: compute the delta against the pre-delete
+    * log and fold with [[applyTriangleDelta]] sign = -1, then rewrite
+    * the log without the deleted partitions' rows.
+    */
+  def maintainTriangleCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      edgeBatchHalf: DataFrame,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val countsDir = s"$stateDir/counts"
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$countsDir/v=$batchId/_SUCCESS"))) return false
+    val edgesDir = s"$stateDir/edges"
+    val oldOpt =
+      if (fs.exists(new Path(edgesDir)))
+        Some(spark.read.parquet(edgesDir)
+          .filter(col("batch") < batchId).select(col("src"), col("dst")))
+      else None
+    val batch = edgeBatchHalf.select(col("src"), col("dst")).distinct()
+    val delta = oldOpt.map(old => batch.join(old, Seq("src", "dst"), "left_anti"))
+      .getOrElse(batch)
+      .localCheckpoint() // consumed by the log write, T1/T2/T3, and full
+    try {
+      val full = oldOpt.map(_.unionAll(delta)).getOrElse(delta)
+      val d = triangleCountDelta(full, delta)
+      val prev = Incremental.latestSummary(spark, countsDir,
+        beforeBatch = Some(batchId))
+      val next = prev match {
+        case Some(p) => applyTriangleDelta(p, d, 1L)
+        case None => d.select(col("node"), col("tri_delta").as("tri_cnt"))
+          .filter(col("tri_cnt") =!= 0L)
+      }
+      // write order: edges first, counts (the commit marker) last — a
+      // crash between the two replays into identical state (the replay's
+      // `batch < id` read never sees the half-written partition). An
+      // EMPTY delta skips the edge write: a zero-row dynamic overwrite
+      // would leave a bare _SUCCESS under edges/ and poison schema
+      // inference for every later read (the mergeCountsPartitioned
+      // empty-first-batch class) — the empty counts snapshot below still
+      // commits the batch id, so replay stays a no-op
+      if (!delta.isEmpty)
+        IndexLayout.overwriteBatchPartitions(
+          delta.withColumn("batch", lit(batchId)), edgesDir, Seq("batch"))
+      next.coalesce(1).write.mode("overwrite").parquet(s"$countsDir/v=$batchId")
+      true
+    } finally { delta.unpersist(); () }
+  }
+
+  /** Latest committed maintained triangle counts (None before the first
+    * batch), and the accumulated half-edge log it corresponds to.
+    */
+  def readTriangleCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    Incremental.latestSummary(spark, s"$stateDir/counts")
+
   /** The shared degree-ordered orientation of [[triangleCountsHalf]] /
     * [[triangleCountsAdj]]: each {u,v} once as (lower, higher) by
     * (degree, id) — every triangle survives as exactly one directed

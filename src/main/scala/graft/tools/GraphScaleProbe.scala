@@ -60,7 +60,7 @@ import graft.sinks.Lake
   * Usage: runMain graft.tools.GraphScaleProbe [hits|bfs|walks|kcore|lpa] [millionsOfNodes...]
   */
 object GraphScaleProbe {
-  private val modes = Set("hits", "bfs", "walks", "kcore", "lpa", "warm")
+  private val modes = Set("hits", "bfs", "walks", "kcore", "lpa", "warm", "tri")
 
   /** Shuffle-exchange count of a printed physical plan.
     * `ShuffleExchangeExec.nodeName` is `"Exchange"` (the tree prints
@@ -85,6 +85,7 @@ object GraphScaleProbe {
     if (args.contains("kcore")) { kcoreProbe(sizes); return }
     if (args.contains("lpa")) { lpaProbe(sizes); return }
     if (args.contains("warm")) { warmProbe(sizes); return }
+    if (args.contains("tri")) { triProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -456,6 +457,50 @@ object GraphScaleProbe {
         f"prev_rounds=$k0 cold_rounds=$kCold cold=$tCold%.1f s " +
         f"warm_rounds=$kWarm warm=$tWarm%.1f s " +
         f"speedup=${tCold / tWarm}%.1fx")
+    }
+    spark.stop()
+  }
+
+  /** `tri` mode (r14): prices [[Graph.triangleCountDelta]] — the exact
+    * delta-sized triangle refresh — against the full recompute it
+    * replaces, on the kcore probe's half-edge graph with a 0.1% edge
+    * delta. Equality vs the recompute is spec-pinned (GraphOpsSpec) and
+    * re-checked here below 1M nodes (three recomputes are the check's
+    * own cost at full size).
+    */
+  private def triProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-tri")
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val half = spark.range(nodes * 40).select(
+          (col("id") / 40).cast("long").as("a"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .distinct().localCheckpoint()
+      val isDelta = pmod(col("src") * 31 + col("dst"), lit(1000)) === 0
+      val delta = half.filter(isDelta).localCheckpoint()
+      val nDelta = delta.count()
+      val tFull = timed(mat(Graph.triangleCountsAdj(half)))
+      val tDelta = timed(mat(Graph.triangleCountDelta(half, delta)))
+      if (nodes < 1000000L) {
+        val base = half.filter(!isDelta)
+        val got = Graph.applyTriangleDelta(
+          Graph.triangleCountsAdj(base),
+          Graph.triangleCountDelta(half, delta), 1L)
+        val want = Graph.triangleCountsAdj(half)
+        assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+          "delta maintenance diverged from the recompute")
+      }
+      println(f"[graphscale-tri] nodes=$nodes halfedges≈${nodes * 38} " +
+        f"delta_edges=$nDelta full_recompute=$tFull%.1f s " +
+        f"delta_refresh=$tDelta%.1f s ratio=${tFull / tDelta}%.1fx")
     }
     spark.stop()
   }

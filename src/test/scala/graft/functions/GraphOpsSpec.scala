@@ -558,6 +558,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("maintainTriangleCounts: streaming-maintained counts equal the " +
+      "full recompute after every batch; replay is a no-op; an empty " +
+      "FIRST batch cannot poison the state; duplicate edges drop") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val (sym, _) = randomGraph(47L, 24, 150)
+    val half = sym.filter(p => p._1 < p._2)
+    // three batches by hash + a planted cross-batch triangle (edges of
+    // {200,201,202} spread over all three batches: every triangle edge
+    // arrives in a different micro-batch)
+    val parts = (0 to 2).map(r => half.filter(p => (p._1 * 7 + p._2) % 3 == r))
+    val batches = Seq(
+      parts(0) :+ ((200L, 201L)),
+      parts(1) :+ ((200L, 202L)),
+      parts(2) :+ ((201L, 202L)))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // empty FIRST batch: must commit its id without bricking the edge log
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L))
+    assert(!Graph.maintainTriangleCounts(spark, stateDir,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L), "replay not a no-op")
+    var sofar = Seq.empty[(Long, Long)]
+    for ((b, i) <- batches.zipWithIndex) {
+      // duplicate robustness: re-send some of the already-ingested edges
+      val withDups = b ++ sofar.take(3)
+      assert(Graph.maintainTriangleCounts(spark, stateDir,
+        withDups.toDF("src", "dst"), batchId = (i + 1).toLong))
+      sofar = (sofar ++ b).distinct
+      val want = Graph.triangleCountsAdj(sofar.toDF("src", "dst"))
+      assert(same(Graph.readTriangleCounts(spark, stateDir).get, want),
+        s"batch $i: maintained counts diverge from the recompute")
+    }
+    // the planted cross-batch triangle is present
+    assert(Graph.readTriangleCounts(spark, stateDir).get
+      .filter(col("node").isin(200L, 201L, 202L)).count() === 3L)
+    // replay the LAST batch: state unchanged
+    assert(!Graph.maintainTriangleCounts(spark, stateDir,
+      batches(2).toDF("src", "dst"), batchId = 3L))
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(sofar.toDF("src", "dst"))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+  }
+
   test("pageRankUntil: a cold run of k rounds is bit-identical to " +
       "pageRank(iterations = k); warm start after a small delta converges " +
       "in fewer rounds to a tolerance-valid fixed point") {
