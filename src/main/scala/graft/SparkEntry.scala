@@ -132,6 +132,21 @@ object SparkEntry {
         f.edges, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), maxHops = 3)
         .orderBy("node")
     },
+    // Incremental BFS (r14): the hop table refreshed from a
+    // 20%-of-edges hash-split delta via bfsHopsDelta — improvements
+    // relax outward from the inserted edges, the seeds are never
+    // re-expanded — and must land on the PLAIN cold-recompute oracle
+    // hash (the join_agg_incremental proof pattern, for graph IVM).
+    "graph_hops_incremental" -> { f =>
+      val e = f.edges.select(col("src"), col("dst"))
+      val isDelta = pmod(col("src") * 17 + col("dst"), lit(5)) === 0
+      val seeds = Seq(1L, 2L, 3L, 4L, 5L)
+      val old = graft.functions.Graph.bfsHops(
+        e.filter(!isDelta), "src", "dst", seeds, maxHops = 3)
+      graft.functions.Graph.bfsHopsDelta(
+        e, "src", "dst", old, e.filter(isDelta), maxHops = 3)
+        .orderBy("node")
+    },
     // HITS hubs/authorities: 3 integer rounds, max-rescaled each half-step
     // (the deterministic stand-in for L2 normalization) — eigenvector-
     // style centrality without PageRank's teleport, bit-exact vs the
@@ -1934,6 +1949,8 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracle,
     "link_prediction" -> linkPredictionOracle,
     "graph_hops" -> bfsOracle,
+    // the incremental refresh must land on the cold recompute's hash
+    "graph_hops_incremental" -> bfsOracle,
     "graph_hits" -> hitsOracle,
     "graph_walks" -> walksOracle,
     "graph_walks_biased" -> biasedWalksOracle,

@@ -663,6 +663,70 @@ object Graph {
       .filter(col("tri_cnt") =!= 0L)
   }
 
+  /** Incremental multi-source BFS under edge INSERTIONS — the third
+    * exact graph-IVM operator next to [[triangleCountDelta]] and
+    * [[maintainCopurchaseWeights]]: inserted edges can only SHORTEN
+    * hop distances, so the refreshed [[bfsHops]] table is computed by
+    * relaxing improvements outward from the delta edges instead of
+    * re-expanding from the seeds — cost is (improved nodes) x degree,
+    * never the graph. Bit-identical to `bfsHops(edgesAfter, ...)` with
+    * the same seeds/maxHops (GraphOpsSpec, random graphs + planted
+    * shortcut chains).
+    *
+    * Mechanics: seed the improvement frontier with every delta edge
+    * whose source already holds a hop (candidate `h(u) + 1` at the
+    * destination, kept only when strictly better or newly reachable
+    * within `maxHops`), then relax over the FULL post-insert edge list —
+    * a delta edge whose source was unreachable participates the moment
+    * its source improves, because the relaxation joins `edgesAfter`,
+    * not the delta. Improvement chains lengthen the hop by 1 per round,
+    * so `maxHops` rounds always suffice; the loop exits as soon as a
+    * round improves nothing (the common case for a small delta: 1-2
+    * rounds). Deletions are NOT expressible as relaxation (distances
+    * grow non-locally) — a delete batch re-runs the cold [[bfsHops]],
+    * the documented batch-tier recompute.
+    */
+  def bfsHopsDelta(
+      edgesAfter: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      oldHops: DataFrame,
+      deltaEdges: DataFrame,
+      maxHops: Int,
+      checkpointEdges: Boolean = true): DataFrame = {
+    require(maxHops >= 1)
+    val e0 = edgesAfter.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpointEdges) e0.localCheckpoint() else e0
+    val d = deltaEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    def improvements(cand: DataFrame, hops: DataFrame): DataFrame = cand
+      .filter(col("cand") <= maxHops)
+      .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      .join(hops, Seq("node"), "left")
+      .filter(col("hop").isNull || col("cand") < col("hop"))
+      .select(col("node"), col("cand").cast("int").as("hop"))
+      .localCheckpoint()
+    var hops = oldHops.select(col("node"), col("hop")).localCheckpoint()
+    var frontier = improvements(
+      d.join(hops.select(col("node").as("src"), col("hop").as("hs")), "src")
+        .select(col("dst").as("node"), (col("hs") + 1).as("cand")),
+      hops)
+    var round = 0
+    while (round < maxHops && !frontier.isEmpty) {
+      // merge the strict improvements, then relax them one hop outward
+      hops = hops.join(frontier.select(col("node"), col("hop").as("hn")),
+          Seq("node"), "full_outer")
+        .select(col("node"), coalesce(least(col("hop"), col("hn")),
+          col("hop"), col("hn")).as("hop"))
+        .localCheckpoint()
+      frontier = improvements(
+        broadcast(frontier).join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"), (frontier("hop") + 1).as("cand")),
+        hops)
+      round += 1
+    }
+    hops
+  }
+
   /** Continuously-maintained per-node triangle counts — the streaming
     * composition of [[triangleCountDelta]], on the repo's standard
     * exactly-once state scheme ([[Incremental.latestSummary]]'s

@@ -602,6 +602,46 @@ class GraphOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
   }
 
+  test("bfsHopsDelta: refreshed hop table equals the cold recompute on " +
+      "random graphs; a planted shortcut propagates improvements over " +
+      "many rounds; a delta edge with an unreachable source fires once " +
+      "its source improves") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val seeds = Seq(1L, 2L, 3L)
+    for (seed <- Seq(53L, 59L); fracMod <- Seq(5, 3)) {
+      val (sym, _) = randomGraph(seed, 30, 70) // sparse: real hop spread
+      val (deltaSeq, baseSeq) = sym.partition(p => (p._1 * 13 + p._2) % fracMod == 0)
+      val base = baseSeq.toDF("src", "dst")
+      val full = sym.toDF("src", "dst")
+      val old = Graph.bfsHops(base, "src", "dst", seeds, maxHops = 3)
+      val got = Graph.bfsHopsDelta(full, "src", "dst", old,
+        deltaSeq.toDF("src", "dst"), maxHops = 3)
+      val want = Graph.bfsHops(full, "src", "dst", seeds, maxHops = 3)
+      assert(same(got, want), s"seed $seed mod $fracMod: delta refresh diverged")
+    }
+    // planted: a 10-link chain reachable only through the delta edge
+    // (1 -> 300) — improvements must propagate 11 rounds deep — plus the
+    // two-delta-edge dependency (1 -> 400), (400 -> 401): the second
+    // delta edge's source is unreachable until the first lands, so it
+    // must fire from the relaxation over edgesAfter, not the init scan
+    val chain = (0 until 10).map(i => (300L + i, 301L + i))
+    val baseP = (Seq((1L, 10L), (10L, 11L)) ++ chain).toDF("src", "dst")
+    val deltaP = Seq((1L, 300L), (1L, 400L), (400L, 401L))
+    val fullP = (Seq((1L, 10L), (10L, 11L)) ++ chain ++ deltaP).toDF("src", "dst")
+    val oldP = Graph.bfsHops(baseP, "src", "dst", seeds, maxHops = 12)
+    val gotP = Graph.bfsHopsDelta(fullP, "src", "dst", oldP,
+      deltaP.toDF("src", "dst"), maxHops = 12)
+    val wantP = Graph.bfsHops(fullP, "src", "dst", seeds, maxHops = 12)
+    assert(same(gotP, wantP), "planted shortcut/unreachable-source diverged")
+    // the chain's tail and the two-hop delta node really are new arrivals
+    assert(gotP.filter(col("node") === 310L).select("hop")
+      .head().getInt(0) === 11)
+    assert(gotP.filter(col("node") === 401L).select("hop")
+      .head().getInt(0) === 2)
+  }
+
   test("pageRankUntil: a cold run of k rounds is bit-identical to " +
       "pageRank(iterations = k); warm start after a small delta converges " +
       "in fewer rounds to a tolerance-valid fixed point") {
