@@ -808,6 +808,26 @@ object Graph {
       stateDir: String): Option[DataFrame] =
     Incremental.latestSummary(spark, s"$stateDir/counts")
 
+  /** Streaming wrapper of [[maintainTriangleCounts]] — the
+    * `Incremental.maintainCountsPartitioned` idiom: each micro-batch of
+    * new half-edges (`src`, `dst`) folds its triangle delta into the
+    * maintained state under the micro-batch id; exactly-once under
+    * foreachBatch's at-least-once replay comes from the `_SUCCESS`
+    * version marker (an already-committed batch returns untouched).
+    */
+  def maintainTriangleCountsStream(
+      edgeBatches: DataFrame,
+      stateDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edgeBatches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        maintainTriangleCounts(batch.sparkSession, stateDir, batch.toDF(), batchId)
+        ()
+      }
+
   /** The shared degree-ordered orientation of [[triangleCountsHalf]] /
     * [[triangleCountsAdj]]: each {u,v} once as (lower, higher) by
     * (degree, id) — every triangle survives as exactly one directed

@@ -64,6 +64,33 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(got.toSet === batchAll && got.size === 100)
   }
 
+  test("maintainTriangleCountsStream: micro-batched edge ingest maintains " +
+      "per-node triangle counts equal to the full recompute") {
+    import graft.functions.Graph
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tri-s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tri-c").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Graph.maintainTriangleCountsStream(
+      input.toDF().toDF("src", "dst"), stateDir, ckpt).start()
+    try {
+      // the planted triangle {7,8,9} arrives one edge per micro-batch
+      input.addData((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L))
+      q.processAllAvailable()
+      input.addData((2L, 4L), (3L, 4L), (7L, 9L))
+      q.processAllAvailable()
+      input.addData((8L, 9L), (1L, 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (2L, 4L), (3L, 4L),
+      (7L, 9L), (8L, 9L), (1L, 4L)).toDF("src", "dst")
+    val want = Graph.triangleCountsAdj(all)
+    val got = Graph.readTriangleCounts(spark, stateDir).get
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-maintained triangle counts diverge from the recompute")
+    Seq(stateDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("streaming dedup drops repeated fingerprints within the watermark") {
     val input = MemoryStream[DocEv]
     val deduped = StreamOps.streamingDedup(input.toDF(), "ts", "10 seconds", "fp")
