@@ -17,13 +17,17 @@ def load_spark(outdir, name):
         return None
     return pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def fresh_con(sfdir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem",
               "events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = fresh_con(sfdir)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -34,8 +38,19 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             exp = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+        except Exception:
+            # heavy oracles back-to-back (e.g. the two unrolled k-core
+            # peels) can exhaust the shared connection's memory pool —
+            # retry once on a fresh connection before declaring a FAIL
+            try:
+                con.close()
+                con = fresh_con(sfdir)
+                exp = con.execute(sql).df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+                n_fail += 1
+                con = fresh_con(sfdir)
+                continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):

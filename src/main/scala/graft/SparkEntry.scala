@@ -118,6 +118,20 @@ object SparkEntry {
       graft.functions.Graph.kCoreHalf(f.half, k = 80, rounds = 5)
         .orderBy("node")
     },
+    // Incremental k-core (r14): the converged core of an 80%-edge base
+    // refreshed through kCoreDelta's non-core-only peel (old members
+    // are immortal under insertions) — must land on the PLAIN cold-peel
+    // oracle hash, the graph_hops_incremental proof pattern. The base
+    // peel gets a deeper round budget (8): fewer edges peel deeper, and
+    // kCoreDelta's contract needs a CONVERGED old core.
+    "graph_kcore_incremental" -> { f =>
+      val half = f.half.select(col("src"), col("dst"))
+      val isDelta = pmod(col("src") * 23 + col("dst"), lit(5)) === 0
+      val old = graft.functions.Graph.kCoreHalf(
+        half.filter(!isDelta), k = 80, rounds = 8)
+      graft.functions.Graph.kCoreDelta(half, old, k = 80)
+        .orderBy("node")
+    },
     // Link prediction: top 100 non-adjacent part pairs by integer
     // Adamic–Adar mass through bounded-degree common neighbors — the
     // "customers who bought these also bought" candidate generator.
@@ -1947,6 +1961,8 @@ object SparkEntry {
     "graph_pagerank_weighted" -> pagerankWeightedOracle,
     "graph_ppr" -> pprOracle,
     "graph_kcore" -> kcoreOracle,
+    // the incremental refresh must land on the cold peel's hash
+    "graph_kcore_incremental" -> kcoreOracle,
     "link_prediction" -> linkPredictionOracle,
     "graph_hops" -> bfsOracle,
     // the incremental refresh must land on the cold recompute's hash

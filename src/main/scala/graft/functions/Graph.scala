@@ -663,6 +663,84 @@ object Graph {
       .filter(col("tri_cnt") =!= 0L)
   }
 
+  /** Incremental k-core under edge INSERTIONS — graph IVM #4. A
+    * CONVERGED k-core's members can never be peeled out by added edges
+    * (each holds >= k neighbors inside the old core, and by induction
+    * the whole old core survives every round of the post-insert peel),
+    * so the refresh peels ONLY the NON-CORE subgraph: non-core nodes
+    * carry a fixed base capacity (their edges into the old core, which
+    * never dies) plus their degree among surviving non-core nodes. The
+    * peel's removal decisions are round-for-round IDENTICAL to the full
+    * [[kCoreHalf]] peel over the post-insert graph (spec-pinned
+    * including mutually-supporting promotion cascades), so the result
+    * is the exact new k-core — at the cost of the non-core side, which
+    * in the serving regime (a dense engagement core holding most nodes)
+    * is the small side; the full graph is touched only by the final
+    * one-pass in-core degree count.
+    *
+    * Contract: `oldCore` must be a CONVERGED [[kCoreHalf]] output over
+    * the pre-insert graph (every member's in-core degree >= k — a
+    * mid-peel frame would let added edges "rescue" nodes the fixpoint
+    * had already lost, and the no-member-ever-peels argument breaks).
+    * Insertions only: deletions shrink the core non-locally and re-run
+    * the cold peel (the documented batch-tier recompute). The restricted
+    * peel iterates to ITS fixpoint (it is non-core-sized; `maxRounds`
+    * is a loud-failure cap, not a truncation budget).
+    */
+  def kCoreDelta(
+      halfAfter: DataFrame,
+      oldCore: DataFrame,
+      k: Int,
+      maxRounds: Int = 64): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val e = halfAfter.select(col("src"), col("dst")).localCheckpoint()
+    val core = oldCore.select(col("node")).localCheckpoint()
+    val marked = e
+      .join(core.select(col("node").as("src"), lit(1).as("si")), Seq("src"), "left")
+      .join(core.select(col("node").as("dst"), lit(1).as("di")), Seq("dst"), "left")
+    // base capacity: a non-core endpoint's edges into the (immortal) core
+    val base = marked.filter(col("si").isNotNull && col("di").isNull)
+      .select(col("dst").as("node"))
+      .unionAll(marked.filter(col("si").isNull && col("di").isNotNull)
+        .select(col("src").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("b"))
+    // the peel subgraph: edges among non-core nodes
+    val h = marked.filter(col("si").isNull && col("di").isNull)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val degH = h.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dh"))
+    val deg0 = base.join(degH, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("b"), lit(0L)) + coalesce(col("dh"), lit(0L))).as("d"))
+      .localCheckpoint()
+    def loss(dead: DataFrame): DataFrame =
+      h.join(broadcast(dead), h("dst") === dead("node")).select(h("src").as("n"))
+        .unionAll(
+          h.join(broadcast(dead), h("src") === dead("node")).select(h("dst").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("l"))
+    var degAlive = deg0.filter(col("d") >= k)
+    var newDead = deg0.filter(col("d") < k).select(col("node")).localCheckpoint()
+    var r = 0
+    while (r < maxRounds && !newDead.isEmpty) {
+      val upd = degAlive.join(loss(newDead), degAlive("node") === col("n"), "left")
+        .select(col("node"), (col("d") - coalesce(col("l"), lit(0L))).as("d"))
+        .localCheckpoint()
+      newDead = upd.filter(col("d") < k).select(col("node")).localCheckpoint()
+      degAlive = upd.filter(col("d") >= k)
+      r += 1
+    }
+    require(newDead.isEmpty,
+      s"restricted k-core peel did not converge in $maxRounds rounds")
+    // the exact new core; in-core degrees need one pass over the full
+    // edge list (old members' degrees grew with the delta and the
+    // promotions — their stored core_deg is stale by construction)
+    val newCore = core.unionAll(degAlive.select(col("node"))).localCheckpoint()
+    e.join(newCore.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(newCore.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Incremental multi-source BFS under edge INSERTIONS — the third
     * exact graph-IVM operator next to [[triangleCountDelta]] and
     * [[maintainCopurchaseWeights]]: inserted edges can only SHORTEN

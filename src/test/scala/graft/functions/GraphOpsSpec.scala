@@ -642,6 +642,44 @@ class GraphOpsSpec extends SparkSpec {
       .head().getInt(0) === 2)
   }
 
+  test("kCoreDelta: refreshed core equals the cold converged peel on " +
+      "random graphs; a planted K5 completed by the delta promotes all " +
+      "five nodes as a mutual-support cascade; core-core delta edges " +
+      "refresh the stored in-core degrees") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    for (seed <- Seq(61L, 67L); kk <- Seq(3, 4); fracMod <- Seq(5)) {
+      val (sym, _) = randomGraph(seed, 24, 110)
+      val half = sym.filter(p => p._1 < p._2)
+      // planted K5 on 100..104 with two edges withheld from the base:
+      // degrees drop to 3 for four of the five, so at k=4 NONE are in
+      // the base core; the delta completes the clique and all five must
+      // promote together (the upward closure no greedy per-node test
+      // finds) — plus a planted core-core edge class via the random part
+      val k5 = for (a <- 100L to 104L; b <- a + 1 to 104L) yield (a, b)
+      val withheld = Set((100L, 101L), (102L, 103L))
+      val baseSeq = (half.filter(p => (p._1 * 11 + p._2) % fracMod != 0)
+        ++ k5.filterNot(withheld)).distinct
+      val fullSeq = (half ++ k5).distinct
+      val deltaSeq = fullSeq.diff(baseSeq)
+      val base = baseSeq.toDF("src", "dst")
+      val full = fullSeq.toDF("src", "dst")
+      val old = Graph.kCoreHalf(base, kk, rounds = 12)
+      // contract precondition: the old core is converged (round 13 idle)
+      assert(same(old, Graph.kCoreHalf(base, kk, rounds = 13)))
+      val got = Graph.kCoreDelta(full, old, kk)
+      val want = Graph.kCoreHalf(full, kk, rounds = 12)
+      assert(same(got, want), s"seed $seed k $kk: delta refresh diverged")
+      if (kk == 4) {
+        assert(old.filter(col("node").isin(100L, 101L, 102L, 103L, 104L))
+          .count() === 0L, "planted clique leaked into the base core")
+        assert(got.filter(col("node").isin(100L, 101L, 102L, 103L, 104L))
+          .count() === 5L, "mutual-support cascade did not promote the K5")
+      }
+    }
+  }
+
   test("pageRankUntil: a cold run of k rounds is bit-identical to " +
       "pageRank(iterations = k); warm start after a small delta converges " +
       "in fewer rounds to a tolerance-valid fixed point") {
