@@ -38,18 +38,24 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             exp = con.execute(sql).df()
-        except Exception:
+        except Exception as first_err:
             # heavy oracles back-to-back (e.g. the two unrolled k-core
             # peels) can exhaust the shared connection's memory pool —
-            # retry once on a fresh connection before declaring a FAIL
+            # retry once on a fresh connection before declaring a FAIL.
+            # (A deterministically failing oracle pays its query twice;
+            # acceptable, FAILs are the exception path.)
             try:
                 con.close()
-                con = fresh_con(sfdir)
+            except Exception:
+                pass
+            con = fresh_con(sfdir)
+            try:
                 exp = con.execute(sql).df()
-            except Exception as e:
-                print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            except Exception:
+                # report the ORIGINAL error — the retry usually repeats it,
+                # and when it doesn't, the first one is what happened
+                print(f"FAIL {name}: oracle error: {str(first_err)[:200]}")
                 n_fail += 1
-                con = fresh_con(sfdir)
                 continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)

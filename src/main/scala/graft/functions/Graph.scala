@@ -132,13 +132,7 @@ object Graph {
     val base = (1000L - dampMilli) * 1000L
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (i <- 1 to iterations) {
-      val ranks = deg.join(rank, deg("src") === rank("node"))
-        .select(col("src"), col("tw"), col("r"))
-      rank = e
-        .join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
-        .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
-        .groupBy(col("node"))
-        .agg(expr(s"${base}L + ($dampMilli * sum(c)) div 1000").as("r"))
+      rank = weightedRound(e, deg, rank, base, dampMilli, broadcastRanks)
       if (i % checkpointEvery == 0 && i < iterations) rank = rank.localCheckpoint()
     }
     rank.select(col("node"), col("r").as("rank_micro"))
@@ -176,6 +170,37 @@ object Graph {
     * stop contributing (they vanish from the degree frame) and drop
     * from the output, matching the cold form's node set.
     */
+  /** Result of [[pageRankUntil]]. `converged = false` means `maxRounds`
+    * was exhausted with the residual still above tol — `ranks` is the
+    * last iterate, NOT a fixed point; a serving loop must treat it as
+    * truncated (re-run with a larger budget or publish the residual),
+    * not as a converged snapshot.
+    */
+  final case class PageRankRun(ranks: DataFrame, rounds: Int, converged: Boolean)
+
+  /** One synchronous weighted-PageRank round over an edge list carrying
+    * (src, dst, w) and a degree frame (src, tw) — THE shared recurrence
+    * body of [[pageRankWeighted]] and [[pageRankUntil]], so their
+    * spec-pinned bit-identity is structural (one body), not maintained
+    * by parallel edits. [[pageRank]] keeps its specialized w-free body
+    * (`r div outd` — the most-benched gate plan, value-identical to
+    * this with w = 1).
+    */
+  private def weightedRound(
+      e: DataFrame,
+      deg: DataFrame,
+      rank: DataFrame,
+      base: Long,
+      dampMilli: Int,
+      broadcastRanks: Boolean): DataFrame = {
+    val ranks = deg.join(rank, deg("src") === rank("node"))
+      .select(col("src"), col("tw"), col("r"))
+    e.join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
+      .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
+      .groupBy(col("node"))
+      .agg(expr(s"${base}L + ($dampMilli * sum(c)) div 1000").as("r"))
+  }
+
   def pageRankUntil(
       edges: DataFrame,
       srcCol: String,
@@ -186,7 +211,7 @@ object Graph {
       weightCol: Option[String] = None,
       dampMilli: Int = 850,
       broadcastRanks: Boolean = true,
-      checkpointEdges: Boolean = true): (DataFrame, Int) = {
+      checkpointEdges: Boolean = true): PageRankRun = {
     require(tolMicro >= 0 && maxRounds >= 1 && dampMilli >= 0 && dampMilli <= 1000)
     val e0 = weightCol match {
       case Some(w) => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -212,13 +237,7 @@ object Graph {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val ranks = deg.join(rank, deg("src") === rank("node"))
-        .select(col("src"), col("tw"), col("r"))
-      val next = e
-        .join(if (broadcastRanks) broadcast(ranks) else ranks, "src")
-        .select(col("dst").as("node"), expr("(r * w) div tw").as("c"))
-        .groupBy(col("node"))
-        .agg(expr(s"${base}L + ($dampMilli * sum(c)) div 1000").as("r"))
+      val next = weightedRound(e, deg, rank, base, dampMilli, broadcastRanks)
         .localCheckpoint()
       // nodes with in-edges that never held a rank row yet (first round
       // of a warm start on a delta-born sink) count their full entry as
@@ -233,7 +252,8 @@ object Graph {
       converged = resid <= tolMicro
       rank = next
     }
-    (rank.select(col("node"), col("r").as("rank_micro")), rounds)
+    PageRankRun(
+      rank.select(col("node"), col("r").as("rank_micro")), rounds, converged)
   }
 
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
@@ -691,8 +711,20 @@ object Graph {
       halfAfter: DataFrame,
       oldCore: DataFrame,
       k: Int,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      broadcastDead: Boolean = true): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
+    // the immortality proof's exact sufficient condition, cheaply
+    // checkable from the input's own column: every old-core member must
+    // hold >= k in-core neighbors. A NON-converged kCoreHalf frame (its
+    // budget-exhausted branch returns mid-peel, silently) would
+    // otherwise flow through and yield a wrong core with no error —
+    // fail loudly here instead. One node-sized aggregate.
+    val minDeg = oldCore.agg(min(col("core_deg"))).head()
+    require(minDeg.isNullAt(0) || minDeg.getLong(0) >= k,
+      s"oldCore is not a converged k=$k core (min in-core degree " +
+        s"${minDeg.getLong(0)} < $k) — kCoreDelta's member-immortality " +
+        "argument requires the fixpoint; re-peel with a larger round budget")
     val e = halfAfter.select(col("src"), col("dst")).localCheckpoint()
     val core = oldCore.select(col("node")).localCheckpoint()
     val marked = e
@@ -713,11 +745,16 @@ object Graph {
       .select(col("node"),
         (coalesce(col("b"), lit(0L)) + coalesce(col("dh"), lit(0L))).as("d"))
       .localCheckpoint()
-    def loss(dead: DataFrame): DataFrame =
-      h.join(broadcast(dead), h("dst") === dead("node")).select(h("src").as("n"))
+    // broadcastDead = false: the kCoreHalf escape for the regime where
+    // the dead set is node-scale (small old core, aggressive k) — then
+    // pre-bucket h by src and dst like kCoreHalf's halfByDst layout
+    def loss(dead: DataFrame): DataFrame = {
+      val nb = if (broadcastDead) broadcast(dead) else dead
+      h.join(nb, h("dst") === dead("node")).select(h("src").as("n"))
         .unionAll(
-          h.join(broadcast(dead), h("src") === dead("node")).select(h("dst").as("n")))
+          h.join(nb, h("src") === dead("node")).select(h("dst").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("l"))
+    }
     var degAlive = deg0.filter(col("d") >= k)
     var newDead = deg0.filter(col("d") < k).select(col("node")).localCheckpoint()
     var r = 0

@@ -691,9 +691,9 @@ class GraphOpsSpec extends SparkSpec {
     val tol = 10000L // 1% of the 10^6 initial mass
     val damp = 850
     val g = sym.toDF("src", "dst")
-    val (cold, kCold) = Graph.pageRankUntil(g, "src", "dst", tol,
+    val Graph.PageRankRun(cold, kCold, coldConv) = Graph.pageRankUntil(g, "src", "dst", tol,
       maxRounds = 60, dampMilli = damp)
-    assert(kCold > 1 && kCold < 60, s"cold rounds $kCold")
+    assert(coldConv && kCold > 1 && kCold < 60, s"cold rounds $kCold")
     // round-for-round the recurrence is the gate form's: same rounds =
     // same bits
     val fixedK = Graph.pageRank(g, "src", "dst", iterations = kCold,
@@ -706,17 +706,17 @@ class GraphOpsSpec extends SparkSpec {
     val delta = Seq((100L, 0L), (0L, 100L), (100L, 5L), (5L, 100L),
       (3L, 17L), (17L, 3L))
     val g2 = (sym ++ delta).distinct.toDF("src", "dst")
-    val (coldNew, kColdNew) = Graph.pageRankUntil(g2, "src", "dst", tol,
+    val Graph.PageRankRun(coldNew, kColdNew, _) = Graph.pageRankUntil(g2, "src", "dst", tol,
       maxRounds = 60, dampMilli = damp)
-    val (warm, kWarm) = Graph.pageRankUntil(g2, "src", "dst", tol,
+    val Graph.PageRankRun(warm, kWarm, warmConv) = Graph.pageRankUntil(g2, "src", "dst", tol,
       maxRounds = 60, init = Some(cold), dampMilli = damp)
-    assert(kWarm < kColdNew,
+    assert(warmConv && kWarm < kColdNew,
       s"warm start ($kWarm rounds) did not beat cold ($kColdNew) on the delta")
     // the delta-born node entered at the cold initial value and holds a rank
     assert(warm.filter(col("node") === 100L).count() === 1L)
     // tolerance validity: one more application of the map moves nothing
     // beyond tol (run exactly one round from the warm answer)
-    val (oneMore, _) = Graph.pageRankUntil(g2, "src", "dst",
+    val Graph.PageRankRun(oneMore, _, _) = Graph.pageRankUntil(g2, "src", "dst",
       tolMicro = Long.MaxValue, maxRounds = 1, init = Some(warm),
       dampMilli = damp)
     val maxMove = oneMore.as("a")
@@ -734,7 +734,7 @@ class GraphOpsSpec extends SparkSpec {
     // the weighted path: same rounds = same bits vs pageRankWeighted
     val wg = sym.map { case (s, d) => (s, d, 1L + (s + d) % 3) }
       .toDF("src", "dst", "w")
-    val (wUntil, kw) = Graph.pageRankUntil(wg, "src", "dst", tol,
+    val Graph.PageRankRun(wUntil, kw, _) = Graph.pageRankUntil(wg, "src", "dst", tol,
       maxRounds = 60, weightCol = Some("w"), dampMilli = damp)
     val wFixed = Graph.pageRankWeighted(wg, "src", "dst", "w",
       iterations = kw, dampMilli = damp)
@@ -755,19 +755,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(Graph.maintainCopurchaseWeights(spark, stateDir,
       li.filter(!isDelta), partitions = 16, batchId = 0L))
     val snap0 = Graph.readCopurchaseWeights(spark, stateDir).get
-    val (ranks0, _) = Graph.pageRankUntil(snap0, "src", "dst", tol,
+    val Graph.PageRankRun(ranks0, _, _) = Graph.pageRankUntil(snap0, "src", "dst", tol,
       weightCol = Some("w"))
     assert(Graph.maintainCopurchaseWeights(spark, stateDir,
       li.filter(isDelta), partitions = 16, batchId = 1L))
     val snap1 = Graph.readCopurchaseWeights(spark, stateDir).get
-    val (_, kCold) = Graph.pageRankUntil(snap1, "src", "dst", tol,
+    val Graph.PageRankRun(_, kCold, _) = Graph.pageRankUntil(snap1, "src", "dst", tol,
       weightCol = Some("w"))
-    val (warm, kWarm) = Graph.pageRankUntil(snap1, "src", "dst", tol,
+    val Graph.PageRankRun(warm, kWarm, _) = Graph.pageRankUntil(snap1, "src", "dst", tol,
       init = Some(ranks0), weightCol = Some("w"))
     assert(kWarm < kCold,
       s"warm refresh ($kWarm rounds) did not beat cold ($kCold)")
     // tol-validity of the warm answer on the refreshed graph
-    val (oneMore, _) = Graph.pageRankUntil(snap1, "src", "dst",
+    val Graph.PageRankRun(oneMore, _, _) = Graph.pageRankUntil(snap1, "src", "dst",
       tolMicro = Long.MaxValue, maxRounds = 1, init = Some(warm),
       weightCol = Some("w"))
     val maxMove = oneMore.as("a")
