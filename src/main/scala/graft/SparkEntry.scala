@@ -118,6 +118,23 @@ object SparkEntry {
       graft.functions.Graph.kCoreHalf(f.half, k = 80, rounds = 5)
         .orderBy("node")
     },
+    // Incremental connected components (r14): strong-tie (w >= 2)
+    // co-purchase components refreshed from a 20%-edge delta via
+    // Curation.refreshClusters — cost = new pairs + affected clusters'
+    // members, never the graph — landing on the PLAIN cold-CC oracle
+    // hash. Pure COMPOSITION: the dedup family's incremental cluster
+    // machinery serving the graph family unchanged.
+    "graph_cc_incremental" -> { f =>
+      val strong = f.weighted
+        .filter(col("src") < col("dst") && col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val isDelta = pmod(col("src") * 19 + col("dst"), lit(5)) === 0
+      val old = graft.functions.Curation.connectedComponents(
+        strong.filter(!isDelta), "src", "dst")
+      graft.functions.Curation.refreshClusters(
+        old, strong.filter(isDelta), "src", "dst")
+        .orderBy("node")
+    },
     // Incremental k-core (r14): the converged core of an 80%-edge base
     // refreshed through kCoreDelta's non-core-only peel (old members
     // are immortal under insertions) — must land on the PLAIN cold-peel
@@ -1963,6 +1980,21 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracle,
     // the incremental refresh must land on the cold peel's hash
     "graph_kcore_incremental" -> kcoreOracle,
+    // incremental CC refresh must land on the cold reachability hash
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE
+          li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          half AS (SELECT a.pk AS src, b.pk AS dst
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+          edges AS (SELECT src AS a, dst AS b FROM half
+                    UNION SELECT dst, src FROM half),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
+          SELECT node, min(r) AS cluster_id
+          FROM reach GROUP BY 1 ORDER BY node""",
     "link_prediction" -> linkPredictionOracle,
     "graph_hops" -> bfsOracle,
     // the incremental refresh must land on the cold recompute's hash
