@@ -108,6 +108,18 @@ object SparkEntry {
       val delta = half.filter(pmod(col("src") * 31 + col("dst"), lit(10)) === 0)
       graft.functions.Graph.triangleCountDelta(half, delta).orderBy("node")
     },
+    // The RETRACTION direction proven at the gate: full counts minus the
+    // delta's triangle contribution must equal the base graph's counts —
+    // the oracle recomputes the base cold, so the hash certifies
+    // applyTriangleDelta(sign = -1) end-to-end, not just in-spec.
+    "graph_triangles_retract" -> { f =>
+      val half = f.half.select(col("src"), col("dst"))
+      val isDelta = pmod(col("src") * 31 + col("dst"), lit(10)) === 0
+      val fullCounts = graft.functions.Graph.triangleCountsAdj(half)
+      val d = graft.functions.Graph.triangleCountDelta(half, half.filter(isDelta))
+      graft.functions.Graph.applyTriangleDelta(fullCounts, d, sign = -1L)
+        .orderBy("node")
+    },
     // k-core: the "dense engagement core" of the co-purchase graph —
     // synchronous peeling over the half-edge form (5 rounds ≥ fixpoint
     // depth at every test SF: 3 at sf0.001, 5 at sf0.01, 5 at sf0.1 —
@@ -2082,6 +2094,30 @@ object SparkEntry {
             UNION ALL SELECT v, 1 FROM t3
             UNION ALL SELECT w, 1 FROM t3)
           GROUP BY 1 HAVING sum(m) <> 0 ORDER BY node""",
+    // the retraction must land on the BASE graph's cold triangle counts
+    "graph_triangles_retract" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey),
+          -- the base graph: undirected edges OUTSIDE the 10% delta split
+          base AS (SELECT src, dst FROM pairs
+                   WHERE (least(src, dst) * 31 + greatest(src, dst)) % 10 <> 0),
+          deg AS (SELECT src, count(*) AS d FROM base GROUP BY 1),
+          o AS (SELECT p.src, p.dst
+                FROM base p JOIN deg a ON a.src = p.src
+                            JOIN deg b ON b.src = p.dst
+                WHERE a.d < b.d OR (a.d = b.d AND p.src < p.dst)),
+          t AS (SELECT w.a, w.b, w.c
+                FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                      FROM o e1 JOIN o e2 ON e1.dst = e2.src) w
+                JOIN o e3 ON e3.src = w.a AND e3.dst = w.c)
+          SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+          GROUP BY 1 ORDER BY node""",
     "session_paths" ->
       """WITH o AS (
            SELECT user_id, ts, event_id, event_type,
