@@ -28,7 +28,33 @@ The retimed block of the NEW artifact, when present, is used to adjudicate:
 a flagged query whose retime lands back inside the threshold is reported as
 a placement artifact, not a regression.
 """
-import json, sys
+import json, os, sys
+
+def load(path):
+    """A bench artifact: either the engine's own full format (has a
+    `queries` map) or the driver's wrapper `{n, rc, tail, parsed}` —
+    BENCH_r{N}.json wraps the run and truncates `parsed.queries`, with
+    `parsed.full` naming the full artifact the driver committed beside
+    it. Resolve the pointer (same directory, value-matched so a later
+    run overwriting that file can't masquerade as this one); fall back
+    to the truncated map with a loud note."""
+    art = json.load(open(path))
+    if "queries" in art:
+        return art
+    p = art.get("parsed")
+    if not isinstance(p, dict) or "queries" not in p:
+        sys.exit(f"{path}: no queries map (neither full format nor driver wrapper)")
+    full = p.get("full")
+    if isinstance(full, str):
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), full)
+        if os.path.exists(cand):
+            f = json.load(open(cand))
+            if "queries" in f and f.get("value") == p.get("value"):
+                return f
+    print(f"NOTE: {path} is a driver wrapper whose full artifact "
+          f"({full!r}) is missing or from a different run — comparing its "
+          f"TRUNCATED query map ({len(p['queries'])} rows)")
+    return p
 
 def run_quality(art):
     """(verdict, n_undercuts, label): the artifact's own field, else derived.
@@ -59,8 +85,8 @@ def run_quality(art):
 def main():
     args = [a for a in sys.argv[1:] if a != "--force"]
     force = "--force" in sys.argv[1:]
-    old = json.load(open(args[0]))
-    new = json.load(open(args[1]))
+    old = load(args[0])
+    new = load(args[1])
     thr = float(args[2]) / 100 if len(args) > 2 else 0.15
     oq, nq = old["queries"], new["queries"]
     retimed = new.get("retimed", {})
