@@ -343,6 +343,28 @@ object TextAnalysis {
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
 
+  /** One COHERENT snapshot of the stats table: corpus totals AND the
+    * committed batch-id set derived from a SINGLE collect. Two separate
+    * reads ([[readIndexStats]] then [[committedBatchIds]]) race a
+    * concurrent ingest: a batch committing between them is visible in
+    * the id set but uncounted in n/tot — scored postings with stale
+    * IDF, the exact incoherence the frozen-view serving contract
+    * ([[graft.streaming.StreamOps.bm25SearchStream]]) rules out. One
+    * bounded read — the stats table holds one row per committed batch.
+    */
+  def indexStatsSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): ((Long, Long, Long), Seq[Long]) = {
+    val rows = spark.read.parquet(s"$indexPath/stats")
+      .select(col("n"), col("tot"), col("buckets"),
+        col("batch").cast("long").as("batch"))
+      .collect()
+    ((rows.map(_.getAs[Long]("n")).sum,
+      rows.map(_.getAs[Long]("tot")).sum,
+      rows.map(_.getAs[Long]("buckets")).max),
+      rows.map(_.getAs[Long]("batch")).distinct.toSeq)
+  }
+
   /** Driver-side twin of [[portableHash48]] (md5-prefix, same 48 bits) —
     * lets the query side compute term buckets without a Spark job.
     */
@@ -364,8 +386,7 @@ object TextAnalysis {
       k1Milli: Long = 1200L,
       bMilli: Long = 750L,
       topK: Int = 50): DataFrame = {
-    val (n, tot, buckets) = readIndexStats(spark, indexPath)
-    val committed = committedBatchIds(spark, indexPath)
+    val ((n, tot, buckets), committed) = indexStatsSnapshot(spark, indexPath)
     val stats = spark.range(1).select(lit(n).as("n"), lit(tot).as("tot"))
     // the index stores lowercased terms: fold BEFORE bucketing, or a
     // mixed-case query reads the wrong bucket partition and finds nothing
@@ -404,11 +425,17 @@ object TextAnalysis {
       topK: Int = 50,
       statsRow: Option[(Long, Long, Long)] = None,
       committedIds: Option[Seq[Long]] = None): DataFrame = {
-    val (n, tot, buckets) = statsRow.getOrElse(readIndexStats(spark, indexPath))
-    // frozen together with statsRow by a serving stream: visibility and
-    // corpus stats then stay COHERENT (a batch ingested mid-stream is
-    // neither scored nor counted until the stream's stats refresh)
-    val committed = committedIds.getOrElse(committedBatchIds(spark, indexPath))
+    // frozen together by a serving stream: visibility and corpus stats
+    // stay COHERENT (a batch ingested mid-stream is neither scored nor
+    // counted until the stream's stats refresh). When the caller
+    // supplies neither, derive BOTH from one snapshot for the same
+    // coherence (two separate table reads race a concurrent ingest).
+    val snap =
+      if (statsRow.isEmpty || committedIds.isEmpty)
+        Some(indexStatsSnapshot(spark, indexPath))
+      else None
+    val (n, tot, buckets) = statsRow.orElse(snap.map(_._1)).get
+    val committed = committedIds.orElse(snap.map(_._2)).get
     // qt feeds both the driver-side term collect and the postings join
     val qt = queries.select(col("qid"),
         explode(filter(split(lower(col("terms")), "\\s+"), t => length(t) > 0)).as("t"))

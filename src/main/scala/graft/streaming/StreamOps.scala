@@ -278,26 +278,26 @@ object StreamOps {
       indexPath: String,
       topK: Int)(
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // the index is static for the stream's lifetime; first batch reads
-    // the stats table (summed across any appended batches — see
-    // `TextAnalysis.readIndexStats`) AND the committed batch-id set,
-    // later batches reuse both. A serving stream racing a concurrent
-    // ingest ([[bm25IngestStream]]) therefore scores a COHERENT frozen
-    // view: batches ingested mid-stream are neither visible in postings
-    // nor counted in n/tot — restart the serving stream on the refresh
-    // cadence to pick up the ingested corpus.
-    lazy val stats =
-      graft.functions.TextAnalysis.readIndexStats(
-        queryStream.sparkSession, indexPath)
-    lazy val committed =
-      graft.functions.TextAnalysis.committedBatchIds(
+    // the index is static for the stream's lifetime; the first batch
+    // takes ONE snapshot of the stats table — corpus totals AND the
+    // committed batch-id set from a single collect
+    // (`TextAnalysis.indexStatsSnapshot`; two separate reads would race
+    // a concurrent ingest committing between them: a batch scored in
+    // committedIds but uncounted in n/tot) — later batches reuse it. A
+    // serving stream racing a concurrent ingest ([[bm25IngestStream]])
+    // therefore scores a COHERENT frozen view: batches ingested
+    // mid-stream are neither visible in postings nor counted in n/tot —
+    // restart the serving stream on the refresh cadence to pick up the
+    // ingested corpus.
+    lazy val snapshot =
+      graft.functions.TextAnalysis.indexStatsSnapshot(
         queryStream.sparkSession, indexPath)
     queryStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           emit(graft.functions.TextAnalysis.bm25SearchManyFromIndex(
             batch.sparkSession, indexPath, batch.toDF(), topK = topK,
-            statsRow = Some(stats), committedIds = Some(committed)))
+            statsRow = Some(snapshot._1), committedIds = Some(snapshot._2)))
     }
   }
 
