@@ -558,9 +558,11 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  test("maintainTriangleCounts: streaming-maintained counts equal the " +
-      "full recompute after every batch; replay is a no-op; an empty " +
-      "FIRST batch cannot poison the state; duplicate edges drop") {
+  test("maintainTriangleCounts: partitioned-count-table state equals the " +
+      "full recompute after every batch (inserts AND a retraction); " +
+      "replay is a no-op; an empty FIRST batch cannot poison the state; " +
+      "duplicate/reversed edges drop; untouched count partitions stay " +
+      "byte-identical") {
     import org.apache.spark.sql.functions._
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
       a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
@@ -574,18 +576,42 @@ class GraphOpsSpec extends SparkSpec {
       parts(0) :+ ((200L, 201L)),
       parts(1) :+ ((200L, 202L)),
       parts(2) :+ ((201L, 202L)))
+    val P = 16
     val stateDir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // per-file CRC32 of the count table's data slices, keyed by
+    // partition-relative path — the untouched-partition byte-identity probe
+    def countCrcs(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(stateDir, "counts", "data")
+      if (!java.nio.file.Files.exists(root)) Map.empty
+      else {
+        val it = java.nio.file.Files.walk(root).iterator()
+        val out = scala.collection.mutable.Map[String, Long]()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet")) {
+            val crc = new java.util.zip.CRC32()
+            crc.update(java.nio.file.Files.readAllBytes(p))
+            out(root.relativize(p).toString) = crc.getValue
+          }
+        }
+        out.toMap
+      }
+    }
+    def partOf(rel: String): String = rel.split("/").head // "__p=N"
     // empty FIRST batch: must commit its id without bricking the edge log
     assert(Graph.maintainTriangleCounts(spark, stateDir,
-      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L))
+      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L, partitions = P))
     assert(!Graph.maintainTriangleCounts(spark, stateDir,
-      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L), "replay not a no-op")
+      Seq.empty[(Long, Long)].toDF("src", "dst"), batchId = 0L, partitions = P),
+      "replay not a no-op")
     var sofar = Seq.empty[(Long, Long)]
     for ((b, i) <- batches.zipWithIndex) {
-      // duplicate robustness: re-send some of the already-ingested edges
-      val withDups = b ++ sofar.take(3)
+      // duplicate robustness: re-send already-ingested edges, some REVERSED
+      // (the canonicalization contract — a mirrored row must not coexist)
+      val withDups = b ++ sofar.take(3).map(_.swap)
       assert(Graph.maintainTriangleCounts(spark, stateDir,
-        withDups.toDF("src", "dst"), batchId = (i + 1).toLong))
+        withDups.toDF("src", "dst"), batchId = (i + 1).toLong, partitions = P))
       sofar = (sofar ++ b).distinct
       val want = Graph.triangleCountsAdj(sofar.toDF("src", "dst"))
       assert(same(Graph.readTriangleCounts(spark, stateDir).get, want),
@@ -594,11 +620,76 @@ class GraphOpsSpec extends SparkSpec {
     // the planted cross-batch triangle is present
     assert(Graph.readTriangleCounts(spark, stateDir).get
       .filter(col("node").isin(200L, 201L, 202L)).count() === 3L)
-    // replay the LAST batch: state unchanged
+    // replay the LAST batch: state unchanged, every count file byte-identical
+    val preReplay = countCrcs()
     assert(!Graph.maintainTriangleCounts(spark, stateDir,
-      batches(2).toDF("src", "dst"), batchId = 3L))
+      batches(2).toDF("src", "dst"), batchId = 3L, partitions = P))
+    assert(countCrcs() === preReplay, "replay touched count partitions")
     assert(same(Graph.readTriangleCounts(spark, stateDir).get,
       Graph.triangleCountsAdj(sofar.toDF("src", "dst"))))
+    // a SMALL insert batch rewrites only the partitions its affected
+    // nodes hash into — the delta-sized-state-fold property the
+    // partitioned layout exists for (the r13 snapshot layout rewrote
+    // every count row per batch)
+    val smallBatch = Seq((200L, 300L), (201L, 300L)) // closes {200,201,300}
+    val before = countCrcs()
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      smallBatch.toDF("src", "dst"), batchId = 4L, partitions = P))
+    sofar = (sofar ++ smallBatch).distinct
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(sofar.toDF("src", "dst"))),
+      "small insert batch diverges from the recompute")
+    val afterIns = countCrcs()
+    val affectedIns = spark.range(1)
+      .select(explode(array(Seq(200L, 201L, 300L).map(lit): _*)).as("node"))
+      .select(pmod(xxhash64(col("node")), lit(P)).as("p"))
+      .distinct().as[Long].collect().map(p => s"__p=$p").toSet
+    val untouchedIns = before.keys.filterNot(r => affectedIns(partOf(r))).toSeq
+    assert(untouchedIns.nonEmpty, "probe vacuous: every partition affected")
+    untouchedIns.foreach(r => assert(afterIns(r) === before(r),
+      s"count slice $r rewritten by a batch whose nodes do not hash there"))
+    // RETRACTION: delete the planted triangle's closing edge plus one
+    // random logged edge — delivered REVERSED (canonicalization) and with
+    // one never-logged edge (presence semantics: absent deletes drop)
+    val delEdges = Seq((202L, 201L), (sofar.head._2, sofar.head._1), (888L, 999L))
+    val beforeDel = countCrcs()
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      delEdges.toDF("src", "dst"), batchId = 5L, partitions = P, sign = -1L))
+    val surviving = sofar.filterNot(e =>
+      e == (201L, 202L) || e == sofar.head)
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(surviving.toDF("src", "dst"))),
+      "retraction diverges from the cold recompute over the surviving log")
+    // the edge LOG itself holds exactly the survivors
+    assert(same(
+      spark.read.parquet(s"$stateDir/edges").select(col("src"), col("dst")),
+      surviving.toDF("src", "dst")),
+      "edge log diverges from the surviving edge set after the delete")
+    // untouched count partitions byte-identical through the delete too
+    val afterDel = countCrcs()
+    val delNodes = Graph.triangleCountDelta(
+      sofar.toDF("src", "dst"),
+      Seq((201L, 202L), (math.min(sofar.head._1, sofar.head._2),
+        math.max(sofar.head._1, sofar.head._2))).toDF("src", "dst"))
+      .select(pmod(xxhash64(col("node")), lit(P)).as("p"))
+      .distinct().as[Long].collect().map(p => s"__p=$p").toSet
+    val untouchedDel = beforeDel.keys.filterNot(r => delNodes(partOf(r))).toSeq
+    assert(untouchedDel.nonEmpty, "delete probe vacuous: every partition affected")
+    untouchedDel.foreach(r => assert(afterDel.get(r) === Some(beforeDel(r)),
+      s"count slice $r rewritten by a delete whose nodes do not hash there"))
+    // replayed delete: a no-op on counts AND log
+    val preDelReplay = countCrcs()
+    assert(!Graph.maintainTriangleCounts(spark, stateDir,
+      delEdges.toDF("src", "dst"), batchId = 5L, partitions = P, sign = -1L),
+      "replayed delete not a no-op")
+    assert(countCrcs() === preDelReplay)
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(surviving.toDF("src", "dst"))))
+    // a different partition modulus fails fast (the pinned-P contract)
+    intercept[IllegalArgumentException] {
+      Graph.maintainTriangleCounts(spark, stateDir,
+        Seq((1L, 9L)).toDF("src", "dst"), batchId = 6L, partitions = P + 1)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
   }
 
@@ -740,6 +831,136 @@ class GraphOpsSpec extends SparkSpec {
       iterations = kw, dampMilli = damp)
     assert(wUntil.exceptAll(wFixed).isEmpty && wFixed.exceptAll(wUntil).isEmpty,
       "weighted convergence run diverged from the fixed-round weighted form")
+  }
+
+  test("hitsUntil: a cold run of k rounds is bit-identical to " +
+      "hits(iterations = k); warm start after a small delta converges in " +
+      "fewer rounds to a tol-valid fixed point") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val (sym, _) = randomGraph(37L, 60, 400)
+    val g = sym.toDF("src", "dst")
+    // tight enough that a cold start pays real mixing rounds — HITS
+    // rescales by the max each round, so a small delta still moves every
+    // node a little and a LOOSE tol lets cold converge as fast as warm
+    val tol = 2000L // 0.2% of the 10^6 rescaled range
+    val Graph.HitsRun(cold, kCold, coldConv) =
+      Graph.hitsUntil(g, "src", "dst", tol, maxRounds = 60)
+    assert(coldConv && kCold > 1 && kCold < 60, s"cold rounds $kCold")
+    // round-for-round the recurrence is the gate form's: same rounds =
+    // same bits
+    val fixedK = Graph.hits(g, "src", "dst", iterations = kCold)
+    assert(same(cold, fixedK),
+      "convergence-driven cold run diverged from the fixed-round form")
+    // delta: a brand-new node into the graph + one cross edge (the
+    // maintained-edge-table refresh shape, as the pageRankUntil spec)
+    val delta = Seq((100L, 0L), (0L, 100L), (100L, 5L), (5L, 100L),
+      (3L, 17L), (17L, 3L))
+    val g2 = (sym ++ delta).distinct.toDF("src", "dst")
+    val Graph.HitsRun(_, kColdNew, _) =
+      Graph.hitsUntil(g2, "src", "dst", tol, maxRounds = 60)
+    val Graph.HitsRun(warm, kWarm, warmConv) =
+      Graph.hitsUntil(g2, "src", "dst", tol, maxRounds = 60,
+        init = Some(cold))
+    assert(warmConv && kWarm < kColdNew,
+      s"warm start ($kWarm rounds) did not beat cold ($kColdNew) on the delta")
+    // the delta-born node holds scores
+    assert(warm.filter(col("node") === 100L).count() === 1L)
+    // tol validity: one more application of the round map moves neither
+    // frame beyond tol
+    val Graph.HitsRun(oneMore, _, _) = Graph.hitsUntil(g2, "src", "dst",
+      tolMicro = Long.MaxValue, maxRounds = 1, init = Some(warm))
+    val move = oneMore.as("a")
+      .join(warm.as("b"), col("a.node") === col("b.node"))
+      .agg(max(greatest(abs(col("a.hub_m") - col("b.hub_m")),
+        abs(col("a.auth_m") - col("b.auth_m")))))
+      .head().getLong(0)
+    assert(move <= tol, s"warm answer not a tol-valid fixed point: $move")
+  }
+
+  test("communityLabelsUntil: a cold run of k rounds is bit-identical to " +
+      "communityLabels(rounds = k); warm start after a delta converges in " +
+      "fewer rounds to a genuine label fixpoint") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // two planted cliques joined by ONE bridge edge: sync LPA converges
+    // (locally-dense neighborhoods — the operator's stated use case)
+    val cliqueA = for (i <- 0 until 8; j <- (i + 1) until 8)
+      yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 until 18; j <- (i + 1) until 18)
+      yield (i.toLong, j.toLong)
+    val base = cliqueA ++ cliqueB ++ Seq((7L, 10L))
+    val g = base.toDF("src", "dst")
+    val Graph.LpaRun(cold, kCold, coldConv) =
+      Graph.communityLabelsUntil(g, "src", "dst", maxRounds = 20)
+    assert(coldConv && kCold < 20, s"cold did not converge: $kCold rounds")
+    assert(same(cold, Graph.communityLabels(g, "src", "dst", rounds = kCold)),
+      "convergence-driven cold run diverged from the fixed-round form")
+    // fixpoint persistence: extra rounds are the identity map
+    assert(same(cold, Graph.communityLabels(g, "src", "dst", rounds = kCold + 2)))
+    // delta: a new node joins clique A
+    val delta = Seq((100L, 0L), (100L, 1L), (100L, 2L))
+    val g2 = (base ++ delta).toDF("src", "dst")
+    val Graph.LpaRun(_, kColdNew, _) =
+      Graph.communityLabelsUntil(g2, "src", "dst", maxRounds = 20)
+    val Graph.LpaRun(warm, kWarm, warmConv) =
+      Graph.communityLabelsUntil(g2, "src", "dst", maxRounds = 20,
+        init = Some(cold))
+    assert(warmConv && kWarm < kColdNew,
+      s"warm start ($kWarm rounds) did not beat cold ($kColdNew) on the delta")
+    // genuine fixpoint: one more vote round changes nothing (the
+    // tol-validity analog for discrete labels)
+    val Graph.LpaRun(oneMore, _, conv1) =
+      Graph.communityLabelsUntil(g2, "src", "dst", maxRounds = 1,
+        init = Some(warm))
+    assert(conv1 && same(oneMore, warm),
+      "warm answer is not a fixpoint of the label map")
+  }
+
+  test("communityLabelsDelta: the shrinking-cone refresh is bit-identical " +
+      "to the cold fixed-round recompute on random graphs; on a planted " +
+      "chain, nodes beyond k hops keep their old labels while the cone " +
+      "stays delta-local") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    for (seed <- Seq(53L, 59L); k <- Seq(2, 3)) {
+      val (sym, _) = randomGraph(seed, 40, 160)
+      val half = sym.filter(p => p._1 < p._2)
+      val (deltaRaw, baseRaw) =
+        half.partition(p => (p._1 * 13 + p._2) % 12 == 0)
+      assume(deltaRaw.nonEmpty && baseRaw.nonEmpty)
+      val old = Graph.communityLabels(
+        baseRaw.toDF("src", "dst"), "src", "dst", rounds = k)
+      val got = Graph.communityLabelsDelta(half.toDF("src", "dst"),
+        "src", "dst", k, old, deltaRaw.toDF("src", "dst"))
+      val want = Graph.communityLabels(
+        half.toDF("src", "dst"), "src", "dst", rounds = k)
+      assert(same(got, want),
+        s"seed $seed k $k: cone refresh diverged from the cold recompute")
+    }
+    // planted 30-node chain, one delta edge hanging a new node off node 0:
+    // the 2k-ball covers only the chain's head, everything farther keeps
+    // its old label row VERBATIM (the merge's left_anti branch)
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val deltaE = Seq((0L, 100L))
+    val k = 3
+    val old = Graph.communityLabels(
+      chain.toDF("src", "dst"), "src", "dst", rounds = k)
+    val got = Graph.communityLabelsDelta(
+      (chain ++ deltaE).toDF("src", "dst"), "src", "dst", k, old,
+      deltaE.toDF("src", "dst"))
+    val want = Graph.communityLabels(
+      (chain ++ deltaE).toDF("src", "dst"), "src", "dst", rounds = k)
+    assert(same(got, want), "chain: cone refresh diverged from cold")
+    // the theorem's boundary, checked explicitly: labels at distance > k
+    // from the delta endpoints are the OLD rows (here: chain nodes > 3;
+    // the delta-born node 100 is inside the ball and has no old row)
+    val farGot = got.filter(col("node") > 3L && col("node") < 100L)
+    val farOld = old.filter(col("node") > 3L)
+    assert(same(farGot, farOld), "far-from-delta labels were not preserved")
   }
 
   test("pageRankUntil warm start serves the MAINTAINED co-purchase table: " +

@@ -65,28 +65,56 @@ class StreamingExtrasSpec extends SparkSpec {
   }
 
   test("maintainTriangleCountsStream: micro-batched edge ingest maintains " +
-      "per-node triangle counts equal to the full recompute") {
+      "per-node triangle counts equal to the full recompute; a DELETE " +
+      "batch (sign = -1) through the same stream lands on the cold " +
+      "recompute over the surviving log; a mixed-sign batch fails loudly") {
     import graft.functions.Graph
     val stateDir = java.nio.file.Files.createTempDirectory("graft-tri-s").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-tri-c").toString
-    val input = MemoryStream[(Long, Long)]
+    val input = MemoryStream[(Long, Long, Long)]
     val q = Graph.maintainTriangleCountsStream(
-      input.toDF().toDF("src", "dst"), stateDir, ckpt).start()
+      input.toDF().toDF("src", "dst", "sign"), stateDir, ckpt).start()
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
     try {
       // the planted triangle {7,8,9} arrives one edge per micro-batch
-      input.addData((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L))
+      input.addData((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (7L, 8L, 1L))
       q.processAllAvailable()
-      input.addData((2L, 4L), (3L, 4L), (7L, 9L))
+      input.addData((2L, 4L, 1L), (3L, 4L, 1L), (7L, 9L, 1L))
       q.processAllAvailable()
-      input.addData((8L, 9L), (1L, 4L))
+      input.addData((8L, 9L, 1L), (1L, 4L, 1L))
       q.processAllAvailable()
+      val all = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (2L, 4L), (3L, 4L),
+        (7L, 9L), (8L, 9L), (1L, 4L))
+      assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+        Graph.triangleCountsAdj(all.toDF("src", "dst"))),
+        "stream-maintained triangle counts diverge from the recompute")
+      // delete batch through the SAME stream: breaks triangle {1,2,3}
+      // and the planted {7,8,9} (reversed row — canonicalization)
+      input.addData((2L, 3L, -1L), (9L, 7L, -1L))
+      q.processAllAvailable()
+      val surviving = all.filterNot(e => e == (2L, 3L) || e == (7L, 9L))
+      assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+        Graph.triangleCountsAdj(surviving.toDF("src", "dst"))),
+        "stream delete batch diverges from the cold recompute over the " +
+          "surviving log")
+      assert(same(
+        spark.read.parquet(s"$stateDir/edges").select($"src", $"dst"),
+        surviving.toDF("src", "dst")),
+        "edge log diverges from the surviving edge set after the stream delete")
     } finally q.stop()
-    val all = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (2L, 4L), (3L, 4L),
-      (7L, 9L), (8L, 9L), (1L, 4L)).toDF("src", "dst")
-    val want = Graph.triangleCountsAdj(all)
-    val got = Graph.readTriangleCounts(spark, stateDir).get
-    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
-      "stream-maintained triangle counts diverge from the recompute")
+    // a mixed-sign micro-batch must fail loudly (the commit marker
+    // cannot represent a half-applied batch)
+    val q2 = Graph.maintainTriangleCountsStream(
+      input.toDF().toDF("src", "dst", "sign"), stateDir, ckpt).start()
+    try {
+      input.addData((10L, 11L, 1L), (1L, 2L, -1L))
+      val ex = intercept[Throwable] { q2.processAllAvailable() }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("mixed-sign")),
+        s"expected the mixed-sign guard, got: ${msgs.mkString(" | ")}")
+    } finally q2.stop()
     Seq(stateDir, ckpt).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
