@@ -26,6 +26,36 @@ object LlmQueries {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
 
+  /** Parametrized IVF retrieval CTE chain (k=5, nprobe=3) against a
+    * centroid CTE `(cid, ce, cn)` and a query CTE `q(qid, qe, qn)`,
+    * ending in `${p}hits(qid, vec_id)` — the `ivfProbeSql` rules with a
+    * prefix so two centroid sets (frozen vs fresh) can retrieve in one
+    * statement (the `index_staleness_report` oracle).
+    */
+  private def ivfHitsCtes(p: String, cent: String): String =
+    s"""${p}assign AS (
+          SELECT vec_id, e, n, cid FROM (
+            SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                   row_number() OVER (PARTITION BY vn.vec_id
+                     ORDER BY CAST(floor(${dotSql("c.ce", "vn.e")} / (c.cn * vn.n) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM vn CROSS JOIN $cent c) WHERE rn = 1),
+        ${p}probes AS (
+          SELECT qid, qe, qn, cid FROM (
+            SELECT q.qid, q.qe, q.qn, c.cid,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY CAST(floor(${dotSql("c.ce", "q.qe")} / (c.cn * q.qn) * 10000) AS BIGINT) DESC,
+                              c.cid) AS rn
+            FROM q CROSS JOIN $cent c) WHERE rn <= 3),
+        ${p}hits AS (
+          SELECT qid, vec_id FROM (
+            SELECT p.qid, a.vec_id,
+                   CAST(row_number() OVER (PARTITION BY p.qid
+                     ORDER BY CAST(floor(${dotSql("p.qe", "a.e")} / (p.qn * a.n) * 10000) AS BIGINT) DESC,
+                              a.vec_id) AS BIGINT) AS rank
+            FROM ${p}probes p JOIN ${p}assign a USING (cid) WHERE p.qid <> a.vec_id)
+          WHERE rank <= 5)"""
+
   /** Deterministic kNN label vote over any `(qid, vec_id, rank)` top-k
     * frame (brute or IVF): neighbours vote their label (count desc, then
     * closest-rank, then label asc); disagreement with the probe's own
@@ -1205,6 +1235,20 @@ object LlmQueries {
       Profiling.embeddingDrift(Tables.embeddings(s, d), "embedding",
         col("vec_id") % 2 === 0)
         .orderBy("dim")
+    },
+    // Frozen-artifact staleness monitor (r15): the frozen slice
+    // (vec_id % 3 <> 0) stands in for the corpus an IVF index was built
+    // from, the rest is the appended tail; a 20-query sample of the
+    // appended slice measures frozen-centroid vs fresh-centroid recall
+    // against the exact brute-force truth, beside the drift summary —
+    // one integer-exact row, flat in append history.
+    "index_staleness_report" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      Similarity.indexStalenessReport(emb, col("vec_id") % 3 =!= 0, queries,
+        centroidEvery = 25, k = 5, nprobe = 3)
     },
     // ------------------------------------------------- multimodal
     "multimodal_decode" -> { (s, d) =>
@@ -2812,6 +2856,61 @@ object LlmQueries {
                 CAST(sum(q) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref)
                   - sum(q) FILTER (is_ref) // count(*) FILTER (is_ref) AS BIGINT) AS delta_q6
          FROM f GROUP BY dim ORDER BY dim""",
+    // frozen-vs-fresh IVF retrieval + drift summary, one row: truth =
+    // exact brute top-5 of the 20 appended-slice sample queries; frozen
+    // centroids exclude the appended slice; recall in floor-divided
+    // milli-units — replicates Similarity.indexStalenessReport exactly
+    "index_staleness_report" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+          vn AS (SELECT vec_id, e, sqrt(${"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(e)), i -> e[i]*e[i])), (acc,x) -> acc+x)"}) AS n FROM v),
+          fcent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn
+                    WHERE vec_id % 25 = 0 AND vec_id % 3 <> 0),
+          rcent AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn
+                    WHERE vec_id % 25 = 0),
+          q AS (SELECT vec_id AS qid, e AS qe, n AS qn FROM vn
+                WHERE vec_id % 3 = 0 AND vec_id < 60),
+          truth AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, vn.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY CAST(floor(${dotSql("q.qe", "vn.e")} / (q.qn * vn.n) * 10000) AS BIGINT) DESC,
+                                vn.vec_id) AS rank
+              FROM q JOIN vn ON q.qid <> vn.vec_id)
+            WHERE rank <= 5),
+          ${ivfHitsCtes("f", "fcent")},
+          ${ivfHitsCtes("r", "rcent")},
+          driftsrc AS (SELECT vec_id % 3 <> 0 AS is_ref,
+                         unnest(range(0, len(embedding))) AS dim,
+                         unnest(list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS qv
+                       FROM embeddings),
+          driftdim AS (SELECT dim,
+                         count(*) FILTER (is_ref) AS n_ref,
+                         count(*) FILTER (NOT is_ref) AS n_cand,
+                         CAST(sum(qv) FILTER (NOT is_ref) // count(*) FILTER (NOT is_ref)
+                           - sum(qv) FILTER (is_ref) // count(*) FILTER (is_ref) AS BIGINT) AS delta_q6
+                       FROM driftsrc GROUP BY dim),
+          driftagg AS (SELECT CAST(max(n_ref) AS BIGINT) AS n_frozen,
+                         CAST(max(n_cand) AS BIGINT) AS n_appended,
+                         CAST(max(abs(delta_q6)) AS BIGINT) AS max_abs_drift_q6,
+                         CAST(sum(abs(delta_q6)) // count(*) AS BIGINT) AS mean_abs_drift_q6
+                       FROM driftdim),
+          cnts AS (SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+              (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+              (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                 JOIN fhits h USING (qid, vec_id)) AS frozen_hits,
+              (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                 JOIN rhits h USING (qid, vec_id)) AS fresh_hits)
+          SELECT d.n_frozen, d.n_appended, c.n_queries,
+                 d.max_abs_drift_q6, d.mean_abs_drift_q6,
+                 c.truth_pairs, c.frozen_hits, c.fresh_hits,
+                 CAST(c.frozen_hits * 1000 // c.truth_pairs AS BIGINT) AS recall_frozen_q3,
+                 CAST(c.fresh_hits * 1000 // c.truth_pairs AS BIGINT) AS recall_fresh_q3,
+                 CAST(c.fresh_hits * 1000 // c.truth_pairs
+                   - c.frozen_hits * 1000 // c.truth_pairs AS BIGINT) AS recall_gap_q3
+          FROM driftagg d CROSS JOIN cnts c""",
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -953,4 +953,82 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         when(col("d").isNotNull, lit(0L)).otherwise(lit(1L)).as("keep"))
   }
+
+  /** Frozen-artifact staleness monitor for the ANN/index serving tier
+    * (r14 verdict #7): centroids, codebooks, and LSH bands are
+    * frozen-by-design across appends ([[appendToInt8Index]],
+    * [[appendToIvfPqIndex]], `Dedup.appendToLshIndex` — the
+    * exactly-once append contract REQUIRES frozen quantizers), but
+    * nothing told a serving tier WHEN corpus drift has eroded them.
+    * This composes the two signals the repo already measures into one
+    * bounded report row:
+    *
+    *  - distribution drift ([[Profiling.embeddingDrift]]): per-dimension
+    *    quantized mean shift of the appended slice vs the frozen base,
+    *    summarized to max/mean absolute shift;
+    *  - retrieval erosion (the RecallSpec machinery): a SAMPLE of
+    *    appended vectors queries the full corpus through the FROZEN
+    *    modulo centroids (the index as it stands) and through the
+    *    centroids a fresh rebuild would pick, both scored against the
+    *    exact [[bruteForceTopK]] truth. The recall GAP is the staleness
+    *    signal — drift alone can be benign (a shifted but
+    *    well-clustered corpus retrieves fine); a widening frozen-vs-
+    *    fresh gap is the actionable "rebuild the index" trigger.
+    *
+    * Integer-exact throughout (counts + floor-divided milli-recall), so
+    * the whole report sits behind the DuckDB hash gate
+    * (`index_staleness_report`). Cost is FLAT in corpus-batch history:
+    * one narrow posexplode pass for drift + a (queries x probed-cells)
+    * retrieval per arm — independent of how many appends happened; at
+    * the 100 TB posture the query sample is the knob.
+    *
+    * Output, one row: (n_frozen, n_appended, n_queries,
+    * max_abs_drift_q6, mean_abs_drift_q6, truth_pairs, frozen_hits,
+    * fresh_hits, recall_frozen_q3, recall_fresh_q3, recall_gap_q3).
+    */
+  def indexStalenessReport(
+      emb: DataFrame,
+      isFrozen: Column,
+      queries: DataFrame,
+      centroidEvery: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    def cents(slice: DataFrame): DataFrame =
+      withNorm(slice, "vec", "v")
+        .filter(col("vec_id") % centroidEvery === 0)
+        .select(col("vec_id").as("cid"), col("vd").as("cd"), col("vn").as("cn"))
+    val frozenCent = cents(emb.filter(isFrozen))
+    val freshCent = cents(emb)
+    // exact truth, consumed by both intersection counts
+    val truth = bruteForceTopK(queries, emb, k)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val frozenHits = ivfTopKWithCentroids(queries, emb, frozenCent, k, nprobe)
+      .select(col("qid"), col("vec_id"))
+    val freshHits = ivfTopKWithCentroids(queries, emb, freshCent, k, nprobe)
+      .select(col("qid"), col("vec_id"))
+    val drift = Profiling.embeddingDrift(emb, "vec", isFrozen)
+      .agg(
+        max(col("n_ref")).as("n_frozen"),
+        max(col("n_cand")).as("n_appended"),
+        max(abs(col("delta_q6"))).as("max_abs_drift_q6"),
+        expr("sum(abs(delta_q6)) div count(1)").as("mean_abs_drift_q6"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val tp = truth.agg(count(lit(1)).as("truth_pairs"))
+    val fh = truth.join(frozenHits, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("frozen_hits"))
+    val rh = truth.join(freshHits, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("fresh_hits"))
+    drift
+      .crossJoin(broadcast(nq))
+      .crossJoin(broadcast(tp))
+      .crossJoin(broadcast(fh))
+      .crossJoin(broadcast(rh))
+      .select(col("n_frozen"), col("n_appended"), col("n_queries"),
+        col("max_abs_drift_q6"), col("mean_abs_drift_q6"),
+        col("truth_pairs"), col("frozen_hits"), col("fresh_hits"),
+        expr("frozen_hits * 1000 div truth_pairs").as("recall_frozen_q3"),
+        expr("fresh_hits * 1000 div truth_pairs").as("recall_fresh_q3"),
+        (expr("fresh_hits * 1000 div truth_pairs") -
+          expr("frozen_hits * 1000 div truth_pairs")).as("recall_gap_q3"))
+  }
 }

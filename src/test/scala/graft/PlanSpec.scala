@@ -190,7 +190,12 @@ class PlanSpec extends SparkSpec {
       // class: the class table is bounded by the label DOMAIN (a handful
       // of rows) and broadcast; the fan-out is the classifier's documented
       // scoring cost, linear in the corpus
-      "nb_langid"
+      "nb_langid",
+      // the staleness monitor runs the SAME bounded corpus x centroids
+      // broadcast assignment twice (frozen + fresh arms) plus the brute
+      // truth's queries x corpus score (query side a bounded broadcast
+      // sample) and 1-row report crossjoins
+      "index_staleness_report"
     )
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {

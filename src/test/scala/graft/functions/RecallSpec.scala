@@ -202,4 +202,58 @@ class RecallSpec extends SparkSpec {
       s"probe 0: reported $votes0 votes for $knn0, " +
         s"recount ${nbrLabels.count(_ == knn0)} in ${nbrLabels.toSeq}")
   }
+
+  test("indexStalenessReport: planted drift fires BOTH signals — the " +
+      "drift summary far above the no-drift control and frozen-centroid " +
+      "recall strictly below a fresh rebuild's; the control reads quiet") {
+    import spark.implicits._
+    val dim = 24
+    // deterministic pseudo-noise (no RNG — reruns identical)
+    def noise(i: Long, d: Int, c: Int, amp: Float): Float =
+      (((i * 31 + d * 17 + c * 7) % 13).toFloat - 6f) * amp
+    // base clusters: one dominant axis each over axes 0..11, small noise
+    // — ids 0,25,...,275 give the frozen index exactly ONE centroid per
+    // base axis
+    def baseVec(i: Long): Array[Float] = {
+      val c = (i % 12).toInt
+      val a = Array.tabulate(dim)(d => noise(i, d, c, 0.01f))
+      a(c) = 1.0f
+      a
+    }
+    // drifted appended: brand-new dominant axes 16..23 plus STRONG
+    // member-dependent noise on the base axes — under the FROZEN
+    // centroids (one per base axis) the cell argmax is that noise, so
+    // each appended cluster scatters ~12 ways across stale cells and a
+    // 3-probe query cannot cover its own neighbors; a fresh rebuild
+    // gives every appended cluster its own centroid and holds it
+    // together
+    def driftVec(i: Long): Array[Float] = {
+      val c = (i % 8).toInt
+      val a = Array.tabulate(dim)(d =>
+        if (d < 12) noise(i, d, c, 0.04f) else noise(i, d, c, 0.005f))
+      a(16 + c) = 1.0f
+      a
+    }
+    val frozen = (0L until 300L).map(i => (i, baseVec(i)))
+    def report(appended: Seq[(Long, Array[Float])]) = {
+      val emb = (frozen ++ appended).toDF("vec_id", "vec")
+      val queries = appended.take(20).toDF("qid", "qvec")
+      Similarity.indexStalenessReport(emb, col("vec_id") < 1000L, queries,
+        centroidEvery = 25, k = 5, nprobe = 3)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .head()
+    }
+    val drifted = (1000L until 1240L).map(i => (i, driftVec(i)))
+    // control: appended vectors drawn from the SAME distribution as the
+    // base — both arms retrieve through own-axis cells, gap ~0
+    val control = (1000L until 1240L).map(i => (i, baseVec(i)))
+    val (_, _, _, dMax, _, _, _, _, dFroz, dFresh, dGap) = report(drifted)
+    val (_, _, _, cMax, _, _, _, _, _, _, cGap) = report(control)
+    assert(dMax >= 5 * math.max(1L, cMax),
+      s"planted drift summary did not fire: planted max $dMax vs control $cMax")
+    assert(dGap >= 100L && dFresh > dFroz,
+      s"planted staleness gap did not fire: frozen $dFroz fresh $dFresh gap $dGap")
+    assert(math.abs(cGap) <= 100L,
+      s"no-drift control reads a staleness gap: $cGap")
+  }
 }
