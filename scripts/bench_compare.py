@@ -49,7 +49,10 @@ def load(path):
         cand = os.path.join(os.path.dirname(os.path.abspath(path)), full)
         if os.path.exists(cand):
             f = json.load(open(cand))
-            if "queries" in f and f.get("value") == p.get("value"):
+            # require the value field PRESENT on both sides: None == None
+            # would let a later value-less run masquerade as this one
+            if ("queries" in f and "value" in f and "value" in p
+                    and f["value"] == p["value"]):
                 return f
     print(f"NOTE: {path} is a driver wrapper whose full artifact "
           f"({full!r}) is missing or from a different run — comparing its "

@@ -1115,14 +1115,10 @@ object Graph {
     // fail-fast on a partition-modulus mismatch BEFORE any state write —
     // mergeCountsPartitioned re-checks, but only after the edge log had
     // already absorbed the batch
-    val metaRoot = new Path(s"$countsDir/meta")
-    if (fs.exists(metaRoot))
-      fs.listStatus(metaRoot).map(_.getPath.getName)
-        .collectFirst { case s if s.startsWith("partitions=") =>
-          s.stripPrefix("partitions=").toInt }
-        .foreach(p => require(p == partitions,
-          s"triangle count table at $countsDir was built with partitions=$p; " +
-            s"refusing to merge with partitions=$partitions"))
+    Incremental.pinnedPartitions(spark, countsDir).foreach(p =>
+      require(p == partitions,
+        s"triangle count table at $countsDir was built with partitions=$p; " +
+          s"refusing to merge with partitions=$partitions"))
     val canon = edgeBatchHalf
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
@@ -1132,9 +1128,7 @@ object Graph {
     // _SUCCESS that breaks schema inference — same live-partition gate
     // as mergeCountsPartitioned
     val oldOpt =
-      if (fs.exists(new Path(edgesDir)) &&
-          fs.listStatus(new Path(edgesDir))
-            .exists(_.getPath.getName.startsWith("batch=")))
+      if (Incremental.hasLivePartitions(spark, edgesDir, "batch="))
         Some(spark.read.parquet(edgesDir)
           .filter(col("batch") < batchId).select(col("src"), col("dst")))
       else None
@@ -1174,9 +1168,7 @@ object Graph {
       // live-partition guard covers the replay of a delete that emptied
       // the whole log (bare _SUCCESS breaks schema inference).
       if (fs.exists(new Path(delDir)) &&
-          fs.exists(new Path(edgesDir)) &&
-          fs.listStatus(new Path(edgesDir))
-            .exists(_.getPath.getName.startsWith("batch="))) {
+          Incremental.hasLivePartitions(spark, edgesDir, "batch=")) {
         val delSet = spark.read.parquet(delDir).select(col("src"), col("dst"))
         val log = spark.read.parquet(edgesDir)
           .select(col("src"), col("dst"), col("batch"))
@@ -1240,8 +1232,12 @@ object Graph {
         val df = batch.toDF()
         val (edges, sgn) =
           if (df.columns.contains("sign")) {
-            val signs = df.select(col("sign").cast("long")).distinct()
-              .collect().map(_.getLong(0))
+            val signRows = df.select(col("sign").cast("long")).distinct()
+              .collect()
+            require(signRows.forall(!_.isNullAt(0)),
+              s"micro-batch $batchId carries NULL sign values — sign must " +
+                "be +1 (insert) or -1 (delete) on every row")
+            val signs = signRows.map(_.getLong(0))
             require(signs.length <= 1,
               s"mixed-sign micro-batch $batchId: a batch must be all-insert " +
                 "or all-delete — the per-batch commit marker cannot " +
@@ -1669,9 +1665,13 @@ object Graph {
         .localCheckpoint()
       val nextHub = rescaledScores(rawH, "src", "rh").localCheckpoint()
       val nextAuth = rescaledScores(rawA, "dst", "ra").localCheckpoint()
+      // entry baselines differ per frame: a key missing from the old hub
+      // held the cold initial 10^6, but a key missing from the old AUTH
+      // frame SERVED 0 (the final coalesce) — a delta-born node swinging
+      // to top authority must count its full move, not |10^6 - new|
       val move = math.max(
         resid(nextHub, hub, 1000000L),
-        prevAuth.map(pa => resid(nextAuth, pa, 1000000L)).getOrElse(Long.MaxValue))
+        prevAuth.map(pa => resid(nextAuth, pa, 0L)).getOrElse(Long.MaxValue))
       rounds += 1
       converged = move <= tolMicro
       hub = nextHub

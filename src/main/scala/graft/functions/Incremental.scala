@@ -529,6 +529,40 @@ object Incremental {
     * Returns true when the batch applied, false when its marker already
     * existed (replay no-op).
     */
+  /** The partition modulus a [[mergeCountsPartitioned]] table was built
+    * with (None before the first batch) — the single source of truth for
+    * the `meta/partitions=<P>` pin, shared by the merge's own fail-fast
+    * and by composing maintainers that must reject a mismatched P BEFORE
+    * writing their own state (e.g. the triangle maintainer's edge log).
+    */
+  def pinnedPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val metaRoot = new Path(s"$stateDir/meta")
+    val fs = metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaRoot)) None
+    else fs.listStatus(metaRoot).map(_.getPath.getName)
+      .collectFirst { case s if s.startsWith("partitions=") =>
+        s.stripPrefix("partitions=").toInt }
+  }
+
+  /** True when a partitioned state directory holds live data slices —
+    * an all-cancelling batch can empty a table to a bare `_SUCCESS`,
+    * which breaks schema inference on a naive read. Shared by the merge,
+    * the reader, and composing maintainers' partitioned logs (the
+    * prefix distinguishes `__p=` count slices from e.g. `batch=` logs).
+    */
+  def hasLivePartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      prefix: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
+  }
+
   def mergeCountsPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
@@ -548,15 +582,13 @@ object Incremental {
     // the wrong slices and strand stale rows under the old modulus —
     // silently wrong counts. Pin P in a meta marker on the first batch
     // and fail fast on any later mismatch.
-    val metaRoot = new Path(s"$stateDir/meta")
-    if (fs.exists(metaRoot)) {
-      val stored = fs.listStatus(metaRoot).map(_.getPath.getName)
-        .collectFirst { case s if s.startsWith("partitions=") =>
-          s.stripPrefix("partitions=").toInt }
-      stored.foreach(p => require(p == partitions,
+    pinnedPartitions(spark, stateDir) match {
+      case Some(p) => require(p == partitions,
         s"count table at $stateDir was built with partitions=$p; " +
-          s"refusing to merge with partitions=$partitions"))
-    } else fs.mkdirs(new Path(metaRoot, s"partitions=$partitions"))
+          s"refusing to merge with partitions=$partitions")
+      case None =>
+        fs.mkdirs(new Path(s"$stateDir/meta/partitions=$partitions"))
+    }
     val part = pmod(xxhash64(keys.map(col): _*), lit(partitions)).as("__p")
     // pre-aggregate the delta to one row per key BEFORE the merge (the
     // delta may carry repeats), then pin it: it is consumed up to three
@@ -579,8 +611,7 @@ object Incremental {
     // state exists only when actual partition data survives — an
     // all-cancelling batch can empty the table to a bare _SUCCESS, and
     // reading that fails with "unable to infer schema"
-    val hasState = fs.exists(new Path(dataDir)) &&
-      fs.listStatus(new Path(dataDir)).exists(_.getPath.getName.startsWith("__p="))
+    val hasState = hasLivePartitions(spark, dataDir, "__p=")
     val merged0 =
       if (!hasState) deltaAgg.drop("__p")
       else {
@@ -647,14 +678,10 @@ object Incremental {
       stateDir: String,
       keys: Seq[String],
       cnt: String): Option[DataFrame] = {
-    import org.apache.hadoop.fs.Path
-    val dataDir = new Path(s"$stateDir/data")
-    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // same live-partition gate as the merge: an all-cancelling batch can
     // leave a bare _SUCCESS with no schema to infer
-    if (!fs.exists(dataDir) ||
-        !fs.listStatus(dataDir).exists(_.getPath.getName.startsWith("__p="))) None
-    else Some(spark.read.parquet(dataDir.toString)
+    if (!hasLivePartitions(spark, s"$stateDir/data", "__p=")) None
+    else Some(spark.read.parquet(s"$stateDir/data")
       .select((keys :+ cnt).map(col): _*))
   }
 

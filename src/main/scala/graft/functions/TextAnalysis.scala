@@ -359,7 +359,11 @@ object TextAnalysis {
       .select(col("n"), col("tot"), col("buckets"),
         col("batch").cast("long").as("batch"))
       .collect()
-    ((rows.map(_.getAs[Long]("n")).sum,
+    // a readable-but-empty stats table (a crashed append can leave a
+    // schema'd zero-row file) degrades to the no-committed-batches
+    // snapshot, matching readIndexStats' behavior — not an empty.max
+    if (rows.isEmpty) ((0L, 0L, 0L), Seq.empty)
+    else ((rows.map(_.getAs[Long]("n")).sum,
       rows.map(_.getAs[Long]("tot")).sum,
       rows.map(_.getAs[Long]("buckets")).max),
       rows.map(_.getAs[Long]("batch")).distinct.toSeq)
@@ -430,9 +434,14 @@ object TextAnalysis {
     // counted until the stream's stats refresh). When the caller
     // supplies neither, derive BOTH from one snapshot for the same
     // coherence (two separate table reads race a concurrent ingest).
+    // Exactly one supplied would pair a frozen value with a fresh read —
+    // the third, silently-incoherent state: fail loudly instead.
+    require(statsRow.isDefined == committedIds.isDefined,
+      "supply statsRow and committedIds together (one coherent snapshot — " +
+        "see indexStatsSnapshot) or neither; mixing a frozen value with a " +
+        "fresh read re-opens the stats/visibility race")
     val snap =
-      if (statsRow.isEmpty || committedIds.isEmpty)
-        Some(indexStatsSnapshot(spark, indexPath))
+      if (statsRow.isEmpty) Some(indexStatsSnapshot(spark, indexPath))
       else None
     val (n, tot, buckets) = statsRow.orElse(snap.map(_._1)).get
     val committed = committedIds.orElse(snap.map(_._2)).get
