@@ -108,6 +108,37 @@ object SparkEntry {
       val delta = half.filter(pmod(col("src") * 31 + col("dst"), lit(10)) === 0)
       graft.functions.Graph.triangleCountDelta(half, delta).orderBy("node")
     },
+    // The r15 partitioned-state MAINTAINER driven end-to-end at the gate
+    // (the strongest IVM pattern: maintained state must land on the
+    // PLAIN cold-recompute oracle over the SURVIVING edges, computed by
+    // an independent engine): three hash-split insert micro-batches plus
+    // a delete batch delivered REVERSED (the canonicalization contract)
+    // fold through maintainTriangleCounts' count-table state + edge log;
+    // the pk % 10 == 0 node restriction keeps every batch micro-sized
+    // (the maintainer's T2/T3 terms are delta self-joins — the scaladoc
+    // seeding rule: corpus-wide batches belong to triangleCountsAdj +
+    // a direct count merge, not the ingest path).
+    "graph_triangles_maintained" -> { f =>
+      val half = f.half
+        .filter(pmod(col("src"), lit(10)) === 0 &&
+          pmod(col("dst"), lit(10)) === 0)
+        .select(col("src"), col("dst"))
+        .localCheckpoint() // consumed by 3 insert batches + the delete
+      val s = half.sparkSession
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-tri-gate").toString
+      val b = pmod(col("src") * 7 + col("dst"), lit(3))
+      for (i <- 0 to 2)
+        graft.functions.Graph.maintainTriangleCounts(s, stateDir,
+          half.filter(b === lit(i)), batchId = i.toLong, partitions = 16)
+      val del = half
+        .filter(pmod(col("src") * 11 + col("dst"), lit(7)) === 0)
+        .select(col("dst").as("src"), col("src").as("dst")) // reversed
+      graft.functions.Graph.maintainTriangleCounts(s, stateDir, del,
+        batchId = 3L, partitions = 16, sign = -1L)
+      graft.functions.Graph.readTriangleCounts(s, stateDir).get
+        .orderBy("node")
+    },
     // The RETRACTION direction proven at the gate: full counts minus the
     // delta's triangle contribution must equal the base graph's counts —
     // the oracle recomputes the base cold, so the hash certifies
@@ -2046,6 +2077,32 @@ object SparkEntry {
           o AS (SELECT p.src, p.dst
                 FROM pairs p JOIN deg a ON a.src = p.src
                              JOIN deg b ON b.src = p.dst
+                WHERE a.d < b.d OR (a.d = b.d AND p.src < p.dst)),
+          t AS (SELECT w.a, w.b, w.c
+                FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                      FROM o e1 JOIN o e2 ON e1.dst = e2.src) w
+                JOIN o e3 ON e3.src = w.a AND e3.dst = w.c)
+          SELECT node, count(*) AS tri_cnt FROM (
+            SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t)
+          GROUP BY 1 ORDER BY node""",
+    // plain cold triangle count over the SURVIVING restricted edges —
+    // the maintainer's batched inserts + reversed delete must land on it
+    "graph_triangles_maintained" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+          pairs AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM li a JOIN li b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+                    WHERE a.l_partkey % 10 = 0 AND b.l_partkey % 10 = 0),
+          surv AS (SELECT src, dst FROM pairs
+                   WHERE NOT (src < dst AND (src * 11 + dst) % 7 = 0)
+                     AND NOT (dst < src AND (dst * 11 + src) % 7 = 0)),
+          deg AS (SELECT src, count(*) AS d FROM surv GROUP BY 1),
+          o AS (SELECT p.src, p.dst
+                FROM surv p JOIN deg a ON a.src = p.src
+                            JOIN deg b ON b.src = p.dst
                 WHERE a.d < b.d OR (a.d = b.d AND p.src < p.dst)),
           t AS (SELECT w.a, w.b, w.c
                 FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
