@@ -117,6 +117,32 @@ object LlmQueries {
               FROM embeddings),
         vn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS n FROM v)"""
 
+  /** Cold 2-round sync LPA over the full mutual-kNN graph — shared by
+    * `graph_communities` AND `graph_communities_incremental` (the
+    * incremental Spark path must land on the identical cold labels).
+    */
+  private lazy val communitiesOracle: String =
+    s"""WITH $vnCtes,
+        $ivfNnAllCtes,
+        mk AS (SELECT n1.qid AS a, n1.vec_id AS b
+               FROM nn n1 JOIN nn n2
+                 ON n2.qid = n1.vec_id AND n2.vec_id = n1.qid
+               WHERE n1.qid < n1.vec_id),
+        e AS (SELECT a AS src, b AS dst FROM mk
+              UNION SELECT b AS src, a AS dst FROM mk),
+        l0 AS (SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM e)),
+        r1 AS (SELECT e.src AS node, l.label, count(*) AS n
+               FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM r1) WHERE rn = 1),
+        r2 AS (SELECT e.src AS node, l.label, count(*) AS n
+               FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM r2) WHERE rn = 1)
+        SELECT node, label AS community FROM l2 ORDER BY node"""
+
   /** Full-corpus IVF kNN edge CTE chain (probes = EVERY vector,
     * centroidEvery=25, nprobe=3, k=5) ending in `nn(qid, vec_id, rank)` —
     * the DuckDB replica of `Similarity.ivfTopK` with corpus-wide probes.
@@ -1195,6 +1221,34 @@ object LlmQueries {
         .filter(col("qid") < col("vec_id"))
         .select(col("qid").as("a"), col("vec_id").as("b"))
       Graph.communityLabels(mutual, "a", "b", rounds = 2)
+        .withColumnRenamed("label", "community")
+        .orderBy("node")
+    },
+    // Exact incremental LPA at the gate (r15, verdict #4): a 20%-edge
+    // insert delta refreshed through communityLabelsDelta's
+    // shrinking-cone recompute must land on the PLAIN cold fixed-round
+    // oracle over the full mutual-kNN graph — the join_agg_incremental
+    // proof pattern for the one clustered view that lacked a
+    // maintenance story. The refresh pays the delta's 2k-hop ball, not
+    // the graph; the gate row also pays the cold base-label build (the
+    // proof shape, like graph_cc_incremental).
+    "graph_communities_incremental" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      val nn = Similarity.ivfTopK(probes, corpus, k = 5, centroidEvery = 25,
+        nprobe = 3).select(col("qid"), col("vec_id"), col("rank"))
+      val mutual = nn.join(
+          nn.select(col("vec_id").as("qid"), col("qid").as("vec_id")),
+          Seq("qid", "vec_id"))
+        .filter(col("qid") < col("vec_id"))
+        .select(col("qid").as("a"), col("vec_id").as("b"))
+        .localCheckpoint() // consumed by the base labels, delta, and cone
+      val isDelta = pmod(col("a") * 13 + col("b"), lit(5)) === 0
+      val old = Graph.communityLabels(
+        mutual.filter(!isDelta), "a", "b", rounds = 2)
+      Graph.communityLabelsDelta(mutual, "a", "b", rounds = 2,
+        oldLabels = old, deltaEdges = mutual.filter(isDelta))
         .withColumnRenamed("label", "community")
         .orderBy("node")
     },
@@ -2789,27 +2843,11 @@ object LlmQueries {
                  CAST(sum(score_q4) // count(*) AS BIGINT) AS mean_score_q4,
                  max(score_q4) AS top_score_q4
           FROM nn GROUP BY qid ORDER BY qid""",
-    "graph_communities" ->
-      s"""WITH $vnCtes,
-          $ivfNnAllCtes,
-          mk AS (SELECT n1.qid AS a, n1.vec_id AS b
-                 FROM nn n1 JOIN nn n2
-                   ON n2.qid = n1.vec_id AND n2.vec_id = n1.qid
-                 WHERE n1.qid < n1.vec_id),
-          e AS (SELECT a AS src, b AS dst FROM mk
-                UNION SELECT b AS src, a AS dst FROM mk),
-          l0 AS (SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM e)),
-          r1 AS (SELECT e.src AS node, l.label, count(*) AS n
-                 FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
-          l1 AS (SELECT node, label FROM (
-                   SELECT node, label, row_number() OVER (PARTITION BY node
-                     ORDER BY n DESC, label ASC) AS rn FROM r1) WHERE rn = 1),
-          r2 AS (SELECT e.src AS node, l.label, count(*) AS n
-                 FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
-          l2 AS (SELECT node, label FROM (
-                   SELECT node, label, row_number() OVER (PARTITION BY node
-                     ORDER BY n DESC, label ASC) AS rn FROM r2) WHERE rn = 1)
-          SELECT node, label AS community FROM l2 ORDER BY node""",
+    "graph_communities" -> communitiesOracle,
+    // the incremental form must land on the IDENTICAL cold full-graph
+    // labels — same oracle text by construction (the IVM proof: an
+    // independent engine recomputes cold, the Spark side refreshes)
+    "graph_communities_incremental" -> communitiesOracle,
     "mutual_knn_pairs" ->
       s"""WITH $vnCtes,
           $ivfNnAllCtes
