@@ -287,6 +287,24 @@ object LlmQueries {
   /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
     * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
     */
+  /** Parametrized NB classification CTE pair against model CTE `$m`
+    * (c, b, n_cb) and class CTE `$cls` (c, n_c, d_c), over appended-doc
+    * trigram counts `tda(doc_id, b, k)` — ends in `${p}p(doc_id, pred)`.
+    * Same l1024 scoring as the `nb_langid` oracle / `nbScoreAgainst`.
+    */
+  private def nbPredCtes(p: String, m: String, cls: String): String =
+    s"""${p}sc AS (SELECT t.doc_id, $cls.c,
+            CAST(${l1024Sql("d_c")} +
+                 sum(t.k * ${l1024Sql(s"(coalesce($m.n_cb, 0) + 1)")}) -
+                 sum(t.k) * ${l1024Sql("(n_c + 4096)")} AS BIGINT) AS score_q10
+          FROM tda t
+          CROSS JOIN $cls
+          LEFT JOIN $m ON $m.c = $cls.c AND $m.b = t.b
+          GROUP BY t.doc_id, $cls.c, $cls.n_c, $cls.d_c),
+        ${p}p AS (SELECT doc_id, pred FROM (
+            SELECT doc_id, c AS pred, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_q10 DESC, c) AS rn FROM ${p}sc) WHERE rn = 1)"""
+
   private def l1024Sql(x: String): String =
     s"((length(bin($x)) - 1) * 1024 + " +
       s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
@@ -707,6 +725,15 @@ object LlmQueries {
           when(col("__tr"), lit(1L)).otherwise(lit(0L)).as("is_train"),
           when(col("pred_label") === col("lang"), lit(1L)).otherwise(lit(0L)).as("hit"))
         .orderBy("doc_id")
+    },
+    // Frozen-NB-model staleness monitor (r15): the text-tier twin of
+    // index_staleness_report — frozen slice doc_id % 3 <> 0 trains the
+    // frozen classifier, appended docs are classified by it AND by a
+    // fresh retrain; one integer-exact row carries the per-bucket
+    // trigram-share drift summary + disagreement/accuracy gap.
+    "nb_model_staleness" -> { (s, d) =>
+      TextAnalysis.nbModelStalenessReport(Tables.documents(s, d),
+        "text", "doc_id", "lang", pmod(col("doc_id"), lit(3)) =!= 0)
     },
     // DSIR importance weights against an English target distribution —
     // the data-selection primitive: weight > 0 means "more target-like
@@ -1654,6 +1681,67 @@ object LlmQueries {
                  CAST(CASE WHEN base.tr THEN 1 ELSE 0 END AS BIGINT) AS is_train,
                  CAST(CASE WHEN p.pred_lang = base.lang THEN 1 ELSE 0 END AS BIGINT) AS hit
           FROM p JOIN base USING (doc_id) WHERE rn = 1 ORDER BY doc_id""",
+    // both model builds, both argmax classifications of the appended
+    // slice, and the bucket-share drift aggregate replayed in one
+    // statement — floor-divided milli/micro units, bit-exact
+    "nb_model_staleness" ->
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt, lang,
+                 CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000 < 800 AS tr,
+                 doc_id % 3 <> 0 AS fr
+               FROM documents),
+          tri AS (SELECT doc_id, lang, tr, fr, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM base),
+          tdall AS (SELECT doc_id, lang, tr, fr,
+                   CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
+                   count(*) AS k
+                 FROM tri GROUP BY 1, 2, 3, 4, 5),
+          mf AS (SELECT lang AS c, b, CAST(sum(k) AS BIGINT) AS n_cb
+                 FROM tdall WHERE tr AND fr GROUP BY 1, 2),
+          clsf AS (SELECT c, n_c, d_c FROM
+                     (SELECT c, CAST(sum(n_cb) AS BIGINT) AS n_c FROM mf GROUP BY 1)
+                     JOIN (SELECT lang AS c, count(*) AS d_c
+                           FROM base WHERE tr AND fr GROUP BY 1) USING (c)),
+          mr AS (SELECT lang AS c, b, CAST(sum(k) AS BIGINT) AS n_cb
+                 FROM tdall WHERE tr GROUP BY 1, 2),
+          clsr AS (SELECT c, n_c, d_c FROM
+                     (SELECT c, CAST(sum(n_cb) AS BIGINT) AS n_c FROM mr GROUP BY 1)
+                     JOIN (SELECT lang AS c, count(*) AS d_c
+                           FROM base WHERE tr GROUP BY 1) USING (c)),
+          tda AS (SELECT doc_id, b, CAST(sum(k) AS BIGINT) AS k
+                  FROM tdall WHERE NOT fr GROUP BY 1, 2),
+          ${nbPredCtes("f", "mf", "clsf")},
+          ${nbPredCtes("r", "mr", "clsr")},
+          ero AS (SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                    CAST(sum(CASE WHEN fp.pred <> rp.pred THEN 1 ELSE 0 END) AS BIGINT) AS disagree,
+                    CAST(sum(CASE WHEN fp.pred = base.lang THEN 1 ELSE 0 END) AS BIGINT) AS frozen_hits,
+                    CAST(sum(CASE WHEN rp.pred = base.lang THEN 1 ELSE 0 END) AS BIGINT) AS fresh_hits
+                  FROM fp JOIN rp USING (doc_id) JOIN base USING (doc_id)),
+          tb AS (SELECT fr, b, CAST(sum(k) AS BIGINT) AS k
+                 FROM tdall GROUP BY 1, 2),
+          tot AS (SELECT fr, CAST(sum(k) AS BIGINT) AS tk FROM tb GROUP BY 1),
+          share AS (SELECT tb.fr, tb.b, CAST(tb.k * 1000000 // tot.tk AS BIGINT) AS s_q6
+                    FROM tb JOIN tot ON tot.fr = tb.fr),
+          dr AS (SELECT CAST(max(ad) AS BIGINT) AS max_share_delta_q6,
+                   CAST(sum(ad) // count(*) AS BIGINT) AS mean_share_delta_q6
+                 FROM (SELECT abs(coalesce(sum(CASE WHEN NOT fr THEN s_q6 END), 0)
+                         - coalesce(sum(CASE WHEN fr THEN s_q6 END), 0)) AS ad
+                       FROM share GROUP BY b)),
+          cnts AS (SELECT CAST(sum(CASE WHEN fr THEN 1 ELSE 0 END) AS BIGINT) AS n_frozen,
+                     CAST(sum(CASE WHEN NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+                   FROM base)
+          SELECT cnts.n_frozen, cnts.n_appended,
+                 dr.max_share_delta_q6, dr.mean_share_delta_q6,
+                 ero.n_scored, ero.disagree,
+                 CAST(ero.disagree * 1000 // ero.n_scored AS BIGINT) AS disagree_q3,
+                 ero.frozen_hits, ero.fresh_hits,
+                 CAST(ero.frozen_hits * 1000 // ero.n_scored AS BIGINT) AS acc_frozen_q3,
+                 CAST(ero.fresh_hits * 1000 // ero.n_scored AS BIGINT) AS acc_fresh_q3,
+                 CAST(ero.fresh_hits * 1000 // ero.n_scored
+                   - ero.frozen_hits * 1000 // ero.n_scored AS BIGINT) AS acc_gap_q3
+          FROM cnts CROSS JOIN dr CROSS JOIN ero""",
     "dsir_weights" ->
       s"""WITH $dsirCtes
           SELECT doc_id, n_tri, dsir_w_q10 FROM dsirw ORDER BY doc_id""",

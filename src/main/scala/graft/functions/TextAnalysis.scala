@@ -847,6 +847,93 @@ object TextAnalysis {
     * ways (class table broadcast), left-join the broadcast model,
     * re-aggregate per (doc, class), argmax with label-order tie-break.
     */
+  /** Frozen-NB-model staleness monitor — the TEXT-tier twin of
+    * [[graft.functions.Similarity.indexStalenessReport]] (r14 verdict #7
+    * named "NB/DSIR/CCNet models" alongside the ANN artifacts): a
+    * serving tier freezes the [[nbTrainModel]] pair
+    * (`StreamingCuration.nbClassifyStream`), and nothing said WHEN
+    * corpus drift had eroded it. One integer-exact row composes:
+    *
+    *  - distribution drift: per-bucket trigram-MASS share (per-mille^2,
+    *    q6) of the appended slice vs the frozen slice, summarized to
+    *    max/mean absolute share delta over the `buckets` hash buckets —
+    *    the text analog of the embedding per-dim mean shift;
+    *  - model erosion: every appended doc classified by the FROZEN
+    *    model and by the model a fresh retrain would produce, both via
+    *    [[nbScoreAgainst]]; the report carries the frozen-vs-fresh
+    *    disagreement rate and, since the corpus carries labels, both
+    *    accuracies — the accuracy GAP is the actionable retrain trigger
+    *    (drift alone can be benign; trigram-less appended docs are
+    *    unscorable by construction and excluded by both engines
+    *    identically).
+    *
+    * Cost: one trigram pass for the drift aggregate + two scoring
+    * passes over the APPENDED slice only — independent of how many
+    * batches were appended. Gate-faced as `nb_model_staleness` with the
+    * DuckDB oracle replaying both model builds, both argmax
+    * classifications, and the share-drift aggregate.
+    */
+  def nbModelStalenessReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      isFrozen: Column,
+      buckets: Int = 4096): DataFrame = {
+    val (mF, clsF) = nbTrainModel(df.filter(isFrozen), textCol, labelCol,
+      buckets = buckets)
+    val (mR, clsR) = nbTrainModel(df, textCol, labelCol, buckets = buckets)
+    val appended = df.filter(!isFrozen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        col(labelCol).as("__label"))
+    val sF = nbScoreAgainst(appended, "__text", "doc_id", mF, clsF, buckets)
+    val sR = nbScoreAgainst(appended, "__text", "doc_id", mR, clsR, buckets)
+    val erosion = sF.select(col("doc_id"), col("pred_label").as("pf"))
+      .join(sR.select(col("doc_id"), col("pred_label").as("pr")), "doc_id")
+      .join(appended.select(col("doc_id"), col("__label")), "doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("pf") =!= col("pr"), lit(1L)).otherwise(lit(0L)))
+          .as("disagree"),
+        sum(when(col("pf") === col("__label"), lit(1L)).otherwise(lit(0L)))
+          .as("frozen_hits"),
+        sum(when(col("pr") === col("__label"), lit(1L)).otherwise(lit(0L)))
+          .as("fresh_hits"))
+    // per-bucket trigram-mass share per slice (ALL docs of each slice —
+    // distribution monitoring, not the train split). k * 10^6 stays far
+    // below int64 for any per-bucket trigram mass a shard can hold.
+    val tb = charTrigrams(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        isFrozen.as("__fr")),
+      "__text", "doc_id", carryCols = Seq("__fr"))
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("__fr"), col("b")).agg(count(lit(1)).as("k"))
+    val share = tb
+      .join(tb.groupBy(col("__fr")).agg(sum(col("k")).as("tk")), "__fr")
+      .select(col("__fr"), col("b"), expr("k * 1000000 div tk").as("s_q6"))
+    val drift = share.groupBy(col("b"))
+      .agg(sum(when(col("__fr"), col("s_q6"))).as("sf"),
+        sum(when(!col("__fr"), col("s_q6"))).as("sa"))
+      .select(abs(coalesce(col("sa"), lit(0L)) -
+        coalesce(col("sf"), lit(0L))).as("ad"))
+      .agg(max(col("ad")).as("max_share_delta_q6"),
+        expr("sum(ad) div count(1)").as("mean_share_delta_q6"))
+    val counts = df.agg(
+      sum(when(isFrozen, lit(1L)).otherwise(lit(0L))).as("n_frozen"),
+      sum(when(!isFrozen, lit(1L)).otherwise(lit(0L))).as("n_appended"))
+    counts
+      .crossJoin(broadcast(drift))
+      .crossJoin(broadcast(erosion))
+      .select(col("n_frozen"), col("n_appended"),
+        col("max_share_delta_q6"), col("mean_share_delta_q6"),
+        col("n_scored"), col("disagree"),
+        expr("disagree * 1000 div n_scored").as("disagree_q3"),
+        col("frozen_hits"), col("fresh_hits"),
+        expr("frozen_hits * 1000 div n_scored").as("acc_frozen_q3"),
+        expr("fresh_hits * 1000 div n_scored").as("acc_fresh_q3"),
+        (expr("fresh_hits * 1000 div n_scored") -
+          expr("frozen_hits * 1000 div n_scored")).as("acc_gap_q3"))
+  }
+
   /** Class scores WITHOUT the per-class row fan-out: the model pivots to
     * ONE class-indexed weight array per bucket (`mvec`, <= `buckets`
     * broadcast rows), each (doc, bucket) row multiply-adds its whole

@@ -36,6 +36,45 @@ class NbDsirSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang")
   }
 
+  test("nbModelStalenessReport: a planted NEW language in the appended " +
+      "slice fires both signals — trigram-share drift far above the " +
+      "control and a frozen-vs-fresh accuracy gap; a same-distribution " +
+      "control reads quiet") {
+    // frozen base: en + fr docs; queries use the report's own frozen
+    // predicate (doc_id < 1000)
+    def mk(words: Seq[String], label: String, base: Long, n: Int) =
+      (0 until n).map { i =>
+        val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+          .mkString(" ")
+        (base + i, txt, label)
+      }
+    val frozenDocs = mk(enWords, "en", 0L, 40) ++ mk(frWords, "fr", 100L, 40)
+    def report(appended: Seq[(Long, String, String)]) =
+      TextAnalysis.nbModelStalenessReport(
+        (frozenDocs ++ appended).toDF("doc_id", "text", "lang"),
+        "text", "doc_id", "lang", col("doc_id") < 1000L)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .head()
+    // planted: the appended slice is a language the frozen model has
+    // never seen — its class is absent from the frozen class table, so
+    // frozen accuracy on the appended docs is 0 by construction while a
+    // fresh retrain learns it
+    val drifted = mk(zhWords, "zh", 1000L, 40)
+    // control: appended docs drawn from the SAME two languages
+    val control = mk(enWords, "en", 1000L, 20) ++ mk(frWords, "fr", 1020L, 20)
+    val (_, _, dMax, _, dScored, dDis, _, dFroz, dFresh, dAccF, dAccR, dGap) =
+      report(drifted)
+    val (_, _, cMax, _, _, _, _, _, _, _, _, cGap) = report(control)
+    assert(dScored === 40L && dFroz === 0L,
+      s"frozen model cannot know the planted class: hits $dFroz of $dScored")
+    assert(dFresh > 30L && dGap >= 700L && dAccR > dAccF,
+      s"fresh retrain must learn the planted class: fresh $dFresh gap $dGap")
+    assert(dDis === 40L, s"every planted doc should flip prediction: $dDis")
+    assert(dMax >= 5 * math.max(1L, cMax),
+      s"planted share drift did not fire: $dMax vs control $cMax")
+    assert(math.abs(cGap) <= 100L, s"no-drift control reads a gap: $cGap")
+  }
+
   test("nbClassify separates planted languages and scores every doc once") {
     val docs = planted
     val out = TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
