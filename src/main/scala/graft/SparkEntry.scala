@@ -127,6 +127,11 @@ object SparkEntry {
       val s = half.sparkSession
       val stateDir = java.nio.file.Files
         .createTempDirectory("graft-tri-gate").toString
+      // the returned frame reads the state lazily, so the dir must
+      // outlive the query — reap it at JVM exit instead of leaking it
+      // across bench iterations
+      org.apache.commons.io.FileUtils
+        .forceDeleteOnExit(new java.io.File(stateDir))
       val b = pmod(col("src") * 7 + col("dst"), lit(3))
       for (i <- 0 to 2)
         graft.functions.Graph.maintainTriangleCounts(s, stateDir,
@@ -136,8 +141,12 @@ object SparkEntry {
         .select(col("dst").as("src"), col("src").as("dst")) // reversed
       graft.functions.Graph.maintainTriangleCounts(s, stateDir, del,
         batchId = 3L, partitions = 16, sign = -1L)
-      graft.functions.Graph.readTriangleCounts(s, stateDir).get
-        .orderBy("node")
+      val out = graft.functions.Graph.readTriangleCounts(s, stateDir)
+      require(out.isDefined,
+        s"graph_triangles_maintained: maintained state at $stateDir is " +
+          "empty — the pk % 10 restricted subgraph has no surviving " +
+          "triangles at this scale factor")
+      out.get.orderBy("node")
     },
     // The RETRACTION direction proven at the gate: full counts minus the
     // delta's triangle contribution must equal the base graph's counts —

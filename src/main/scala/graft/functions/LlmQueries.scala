@@ -284,9 +284,6 @@ object LlmQueries {
                    FROM bands x JOIN bands y
                      ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
 
-  /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
-    * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
-    */
   /** Parametrized NB classification CTE pair against model CTE `$m`
     * (c, b, n_cb) and class CTE `$cls` (c, n_c, d_c), over appended-doc
     * trigram counts `tda(doc_id, b, k)` — ends in `${p}p(doc_id, pred)`.
@@ -357,6 +354,9 @@ object LlmQueries {
           FROM dstd JOIN dsm USING (b) CROSS JOIN dstot
           GROUP BY doc_id, tt, tr)"""
 
+  /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
+    * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
+    */
   private val shinglesCte =
     s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
         sh AS (SELECT doc_id, source,

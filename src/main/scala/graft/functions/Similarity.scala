@@ -977,10 +977,11 @@ object Similarity {
     *
     * Integer-exact throughout (counts + floor-divided milli-recall), so
     * the whole report sits behind the DuckDB hash gate
-    * (`index_staleness_report`). Cost is FLAT in corpus-batch history:
-    * one narrow posexplode pass for drift + a (queries x probed-cells)
-    * retrieval per arm — independent of how many appends happened; at
-    * the 100 TB posture the query sample is the knob.
+    * (`index_staleness_report`). Cost honesty: independent of append
+    * BATCH COUNT, not of corpus volume — the drift posexplode and each
+    * retrieval arm's cell assignment are one corpus-linear pass; the
+    * query side is the small sample (the serving-cadence knob at the
+    * 100 TB posture).
     *
     * Output, one row: (n_frozen, n_appended, n_queries,
     * max_abs_drift_q6, mean_abs_drift_q6, truth_pairs, frozen_hits,

@@ -843,10 +843,6 @@ object TextAnalysis {
     nbScoreCore(td, model, classes, buckets)
   }
 
-  /** Shared scoring kernel: fan each (doc, bucket, k) row out |classes|
-    * ways (class table broadcast), left-join the broadcast model,
-    * re-aggregate per (doc, class), argmax with label-order tie-break.
-    */
   /** Frozen-NB-model staleness monitor — the TEXT-tier twin of
     * [[graft.functions.Similarity.indexStalenessReport]] (r14 verdict #7
     * named "NB/DSIR/CCNet models" alongside the ANN artifacts): a
@@ -867,11 +863,17 @@ object TextAnalysis {
     *    unscorable by construction and excluded by both engines
     *    identically).
     *
-    * Cost: one trigram pass for the drift aggregate + two scoring
-    * passes over the APPENDED slice only — independent of how many
-    * batches were appended. Gate-faced as `nb_model_staleness` with the
-    * DuckDB oracle replaying both model builds, both argmax
-    * classifications, and the share-drift aggregate.
+    * Cost honesty: independent of append BATCH COUNT, but not of
+    * appended volume — the drift aggregate and the fresh retrain are
+    * each one corpus-linear trigram pass (the appended-doc trigram
+    * counts are extracted ONCE and shared by both scoring arms; the
+    * drift frame is pinned before its totals self-join, the
+    * lmSurprisalScore rule); only the frozen-arm scoring is
+    * appended-sized. Gate-faced as `nb_model_staleness` with the DuckDB
+    * oracle replaying both model builds, both argmax classifications,
+    * and the share-drift aggregate. Fails loudly when the appended
+    * slice has no scorable (>= 1 trigram) doc — the oracle would
+    * divide by zero where a lazy frame would silently null.
     */
   def nbModelStalenessReport(
       df: DataFrame,
@@ -880,15 +882,25 @@ object TextAnalysis {
       labelCol: String,
       isFrozen: Column,
       buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
     val (mF, clsF) = nbTrainModel(df.filter(isFrozen), textCol, labelCol,
       buckets = buckets)
     val (mR, clsR) = nbTrainModel(df, textCol, labelCol, buckets = buckets)
     val appended = df.filter(!isFrozen)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         col(labelCol).as("__label"))
-    val sF = nbScoreAgainst(appended, "__text", "doc_id", mF, clsF, buckets)
-    val sR = nbScoreAgainst(appended, "__text", "doc_id", mR, clsR, buckets)
-    val erosion = sF.select(col("doc_id"), col("pred_label").as("pf"))
+    // ONE appended-slice trigram extraction, shared by both scoring arms
+    val tda = charTrigrams(
+      appended.select(col("doc_id"), col("__text")), "__text", "doc_id")
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val sF = nbScoreCore(tda, mF, clsF, buckets)
+    val sR = nbScoreCore(tda, mR, clsR, buckets)
+    // the erosion row is forced eagerly: n_scored = 0 must fail loudly
+    // here (the repo's fail-loud convention; the oracle's floor division
+    // would error while a lazy frame would silently null the rates)
+    val ero = sF.select(col("doc_id"), col("pred_label").as("pf"))
       .join(sR.select(col("doc_id"), col("pred_label").as("pr")), "doc_id")
       .join(appended.select(col("doc_id"), col("__label")), "doc_id")
       .agg(count(lit(1)).as("n_scored"),
@@ -898,15 +910,26 @@ object TextAnalysis {
           .as("frozen_hits"),
         sum(when(col("pr") === col("__label"), lit(1L)).otherwise(lit(0L)))
           .as("fresh_hits"))
+      .head()
+    require(ero.getAs[Long]("n_scored") > 0L,
+      "nbModelStalenessReport: the appended slice has no scorable docs " +
+        "(no >= 3-char texts, or isFrozen matched every doc)")
+    val erosion = spark.range(1).select(
+      lit(ero.getAs[Long]("n_scored")).as("n_scored"),
+      lit(ero.getAs[Long]("disagree")).as("disagree"),
+      lit(ero.getAs[Long]("frozen_hits")).as("frozen_hits"),
+      lit(ero.getAs[Long]("fresh_hits")).as("fresh_hits"))
     // per-bucket trigram-mass share per slice (ALL docs of each slice —
     // distribution monitoring, not the train split). k * 10^6 stays far
     // below int64 for any per-bucket trigram mass a shard can hold.
+    // Pinned: the totals join would otherwise re-run the corpus pass.
     val tb = charTrigrams(
       df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         isFrozen.as("__fr")),
       "__text", "doc_id", carryCols = Seq("__fr"))
       .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
       .groupBy(col("__fr"), col("b")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val share = tb
       .join(tb.groupBy(col("__fr")).agg(sum(col("k")).as("tk")), "__fr")
       .select(col("__fr"), col("b"), expr("k * 1000000 div tk").as("s_q6"))
