@@ -679,6 +679,53 @@ object Dedup {
       s"$path/shingles", Seq("batch"))
   }
 
+  /** Per-table outcome of a [[deleteFromLshIndex]]: the band table's and
+    * the shingle table's copy-on-write stats.
+    */
+  final case class LshDeleteStats(
+      bands: graft.sinks.Lake.DeleteStats,
+      shingles: graft.sinks.Lake.DeleteStats)
+
+  /** GDPR-style delete from a [[writeLshIndex]] layout: copy-on-write
+    * rewrite of exactly the `bucket=<k>/batch=<id>` band partitions and
+    * `batch=<id>` shingle partitions holding the deleted docs' rows
+    * ([[graft.sinks.Lake.deleteMatchingNested]] — untouched partition
+    * directories stay byte-identical, fully-emptied ones are dropped).
+    * Post-delete [[nearDupsAgainstIndex]] verdicts are IDENTICAL to an
+    * index rebuilt without the deleted docs (spec-pinned): band keys and
+    * shingle sets are per-document (nothing global is derived from the
+    * corpus), so removing a doc's rows IS the rebuild.
+    *
+    * Crash ordering: bands first, shingles second — a crash in between
+    * leaves orphan shingle rows that can never be REACHED (candidate
+    * generation starts from the band table; a doc with no band rows is
+    * never a candidate, and its shingles are only ever fetched for
+    * candidates), so the half-deleted state is already invisible to
+    * every probe; re-running the delete removes the orphans. No shape
+    * parameters are taken — deletion never bands or shingles anything,
+    * so there is nothing to mismatch. Re-running is a natural no-op.
+    */
+  def deleteFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      path: String): LshDeleteStats = {
+    val docIds = Similarity.oneIdCol(ids, "doc")
+    LshDeleteStats(
+      bands = graft.sinks.Lake.deleteMatchingNested(
+        spark, s"$path/bands", Seq("bucket", "batch"), "doc", docIds),
+      shingles = graft.sinks.Lake.deleteMatchingNested(
+        spark, s"$path/shingles", Seq("batch"), "doc", docIds))
+  }
+
+  /** [[deleteFromLshIndex]] with an inline id list. */
+  def deleteFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long],
+      path: String): LshDeleteStats = {
+    import spark.implicits._
+    deleteFromLshIndex(spark, ids.toDF("doc"), path)
+  }
+
   /** Near-dup pairs of a NEW document batch against an indexed corpus
     * ([[writeLshIndex]]). The new batch's band keys are computed fresh
     * (it is the small side by nature); the corpus side comes entirely

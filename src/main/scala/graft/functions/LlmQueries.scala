@@ -555,6 +555,33 @@ object LlmQueries {
       Similarity.int8TopK(queries, corpus, k = 5)
         .orderBy("qid", "rank")
     },
+    // Deletion through the materialized ANN index driven end-to-end at
+    // the gate (r16): build + append + GDPR-style COW delete, then
+    // search the maintained index — the oracle scores the int8 pipeline
+    // over exactly the SURVIVING vectors, so the hash certifies that a
+    // deleted index ranks identically to one never containing the docs.
+    "index_delete_int8" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-i8-gate").toString
+      org.apache.commons.io.FileUtils
+        .forceDeleteOnExit(new java.io.File(idx))
+      val corpus = emb.select(col("vec_id"), col("embedding").as("vec"))
+      Similarity.writeInt8Index(
+        corpus.filter(pmod(col("vec_id"), lit(4)) =!= 3), idx)
+      Similarity.appendToInt8Index(
+        corpus.filter(pmod(col("vec_id"), lit(4)) === 3), idx,
+        batchId = Some(0L))
+      // delete ids avoid the query range so every query still scores
+      Similarity.deleteFromInt8Index(s,
+        emb.filter(pmod(col("vec_id"), lit(9)) === 7 && col("vec_id") >= 20)
+          .select(col("vec_id")), idx)
+      Similarity.int8TopKFromIndex(s,
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        idx, k = 5)
+        .orderBy("qid", "rank")
+    },
     "sim_topk_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
@@ -682,6 +709,31 @@ object LlmQueries {
     "search_bm25" -> { (s, d) =>
       TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
         queryTerms = Seq("window", "hash", "stream", "dup"), topK = 50)
+    },
+    // Deletion through the materialized KEYWORD index driven end-to-end
+    // at the gate (r16): build + append + COW delete (negated
+    // count-monoid stats row, affected postings partitions rewritten),
+    // then search — the oracle runs the full BM25 pipeline over exactly
+    // the SURVIVING docs, so the hash certifies that a deleted index
+    // ranks identically to one never containing them (n, tot, and every
+    // per-term df included).
+    "index_delete_bm25" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-bm25-gate").toString
+      org.apache.commons.io.FileUtils
+        .forceDeleteOnExit(new java.io.File(idx))
+      TextAnalysis.writeInvertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        "text", "doc_id", idx, buckets = 64)
+      TextAnalysis.appendToInvertedIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4),
+        "text", "doc_id", idx, buckets = 64, batchId = Some(0L))
+      TextAnalysis.deleteFromInvertedIndex(s,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+        idx, batchId = Some(0L))
+      TextAnalysis.bm25SearchFromIndex(s, idx,
+        Seq("window", "hash", "stream", "dup"), topK = 50)
     },
     // Hybrid retrieval: integer RRF fusion of the BM25 lexical list and
     // a brute-force cosine list over the (aligned) embedding ids. The
@@ -1583,6 +1635,35 @@ object LlmQueries {
                          list_filter(regexp_split_to_array(lower(text), '\s+'),
                            t -> t <> '') AS toks
                        FROM documents),
+          lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
+          stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tot FROM lens),
+          tf AS (SELECT doc_id, t, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+                 WHERE t IN ('window', 'hash', 'stream', 'dup')
+                 GROUP BY 1, 2),
+          dfq AS (SELECT t, count(*) AS dfreq FROM tf GROUP BY 1),
+          sc AS (SELECT tf.doc_id, CAST(sum(
+                   ((""" + l1024("n") + " - " + l1024("dfreq") + """) *
+                    ((tf * (1200 + 1000) * 1000) //
+                     (tf * 1000 + (1200 * ((1000 - 750) +
+                        (750 * ((len * 1000000) // ((tot * 1000) // n))) // 1000)) // 1000))
+                   ) // 1000) AS BIGINT) AS score_q10
+                 FROM tf JOIN dfq USING (t) JOIN lens USING (doc_id) CROSS JOIN stats
+                 GROUP BY 1)
+          SELECT doc_id, score_q10 FROM sc
+          ORDER BY score_q10 DESC, doc_id LIMIT 50"""
+    },
+    // the post-delete index must rank EXACTLY like a corpus that never
+    // contained the deleted docs: the whole BM25 pipeline (n, tot, df,
+    // tf) replays over the survivors only
+    "index_delete_bm25" -> {
+      def l1024(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + " +
+          s"(($x << 10) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+      """WITH base AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+                       FROM documents WHERE doc_id % 7 <> 3),
           lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM base),
           stats AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tot FROM lens),
           tf AS (SELECT doc_id, t, count(*) AS tf
@@ -2733,6 +2814,30 @@ object LlmQueries {
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                     FROM embeddings),
           c AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+          codes AS (SELECT vec_id, scale,
+              list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(x / scale * 127) AS BIGINT) END) AS code
+            FROM c),
+          q AS (SELECT vec_id AS qid,
+                  list_transform(e, x -> CAST(floor(x * 10000) AS BIGINT)) AS qq
+                FROM v WHERE vec_id < 20),
+          scored AS (SELECT q.qid, codes.vec_id,
+              CAST(floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(code)), i -> code[i] * qq[i])),
+                (acc, x) -> acc + x) AS DOUBLE) * scale) AS BIGINT) AS score_q
+            FROM codes CROSS JOIN q WHERE q.qid <> codes.vec_id),
+          ranked AS (SELECT qid, vec_id, score_q,
+              row_number() OVER (PARTITION BY qid ORDER BY score_q DESC, vec_id) AS rank
+            FROM scored)
+          SELECT qid, vec_id, score_q, rank FROM ranked WHERE rank <= 5
+          ORDER BY qid, rank""",
+    // post-delete index search == the int8 pipeline over the survivors
+    // only (codes are per-vector self-contained; queries keep scoring)
+    "index_delete_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+          c AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v
+                WHERE NOT (vec_id % 9 = 7 AND vec_id >= 20)),
           codes AS (SELECT vec_id, scale,
               list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(floor(x / scale * 127) AS BIGINT) END) AS code

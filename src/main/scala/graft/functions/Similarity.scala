@@ -213,6 +213,68 @@ object Similarity {
       path, Seq("batch"))
   }
 
+  /** GDPR-style delete from a [[writeInt8Index]] layout: copy-on-write
+    * rewrite of exactly the `batch=<id>` partitions holding the deleted
+    * vec_ids' code rows ([[graft.sinks.Lake.deleteMatchingNested]] —
+    * untouched batch directories stay byte-identical, fully-emptied ones
+    * are dropped). Post-delete [[int8TopKFromIndex]] ranks IDENTICALLY
+    * to a one-shot rebuild without the deleted vectors (spec-pinned):
+    * every code row is self-contained (per-vector max-abs scale, no
+    * frozen global artifact), so removing rows IS the rebuild. Re-running
+    * the same delete is a natural no-op (no matching rows → no rewrites).
+    */
+  def deleteFromInt8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      path: String): graft.sinks.Lake.DeleteStats =
+    graft.sinks.Lake.deleteMatchingNested(spark, path, Seq("batch"),
+      "vec_id", oneIdCol(ids, "vec_id"))
+
+  /** [[deleteFromInt8Index]] with an inline id list. */
+  def deleteFromInt8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long],
+      path: String): graft.sinks.Lake.DeleteStats = {
+    import spark.implicits._
+    deleteFromInt8Index(spark, ids.toDF("vec_id"), path)
+  }
+
+  /** GDPR-style delete from a [[writeIvfPqIndex]] layout: copy-on-write
+    * rewrite of exactly the `cell=<c>/batch=<id>` partitions holding the
+    * deleted vec_ids' code rows. The frozen centroids/codebooks (trained
+    * on the BASE corpus and deliberately NOT retrained — retraining would
+    * re-key every surviving code) are untouched, so post-delete
+    * [[ivfPqTopKFromIndex]] ranks IDENTICALLY to an index rebuilt from
+    * the same base corpus minus the deleted vectors' rows (spec-pinned);
+    * probe-time cell pruning is unchanged. No shape parameters are taken
+    * because deletion never buckets or encodes anything — there is
+    * nothing to mismatch. Re-running the same delete is a natural no-op.
+    */
+  def deleteFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      path: String): graft.sinks.Lake.DeleteStats =
+    graft.sinks.Lake.deleteMatchingNested(spark, path, Seq("cell", "batch"),
+      "vec_id", oneIdCol(ids, "vec_id"))
+
+  /** [[deleteFromIvfPqIndex]] with an inline id list. */
+  def deleteFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long],
+      path: String): graft.sinks.Lake.DeleteStats = {
+    import spark.implicits._
+    deleteFromIvfPqIndex(spark, ids.toDF("vec_id"), path)
+  }
+
+  /** Normalize a caller's delete set to one long column named `name` —
+    * fails loudly on a multi-column frame instead of guessing.
+    */
+  private[functions] def oneIdCol(ids: DataFrame, name: String): DataFrame = {
+    require(ids.columns.length == 1,
+      s"delete set must be a one-column id frame, got ${ids.columns.mkString(",")}")
+    ids.select(col(ids.columns.head).cast("long").as(name))
+  }
+
   /** [[int8TopK]] against the MATERIALIZED codes table: identical ranking
     * (shared scoring tail), but the scan is the stored codes — the float
     * corpus is never read at query time.

@@ -314,6 +314,132 @@ object TextAnalysis {
     }
   }
 
+  /** GDPR-style delete from a [[writeInvertedIndex]] layout — the
+    * keyword-index member of the index-deletion family (LSH bands, int8
+    * codes, IVF+PQ codes): copy-on-write rewrite of exactly the
+    * `bucket=<k>/batch=<id>` postings partitions holding the deleted
+    * docs' rows, plus one NEGATED corpus-stats row — n and tot are count
+    * monoids ([[readIndexStats]] SUMS the per-batch rows), so a delete
+    * is just a stats row with negative counts, and a post-delete
+    * [[bm25SearchFromIndex]] ranks IDENTICALLY to a one-shot rebuild
+    * without the deleted docs (spec-pinned): surviving postings are
+    * untouched, per-term df recomputes live from them, and the summed
+    * (n, tot) equal the survivors' exactly.
+    *
+    * REPLAY PROTOCOL (the maintained-triangle-counts discipline applied
+    * to the index tier). Delete batches live in their own id namespace
+    * BELOW [[IndexLayout.BaseBatch]] (`internal = -2 - batchId`) so a
+    * delete stream and an append stream feeding the same index can never
+    * collide on a stats partition. Steps, in order:
+    *   1. resolve the delete set against the COMMITTED postings into
+    *      `<path>/deletes/<internal>` — per-doc lens AND the affected
+    *      (bucket, batch) partitions, persisted BEFORE any mutation (a
+    *      replay must subtract exactly what attempt 1 resolved; after
+    *      the rewrite the lens are unrecoverable from the index);
+    *   2. copy-on-write rewrite of the affected postings partitions
+    *      (untouched partitions byte-identical, emptied ones dropped);
+    *   3. the negated stats row, written LAST — the delete's COMMIT
+    *      MARKER. A crash between 2 and 3 leaves (n, tot) counting docs
+    *      whose postings are gone (scores transiently use a slightly
+    *      large n; deleted docs are already unfindable); replaying the
+    *      same `batchId` reuses the persisted resolution, re-runs the
+    *      idempotent rewrite, and commits. A replay AFTER the marker
+    *      exists is detected and returns without scanning anything.
+    *   Orphan postings of a crashed APPEND (no stats marker) are not
+    *   touched: they are already invisible to search and are replaced
+    *   wholesale when their own batch id replays.
+    */
+  def deleteFromInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      path: String,
+      batchId: Option[Long] = None): graft.sinks.Lake.DeleteStats = {
+    val docIds = Similarity.oneIdCol(ids, "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same guard as the appender: a pre-batch-convention layout cannot
+    // take maintenance writes without bricking partition discovery
+    require(IndexLayout.hasBatchDirs(spark, s"$path/postings"),
+      s"inverted index at $path predates the batch=<id> layout " +
+        "(or is empty) — rebuild it with writeInvertedIndex first")
+    val ((_, _, buckets), committed) = indexStatsSnapshot(spark, path)
+    val internal = batchId match {
+      case Some(b) =>
+        require(b >= 0, s"delete batchId must be >= 0 (a stream's micro-batch id), got $b")
+        -2L - b
+      case None =>
+        // next free id in the delete namespace (< BaseBatch), disjoint
+        // from append allocation (max + 1) forever
+        committed.filter(_ < IndexLayout.BaseBatch)
+          .foldLeft(IndexLayout.BaseBatch)(math.min) - 1L
+    }
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes/${-internal - 2L}")
+    val resolvedDone = fs.exists(new org.apache.hadoop.fs.Path(delDir, "_SUCCESS"))
+    // replay after full commit: the marker (this delete's stats
+    // partition) exists — nothing to do, nothing to scan
+    if (resolvedDone &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/batch=$internal")))
+      return graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L)
+    if (!resolvedDone) {
+      // one committed-postings scan resolves lens AND affected partitions
+      spark.read.parquet(s"$path/postings")
+        .filter(col("batch").cast("long").isin(committed: _*))
+        .join(broadcast(docIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("len"),
+          col("bucket").cast("long").as("bucket"),
+          col("batch").cast("long").as("batch"))
+        .distinct()
+        .write.mode("overwrite").parquet(delDir.toString)
+    }
+    val resolved = spark.read.parquet(delDir.toString)
+    val del = resolved.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"))
+      .head()
+    val (nDel, totDel) = (del.getAs[Long]("n"), del.getAs[Long]("tot"))
+    if (nDel == 0L) // no indexed doc matched; the empty resolution stays
+      return graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L)
+    val affected = resolved
+      .select(col("bucket").cast("string"), col("batch").cast("string"))
+      .distinct().collect().map(r => Seq(r.getString(0), r.getString(1)))
+    val stats = graft.sinks.Lake.cowDeleteFromPartitions(
+      spark, s"$path/postings", Seq("bucket", "batch"), "doc_id", docIds,
+      affected.toSeq, rowsDeletedKnown = None)
+    IndexLayout.overwriteBatchPartitions(
+      spark.range(1).select(lit(-nDel).as("n"), lit(-totDel).as("tot"),
+        lit(buckets).as("buckets"), lit(internal).as("batch")),
+      s"$path/stats", Seq("batch"))
+    stats
+  }
+
+  /** [[deleteFromInvertedIndex]] with an inline id list. */
+  def deleteFromInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Seq[Long],
+      path: String): graft.sinks.Lake.DeleteStats = {
+    import spark.implicits._
+    deleteFromInvertedIndex(spark, ids.toDF("doc_id"), path)
+  }
+
+  /** Delete batches that resolved (step 1) but never committed their
+    * stats marker (step 3) — the operational probe for a crashed
+    * [[deleteFromInvertedIndex]]: replay each returned id to finish it.
+    * Returned ids are in the CALLER's namespace (the `batchId` values).
+    * Driver-side listing, bounded by the number of delete batches.
+    */
+  def pendingDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delRoot = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (!fs.exists(delRoot)) return Seq.empty
+    fs.listStatus(delRoot).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter { b =>
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/batch=${-2L - b}"))
+      }.sorted
+  }
+
   /** Exact corpus stats of a (possibly appended-to) inverted index:
     * n and tot are count monoids, so the per-batch stats rows SUM to the
     * one-shot values; `buckets` is a layout constant (append-guarded by

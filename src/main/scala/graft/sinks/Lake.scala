@@ -172,6 +172,106 @@ object Lake {
       (allParts.length - affected.length).toLong)
   }
 
+  /** Copy-on-write delete from a MULTI-LEVEL partitioned layout — the
+    * [[deleteMatching]] discipline generalized to the materialized index
+    * families' nested trees (`bucket=K/batch=N`, `cell=K/batch=N`):
+    * remove every row whose `idCol` value appears in `ids` (a one-column
+    * DataFrame), rewriting ONLY partition directories that actually held
+    * a matching row. Untouched directories are never opened for write
+    * (byte-identical after the call — spec-pinned), fully-emptied
+    * directories are dropped, and re-running the same delete is a
+    * natural no-op (discovery finds no matching rows → zero rewrites).
+    *
+    * Discovery is one scan with the id predicate as a broadcast
+    * LEFT SEMI join (pushes nothing into parquet, but reads only the id
+    * column + partition values); the rewrite re-reads ONLY the affected
+    * directories (per-column `isin` partition pruning + an exact
+    * partition-tuple filter so sibling partitions sharing a coarse value
+    * are not rewritten). Partition values must round-trip through their
+    * string form (the numeric bucket/cell/batch columns all do); same
+    * crash-atomicity caveat as [[deleteWhere]].
+    */
+  def deleteMatchingNested(
+      spark: SparkSession,
+      dir: String,
+      partCols: Seq[String],
+      idCol: String,
+      ids: org.apache.spark.sql.DataFrame): DeleteStats = {
+    val lake = spark.read.parquet(dir)
+    val partStr = partCols.map(c => col(c).cast("string").as(c))
+    val hits = lake.join(broadcast(ids), Seq(idCol), "left_semi")
+      .groupBy(partStr: _*).agg(count(lit(1)).as("__n"))
+      .collect() // bounded by the number of affected partition dirs
+    val keys = hits.toSeq.map(r => partCols.map(r.getAs[String]))
+    cowDeleteFromPartitions(spark, dir, partCols, idCol, ids, keys,
+      rowsDeletedKnown = Some(hits.map(_.getAs[Long]("__n")).sum))
+  }
+
+  /** The rewrite half of [[deleteMatchingNested]], with the affected
+    * partition-value tuples ALREADY KNOWN (`keys`, string forms in
+    * `partCols` order) — lets a caller that resolved the delete set in
+    * its own pass (the inverted index's stats protocol) skip the second
+    * discovery scan. When `rowsDeletedKnown` is absent the affected
+    * slice is counted before and after the anti-join (delete-set-
+    * proportional, never corpus-proportional).
+    */
+  private[graft] def cowDeleteFromPartitions(
+      spark: SparkSession,
+      dir: String,
+      partCols: Seq[String],
+      idCol: String,
+      ids: org.apache.spark.sql.DataFrame,
+      keys: Seq[Seq[String]],
+      rowsDeletedKnown: Option[Long]): DeleteStats = {
+    val partStr = partCols.map(c => col(c).cast("string").as(c))
+    val allParts = spark.read.parquet(dir).select(partStr: _*)
+      .distinct().count()
+    if (keys.isEmpty) return DeleteStats(0L, 0L, 0L, allParts)
+    val Sep = "\u0001" // non-printing separator: ("1","12") vs ("11","2") must not collide
+    val keyCol = concat_ws(Sep, partCols.map(c => col(c).cast("string")): _*)
+    val keyStrs = keys.map(_.mkString(Sep))
+    // per-column isin prunes directories at the scan; the exact tuple
+    // filter keeps sibling partitions that share a coarse value out of
+    // the rewrite (they must stay byte-identical). Tuple sets larger
+    // than the inline bound ride as a broadcast semi-join, never plan
+    // text (the MaxInlineIds rule applied to partition keys).
+    val coarse = partCols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("string").isin(keys.map(_(i)).distinct: _*)
+    }.reduce(_ && _)
+    val pruned = spark.read.parquet(dir).where(coarse)
+    val slice =
+      if (keyStrs.length <= MaxInlineIds) pruned.where(keyCol.isin(keyStrs: _*))
+      else {
+        import spark.implicits._
+        pruned.join(broadcast(keyStrs.toDF("__k")),
+          keyCol === col("__k"), "left_semi")
+      }
+    val survivors = slice.join(broadcast(ids), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    try {
+      val rowsDeleted = rowsDeletedKnown.getOrElse(
+        slice.count() - survivors.count())
+      val survivorKeys = survivors
+        .select(concat_ws(Sep, partCols.map(c => col(c).cast("string")): _*)
+          .as("__k"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val emptied = keys.filterNot(k => survivorKeys(k.mkString(Sep)))
+      // a fully-emptied affected set has nothing to overwrite with —
+      // skip the write (it would only churn a _SUCCESS at the root)
+      if (survivorKeys.nonEmpty)
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*).parquet(dir)
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { k =>
+        val sub = partCols.zip(k).map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new Path(dir, sub), true); ()
+      }
+      DeleteStats(rowsDeleted, keys.length.toLong, emptied.length.toLong,
+        allParts - keys.length)
+    } finally { survivors.unpersist(); () }
+  }
+
   /** Compact the named partitions of the lake at `dir` down to
     * `filesPerPartition` files each — the maintenance pass every
     * streaming/micro-batch sink needs (each trigger writes a file per

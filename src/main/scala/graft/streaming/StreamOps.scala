@@ -327,6 +327,51 @@ object StreamOps {
           batchId = Some(batchId))
     }
 
+  /** Deletion half of [[bm25IngestStream]]: a stream of doc ids (one
+    * column `idCol`) is deleted from the materialized inverted index per
+    * micro-batch (`TextAnalysis.deleteFromInvertedIndex` — affected
+    * postings partitions copy-on-write rewritten, corpus stats folded as
+    * a NEGATED count-monoid row). The micro-batch id keys the delete's
+    * replay protocol (resolution persisted first, stats marker last, in
+    * a namespace disjoint from append ids), so an at-least-once replay
+    * subtracts exactly once — a delete stream and an ingest stream can
+    * safely maintain the same index. Searches after any committed batch
+    * rank identically to a rebuild over the surviving docs.
+    */
+  def bm25DeleteStream(
+      ids: DataFrame,
+      idCol: String,
+      indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.TextAnalysis.deleteFromInvertedIndex(
+            batch.sparkSession, batch.toDF().select(col(idCol)), indexPath,
+            batchId = Some(batchId))
+          ()
+        }
+    }
+
+  /** Deletion half of [[dedupIngestStream]]: a stream of doc ids is
+    * deleted from the materialized LSH index per micro-batch
+    * (`Dedup.deleteFromLshIndex` — band partitions first, then shingles,
+    * so a crash window is invisible to probes). Re-deleting on replay is
+    * a natural no-op (no matching rows → no rewrites), so no batch-id
+    * state is needed.
+    */
+  def dedupDeleteStream(
+      ids: DataFrame,
+      idCol: String,
+      indexPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.Dedup.deleteFromLshIndex(
+            batch.sparkSession, batch.toDF().select(col(idCol)), indexPath)
+          ()
+        }
+    }
+
   /** Continuous dedup ingest: every micro-batch of documents (`idCol`,
     * `textCol`) is checked for near-dups against the materialized LSH
     * index (`Dedup.nearDupsAgainstIndex` — the corpus is never

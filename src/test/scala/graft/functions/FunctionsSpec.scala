@@ -1304,4 +1304,204 @@ class FunctionsSpec extends SparkSpec {
     // stable across evaluations (plan-literal sign matrix, no RNG)
     assert(df.select(col("vec_id") +: comps: _*).collect().head === row)
   }
+
+  /** Per-file CRC32 of every parquet data file under `root`, keyed by
+    * root-relative path — the untouched-partition byte-identity probe
+    * for the index-deletion family (the GraphOpsSpec count-table probe).
+    */
+  private def dirCrcs(root: String): Map[String, Long] = {
+    val r = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(r)) Map.empty
+    else {
+      val it = java.nio.file.Files.walk(r).iterator()
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")) {
+          val crc = new java.util.zip.CRC32()
+          crc.update(java.nio.file.Files.readAllBytes(p))
+          out(r.relativize(p).toString) = crc.getValue
+        }
+      }
+      out.toMap
+    }
+  }
+
+  test("deleteFromInvertedIndex: post-delete ranking and stats equal a " +
+      "one-shot rebuild without the deleted docs; untouched partitions " +
+      "byte-identical; replay is a no-op; a later append still lands") {
+    val all = (0L until 300L).map { i =>
+      val rare = if (i % 40 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} w${i % 13} here$rare")
+    }.toDF("doc_id", "text")
+    val deadIds = Seq(10L, 40L, 205L, 260L) // span base + both appends; 40 has zeta
+    val b3 = (300L until 330L).map(i => (i, s"alpha extra w${i % 5} here"))
+      .toDF("doc_id", "text")
+    val q = Seq("alpha", "zeta")
+    def rank(path: String) = TextAnalysis.bm25SearchFromIndex(spark, path, q,
+      topK = 25).as[(Long, Long)].collect().toSeq
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-del").toString
+    TextAnalysis.writeInvertedIndex(all.filter(col("doc_id") < 200),
+      "text", "doc_id", idx, buckets = 16)
+    TextAnalysis.appendToInvertedIndex(
+      all.filter(col("doc_id") >= 200 && col("doc_id") < 250),
+      "text", "doc_id", idx, buckets = 16, batchId = Some(0L))
+    TextAnalysis.appendToInvertedIndex(all.filter(col("doc_id") >= 250),
+      "text", "doc_id", idx, buckets = 16, batchId = Some(1L))
+
+    val before = dirCrcs(s"$idx/postings")
+    val st = TextAnalysis.deleteFromInvertedIndex(spark, deadIds, idx)
+    assert(st.rowsDeleted > 0 && st.partitionsRewritten > 0)
+    assert(st.partitionsUntouched > 0, "a 4-doc delete must not touch every partition")
+
+    // the reference: a one-shot rebuild over exactly the survivors
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-del-rb").toString
+    TextAnalysis.writeInvertedIndex(all.filter(!col("doc_id").isin(deadIds: _*)),
+      "text", "doc_id", rebuilt, buckets = 16)
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt),
+      "negated stats row must sum to the survivors' exact (n, tot)")
+    assert(rank(idx) === rank(rebuilt),
+      "post-delete ranking diverges from the rebuild without the docs")
+
+    // untouched partitions byte-identical: every file surviving the
+    // delete is bit-for-bit the file it was, and the number of partition
+    // dirs whose files changed is exactly the rewritten count
+    val after = dirCrcs(s"$idx/postings")
+    val shared = before.keySet.intersect(after.keySet)
+    assert(shared.forall(k => before(k) == after(k)),
+      "a file in an untouched partition changed bytes")
+    val changedDirs = (before.keySet -- after.keySet)
+      .map(k => k.substring(0, k.lastIndexOf('/')))
+    assert(changedDirs.size.toLong ===
+      st.partitionsRewritten,
+      s"dirs with removed files $changedDirs vs rewritten ${st.partitionsRewritten}")
+
+    // replay (same auto-allocated id 0 -> internal -2 marker exists):
+    // detected, returns zeros, touches NOTHING (stats files included)
+    val allBefore = dirCrcs(idx)
+    val replay = TextAnalysis.deleteFromInvertedIndex(
+      spark, Seq(10L, 40L, 205L, 260L).toDF("doc_id"), idx,
+      batchId = Some(0L))
+    assert(replay === graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L))
+    assert(dirCrcs(idx) === allBefore, "replay touched the index")
+    assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty)
+
+    // crash window: marker vanished after the rewrite -> pendingDeletes
+    // names the batch; replaying it heals to the same committed state
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats/batch=-2"), true)
+    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(0L))
+    TextAnalysis.deleteFromInvertedIndex(spark, deadIds.toDF("doc_id"), idx,
+      batchId = Some(0L))
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt),
+      "healed delete diverges from the rebuild")
+
+    // delete ids live below BaseBatch: a later append still allocates
+    // from the append namespace and the index keeps ranking exactly
+    TextAnalysis.appendToInvertedIndex(b3, "text", "doc_id", idx, buckets = 16)
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("graft-inv-del-r2").toString
+    TextAnalysis.writeInvertedIndex(
+      all.filter(!col("doc_id").isin(deadIds: _*)).unionByName(b3),
+      "text", "doc_id", rebuilt2, buckets = 16)
+    assert(rank(idx) === rank(rebuilt2),
+      "append-after-delete diverges from the rebuild")
+    // the append param guard stays loud after deletes
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(b3, "text", "doc_id", idx, buckets = 32,
+        batchId = Some(9L))
+    }
+    assert(ex.getMessage.contains("buckets"))
+  }
+
+  test("deleteFromLshIndex: post-delete near-dup verdicts equal a rebuild " +
+      "without the deleted docs; re-delete is a no-op") {
+    val corpus = (0L until 60L).map { i =>
+      (i, if (i % 20 == 5) base else s"doc number $i with its own words ${i * 7}")
+    }.toDF("doc_id", "text")
+    val probe = Seq((1000L, base), (1001L, unrelated)).toDF("doc_id", "text")
+    val dead = Seq(5L, 25L) // two of the three planted near-dup sources
+    def verdicts(path: String) = Dedup.nearDupsAgainstIndex(
+      spark, probe, "text", "doc_id", path,
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-del").toString
+    Dedup.writeLshIndex(corpus, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    assert(verdicts(idx) === Set((1000L, 5L), (1000L, 25L), (1000L, 45L)))
+
+    val st = Dedup.deleteFromLshIndex(spark, dead, idx)
+    assert(st.bands.rowsDeleted > 0 && st.shingles.rowsDeleted > 0)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-lsh-del-rb").toString
+    Dedup.writeLshIndex(corpus.filter(!col("doc_id").isin(dead: _*)),
+      "text", "doc_id", rebuilt, n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    assert(verdicts(idx) === verdicts(rebuilt))
+    assert(verdicts(idx) === Set((1000L, 45L)), "deleted docs still matched")
+
+    // re-delete: natural no-op, nothing rewritten, bytes untouched
+    val before = dirCrcs(idx)
+    val again = Dedup.deleteFromLshIndex(spark, dead, idx)
+    assert(again.bands.rowsDeleted === 0L &&
+      again.bands.partitionsRewritten === 0L &&
+      again.shingles.partitionsRewritten === 0L)
+    assert(dirCrcs(idx) === before, "no-op re-delete touched files")
+  }
+
+  test("deleteFromInt8Index / deleteFromIvfPqIndex: post-delete rankings " +
+      "equal an index built without the deleted vectors") {
+    val dim = 16
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 31 + j * 17) % 23).toFloat - 11f) / 7f))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    // non-seed ids (centroidEvery = 10): frozen centroids/codebooks are
+    // identical between the deleted index and the survivors-only rebuild
+    val dead = Seq(13L, 57L, 88L)
+    val survivors = vecs.filter(!col("vec_id").isin(dead: _*))
+
+    val i8 = java.nio.file.Files.createTempDirectory("graft-i8-del").toString
+    Similarity.writeInt8Index(vecs.filter(col("vec_id") < 100), i8)
+    Similarity.appendToInt8Index(vecs.filter(col("vec_id") >= 100), i8,
+      batchId = Some(0L))
+    val st8 = Similarity.deleteFromInt8Index(spark, dead, i8)
+    assert(st8.rowsDeleted === 3L)
+    val i8rb = java.nio.file.Files.createTempDirectory("graft-i8-del-rb").toString
+    Similarity.writeInt8Index(survivors, i8rb)
+    def r8(p: String) = Similarity.int8TopKFromIndex(spark, queries, p, k = 5)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r8(i8) === r8(i8rb))
+    assert(!r8(i8).exists(r => dead.contains(r._2)), "a deleted vector ranked")
+
+    val pq = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    Similarity.writeIvfPqIndex(vecs.filter(col("vec_id") < 100), pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") < 100),
+      vecs.filter(col("vec_id") >= 100), pq,
+      centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    val stPq = Similarity.deleteFromIvfPqIndex(spark, dead, pq)
+    assert(stPq.rowsDeleted === 3L * 4L, "one code row per subspace per vector")
+    assert(stPq.partitionsUntouched > 0)
+    val pqRb = java.nio.file.Files.createTempDirectory("graft-pq-del-rb").toString
+    Similarity.writeIvfPqIndex(survivors.filter(col("vec_id") < 100), pqRb,
+      centroidEvery = 10, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") < 100),
+      vecs.filter(col("vec_id") >= 100), pqRb,
+      centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    // both arms search with the SAME frozen codebook source (the base
+    // corpus) — the rebuild differs only by the deleted vectors' rows
+    def rPq(p: String) = Similarity.ivfPqTopKFromIndex(spark, queries,
+      vecs.filter(col("vec_id") < 100), p, k = 5,
+      centroidEvery = 10, nprobe = 3, m = 4, dim = dim)
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rPq(pq) === rPq(pqRb))
+    assert(!rPq(pq).exists(r => dead.contains(r._2)), "a deleted vector ranked")
+  }
 }

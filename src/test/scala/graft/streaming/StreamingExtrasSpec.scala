@@ -386,6 +386,39 @@ class StreamingExtrasSpec extends SparkSpec {
       "streamed-ingest index ranking diverges from the one-shot rebuild")
   }
 
+  test("bm25DeleteStream: streamed deletes leave the index ranking " +
+      "identical to a rebuild over the surviving docs") {
+    import graft.functions.TextAnalysis
+    val all = (0L until 150L).map { i =>
+      val rare = if (i % 25 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} here$rare")
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-dstr").toString
+    TextAnalysis.writeInvertedIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", idx, buckets = 8)
+    // two delete micro-batches: each folds a negated stats row under its
+    // micro-batch id's delete-namespace slot and COW-rewrites postings
+    val dead = Seq(25L, 50L, 101L)
+    val input = MemoryStream[Long]
+    val q = StreamOps.bm25DeleteStream(
+      input.toDF().toDF("doc_id"), "doc_id", idx).start()
+    try {
+      input.addData(25L, 50L); q.processAllAvailable()
+      input.addData(101L); q.processAllAvailable()
+    } finally q.stop()
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-dstr-f").toString
+    TextAnalysis.writeInvertedIndex(
+      all.filterNot(d => dead.contains(d._1)).toDF("doc_id", "text"),
+      "text", "doc_id", rebuilt, buckets = 8)
+    def rank(p: String) = TextAnalysis.bm25SearchFromIndex(spark, p,
+      Seq("zeta", "alpha"), topK = 20).as[(Long, Long)].collect().toSeq
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt))
+    assert(rank(idx) === rank(rebuilt),
+      "streamed-delete index ranking diverges from the survivors rebuild")
+    assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty)
+  }
+
   test("dedupIngestStream catches dups against rows the stream itself wrote") {
     import graft.functions.Dedup
     val tpl = "the quick brown fox jumps over the lazy dog again and again today"
