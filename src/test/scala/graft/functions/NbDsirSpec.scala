@@ -75,6 +75,64 @@ class NbDsirSpec extends SparkSpec {
     assert(math.abs(cGap) <= 100L, s"no-drift control reads a gap: $cGap")
   }
 
+  test("nbMergeModels: merged frozen+appended counts equal the retrained " +
+      "model bit-for-bit (the additive monoid)") {
+    def mk(words: Seq[String], label: String, base: Long, n: Int) =
+      (0 until n).map { i =>
+        val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+          .mkString(" ")
+        (base + i, txt, label)
+      }
+    val frozenDocs = mk(enWords, "en", 0L, 40) ++ mk(frWords, "fr", 100L, 40)
+    // appended: a new class AND more docs of an existing class, so the
+    // merge exercises both the new-key and the sum path
+    val appendedDocs = mk(zhWords, "zh", 1000L, 30) ++ mk(enWords, "en", 1100L, 10)
+    val fz = TextAnalysis.nbFreezeStaleness(
+      frozenDocs.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+    val fa = TextAnalysis.nbFreezeStaleness(
+      appendedDocs.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+    val (mM, cM) = TextAnalysis.nbMergeModels(fz.model, fz.priors, fa.model, fa.priors)
+    val (mR, cR) = TextAnalysis.nbTrainModel(
+      (frozenDocs ++ appendedDocs).toDF("doc_id", "text", "lang"),
+      "text", "lang")
+    assert(mM.as[(String, Long, Long)].collect().toSet ===
+      mR.as[(String, Long, Long)].collect().toSet,
+      "merged (c, b, n_cb) table diverges from the retrain")
+    assert(cM.as[(String, Long, Long)].collect().toSet ===
+      cR.as[(String, Long, Long)].collect().toSet,
+      "merged classes table diverges from the retrain")
+  }
+
+  test("nbModelStalenessReportFrom: the frozen-artifact serving form " +
+      "produces the IDENTICAL report row to the self-contained form, " +
+      "including through a save/load round-trip") {
+    def mk(words: Seq[String], label: String, base: Long, n: Int) =
+      (0 until n).map { i =>
+        val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+          .mkString(" ")
+        (base + i, txt, label)
+      }
+    val frozenDocs = mk(enWords, "en", 0L, 40) ++ mk(frWords, "fr", 100L, 40)
+    val appendedDocs = mk(zhWords, "zh", 1000L, 30) ++ mk(enWords, "en", 1100L, 10)
+    def row(df: org.apache.spark.sql.DataFrame): Seq[Any] = df.head().toSeq
+    val self = row(TextAnalysis.nbModelStalenessReport(
+      (frozenDocs ++ appendedDocs).toDF("doc_id", "text", "lang"),
+      "text", "doc_id", "lang", col("doc_id") < 1000L))
+    val fz = TextAnalysis.nbFreezeStaleness(
+      frozenDocs.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+    val appended = appendedDocs.toDF("doc_id", "text", "lang")
+    val fromArtifacts = row(TextAnalysis.nbModelStalenessReportFrom(
+      fz, appended, "text", "doc_id", "lang"))
+    assert(fromArtifacts === self,
+      "appended-sized serving form diverges from the self-contained report")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbfz").toString
+    TextAnalysis.saveNbFrozenModel(fz, dir)
+    val loaded = TextAnalysis.loadNbFrozenModel(spark, dir)
+    assert(row(TextAnalysis.nbModelStalenessReportFrom(
+      loaded, appended, "text", "doc_id", "lang")) === self,
+      "save/load round-trip changed the report")
+  }
+
   test("nbClassify separates planted languages and scores every doc once") {
     val docs = planted
     val out = TextAnalysis.nbClassify(docs, "text", "doc_id", "lang")
