@@ -1081,17 +1081,23 @@ object Graph {
     *
     * Same crash caveat as [[Incremental.mergeCountsPartitioned]]: the
     * counts merge itself is not crash-atomic (a failure mid-merge can
-    * leave AFFECTED count partitions half-merged); untouched partitions
-    * are never at risk.
+    * leave AFFECTED count partitions half-merged — and on the DELETE
+    * path a replayed merge can double-apply the negated delta into
+    * those partitions, which the subsequent log rewrite can no longer
+    * reconcile); untouched partitions are never at risk. RECOVERY: the
+    * edge log is the authoritative state — [[rebuildTriangleCounts]]
+    * recomputes counts/ cold from it and restores the commit markers,
+    * after which replaying the in-flight batch finishes correctly.
     *
     * Operating rules: size `partitions` for the DELTA cadence (the
     * mergeCountsPartitioned rule — the delta-sized-rewrite property
     * needs P comfortably above a batch's affected-node count), and seed
-    * a LARGE initial corpus as `triangleCountsAdj` counts merged
-    * directly into the table rather than one giant first batch —
-    * [[triangleCountDelta]]'s T2/T3 terms are delta self-joins, bounded
-    * for micro-batches but wedge-volume-sized (no orientation bound)
-    * when the "delta" is the whole corpus.
+    * a LARGE initial corpus with [[seedTriangleCounts]] (cold
+    * `triangleCountsAdj` counts merged directly into the table) rather
+    * than one giant first batch — [[triangleCountDelta]]'s T2/T3 terms
+    * are delta self-joins, bounded for micro-batches but
+    * wedge-volume-sized (no orientation bound) when the "delta" is the
+    * whole corpus.
     *
     * Returns false on an already-applied batch (replay no-op).
     */
@@ -1108,6 +1114,7 @@ object Graph {
     val edgesDir = s"$stateDir/edges"
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNotLegacyCountsLayout(fs, countsDir)
     val countsApplied = fs.exists(new Path(s"$countsDir/applied/batch=$batchId"))
     val doneMarker = new Path(s"$stateDir/deletes_done/batch=$batchId")
     if (sign == 1L && countsApplied) return false
@@ -1196,14 +1203,122 @@ object Graph {
     }
   }
 
+  /** The r13 rounds wrote triangle state as `counts/v=<id>` _SUCCESS
+    * snapshots; the r15 partitioned layout (`counts/meta` +
+    * `counts/data/__p=N` + `counts/applied/`) replaced it. Replaying a
+    * maintainer onto a pre-migration stateDir would find no meta or
+    * applied markers, silently seed a FRESH count table holding only
+    * the new batch's delta while the (format-unchanged) edge log kept
+    * the full history — maintained counts diverging from the recompute
+    * with no error. Fail loudly instead, with the one-shot migration
+    * (r15 ADVICE).
+    */
+  private def requireNotLegacyCountsLayout(
+      fs: org.apache.hadoop.fs.FileSystem, countsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val snaps = fs.globStatus(new Path(s"$countsDir/v=*"))
+    require(snaps == null || snaps.isEmpty ||
+      fs.exists(new Path(s"$countsDir/meta")),
+      s"triangle state at $countsDir is the legacy counts/v=<id> snapshot " +
+        "layout (no counts/meta): migrate once by wiping counts/ and " +
+        "running rebuildTriangleCounts (cold triangleCountsAdj over the " +
+        "edge log), then resume the maintainer")
+  }
+
+  /** Seed a triangle-maintainer state dir from a LARGE initial corpus —
+    * the function form of the scaladoc's operating rule ("seed a large
+    * initial corpus as [[triangleCountsAdj]] counts merged directly
+    * into the table rather than one giant first batch":
+    * [[triangleCountDelta]]'s T2/T3 delta self-joins are
+    * wedge-volume-sized when the 'delta' is the whole corpus, while the
+    * cold adjacency count is orientation-bounded). Writes the canonical
+    * edge log under `batch=0` and the cold counts into the partitioned
+    * table with batch 0's commit marker, so incremental batches resume
+    * at `batchId >= 1` and a replayed seed no-ops. Refuses a non-empty
+    * state dir: seeding is the FIRST write, never a merge.
+    */
+  def seedTriangleCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      edgesHalf: DataFrame,
+      partitions: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$stateDir/counts")) &&
+      !fs.exists(new Path(s"$stateDir/edges")),
+      s"refusing to seed $stateDir: counts/ or edges/ already exists — " +
+        "seed only an empty state dir (incremental batches go through " +
+        "maintainTriangleCounts; a rebuild goes through " +
+        "rebuildTriangleCounts)")
+    val canon = edgesHalf
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // consumed by the log write + the cold count
+    try {
+      if (!canon.isEmpty)
+        IndexLayout.overwriteBatchPartitions(
+          canon.withColumn("batch", lit(0L)), s"$stateDir/edges", Seq("batch"))
+      Incremental.mergeCountsPartitioned(spark, s"$stateDir/counts",
+        triangleCountsAdj(canon)
+          .select(col("node"), col("tri_cnt")),
+        Seq("node"), "tri_cnt", partitions, batchId = 0L)
+      ()
+    } finally { canon.unpersist(); () }
+  }
+
+  /** DISASTER-RECOVERY rebuild of the maintained count table from the
+    * edge log (the authoritative state): cold [[triangleCountsAdj]]
+    * over the logged edges replaces counts/ wholesale, with commit
+    * markers restored for every batch id present in the log — after
+    * which replaying any in-flight batch finishes correctly (an
+    * insert's edges are either logged — its delta resolves empty — or
+    * absent — it re-applies; a crashed delete re-resolves against the
+    * rebuilt baseline). This is the documented recovery for
+    * [[Incremental.mergeCountsPartitioned]]'s non-crash-atomic merge
+    * window (a failure mid-merge can leave affected count partitions
+    * half-merged; the delete path widens the blast radius because a
+    * double-applied negated delta cannot be reconciled from the
+    * rewritten log — r15 ADVICE).
+    */
+  def rebuildTriangleCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      partitions: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$stateDir/counts"), true)
+    val (log, batches) =
+      if (Incremental.hasLivePartitions(spark, s"$stateDir/edges", "batch=")) {
+        val l = spark.read.parquet(s"$stateDir/edges")
+        (l.select(col("src"), col("dst")),
+          l.select(col("batch").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq) // bounded by batch count
+      } else (spark.range(0).select(col("id").as("src"), col("id").as("dst")),
+        Seq(0L))
+    Incremental.mergeCountsPartitioned(spark, s"$stateDir/counts",
+      triangleCountsAdj(log).select(col("node"), col("tri_cnt")),
+      Seq("node"), "tri_cnt", partitions, batchId = batches.max)
+    batches.foreach(b =>
+      fs.mkdirs(new Path(s"$stateDir/counts/applied/batch=$b")))
+    ()
+  }
+
   /** The maintained triangle counts as a frame (`node`, `tri_cnt`);
     * None before the first batch with any surviving count.
     */
   def readTriangleCounts(
       spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): Option[DataFrame] =
+      stateDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNotLegacyCountsLayout(fs, s"$stateDir/counts")
     Incremental.readCountsPartitioned(
       spark, s"$stateDir/counts", Seq("node"), "tri_cnt")
+  }
 
   /** Streaming wrapper of [[maintainTriangleCounts]] — the
     * `Incremental.maintainCountsPartitioned` idiom: each micro-batch of
@@ -1601,7 +1716,11 @@ object Graph {
     * from the CURRENT source set (delta-born nodes enter at the cold
     * 10^6, stale init rows drop out — the [[pageRankUntil]] rule);
     * `auth_m` serves only as round 1's residual baseline, because auth
-    * is re-derived from hub inside every round.
+    * is re-derived from hub inside every round. Deltas may DELETE edges:
+    * a node that lost its last out-/in-edge falls to served-0, and that
+    * move counts against `tolMicro` via the exit residual (round 1
+    * checks the full previously-served key set — r15 ADVICE), so a warm
+    * run cannot declare converged past a drop larger than the tolerance.
     *
     * Same `edgesByDst` cluster posture as [[hits]] (the edge set stored
     * twice, each half-step riding its own bucketing).
@@ -1635,6 +1754,13 @@ object Graph {
           .localCheckpoint()
       case None => nodes.select(col("node"), lit(1000000L).as("s"))
     }
+    // round 1's hub EXIT baseline: the previously SERVED hub frame (its
+    // key set includes nodes the delta removed — which `hub` above, being
+    // restricted to the new graph's nodes, cannot see; new nodes are
+    // absent, so they can never register a spurious exit). A cold run
+    // has none: within one graph the scored key set never shrinks.
+    var hubServed: Option[DataFrame] =
+      init.map(p => p.select(col("node"), col("hub_m").as("s")).localCheckpoint())
     // round 1's auth residual baseline; a cold start has none (auth
     // first exists after round 1), so a cold run can never converge in
     // round 1 — which preserves cold-k bit-identity (scores are the
@@ -1644,15 +1770,29 @@ object Graph {
     var auth: DataFrame = null
     var rounds = 0
     var converged = false
-    // max |next - old| over next's keys; a key newly entering the frame
-    // counts its full value as the move (coalesce vs the cold initial),
-    // the pageRankUntil convention. null max = empty frame: no move.
-    def resid(next: DataFrame, old: DataFrame, entry: Long): Long = {
+    // max |next - old| over next's keys PLUS exits from the served frame;
+    // a key newly entering counts its full value as the move (coalesce vs
+    // the cold initial), the pageRankUntil convention, and a key DROPPING
+    // OUT of the served frame (a warm refresh where a node lost its last
+    // out-/in-edge — init graphs are not restricted to insert-only
+    // deltas) counts its old score: its served value falls to 0 via the
+    // final coalesce, and without the exit term a warm run could declare
+    // converged at a tolerance the dropped node violates (r15 ADVICE).
+    // Cold runs are unaffected: between cold rounds the scored key set
+    // never shrinks, and oldExit is None in round 1. null max = empty.
+    def resid(next: DataFrame, oldEnter: DataFrame,
+        oldExit: Option[DataFrame], entry: Long): Long = {
       val r = next.as("n")
-        .join(old.as("o"), col("n.node") === col("o.node"), "left")
+        .join(oldEnter.as("o"), col("n.node") === col("o.node"), "left")
         .agg(max(abs(col("n.s") - coalesce(col("o.s"), lit(entry)))))
         .head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+      val enterMove = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val exitMove = oldExit.map { o =>
+        val x = o.join(next, Seq("node"), "left_anti")
+          .agg(max(abs(col("s")))).head()
+        if (x.isNullAt(0)) 0L else x.getLong(0)
+      }.getOrElse(0L)
+      math.max(enterMove, exitMove)
     }
     while (!converged && rounds < maxRounds) {
       val rawA = e.join(
@@ -1670,11 +1810,13 @@ object Graph {
       // frame SERVED 0 (the final coalesce) — a delta-born node swinging
       // to top authority must count its full move, not |10^6 - new|
       val move = math.max(
-        resid(nextHub, hub, 1000000L),
-        prevAuth.map(pa => resid(nextAuth, pa, 0L)).getOrElse(Long.MaxValue))
+        resid(nextHub, hub, hubServed, 1000000L),
+        prevAuth.map(pa => resid(nextAuth, pa, Some(pa), 0L))
+          .getOrElse(Long.MaxValue))
       rounds += 1
       converged = move <= tolMicro
       hub = nextHub
+      hubServed = Some(nextHub)
       auth = nextAuth
       prevAuth = Some(nextAuth)
     }

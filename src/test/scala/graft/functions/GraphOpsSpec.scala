@@ -693,6 +693,74 @@ class GraphOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
   }
 
+  test("seedTriangleCounts: seed + incremental batches == cold recompute " +
+      "over the union; seeding a non-empty state dir refuses; the legacy " +
+      "counts/v= layout fails fast; rebuildTriangleCounts recovers a " +
+      "mangled count table from the edge log") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val (sym, _) = randomGraph(83L, 30, 220)
+    val half = sym.filter(p => p._1 < p._2)
+    // seed corpus = ~3/4 of edges; two incremental batches carry the rest
+    val seedEdges = half.filter(p => (p._1 * 5 + p._2) % 4 != 0)
+    val later = half.filterNot(seedEdges.toSet)
+    // (5a+b)%4==0 forces a+b even, so any linear-parity split would
+    // leave one side empty — split by position instead
+    val (b1i, b2i) = later.zipWithIndex.partition(_._2 % 2 == 0)
+    val (b1, b2) = (b1i.map(_._1), b2i.map(_._1))
+    val P = 8
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-triseed").toString
+    Graph.seedTriangleCounts(spark, stateDir, seedEdges.toDF("src", "dst"),
+      partitions = P)
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(seedEdges.toDF("src", "dst"))),
+      "seeded counts diverge from the cold recompute over the seed")
+    // seeding again (or over any non-empty state) must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.seedTriangleCounts(spark, stateDir,
+        b1.toDF("src", "dst"), partitions = P)
+    }
+    assert(ex.getMessage.contains("refusing to seed"))
+    // incremental batches resume at batchId >= 1 on the seeded state
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      b1.toDF("src", "dst"), batchId = 1L, partitions = P))
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      b2.toDF("src", "dst"), batchId = 2L, partitions = P))
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(half.toDF("src", "dst"))),
+      "seed + incremental batches diverge from the cold union recompute")
+    // recovery: mangle the count table (the mid-merge crash stand-in),
+    // rebuild from the edge log, verify counts AND that replaying a
+    // committed batch is a no-op again (markers restored)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$stateDir/counts/data"))
+    Graph.rebuildTriangleCounts(spark, stateDir, partitions = P)
+    assert(same(Graph.readTriangleCounts(spark, stateDir).get,
+      Graph.triangleCountsAdj(half.toDF("src", "dst"))),
+      "rebuilt counts diverge from the cold recompute over the log")
+    assert(!Graph.maintainTriangleCounts(spark, stateDir,
+      b2.toDF("src", "dst"), batchId = 2L, partitions = P),
+      "rebuild lost the commit markers: a committed batch re-applied")
+    // and maintenance continues on the rebuilt state
+    assert(Graph.maintainTriangleCounts(spark, stateDir,
+      Seq((900L, 901L)).toDF("src", "dst"), batchId = 3L, partitions = P))
+    // legacy r13 layout (counts/v=<id>, no counts/meta): fail fast with
+    // the migration pointer instead of silently seeding fresh state
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-trileg").toString
+    new java.io.File(s"$legacyDir/counts/v=3").mkdirs()
+    val exLeg = intercept[IllegalArgumentException] {
+      Graph.maintainTriangleCounts(spark, legacyDir,
+        Seq((1L, 2L)).toDF("src", "dst"), batchId = 0L, partitions = P)
+    }
+    assert(exLeg.getMessage.contains("legacy"))
+    intercept[IllegalArgumentException] {
+      Graph.readTriangleCounts(spark, legacyDir)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacyDir))
+  }
+
   test("bfsHopsDelta: refreshed hop table equals the cold recompute on " +
       "random graphs; a planted shortcut propagates improvements over " +
       "many rounds; a delta edge with an unreachable source fires once " +
@@ -877,6 +945,43 @@ class GraphOpsSpec extends SparkSpec {
         abs(col("a.auth_m") - col("b.auth_m")))))
       .head().getLong(0)
     assert(move <= tol, s"warm answer not a tol-valid fixed point: $move")
+  }
+
+  test("hitsUntil exit residual: a warm refresh where nodes LOST all " +
+      "their edges cannot declare converged at a tolerance the dropped " +
+      "nodes' served-0 fall violates") {
+    import org.apache.spark.sql.functions._
+    val (sym, _) = randomGraph(41L, 40, 260)
+    val main = sym.toDF("src", "dst")
+    // base = the main component + an IDENTICAL disconnected copy (ids
+    // offset by 1000): both halves carry the same score profile and the
+    // global max-rescale is attained in both, so deleting the copy
+    // leaves the main component's scores BIT-identical — the only move
+    // is the dropped copy's fall to served 0, exactly the move the r15
+    // ADVICE said went uncounted
+    val copy = sym.map { case (a, b) => (a + 1000L, b + 1000L) }
+    val base = (sym ++ copy).toDF("src", "dst")
+    val Graph.HitsRun(cold, _, coldConv) =
+      Graph.hitsUntil(base, "src", "dst", tolMicro = 2000L, maxRounds = 60)
+    assert(coldConv)
+    val dropped = cold.filter(col("node") >= 1000L)
+      .select(greatest(col("hub_m"), col("auth_m"))).as[Long].collect().max
+    assert(dropped > 2000L, s"fixture vacuous: dropped score $dropped within tol")
+    // sanity: the main component's warm round-1 is genuinely quiet
+    // (scores already at the fixed point) — pre-fix this run converged
+    // in 1 round, silently absorbing the drop
+    val run1 = Graph.hitsUntil(main, "src", "dst",
+      tolMicro = dropped - 1L, maxRounds = 1, init = Some(cold))
+    assert(!run1.converged,
+      s"converged past a dropped node whose old score $dropped exceeds tol")
+    // at a tolerance that PERMITS the drop, the same round converges —
+    // the exit term is the only thing between the two runs
+    val run2 = Graph.hitsUntil(main, "src", "dst",
+      tolMicro = dropped, maxRounds = 1, init = Some(cold))
+    assert(run2.converged,
+      "exit residual overshoots: blocked convergence the drop permits")
+    // the served frame no longer carries the dropped nodes at all
+    assert(run2.scores.filter(col("node") >= 1000L).isEmpty)
   }
 
   test("communityLabelsUntil: a cold run of k rounds is bit-identical to " +
