@@ -953,6 +953,116 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** A routed refresh's outcome: the result frame plus WHICH tier ran
+    * (`"delta"` / `"cold"`) — both tiers are exact (bit-identical
+    * outputs, spec-pinned), so the route is an observability/cost
+    * fact, never a correctness one.
+    */
+  final case class Routed(result: DataFrame, route: String)
+
+  /** Auto-dispatched k-core refresh — the r15 engagement rule
+    * (SCALING.md "decremental recompute pricing") promoted from prose to
+    * a router: [[kCoreDelta]] LOSES ~10x to a shallow cold peel (its
+    * fixed full-edge passes dwarf a 1-2-round early exit) and wins only
+    * in the cascade-deep regime (many peel rounds), so the caller should
+    * not have to read SCALING to choose. The probe is ONE degree
+    * aggregate over the post-insert graph — the same pass the cold
+    * peel's first round pays, so a cold route wastes nothing, and its
+    * cost is priced in the spec's plan note: nodes whose degree sits in
+    * `[k, k + cascadeMargin)` are the cascade fuel (each is one lost
+    * neighbor away from peeling), and a graph where fewer than
+    * `cascadeDeepFraction` of nodes are fuel early-exits its cold peel.
+    * Falls back cold when the old core is empty (the delta path's
+    * restricted peel would just re-run the full peel with extra joins)
+    * or not converged (kCoreDelta's immortality precondition). Inherits
+    * [[kCoreDelta]]'s insert-only contract on the delta route.
+    */
+  def kCoreRefreshAuto(
+      halfAfter: DataFrame,
+      oldCore: DataFrame,
+      k: Int,
+      rounds: Int = 64,
+      cascadeMargin: Int = 2,
+      cascadeDeepFraction: Double = 0.05): Routed = {
+    require(k >= 1 && rounds >= 1 && cascadeMargin >= 1)
+    val half = halfAfter.select(col("src"), col("dst")).localCheckpoint()
+    try {
+      val s = half.select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") >= k && col("d") < k + cascadeMargin, lit(1L))
+            .otherwise(lit(0L))).as("at_risk"))
+        .head()
+      val n = s.getAs[Long]("n")
+      val atRisk = s.getAs[Long]("at_risk")
+      val oldMin = oldCore.agg(min(col("core_deg"))).head()
+      val oldConverged = !oldMin.isNullAt(0) && oldMin.getLong(0) >= k
+      val deep = n > 0 && atRisk.toDouble / n >= cascadeDeepFraction
+      if (deep && oldConverged)
+        Routed(kCoreDelta(half, oldCore, k, maxRounds = rounds), "delta")
+      else
+        Routed(kCoreHalf(half, k, rounds), "cold")
+    } finally { half.unpersist(); () }
+  }
+
+  /** Auto-dispatched fixed-round LPA refresh — the r15 cone-refresh
+    * engagement rule ("2k-ball small relative to the corpus": 1.3x win
+    * on the high-diameter lattice, 0.48x LOSS on the small-diameter hub
+    * graph) promoted to a router. The probe expands the delta
+    * endpoints' BFS ball `probeHops` hops over the post-insert graph:
+    * delta-sized exactly when the graph is delta-local (the regime
+    * where the cone wins), and bounded by a couple of frontier passes
+    * even on a hub graph (where the 2-hop ball is already node-scale
+    * and the probe's answer is "go cold"). Saturation — ball size vs
+    * `saturationFraction` of the old label table's node count — routes
+    * to the cold fixed-round recompute; otherwise the exact cone
+    * refresh ([[communityLabelsDelta]]) runs, REUSING the probe's
+    * symmetrized edge frame so symmetrization is paid once.
+    */
+  def communityLabelsRefreshAuto(
+      edgesAfter: DataFrame,
+      aCol: String,
+      bCol: String,
+      rounds: Int,
+      oldLabels: DataFrame,
+      deltaEdges: DataFrame,
+      saturationFraction: Double = 0.2,
+      probeHops: Int = 2,
+      assumeSymmetric: Boolean = false): Routed = {
+    require(rounds >= 1 && probeHops >= 1)
+    val sym0 =
+      if (assumeSymmetric)
+        edgesAfter.select(col(aCol).as("src"), col(bCol).as("dst"))
+      else edgesAfter.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edgesAfter.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+    val sym = sym0.localCheckpoint()
+    val seeds = deltaEdges
+      .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
+    var ball = seeds.localCheckpoint()
+    var frontier = ball
+    var h = 0
+    val hops = math.min(probeHops, 2 * rounds)
+    while (h < hops && !frontier.isEmpty) {
+      frontier = sym
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(ball, Seq("node"), "left_anti")
+        .localCheckpoint()
+      ball = ball.unionAll(frontier).localCheckpoint()
+      h += 1
+    }
+    val n = math.max(1L, oldLabels.count())
+    val saturated = ball.count().toDouble / n >= saturationFraction
+    if (saturated)
+      Routed(communityLabels(sym, "src", "dst", rounds,
+        assumeSymmetric = true), "cold")
+    else
+      Routed(communityLabelsDelta(sym, "src", "dst", rounds, oldLabels,
+        deltaEdges.select(col(aCol).as("src"), col(bCol).as("dst")),
+        assumeSymmetric = true), "delta")
+  }
+
   /** Incremental multi-source BFS under edge INSERTIONS — the third
     * exact graph-IVM operator next to [[triangleCountDelta]] and
     * [[maintainCopurchaseWeights]]: inserted edges can only SHORTEN

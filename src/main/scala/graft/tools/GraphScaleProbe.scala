@@ -62,7 +62,7 @@ import graft.sinks.Lake
 object GraphScaleProbe {
   private val modes =
     Set("hits", "bfs", "walks", "kcore", "lpa", "warm", "tri", "trimaint",
-      "decr")
+      "decr", "auto", "warmlpa")
 
   /** Shuffle-exchange count of a printed physical plan.
     * `ShuffleExchangeExec.nodeName` is `"Exchange"` (the tree prints
@@ -94,6 +94,8 @@ object GraphScaleProbe {
     if (args.contains("tri")) { triProbe(sizes); return }
     if (args.contains("trimaint")) { triMaintProbe(sizes); return }
     if (args.contains("decr")) { decrProbe(sizes); return }
+    if (args.contains("auto")) { autoProbe(sizes); return }
+    if (args.contains("warmlpa")) { warmLpaProbe(sizes); return }
     val spark = GraftSession.local(32, "graph-scale-probe")
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -546,6 +548,166 @@ object GraphScaleProbe {
         f"cold=$tColdHub%.1f s ratio=${tColdHub / tConeHub}%.2fx " +
         f"(small-diameter regime: the 2k-ball saturates — cold recompute " +
         f"is the operating tier here)")
+    }
+    spark.stop()
+  }
+
+  /** `auto` mode (r16): prices the DISPATCH PROBES the refresh routers
+    * run before choosing a tier — the cost a caller pays for not having
+    * to read SCALING.md. kcore's probe is one degree aggregate (claimed
+    * ~free relative to even a shallow cold peel); LPA's is a 2-hop BFS
+    * ball from the delta endpoints, delta-sized on the ring lattice and
+    * bounded by ~two frontier passes even where it saturates (the hub
+    * graph, where its answer is "go cold").
+    */
+  private def autoProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-auto")
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      val k = 40
+      val half = spark.range(nodes * 20).select(
+          (col("id") / 20).cast("long").as("src"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+        .filter(col("src") < col("dst"))
+        .distinct().localCheckpoint()
+      // kcore dispatch probe: the degree + cascade-fuel aggregate alone
+      val tProbe = timed {
+        half.select(explode(array(col("src"), col("dst"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .agg(count(lit(1)), sum(when(col("d") >= k && col("d") < k + 2,
+            lit(1L)).otherwise(lit(0L)))).head()
+        ()
+      }
+      val tColdPeel = timed {
+        Graph.kCoreHalf(half, k, rounds = 64).write
+          .format("noop").mode("overwrite").save()
+      }
+      println(f"[graphscale-auto] kcore nodes=$nodes k=$k " +
+        f"dispatch_probe=$tProbe%.1f s cold_peel=$tColdPeel%.1f s " +
+        f"(probe/peel=${tProbe / tColdPeel}%.2f)")
+      // LPA dispatch probe: the 2-hop ball expansion alone, on the
+      // delta-local ring and on the saturating hub graph
+      val ring = spark.range(nodes * 4).select(
+          (col("id") / 4).cast("long").as("src"),
+          pmod(col("id") / 4 + pmod(col("id"), lit(4)) + 1, lit(nodes))
+            .as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionAll(spark.range(nodes * 4).select(
+          pmod(col("id") / 4 + pmod(col("id"), lit(4)) + 1, lit(nodes))
+            .as("src"), (col("id") / 4).cast("long").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      val hub = spark.range(nodes * 40).select(
+          (col("id") / 40).cast("long").as("src"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+        .unionAll(spark.range(nodes * 40).select(
+          pmod(xxhash64(col("id")), lit(nodes)).as("src"),
+          (col("id") / 40).cast("long").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint()
+      val delta = spark.range(nodes / 1000).select(
+        pmod(xxhash64(col("id") + 13), lit(nodes)).as("src"),
+        pmod(xxhash64(col("id") + 13) + 101, lit(nodes)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      def ballProbe(sym: DataFrame): Long = {
+        var ball = delta.select(explode(array(col("src"), col("dst")))
+          .as("node")).distinct().localCheckpoint()
+        var frontier = ball
+        for (_ <- 1 to 2) {
+          frontier = sym
+            .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+            .select(col("dst").as("node")).distinct()
+            .join(ball, Seq("node"), "left_anti")
+            .localCheckpoint()
+          ball = ball.unionAll(frontier).localCheckpoint()
+        }
+        ball.count()
+      }
+      var ringBall = 0L; var hubBall = 0L
+      val tRingProbe = timed { ringBall = ballProbe(ring) }
+      val tHubProbe = timed { hubBall = ballProbe(hub) }
+      val tColdLpa = timed {
+        Graph.communityLabels(hub, "src", "dst", 3,
+          assumeSymmetric = true, checkpointEdges = false).write
+          .format("noop").mode("overwrite").save()
+      }
+      println(f"[graphscale-auto] lpa nodes=$nodes " +
+        f"ring_ball=$ringBall (${100.0 * ringBall / nodes}%.1f%% of nodes, " +
+        f"probe=$tRingProbe%.1f s) hub_ball=$hubBall " +
+        f"(${100.0 * hubBall / nodes}%.1f%%, probe=$tHubProbe%.1f s) " +
+        f"vs one cold fixed-round run $tColdLpa%.1f s")
+    }
+    spark.stop()
+  }
+
+  /** `warmlpa` mode (r16, verdict #6): prices [[Graph.communityLabelsUntil]]
+    * warm starts at scale on the ring lattice — the regime where sync-LPA
+    * fixpoints genuinely exist — with the claimed-faster warm path timed
+    * FIRST, plus the honest-flag control on the hub graph (oscillating:
+    * the run must cap at maxRounds with converged=false, never lie).
+    */
+  private def warmLpaProbe(sizes: Seq[Double]): Unit = {
+    val spark = GraftSession.local(32, "graph-scale-probe-warmlpa")
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    for (m <- sizes) {
+      val nodes = (m * 1000000L).toLong
+      // sync-LPA fixpoints need locally-dense neighborhoods (a bare
+      // lattice keeps drifting — measured, 30-round cap with conv=false
+      // at every size): the convergent high-diameter shape is a CLIQUE
+      // ARCHIPELAGO — 20-cliques in a ring, ~9.5 half-edges per node,
+      // diameter = clique count / 2
+      val cSize = 20L
+      val nCliques = nodes / cSize
+      val intra = spark.range(nodes * (cSize - 1)).select(
+          (col("id") / (cSize - 1)).cast("long").as("src"),
+          ((col("id") / (cSize - 1)).cast("long") +
+            pmod(col("id"), lit(cSize - 1)) + 1).as("dst"))
+        .filter((col("src") / cSize).cast("long") ===
+          (col("dst") / cSize).cast("long")) // integer clique id, not double div
+      val bridges = spark.range(nCliques).select(
+        (col("id") * cSize).as("src"),
+        (pmod(col("id") + 1, lit(nCliques)) * cSize).as("dst"))
+      val arch0 = intra.unionAll(bridges).localCheckpoint()
+      val delta = spark.range(nodes / 1000).select(
+          (pmod(xxhash64(col("id") + 13), lit(nCliques)) * cSize + 3).as("src"),
+          (pmod(xxhash64(col("id") + 29), lit(nCliques)) * cSize + 7).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .exceptAll(arch0)
+        .localCheckpoint()
+      val arch1 = arch0.unionAll(delta).localCheckpoint()
+      val maxR = 30
+      // the maintained fixpoint (not timed; also JIT warm-up)
+      val prev = Graph.communityLabelsUntil(arch0, "src", "dst", maxR)
+      val snap = prev.labels.localCheckpoint()
+      // claimed-faster warm path FIRST (timing-honesty rule)
+      val (warm, tWarm) = timed(Graph.communityLabelsUntil(
+        arch1, "src", "dst", maxR, init = Some(snap)))
+      val (cold, tCold) = timed(Graph.communityLabelsUntil(
+        arch1, "src", "dst", maxR))
+      println(f"[graphscale-warmlpa] archipelago nodes=$nodes " +
+        f"cliques=$nCliques delta=${delta.count()} " +
+        f"prev(rounds=${prev.rounds}, conv=${prev.converged}) " +
+        f"warm=$tWarm%.1f s (rounds=${warm.rounds}, conv=${warm.converged}) " +
+        f"cold=$tCold%.1f s (rounds=${cold.rounds}, conv=${cold.converged}) " +
+        f"speedup=${tCold / tWarm}%.1fx")
+      // honest-flag control: the hub graph oscillates under sync LPA —
+      // the run must report converged=false at the cap, and the serving
+      // answer there is the fixed-round form
+      val hub = spark.range(nodes * 4).select(
+          (col("id") / 4).cast("long").as("src"),
+          pmod(xxhash64(col("id")), lit(nodes)).as("dst"))
+        .localCheckpoint()
+      val capped = Graph.communityLabelsUntil(hub, "src", "dst", 8)
+      println(s"[graphscale-warmlpa] hub control: rounds=${capped.rounds} " +
+        s"converged=${capped.converged} (expected false — oscillating " +
+        "regime; fixed-round form is the serving tier there)")
     }
     spark.stop()
   }

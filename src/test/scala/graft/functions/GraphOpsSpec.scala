@@ -947,6 +947,72 @@ class GraphOpsSpec extends SparkSpec {
     assert(move <= tol, s"warm answer not a tol-valid fixed point: $move")
   }
 
+  test("kCoreRefreshAuto: routes cold on a shallow-peel graph and delta " +
+      "on a cascade-deep graph — both arms bit-identical to the cold " +
+      "recompute (dispatch is a cost decision, never a correctness one)") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // shallow: dense random graph, k far below typical degree — nobody
+    // near the threshold, the cold peel early-exits
+    val (sym, _) = randomGraph(59L, 40, 320)
+    val half0 = sym.filter(p => p._1 < p._2)
+    val preHalf = half0.toDF("src", "dst")
+    val oldCoreShallow = Graph.kCoreHalf(preHalf, k = 3, rounds = 32)
+    val ins = Seq((0L, 39L), (1L, 38L)).filterNot(half0.toSet)
+    val afterShallow = (half0 ++ ins).toDF("src", "dst")
+    val rShallow = Graph.kCoreRefreshAuto(afterShallow, oldCoreShallow, k = 3)
+    assert(rShallow.route === "cold",
+      "dense graph with nobody near threshold must take the cold peel")
+    assert(same(rShallow.result, Graph.kCoreHalf(afterShallow, 3, 32)))
+    // cascade-deep: a cycle at exactly degree k — every node is cascade
+    // fuel, and the converged old core (the whole cycle) lets the
+    // restricted peel engage
+    val m = 30L
+    val cycle = (0L until m).map(i => (i, (i + 1) % m))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    val oldCoreDeep = Graph.kCoreHalf(cycle.toDF("src", "dst"), k = 2, rounds = 32)
+    assert(oldCoreDeep.count() === m, "fixture: the cycle IS the 2-core")
+    // delta: a pendant chain (peels away) + one chord (survives)
+    val afterDeep = (cycle ++ Seq((0L, 100L), (100L, 101L), (5L, 15L)))
+      .toDF("src", "dst")
+    val rDeep = Graph.kCoreRefreshAuto(afterDeep, oldCoreDeep, k = 2)
+    assert(rDeep.route === "delta",
+      "at-threshold cycle must take the restricted delta peel")
+    assert(same(rDeep.result, Graph.kCoreHalf(afterDeep, 2, 32)),
+      "delta route diverged from the cold recompute")
+  }
+
+  test("communityLabelsRefreshAuto: routes delta on a delta-local ring " +
+      "and cold on a hub graph — both arms bit-identical to the cold " +
+      "fixed-round recompute") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val rounds = 3
+    // delta-local: a 60-ring; a chord's 2-hop ball is ~10 of 60 nodes
+    val ring = (0L until 60L).map(i => (i, (i + 1) % 60L))
+    val ringOld = Graph.communityLabels(ring.toDF("src", "dst"), "src", "dst", rounds)
+    val ringAfter = (ring ++ Seq((10L, 40L))).toDF("src", "dst")
+    val rRing = Graph.communityLabelsRefreshAuto(ringAfter, "src", "dst",
+      rounds, ringOld, Seq((10L, 40L)).toDF("src", "dst"))
+    assert(rRing.route === "delta",
+      "ring chord's 2-hop ball is delta-local: must take the cone refresh")
+    assert(same(rRing.result,
+      Graph.communityLabels(ringAfter, "src", "dst", rounds)),
+      "cone route diverged from the cold fixed-round recompute")
+    // hub: a star — any delta's 2-hop ball saturates through the center
+    val star = (1L until 40L).map(i => (0L, i))
+    val starOld = Graph.communityLabels(star.toDF("src", "dst"), "src", "dst", rounds)
+    val starAfter = (star ++ Seq((1L, 2L))).toDF("src", "dst")
+    val rStar = Graph.communityLabelsRefreshAuto(starAfter, "src", "dst",
+      rounds, starOld, Seq((1L, 2L)).toDF("src", "dst"))
+    assert(rStar.route === "cold",
+      "star delta's 2-hop ball saturates: must take the cold recompute")
+    assert(same(rStar.result,
+      Graph.communityLabels(starAfter, "src", "dst", rounds)))
+  }
+
   test("hitsUntil exit residual: a warm refresh where nodes LOST all " +
       "their edges cannot declare converged at a tolerance the dropped " +
       "nodes' served-0 fall violates") {
