@@ -1474,6 +1474,122 @@ object Graph {
         ()
       }
 
+  /** Maintained FIXED-ROUND community labels under edge-insert batches —
+    * the streaming-state story for the last clustered view without one
+    * (r15 verdict #5), composing [[communityLabelsRefreshAuto]] into the
+    * [[maintainTriangleCounts]] state discipline. State under `stateDir`:
+    *
+    *  - `edges/batch=<id>` — the canonical half-edge log (insert-only:
+    *    deletions are the documented batch-tier cold recompute, the
+    *    [[communityLabelsDelta]] contract);
+    *  - `labels/` — an [[Incremental.upsertPartitioned]] table keyed by
+    *    `node`, value `label`: per batch only the partitions holding
+    *    CHANGED labels rewrite (the cone refresh changes a ball-sized
+    *    set, so steady-state maintenance I/O is ball-sized, never
+    *    node-sized), with `labels/applied/batch=<id>` the commit marker.
+    *
+    * Batch flow: canonicalize, dedupe against the prior log, land the
+    * edge delta, refresh labels — the FIRST batch runs the cold
+    * fixed-round [[communityLabels]]; later batches route through the
+    * auto-dispatcher (cone refresh when the 2k-ball stays delta-local,
+    * cold otherwise — both exact, so the state equals the cold
+    * fixed-round labels of the whole log after EVERY batch, by
+    * induction through [[communityLabelsDelta]]'s exactness), and only
+    * changed `(node, label)` rows upsert (the changed set comes from one
+    * thin node-sized exceptAll against the stored table — compute, not
+    * I/O; the WRITE stays ball-sized). Write order: edges first, labels
+    * marker last — a replay with the same id re-dedupes to the identical
+    * delta, overwrites its own edge partition, and the labels marker
+    * makes the refresh a no-op.
+    *
+    * Returns false on an already-applied batch (replay no-op).
+    */
+  def maintainCommunityLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      edgeBatchHalf: DataFrame,
+      batchId: Long,
+      rounds: Int,
+      partitions: Int = 64,
+      saturationFraction: Double = 0.2): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(rounds >= 1)
+    val labelsDir = s"$stateDir/labels"
+    val edgesDir = s"$stateDir/edges"
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$labelsDir/applied/batch=$batchId"))) return false
+    Incremental.pinnedPartitions(spark, labelsDir).foreach(p =>
+      require(p == partitions,
+        s"label table at $labelsDir was built with partitions=$p; " +
+          s"refusing to upsert with partitions=$partitions"))
+    val canon = edgeBatchHalf
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val oldOpt =
+      if (Incremental.hasLivePartitions(spark, edgesDir, "batch="))
+        Some(spark.read.parquet(edgesDir)
+          .filter(col("batch") < batchId).select(col("src"), col("dst")))
+      else None
+    val delta = oldOpt.map(old => canon.join(old, Seq("src", "dst"), "left_anti"))
+      .getOrElse(canon)
+      .localCheckpoint() // consumed by the log write, the router, the union
+    try {
+      val after = oldOpt.map(_.unionAll(delta)).getOrElse(delta)
+      if (!delta.isEmpty)
+        IndexLayout.overwriteBatchPartitions(
+          delta.withColumn("batch", lit(batchId)), edgesDir, Seq("batch"))
+      val oldLabels =
+        Incremental.readCountsPartitioned(spark, labelsDir, Seq("node"), "label")
+      val fresh = oldLabels match {
+        case None => communityLabels(after, "src", "dst", rounds)
+        case Some(old) => communityLabelsRefreshAuto(after, "src", "dst",
+          rounds, old, delta, saturationFraction).result
+      }
+      // only CHANGED assignments upsert — ball-sized under the cone route
+      val changed = oldLabels match {
+        case None => fresh
+        case Some(old) => fresh.exceptAll(old)
+      }
+      Incremental.upsertPartitioned(spark, labelsDir,
+        changed.select(col("node"), col("label")),
+        Seq("node"), "label", partitions, batchId)
+    } finally { delta.unpersist(); () }
+  }
+
+  /** The maintained label table as a frame (`node`, `label`); None
+    * before the first committed batch.
+    */
+  def readCommunityLabels(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    Incremental.readCountsPartitioned(
+      spark, s"$stateDir/labels", Seq("node"), "label")
+
+  /** Streaming wrapper of [[maintainCommunityLabels]] — the
+    * [[maintainTriangleCountsStream]] idiom: each micro-batch of
+    * half-edges (`src`, `dst`) folds through the edge log + label state
+    * under its micro-batch id, so foreachBatch's at-least-once replay
+    * is exactly-once on the state (per-batch commit markers).
+    */
+  def maintainCommunityLabelsStream(
+      edgeBatches: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      rounds: Int,
+      partitions: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edgeBatches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        maintainCommunityLabels(batch.sparkSession, stateDir, batch.toDF(),
+          batchId, rounds, partitions)
+        ()
+      }
+
   /** The shared degree-ordered orientation of [[triangleCountsHalf]] /
     * [[triangleCountsAdj]]: each {u,v} once as (lower, higher) by
     * (degree, id) — every triangle survives as exactly one directed

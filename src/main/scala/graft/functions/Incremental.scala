@@ -642,6 +642,73 @@ object Incremental {
     true
   }
 
+  /** UPSERT sibling of [[mergeCountsPartitioned]] for NON-monoid state
+    * (label assignments, latest-value tables): the batch's rows REPLACE
+    * the stored rows of their keys instead of summing into them. Same
+    * layout (`data/__p=N` slices, `meta` modulus pin, `applied/batch=`
+    * commit markers), same delta-sized-rewrite property: only the
+    * partitions holding the batch's keys are rewritten, so a ball-sized
+    * changed-label set costs ball-sized I/O, never node-sized. Same
+    * crash caveat (the affected-slice rewrite is not atomic); replay
+    * with the same batch id is a no-op via the marker. A partition can
+    * never empty under upsert (keys are only added or rewritten), so
+    * there is no emptied-directory cleanup here. The batch must carry
+    * ONE row per key — two rows racing for a key would make the stored
+    * value an accident of partition order; fail loudly instead.
+    */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      rows: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      partitions: Int,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(partitions >= 1)
+    val dataDir = s"$stateDir/data"
+    val marker = new Path(s"$stateDir/applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return false
+    pinnedPartitions(spark, stateDir) match {
+      case Some(p) => require(p == partitions,
+        s"state table at $stateDir was built with partitions=$p; " +
+          s"refusing to upsert with partitions=$partitions")
+      case None =>
+        fs.mkdirs(new Path(s"$stateDir/meta/partitions=$partitions"))
+    }
+    val part = pmod(xxhash64(keys.map(col): _*), lit(partitions)).as("__p")
+    val delta = rows.select((keys :+ valCol).map(col): _*)
+      .select(col("*"), part)
+      .localCheckpoint() // consumed by the dup check, listing, and merge
+    try {
+      val nRows = delta.count()
+      val nKeys = delta.select(keys.map(col): _*).distinct().count()
+      require(nRows == nKeys,
+        s"upsert batch $batchId carries ${nRows - nKeys} duplicate key " +
+          "rows — the stored value would be an accident of partition order")
+      val affected = delta.select(col("__p")).distinct()
+        .collect().map(_.getLong(0)) // bounded by `partitions`
+      if (affected.isEmpty) { fs.mkdirs(marker); return true }
+      val merged0 =
+        if (!hasLivePartitions(spark, dataDir, "__p=")) delta
+        else spark.read.parquet(dataDir)
+          .where(col("__p").isin(affected: _*))
+          .select((keys :+ valCol).map(col): _*)
+          .join(delta.select(keys.map(col): _*), keys, "left_anti")
+          .select(col("*"), part)
+          .unionByName(delta)
+      val merged = merged0.localCheckpoint()
+      try {
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__p").parquet(dataDir)
+        fs.mkdirs(marker)
+        true
+      } finally { merged.unpersist(); () }
+    } finally { delta.unpersist(); () }
+  }
+
   /** Streaming maintainer for the [[mergeCountsPartitioned]] state table
     * — the large-state twin of [[maintainDatasheet]]'s versioned scheme:
     * each micro-batch aggregates its own delta and keyed-merges it into

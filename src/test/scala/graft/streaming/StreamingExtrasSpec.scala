@@ -212,6 +212,65 @@ class StreamingExtrasSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainCommunityLabelsStream: micro-batched label maintenance " +
+      "equals the cold fixed-round recompute over the whole log; a " +
+      "replayed batch is a no-op on state bytes") {
+    import graft.functions.Graph
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // two 10-cliques + a later bridge, delivered across three
+    // micro-batches (clique A, clique B, bridge + clique-A reinforcement)
+    val cliqueA = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield (i, j)
+    val cliqueB = for (i <- 20L until 30L; j <- (i + 1) until 30L) yield (i, j)
+    val b3 = Seq((9L, 20L), (0L, 5L)) // bridge + an already-logged edge (dedup)
+    val rounds = 3
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-lpam").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lpam-ck").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Graph.maintainCommunityLabelsStream(
+      input.toDF().toDF("src", "dst"), stateDir, ckpt, rounds,
+      partitions = 8).start()
+    try {
+      input.addData(cliqueA: _*); q.processAllAvailable()
+      input.addData(cliqueB: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = (cliqueA ++ cliqueB ++ b3).distinct
+    assert(same(Graph.readCommunityLabels(spark, stateDir).get,
+      Graph.communityLabels(all.toDF("src", "dst"), "src", "dst", rounds)),
+      "maintained labels diverge from the cold fixed-round recompute")
+    // replay the last micro-batch id directly: marker-detected no-op,
+    // every state file byte-identical
+    def crcs(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(stateDir)
+      val it = java.nio.file.Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")) {
+          val c = new java.util.zip.CRC32()
+          c.update(java.nio.file.Files.readAllBytes(p))
+          out(root.relativize(p).toString) = c.getValue
+        }
+      }
+      out.toMap
+    }
+    val before = crcs()
+    assert(!Graph.maintainCommunityLabels(spark, stateDir,
+      b3.toDF("src", "dst"), batchId = 2L, rounds = rounds, partitions = 8),
+      "replayed batch re-applied")
+    assert(crcs() === before, "replay touched state files")
+    // a mismatched partition modulus fails fast (the pinned-P contract)
+    intercept[IllegalArgumentException] {
+      Graph.maintainCommunityLabels(spark, stateDir,
+        Seq((1L, 2L)).toDF("src", "dst"), batchId = 9L, rounds = rounds,
+        partitions = 16)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
   test("int8AppendStream converges to the one-shot batch index") {
     import graft.functions.Similarity
     val vecs = (0L until 80L).map { id =>
