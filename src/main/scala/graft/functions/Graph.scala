@@ -572,15 +572,34 @@ object Graph {
         .union(edgesAfter.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct()
     val sym = sym0.localCheckpoint()
+    val seeds = deltaEdges
+      .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
+    communityLabelsDeltaFrom(sym, rounds, oldLabels,
+      seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(),
+      hopsDone = 0)
+  }
+
+  /** [[communityLabelsDelta]]'s core with the delta-endpoint ball BFS
+    * RESUMABLE from a partial `(node, hop)` frame — so the router
+    * ([[communityLabelsRefreshAuto]]) hands its probe ball over instead
+    * of the cone re-expanding the same hops from scratch. `hopsDone`
+    * hops must already be complete in `hops`; the continuation frontier
+    * re-derives as the nodes at exactly that hop (empty if the ball
+    * already saturated — the loop then exits immediately).
+    */
+  private def communityLabelsDeltaFrom(
+      sym: DataFrame,
+      rounds: Int,
+      oldLabels: DataFrame,
+      hops0: DataFrame,
+      hopsDone: Int): DataFrame = {
     val maxH = 2 * rounds
     // multi-source BFS ball of the delta endpoints over the post-insert
     // graph (frontier-only expansion, the bfsHops shape with a FRAME of
     // seeds — the delta is batch-sized, not a literal list)
-    val seeds = deltaEdges
-      .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
-    var hops = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint()
-    var frontier = hops.select(col("node"))
-    var h = 0
+    var hops = hops0
+    var frontier = hops.filter(col("hop") === hopsDone).select(col("node"))
+    var h = hopsDone
     while (h < maxH && !frontier.isEmpty) {
       val nxt = sym
         .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -1039,17 +1058,21 @@ object Graph {
     val sym = sym0.localCheckpoint()
     val seeds = deltaEdges
       .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
-    var ball = seeds.localCheckpoint()
-    var frontier = ball
+    // the probe ball carries hop numbers so the delta route can RESUME
+    // the cone's BFS from it instead of re-expanding the same hops
+    var ball = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint()
+    var frontier = ball.select(col("node"))
     var h = 0
     val hops = math.min(probeHops, 2 * rounds)
     while (h < hops && !frontier.isEmpty) {
-      frontier = sym
+      val nxt = sym
         .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
         .join(ball, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h + 1))
         .localCheckpoint()
-      ball = ball.unionAll(frontier).localCheckpoint()
+      ball = ball.unionAll(nxt).localCheckpoint()
+      frontier = nxt.select(col("node"))
       h += 1
     }
     val n = math.max(1L, oldLabels.count())
@@ -1058,9 +1081,8 @@ object Graph {
       Routed(communityLabels(sym, "src", "dst", rounds,
         assumeSymmetric = true), "cold")
     else
-      Routed(communityLabelsDelta(sym, "src", "dst", rounds, oldLabels,
-        deltaEdges.select(col(aCol).as("src"), col(bCol).as("dst")),
-        assumeSymmetric = true), "delta")
+      Routed(communityLabelsDeltaFrom(sym, rounds, oldLabels, ball,
+        hopsDone = hops), "delta")
   }
 
   /** Incremental multi-source BFS under edge INSERTIONS — the third
@@ -1396,10 +1418,17 @@ object Graph {
   def rebuildTriangleCounts(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      partitions: Int = 64): Unit = {
+      partitions: Option[Int] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // preserve the table's pinned modulus by default (read BEFORE the
+    // wipe): a recovery run must not silently change the layout contract
+    // out from under the maintainer's partitions argument (r16
+    // self-review); pass Some(p) only to deliberately re-partition
+    val p = partitions
+      .orElse(Incremental.pinnedPartitions(spark, s"$stateDir/counts"))
+      .getOrElse(64)
     fs.delete(new Path(s"$stateDir/counts"), true)
     val (log, batches) =
       if (Incremental.hasLivePartitions(spark, s"$stateDir/edges", "batch=")) {
@@ -1411,7 +1440,7 @@ object Graph {
         Seq(0L))
     Incremental.mergeCountsPartitioned(spark, s"$stateDir/counts",
       triangleCountsAdj(log).select(col("node"), col("tri_cnt")),
-      Seq("node"), "tri_cnt", partitions, batchId = batches.max)
+      Seq("node"), "tri_cnt", p, batchId = batches.max)
     batches.foreach(b =>
       fs.mkdirs(new Path(s"$stateDir/counts/applied/batch=$b")))
     ()
@@ -2035,14 +2064,18 @@ object Graph {
       // held the cold initial 10^6, but a key missing from the old AUTH
       // frame SERVED 0 (the final coalesce) — a delta-born node swinging
       // to top authority must count its full move, not |10^6 - new|
+      // exits can only fire in (warm) round 1: from round 2 on, old and
+      // next are consecutive rounds over the SAME graph, whose scored
+      // key sets never shrink — skip the anti-join actions there
       val move = math.max(
         resid(nextHub, hub, hubServed, 1000000L),
-        prevAuth.map(pa => resid(nextAuth, pa, Some(pa), 0L))
+        prevAuth.map(pa =>
+          resid(nextAuth, pa, if (rounds == 0) Some(pa) else None, 0L))
           .getOrElse(Long.MaxValue))
       rounds += 1
       converged = move <= tolMicro
       hub = nextHub
-      hubServed = Some(nextHub)
+      hubServed = None
       auth = nextAuth
       prevAuth = Some(nextAuth)
     }

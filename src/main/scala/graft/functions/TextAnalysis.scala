@@ -347,7 +347,13 @@ object TextAnalysis {
     *      exists is detected and returns without scanning anything.
     *   Orphan postings of a crashed APPEND (no stats marker) are not
     *   touched: they are already invisible to search and are replaced
-    *   wholesale when their own batch id replays.
+    *   wholesale when their own batch id replays. ORDERING CONTRACT: a
+    *   delete therefore covers only batches COMMITTED when it resolves —
+    *   a doc still mid-ingest (its append uncommitted or replaying)
+    *   reappears when that append commits, because the replay rewrites
+    *   its whole batch partition from source data; deleting such a doc
+    *   requires re-issuing the delete AFTER its append commits (standard
+    *   last-writer semantics between two streams).
     */
   def deleteFromInvertedIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -369,8 +375,20 @@ object TextAnalysis {
         -2L - b
       case None =>
         // next free id in the delete namespace (< BaseBatch), disjoint
-        // from append allocation (max + 1) forever
-        committed.filter(_ < IndexLayout.BaseBatch)
+        // from append allocation (max + 1) forever. Allocation must see
+        // RESOLVED-but-uncommitted batches too (the deletes/ listing),
+        // not just committed stats ids: otherwise a fresh auto-id delete
+        // would collide with a crashed or matched-nothing predecessor's
+        // slot, silently reuse ITS persisted resolution, and delete the
+        // wrong set (r16 self-review)
+        val resolvedIds = {
+          val delRoot = new org.apache.hadoop.fs.Path(s"$path/deletes")
+          if (!fs.exists(delRoot)) Seq.empty[Long]
+          else fs.listStatus(delRoot).toSeq
+            .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+            .map(b => -2L - b)
+        }
+        (committed.filter(_ < IndexLayout.BaseBatch) ++ resolvedIds)
           .foldLeft(IndexLayout.BaseBatch)(math.min) - 1L
     }
     val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes/${-internal - 2L}")
@@ -396,8 +414,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"))
       .head()
     val (nDel, totDel) = (del.getAs[Long]("n"), del.getAs[Long]("tot"))
-    if (nDel == 0L) // no indexed doc matched; the empty resolution stays
+    if (nDel == 0L) {
+      // no indexed doc matched: still COMMIT the batch (a zero stats row
+      // is the monoid identity) — without the marker, pendingDeletes
+      // would report this batch forever and replaying it could never
+      // heal it (r16 self-review)
+      IndexLayout.overwriteBatchPartitions(
+        spark.range(1).select(lit(0L).as("n"), lit(0L).as("tot"),
+          lit(buckets).as("buckets"), lit(internal).as("batch")),
+        s"$path/stats", Seq("batch"))
       return graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L)
+    }
     val affected = resolved
       .select(col("bucket").cast("string"), col("batch").cast("string"))
       .distinct().collect().map(r => Seq(r.getString(0), r.getString(1)))

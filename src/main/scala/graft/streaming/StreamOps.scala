@@ -334,9 +334,13 @@ object StreamOps {
     * a NEGATED count-monoid row). The micro-batch id keys the delete's
     * replay protocol (resolution persisted first, stats marker last, in
     * a namespace disjoint from append ids), so an at-least-once replay
-    * subtracts exactly once — a delete stream and an ingest stream can
-    * safely maintain the same index. Searches after any committed batch
-    * rank identically to a rebuild over the surviving docs.
+    * subtracts exactly once and the two streams' batch ids can never
+    * collide on a stats partition. Ordering between the streams is
+    * last-writer (the batch-commit contract): a delete covers only
+    * appends COMMITTED when it resolves — a doc whose append is still
+    * in flight reappears when that append (re)commits, and must be
+    * re-deleted after it. Searches after any committed batch rank
+    * identically to a rebuild over the surviving docs.
     */
   def bm25DeleteStream(
       ids: DataFrame,

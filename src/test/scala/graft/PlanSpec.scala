@@ -200,13 +200,14 @@ class PlanSpec extends SparkSpec {
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val crosses = fn(spark, d).queryExecution.optimizedPlan.collect {
         case j: Join if j.joinType == Cross || j.condition.isEmpty =>
-          // a conditionless join is fine iff one side is a global
-          // aggregate (grouping-free => exactly one row)
+          // a conditionless join is fine iff one side is provably <= 1
+          // row: a grouping-free global aggregate, or any plan whose
+          // Catalyst maxRows bound is 1 (e.g. the literal
+          // range(1).select(lit...) stats frame bm25SearchFromIndex
+          // crosses in — index_delete_bm25)
           val oneRow = Seq(j.left, j.right).exists {
             case a: Aggregate => a.groupingExpressions.isEmpty
-            case p => p.collectFirst {
-              case a: Aggregate if a.groupingExpressions.isEmpty => a
-            }.isDefined && p.maxRows.contains(1L)
+            case p => p.maxRows.contains(1L)
           }
           if (oneRow) None else Some(j)
       }.flatten

@@ -1418,6 +1418,46 @@ class FunctionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("buckets"))
   }
 
+  test("deleteFromInvertedIndex protocol edges: a matched-nothing delete " +
+      "still commits its marker; auto ids never reuse an uncommitted " +
+      "predecessor's resolution; healing a crashed batch restores exact stats") {
+    val all = (0L until 80L).map(i => (i, s"alpha words w${i % 5} here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-proto").toString
+    TextAnalysis.writeInvertedIndex(all, "text", "doc_id", idx, buckets = 8)
+    // matched-nothing delete (auto slot 0): must COMMIT (zero stats row),
+    // not dangle in pendingDeletes forever
+    val st0 = TextAnalysis.deleteFromInvertedIndex(spark, Seq(9999L), idx)
+    assert(st0 === graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L))
+    assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty,
+      "a matched-nothing delete left a forever-pending batch")
+    // a real delete (auto slot 1), then simulate the crash window by
+    // removing its stats marker: resolution persisted, commit missing
+    TextAnalysis.deleteFromInvertedIndex(spark, Seq(10L), idx)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats/batch=-3"), true)
+    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(1L))
+    // a NEW auto-id delete with different ids must claim a FRESH slot,
+    // not silently replay slot 1's persisted resolution
+    val stB = TextAnalysis.deleteFromInvertedIndex(spark, Seq(20L), idx)
+    assert(stB.rowsDeleted > 0L, "fresh auto-id delete resolved nothing " +
+      "(it reused a stale resolution slot)")
+    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(1L),
+      "the crashed batch must stay pending until ITS id replays")
+    // heal the crashed batch by replaying its id, then exact-stats check
+    TextAnalysis.deleteFromInvertedIndex(spark, Seq(10L).toDF("doc_id"), idx,
+      batchId = Some(1L))
+    assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-proto-rb").toString
+    TextAnalysis.writeInvertedIndex(
+      all.filter(!col("doc_id").isin(10L, 20L)), "text", "doc_id", rebuilt,
+      buckets = 8)
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt),
+      "healed + fresh deletes diverge from the survivors rebuild")
+  }
+
   test("deleteFromLshIndex: post-delete near-dup verdicts equal a rebuild " +
       "without the deleted docs; re-delete is a no-op") {
     val corpus = (0L until 60L).map { i =>

@@ -735,7 +735,8 @@ class GraphOpsSpec extends SparkSpec {
     // committed batch is a no-op again (markers restored)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$stateDir/counts/data"))
-    Graph.rebuildTriangleCounts(spark, stateDir, partitions = P)
+    // no partitions arg: the rebuild must preserve the pinned modulus
+    Graph.rebuildTriangleCounts(spark, stateDir)
     assert(same(Graph.readTriangleCounts(spark, stateDir).get,
       Graph.triangleCountsAdj(half.toDF("src", "dst"))),
       "rebuilt counts diverge from the cold recompute over the log")
