@@ -574,9 +574,12 @@ object Graph {
     val sym = sym0.localCheckpoint()
     val seeds = deltaEdges
       .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
-    communityLabelsDeltaFrom(sym, rounds, oldLabels,
-      seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(),
-      hopsDone = 0)
+    val hops0 = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint()
+    try communityLabelsDeltaFrom(sym, rounds, oldLabels, hops0, hopsDone = 0)
+    finally {
+      // the returned frame is a self-contained checkpoint — these fed it
+      sym.unpersist(); hops0.unpersist(); ()
+    }
   }
 
   /** [[communityLabelsDelta]]'s core with the delta-endpoint ball BFS
@@ -587,6 +590,40 @@ object Graph {
     * re-derives as the nodes at exactly that hop (empty if the ball
     * already saturated — the loop then exits immediately).
     */
+  /** Multi-source BFS ball over `sym` resuming a `(node, hop)` frame at
+    * `fromHop` — the frontier-only expansion shared by the cone refresh,
+    * the refresh router's saturation probe, and the probe tool (one
+    * implementation, so the `hopsDone` resume contract cannot drift).
+    * Superseded per-hop checkpoints unpersist as the chain advances (a
+    * per-micro-batch caller would otherwise pin one dead ball frame per
+    * hop until driver GC — the dedupIngestStream rule); the RETURNED
+    * frame is the one live checkpoint, the caller's to release (never
+    * `hops0` itself, which stays the caller's).
+    */
+  private[graft] def ballBfs(
+      sym: DataFrame,
+      hops0: DataFrame,
+      fromHop: Int,
+      maxH: Int): DataFrame = {
+    var hops = hops0
+    var h = fromHop
+    var frontierLive = !hops.filter(col("hop") === h).isEmpty
+    while (h < maxH && frontierLive) {
+      val nxt = sym
+        .join(hops.filter(col("hop") === h).select(col("node").as("src")),
+          Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(hops, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h + 1))
+      val grown = hops.unionAll(nxt).localCheckpoint()
+      if (hops ne hops0) { hops.unpersist(); () }
+      hops = grown
+      h += 1
+      frontierLive = !hops.filter(col("hop") === h).isEmpty
+    }
+    hops
+  }
+
   private def communityLabelsDeltaFrom(
       sym: DataFrame,
       rounds: Int,
@@ -597,20 +634,7 @@ object Graph {
     // multi-source BFS ball of the delta endpoints over the post-insert
     // graph (frontier-only expansion, the bfsHops shape with a FRAME of
     // seeds — the delta is batch-sized, not a literal list)
-    var hops = hops0
-    var frontier = hops.filter(col("hop") === hopsDone).select(col("node"))
-    var h = hopsDone
-    while (h < maxH && !frontier.isEmpty) {
-      val nxt = sym
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("node")).distinct()
-        .join(hops, Seq("node"), "left_anti")
-        .withColumn("hop", lit(h + 1))
-        .localCheckpoint()
-      hops = hops.unionAll(nxt).localCheckpoint()
-      frontier = nxt.select(col("node"))
-      h += 1
-    }
+    val hops = ballBfs(sym, hops0, hopsDone, maxH)
     // every vote round's edges have src inside the (2k-1)-ball — extract
     // that induced incidence list ONCE (one full-edge pass) so the k vote
     // rounds run over the ball-sized frame instead of re-scanning the
@@ -625,14 +649,24 @@ object Graph {
     for (j <- 1 to rounds) {
       val domain = hops.filter(col("hop") <= maxH - j)
         .select(col("node").as("src"))
-      labels = lpaVote(
+      val next = lpaVote(
         coneEdges.join(domain, Seq("src"), "left_semi"), labels)
         .localCheckpoint()
+      labels.unpersist()
+      labels = next
     }
     val ballK = hops.filter(col("hop") <= rounds).select(col("node"))
-    labels.join(ballK, Seq("node"), "left_semi")
+    // pin the merged answer, then release every cone-internal frame: a
+    // per-micro-batch caller (maintainCommunityLabels) must not
+    // accumulate a checkpoint pair per refresh until driver GC
+    val out = labels.join(ballK, Seq("node"), "left_semi")
       .unionAll(oldLabels.select(col("node"), col("label"))
         .join(ballK, Seq("node"), "left_anti"))
+      .localCheckpoint()
+    labels.unpersist()
+    coneEdges.unpersist()
+    if (hops ne hops0) { hops.unpersist(); () }
+    out
   }
 
   /** Undirected co-purchase part graph, each edge {u,v} ONCE as
@@ -1004,24 +1038,26 @@ object Graph {
       cascadeMargin: Int = 2,
       cascadeDeepFraction: Double = 0.05): Routed = {
     require(k >= 1 && rounds >= 1 && cascadeMargin >= 1)
-    val half = halfAfter.select(col("src"), col("dst")).localCheckpoint()
-    try {
-      val s = half.select(explode(array(col("src"), col("dst"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("d") >= k && col("d") < k + cascadeMargin, lit(1L))
-            .otherwise(lit(0L))).as("at_risk"))
-        .head()
-      val n = s.getAs[Long]("n")
-      val atRisk = s.getAs[Long]("at_risk")
-      val oldMin = oldCore.agg(min(col("core_deg"))).head()
-      val oldConverged = !oldMin.isNullAt(0) && oldMin.getLong(0) >= k
-      val deep = n > 0 && atRisk.toDouble / n >= cascadeDeepFraction
-      if (deep && oldConverged)
-        Routed(kCoreDelta(half, oldCore, k, maxRounds = rounds), "delta")
-      else
-        Routed(kCoreHalf(half, k, rounds), "cold")
-    } finally { half.unpersist(); () }
+    // no checkpoint here: the probe consumes the frame once (one
+    // aggregate scan) and BOTH arms eagerly pin their own edge frame
+    // internally — pinning it here too would just materialize the edge
+    // set twice per refresh (r16 self-review)
+    val half = halfAfter.select(col("src"), col("dst"))
+    val s = half.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") >= k && col("d") < k + cascadeMargin, lit(1L))
+          .otherwise(lit(0L))).as("at_risk"))
+      .head()
+    val n = s.getAs[Long]("n")
+    val atRisk = s.getAs[Long]("at_risk")
+    val oldMin = oldCore.agg(min(col("core_deg"))).head()
+    val oldConverged = !oldMin.isNullAt(0) && oldMin.getLong(0) >= k
+    val deep = n > 0 && atRisk.toDouble / n >= cascadeDeepFraction
+    if (deep && oldConverged)
+      Routed(kCoreDelta(half, oldCore, k, maxRounds = rounds), "delta")
+    else
+      Routed(kCoreHalf(half, k, rounds), "cold")
   }
 
   /** Auto-dispatched fixed-round LPA refresh — the r15 cone-refresh
@@ -1059,30 +1095,30 @@ object Graph {
     val seeds = deltaEdges
       .select(explode(array(col(aCol), col(bCol))).as("node")).distinct()
     // the probe ball carries hop numbers so the delta route can RESUME
-    // the cone's BFS from it instead of re-expanding the same hops
-    var ball = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint()
-    var frontier = ball.select(col("node"))
-    var h = 0
+    // the cone's BFS from it instead of re-expanding the same hops —
+    // one shared [[ballBfs]] implementation keeps the resume contract
+    val hops0 = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint()
     val hops = math.min(probeHops, 2 * rounds)
-    while (h < hops && !frontier.isEmpty) {
-      val nxt = sym
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("node")).distinct()
-        .join(ball, Seq("node"), "left_anti")
-        .withColumn("hop", lit(h + 1))
-        .localCheckpoint()
-      ball = ball.unionAll(nxt).localCheckpoint()
-      frontier = nxt.select(col("node"))
-      h += 1
-    }
+    val ball = ballBfs(sym, hops0, fromHop = 0, maxH = hops)
     val n = math.max(1L, oldLabels.count())
     val saturated = ball.count().toDouble / n >= saturationFraction
-    if (saturated)
-      Routed(communityLabels(sym, "src", "dst", rounds,
-        assumeSymmetric = true), "cold")
-    else
-      Routed(communityLabelsDeltaFrom(sym, rounds, oldLabels, ball,
-        hopsDone = hops), "delta")
+    try {
+      if (saturated)
+        // checkpointEdges = false: sym is already pinned here — the cold
+        // arm's per-round label checkpoints are eager, so by return the
+        // result is self-contained and sym can release below
+        Routed(communityLabels(sym, "src", "dst", rounds,
+          assumeSymmetric = true, checkpointEdges = false), "cold")
+      else
+        Routed(communityLabelsDeltaFrom(sym, rounds, oldLabels, ball,
+          hopsDone = hops), "delta")
+    } finally {
+      // both arms return checkpoint-backed frames; the probe's pins are
+      // dead on return (a per-micro-batch caller must not accumulate an
+      // edge-sized checkpoint per refresh — the dedupIngestStream rule)
+      sym.unpersist(); hops0.unpersist()
+      if (ball ne hops0) { ball.unpersist(); () }
+    }
   }
 
   /** Incremental multi-source BFS under edge INSERTIONS — the third
@@ -1582,9 +1618,14 @@ object Graph {
         case None => fresh
         case Some(old) => fresh.exceptAll(old)
       }
-      Incremental.upsertPartitioned(spark, labelsDir,
+      val applied = Incremental.upsertPartitioned(spark, labelsDir,
         changed.select(col("node"), col("label")),
         Seq("node"), "label", partitions, batchId)
+      // the refresh result is a checkpoint-backed frame, fully consumed
+      // by the upsert — release it, or a long stream pins one node-sized
+      // block per micro-batch until driver GC
+      fresh.unpersist()
+      applied
     } finally { delta.unpersist(); () }
   }
 

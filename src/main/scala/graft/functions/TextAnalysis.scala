@@ -415,14 +415,21 @@ object TextAnalysis {
       .head()
     val (nDel, totDel) = (del.getAs[Long]("n"), del.getAs[Long]("tot"))
     if (nDel == 0L) {
-      // no indexed doc matched: still COMMIT the batch (a zero stats row
-      // is the monoid identity) — without the marker, pendingDeletes
-      // would report this batch forever and replaying it could never
-      // heal it (r16 self-review)
-      IndexLayout.overwriteBatchPartitions(
-        spark.range(1).select(lit(0L).as("n"), lit(0L).as("tot"),
-          lit(buckets).as("buckets"), lit(internal).as("batch")),
-        s"$path/stats", Seq("batch"))
+      // no indexed doc matched. An EXPLICIT (stream) batch still COMMITS
+      // — a zero stats row is the monoid identity, and without the
+      // marker pendingDeletes would report the batch forever with no way
+      // to heal it (r16 self-review). An AUTO-id ad-hoc delete instead
+      // removes its resolution and leaves NO trace: committing a fresh
+      // slot per attempt would let a retry loop (e.g. re-issuing a
+      // delete until its doc's in-flight append commits — the ordering
+      // contract above) grow the stats table without bound, and every
+      // search collects that table.
+      if (batchId.isDefined)
+        IndexLayout.overwriteBatchPartitions(
+          spark.range(1).select(lit(0L).as("n"), lit(0L).as("tot"),
+            lit(buckets).as("buckets"), lit(internal).as("batch")),
+          s"$path/stats", Seq("batch"))
+      else fs.delete(delDir, true)
       return graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L)
     }
     val affected = resolved

@@ -503,7 +503,8 @@ object GraphScaleProbe {
         df.write.format("noop").mode("overwrite").save()
       val ring0 = spark.range(nodes * 4).select(
           (col("id") / 4).cast("long").as("src"),
-          pmod(col("id") / 4 + pmod(col("id"), lit(4)) + 1, lit(nodes))
+          pmod((col("id") / 4).cast("long") + pmod(col("id"), lit(4)) + 1,
+            lit(nodes))
             .as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct().localCheckpoint()
@@ -592,11 +593,13 @@ object GraphScaleProbe {
       // delta-local ring and on the saturating hub graph
       val ring = spark.range(nodes * 4).select(
           (col("id") / 4).cast("long").as("src"),
-          pmod(col("id") / 4 + pmod(col("id"), lit(4)) + 1, lit(nodes))
+          pmod((col("id") / 4).cast("long") + pmod(col("id"), lit(4)) + 1,
+            lit(nodes))
             .as("dst"))
         .filter(col("src") =!= col("dst"))
         .unionAll(spark.range(nodes * 4).select(
-          pmod(col("id") / 4 + pmod(col("id"), lit(4)) + 1, lit(nodes))
+          pmod((col("id") / 4).cast("long") + pmod(col("id"), lit(4)) + 1,
+            lit(nodes))
             .as("src"), (col("id") / 4).cast("long").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct().localCheckpoint()

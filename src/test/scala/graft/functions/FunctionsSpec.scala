@@ -1425,30 +1425,39 @@ class FunctionsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val idx = java.nio.file.Files.createTempDirectory("graft-inv-proto").toString
     TextAnalysis.writeInvertedIndex(all, "text", "doc_id", idx, buckets = 8)
-    // matched-nothing delete (auto slot 0): must COMMIT (zero stats row),
-    // not dangle in pendingDeletes forever
+    // matched-nothing AD-HOC delete (auto id): leaves NO trace — no
+    // pending batch, no committed slot, no stats-table growth
     val st0 = TextAnalysis.deleteFromInvertedIndex(spark, Seq(9999L), idx)
     assert(st0 === graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L))
     assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty,
       "a matched-nothing delete left a forever-pending batch")
-    // a real delete (auto slot 1), then simulate the crash window by
-    // removing its stats marker: resolution persisted, commit missing
+    assert(!new java.io.File(s"$idx/deletes/0").exists,
+      "a matched-nothing ad-hoc delete left a permanent slot")
+    // a real delete (auto slot 0 — the ad-hoc no-op above left no slot),
+    // then simulate the crash window by removing its stats marker:
+    // resolution persisted, commit missing
     TextAnalysis.deleteFromInvertedIndex(spark, Seq(10L), idx)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats/batch=-3"), true)
-    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(1L))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats/batch=-2"), true)
+    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(0L))
     // a NEW auto-id delete with different ids must claim a FRESH slot,
-    // not silently replay slot 1's persisted resolution
+    // not silently replay slot 0's persisted resolution
     val stB = TextAnalysis.deleteFromInvertedIndex(spark, Seq(20L), idx)
     assert(stB.rowsDeleted > 0L, "fresh auto-id delete resolved nothing " +
       "(it reused a stale resolution slot)")
-    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(1L),
+    assert(TextAnalysis.pendingDeletes(spark, idx) === Seq(0L),
       "the crashed batch must stay pending until ITS id replays")
     // heal the crashed batch by replaying its id, then exact-stats check
     TextAnalysis.deleteFromInvertedIndex(spark, Seq(10L).toDF("doc_id"), idx,
-      batchId = Some(1L))
+      batchId = Some(0L))
     assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty)
+    // matched-nothing STREAM batch (explicit id): must COMMIT a zero
+    // stats row so its replay protocol stays marker-complete
+    TextAnalysis.deleteFromInvertedIndex(spark,
+      Seq(9999L).toDF("doc_id"), idx, batchId = Some(7L))
+    assert(TextAnalysis.pendingDeletes(spark, idx).isEmpty,
+      "a matched-nothing stream batch must commit, not dangle")
     val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-proto-rb").toString
     TextAnalysis.writeInvertedIndex(
       all.filter(!col("doc_id").isin(10L, 20L)), "text", "doc_id", rebuilt,
