@@ -665,6 +665,12 @@ object Dedup {
       "rowsPerBand" -> rowsPerBand.toLong, "buckets" -> buckets.toLong))
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(df.sparkSession, s"$path/bands") + 1)
+    // a compaction consumed batches <= through: a replay would duplicate
+    // its rows beside the compacted copy — fail loudly instead
+    IndexLayout.compactedThrough(df.sparkSession, s"$path/compacted")
+      .foreach(t => require(id > t,
+        s"batch $id was consumed by a compaction (through=$t) — a replay " +
+          "here would duplicate its rows; appends must resume above it"))
     IndexLayout.overwriteBatchPartitions(
       bandKeys(df, textCol, idCol, n, bands, rowsPerBand)
         .select(col("doc"), col("band"), col("bh"))
@@ -724,6 +730,37 @@ object Dedup {
       path: String): LshDeleteStats = {
     import spark.implicits._
     deleteFromLshIndex(spark, ids.toDF("doc"), path)
+  }
+
+  /** Compact an LSH index's batch tree (bands AND shingles) into one
+    * batch — the [[graft.functions.TextAnalysis.compactInvertedIndex]]
+    * lifecycle operator for the dedup family (no stats/visibility
+    * protocol here, so the collapse is a plain staged swap per table
+    * plus the consumed-id marker that makes a replayed pre-compaction
+    * append fail loudly). STOP-THE-WORLD maintenance: quiesce the
+    * ingest stream (checkpoint current — no uncommitted batch in
+    * flight) for the swap window; rerunning after a crash finishes a
+    * half-done swap.
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      buckets: Int = 64): Unit = {
+    IndexLayout.resumeCompaction(spark, s"$path/bands")
+    IndexLayout.resumeCompaction(spark, s"$path/shingles")
+    val through = math.max(
+      IndexLayout.maxBatchId(spark, s"$path/bands"),
+      IndexLayout.maxBatchId(spark, s"$path/shingles"))
+    // collapse INTO the max consumed id (not BaseBatch): maxBatchId then
+    // still reads `through`, so auto-id allocation resumes above the
+    // guard instead of colliding with it
+    IndexLayout.compactTable(spark, s"$path/bands", Seq("bucket", "batch"),
+      toBatch = through, keep = identity,
+      repartitionCols = Seq("bucket"), targetFiles = math.max(1, buckets))
+    IndexLayout.compactTable(spark, s"$path/shingles", Seq("batch"),
+      toBatch = through, keep = identity,
+      repartitionCols = Nil, targetFiles = 32)
+    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
   }
 
   /** Near-dup pairs of a NEW document batch against an indexed corpus

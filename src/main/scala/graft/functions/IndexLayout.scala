@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Shared layout rules for the materialized index families (LSH band
   * buckets, IVF+PQ cells): every write — the base build and each append —
@@ -96,6 +97,100 @@ private[graft] object IndexLayout {
         s"index at $root was built with $built, " +
           s"but caller passed $diff — results would be silently wrong")
     }
+  }
+
+  /** Largest batch id CONSUMED by a compaction under `markerRoot`
+    * (`compacted/through=<id>` dirs; [[Long.MinValue]]-free None when
+    * never compacted). Appenders refuse ids at or below it: a replayed
+    * pre-compaction micro-batch would re-write `batch=<id>` partitions
+    * whose rows already live in the compacted batch — silent
+    * duplication. Multiple markers (a crashed marker rotation) resolve
+    * to the max — the conservative bound.
+    */
+  def compactedThrough(spark: SparkSession, markerRoot: String): Option[Long] = {
+    val fs = new Path(markerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new Path(s"$markerRoot/through=*")))
+      .map(_.toSeq.flatMap(s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("through=").toLong).toOption))
+      .filter(_.nonEmpty).map(_.max)
+  }
+
+  /** Record `through` as the compaction bound (rotate: write the new
+    * marker BEFORE removing older ones, so the guard never lapses).
+    */
+  private[graft] def writeCompactedThrough(
+      spark: SparkSession, markerRoot: String, through: Long): Unit = {
+    val fs = new Path(markerRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$markerRoot/through=$through"))
+    Option(fs.globStatus(new Path(s"$markerRoot/through=*"))).foreach(_.foreach { s =>
+      val v = scala.util.Try(
+        s.getPath.getName.stripPrefix("through=").toLong).toOption
+      if (v.exists(_ != through)) { fs.delete(s.getPath, true); () }
+    })
+  }
+
+  /** Collapse a batch-partitioned index table's `batch=*` tree into ONE
+    * batch (`toBatch`) via a STAGED SWAP — the lifecycle operator the
+    * idempotent-append layout needs at 100 TB: a year of micro-batches
+    * is thousands of `batch=` dirs per bucket/cell, and partition
+    * discovery + open cost grow with every one. `keep` filters the rows
+    * that survive (e.g. committed batches only — a crashed append's
+    * orphans are reclaimed here); `repartitionCols`/`targetFiles` shape
+    * the output (one file per prune partition is the usual goal).
+    *
+    * STOP-THE-WORLD: quiesce appenders/searchers for the swap window.
+    * Crash safety is a deterministic RESUME, not atomicity: the merged
+    * table is fully staged (with `_SUCCESS`) BEFORE the live dir is
+    * touched; a crash between the delete and the rename leaves the
+    * staging complete and the live dir absent, which the next call (or
+    * [[resumeCompaction]]) detects and finishes with the rename alone.
+    * A stale staging from a crash BEFORE the swap is rebuilt wholesale.
+    */
+  private[graft] def compactTable(
+      spark: SparkSession,
+      tableDir: String,
+      partCols: Seq[String],
+      toBatch: Long,
+      keep: DataFrame => DataFrame,
+      repartitionCols: Seq[String],
+      targetFiles: Int): Unit = {
+    require(partCols.lastOption.contains("batch"),
+      "compactTable expects a batch-terminated partition layout")
+    val live = new Path(tableDir)
+    val staging = new Path(tableDir + ".compacting")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resumeCompaction(spark, tableDir)) return
+    require(fs.exists(live), s"no index table at $tableDir")
+    fs.delete(staging, true) // stale pre-swap staging: rebuild wholesale
+    val rows = keep(spark.read.parquet(tableDir))
+      .drop("batch").withColumn("batch", lit(toBatch))
+    val shaped =
+      if (repartitionCols.isEmpty) rows.repartition(targetFiles)
+      else rows.repartition(targetFiles, repartitionCols.map(col): _*)
+    shaped.write.partitionBy(partCols: _*).parquet(staging.toString)
+    // the swap: delete-then-rename; the recovery rule above covers the
+    // window in between
+    fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"rename $staging -> $live failed; staging holds the full table")
+    ()
+  }
+
+  /** Finish a compaction swap interrupted between its delete and its
+    * rename (live dir absent, staging complete). Returns true when a
+    * resume happened. Safe to call any time.
+    */
+  def resumeCompaction(spark: SparkSession, tableDir: String): Boolean = {
+    val live = new Path(tableDir)
+    val staging = new Path(tableDir + ".compacting")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(new Path(staging, "_SUCCESS"))) {
+      require(fs.rename(staging, live),
+        s"resume rename $staging -> $live failed")
+      true
+    } else false
   }
 
   /** Write `df` (which must carry a literal `batch` column) into `path`

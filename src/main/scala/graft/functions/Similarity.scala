@@ -206,11 +206,51 @@ object Similarity {
     val q8 = quantizeInt8(col("vec"))
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(newVecs.sparkSession, path) + 1)
+    // a compaction consumed batches <= through: a replay would duplicate
+    // its rows beside the compacted copy — fail loudly instead
+    IndexLayout.compactedThrough(newVecs.sparkSession, s"$path.meta/compacted")
+      .foreach(t => require(id > t,
+        s"batch $id was consumed by a compaction (through=$t) — a replay " +
+          "here would duplicate its rows; appends must resume above it"))
     IndexLayout.overwriteBatchPartitions(
       newVecs.select(col("vec_id"),
           q8.getField("scale").as("scale"), q8.getField("q").as("code"))
         .withColumn("batch", lit(id)),
       path, Seq("batch"))
+  }
+
+  /** Compact an int8 codes index's batch tree into one batch — the
+    * lifecycle operator of the index family (see
+    * [[graft.functions.TextAnalysis.compactInvertedIndex]]); markers
+    * live in the `.meta` SIBLING (a subdir under the table root would
+    * break its batch-partition discovery). STOP-THE-WORLD for the swap
+    * window; rerunning after a crash finishes a half-done swap.
+    */
+  def compactInt8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFiles: Int = 32): Unit = {
+    IndexLayout.resumeCompaction(spark, path)
+    val through = IndexLayout.maxBatchId(spark, path)
+    // collapse INTO the max consumed id so auto-id allocation resumes
+    // above the replay guard instead of colliding with it
+    IndexLayout.compactTable(spark, path, Seq("batch"),
+      toBatch = through, keep = identity,
+      repartitionCols = Nil, targetFiles = targetFiles)
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
+  }
+
+  /** [[compactInt8Index]] for the IVF+PQ layout (cell-pruned codes). */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFiles: Int = 64): Unit = {
+    IndexLayout.resumeCompaction(spark, path)
+    val through = IndexLayout.maxBatchId(spark, path)
+    IndexLayout.compactTable(spark, path, Seq("cell", "batch"),
+      toBatch = through, keep = identity,
+      repartitionCols = Seq("cell"), targetFiles = targetFiles)
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
   }
 
   /** GDPR-style delete from a [[writeInt8Index]] layout: copy-on-write
@@ -557,6 +597,10 @@ object Similarity {
     val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(newVecs.sparkSession, path) + 1)
+    IndexLayout.compactedThrough(newVecs.sparkSession, s"$path.meta/compacted")
+      .foreach(t => require(id > t,
+        s"batch $id was consumed by a compaction (through=$t) — a replay " +
+          "here would duplicate its rows; appends must resume above it"))
     IndexLayout.overwriteBatchPartitions(
       pqEncodeWith(newVecs, baseCorpus, centroidEvery, m, dim)
         .select(col("vec_id"), col("j"), col("code"))

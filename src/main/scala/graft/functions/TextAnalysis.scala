@@ -289,6 +289,13 @@ object TextAnalysis {
     if (df.isEmpty) return // nothing to land; keeps empty micro-batches free
     val id = batchId.getOrElse(
       IndexLayout.maxBatchId(spark, s"$path/postings") + 1)
+    // a compaction consumed batches <= through: a replay of one would
+    // re-write batch partitions whose rows already live in the compacted
+    // batch — silent duplication; fail loudly instead
+    IndexLayout.compactedThrough(spark, s"$path/compacted").foreach(t =>
+      require(id > t,
+        s"batch $id was consumed by a compaction (through=$t) — a replay " +
+          "here would duplicate its rows; appends must resume above it"))
     val base = df.select(col(idCol).as("doc_id"),
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("toks"))
     val lens = base.select(col("doc_id"), size(col("toks")).cast("long").as("len"))
@@ -369,9 +376,17 @@ object TextAnalysis {
       s"inverted index at $path predates the batch=<id> layout " +
         "(or is empty) — rebuild it with writeInvertedIndex first")
     val ((_, _, buckets), committed) = indexStatsSnapshot(spark, path)
+    // delete slots consumed by a compaction can never replay (their
+    // negated stats already live in the compacted row)
+    val delThrough = IndexLayout
+      .compactedThrough(spark, s"$path/compacted_del").getOrElse(-1L)
     val internal = batchId match {
       case Some(b) =>
         require(b >= 0, s"delete batchId must be >= 0 (a stream's micro-batch id), got $b")
+        require(b > delThrough,
+          s"delete batch $b was consumed by a compaction (through=" +
+            s"$delThrough) — a replay here would double-subtract its " +
+            "stats; deletes must resume above it")
         -2L - b
       case None =>
         // next free id in the delete namespace (< BaseBatch), disjoint
@@ -388,7 +403,10 @@ object TextAnalysis {
             .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
             .map(b => -2L - b)
         }
-        (committed.filter(_ < IndexLayout.BaseBatch) ++ resolvedIds)
+        (committed.filter(_ < IndexLayout.BaseBatch) ++ resolvedIds ++
+          // compaction-consumed slots are gone from stats AND deletes/;
+          // the marker keeps allocation strictly below them
+          Seq(-2L - delThrough))
           .foldLeft(IndexLayout.BaseBatch)(math.min) - 1L
     }
     val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes/${-internal - 2L}")
@@ -472,6 +490,66 @@ object TextAnalysis {
       .filter { b =>
         !fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/batch=${-2L - b}"))
       }.sorted
+  }
+
+  /** Compact an inverted index's batch tree — the LIFECYCLE operator the
+    * idempotent-append layout needs: a year of micro-batches is
+    * thousands of `bucket=K/batch=N` dirs and stats rows, and partition
+    * discovery, the stats collect, and file-open cost all grow with
+    * every one. Collapses COMMITTED postings into ONE batch (the max
+    * committed id, so the rows stay visible through the existing
+    * commit-marker filter at every instant of the postings swap), sums
+    * the stats rows (count monoids — appends and negated deletes alike)
+    * into one row at that id, reclaims crashed appends' orphan postings
+    * (uncommitted rows simply don't survive the `keep` filter) and
+    * committed deletes' resolution dirs, and records the consumed id
+    * bounds so a REPLAYED pre-compaction batch fails loudly instead of
+    * silently duplicating rows ([[IndexLayout.compactedThrough]] guards
+    * in the appender and the deleter). Post-compaction searches are
+    * bit-identical (spec-pinned) and new appends/deletes continue above
+    * the recorded bounds.
+    *
+    * STOP-THE-WORLD maintenance: quiesce the ingest/delete/search tiers
+    * for the swap window ([[IndexLayout.compactTable]]'s resume rule
+    * covers a crash mid-swap — rerunning this function finishes it).
+    */
+  def compactInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish any half-done swap before reading state
+    IndexLayout.resumeCompaction(spark, s"$path/postings")
+    IndexLayout.resumeCompaction(spark, s"$path/stats")
+    val ((_, _, buckets), committed) = indexStatsSnapshot(spark, path)
+    require(committed.nonEmpty, s"nothing to compact at $path (no committed batches)")
+    val through = committed.max
+    // caller-space bound of CONSUMED delete slots (internal ids below
+    // BaseBatch map back as -id-2); -1 = none consumed
+    val delThrough = committed.filter(_ < IndexLayout.BaseBatch)
+      .map(id => -id - 2L).foldLeft(-1L)(math.max)
+    IndexLayout.compactTable(spark, s"$path/postings", Seq("bucket", "batch"),
+      toBatch = through,
+      keep = df => df.filter(col("batch").cast("long").isin(committed: _*)),
+      repartitionCols = Seq("bucket"),
+      targetFiles = math.max(1, buckets.toInt))
+    IndexLayout.compactTable(spark, s"$path/stats", Seq("batch"),
+      toBatch = through,
+      keep = df => df.agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"),
+        max(col("buckets")).as("buckets")),
+      repartitionCols = Nil, targetFiles = 1)
+    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
+    if (delThrough >= 0L)
+      IndexLayout.writeCompactedThrough(spark, s"$path/compacted_del", delThrough)
+    // consumed delete resolutions are dead weight (their batches can
+    // never replay past the guard): reclaim them
+    val delRoot = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    if (fs.exists(delRoot))
+      fs.listStatus(delRoot).foreach { s =>
+        scala.util.Try(s.getPath.getName.toLong).toOption
+          .filter(_ <= delThrough)
+          .foreach(_ => { fs.delete(s.getPath, true); () })
+      }
   }
 
   /** Exact corpus stats of a (possibly appended-to) inverted index:

@@ -1501,6 +1501,158 @@ class FunctionsSpec extends SparkSpec {
     assert(dirCrcs(idx) === before, "no-op re-delete touched files")
   }
 
+  test("compactInvertedIndex: searches and stats bit-identical across the " +
+      "collapse; batch dirs fold to one; consumed append AND delete ids " +
+      "replay loudly; new appends/deletes continue; a crashed swap resumes") {
+    val all = (0L until 240L).map { i =>
+      val rare = if (i % 40 == 0) " zeta" else ""
+      (i, s"alpha filler words w${i % 7} here$rare")
+    }.toDF("doc_id", "text")
+    val q = Seq("alpha", "zeta")
+    def rank(p: String) = TextAnalysis.bm25SearchFromIndex(spark, p, q,
+      topK = 25).as[(Long, Long)].collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-cmp").toString
+    TextAnalysis.writeInvertedIndex(all.filter(col("doc_id") < 120),
+      "text", "doc_id", idx, buckets = 16)
+    TextAnalysis.appendToInvertedIndex(
+      all.filter(col("doc_id") >= 120 && col("doc_id") < 180),
+      "text", "doc_id", idx, buckets = 16, batchId = Some(0L))
+    TextAnalysis.appendToInvertedIndex(all.filter(col("doc_id") >= 180),
+      "text", "doc_id", idx, buckets = 16, batchId = Some(1L))
+    TextAnalysis.deleteFromInvertedIndex(spark, Seq(30L, 150L).toDF("doc_id"),
+      idx, batchId = Some(0L))
+    val before = rank(idx)
+    val statsBefore = TextAnalysis.readIndexStats(spark, idx)
+    TextAnalysis.compactInvertedIndex(spark, idx)
+    assert(rank(idx) === before, "compaction changed the ranking")
+    assert(TextAnalysis.readIndexStats(spark, idx) === statsBefore,
+      "compaction changed the summed stats")
+    // structure: every bucket folded to ONE batch dir; stats one row
+    val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(
+      _.listFiles().count(_.getName.startsWith("batch=")) == 1),
+      "a bucket still holds multiple batch dirs after compaction")
+    assert(new java.io.File(s"$idx/stats").listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    assert(new java.io.File(s"$idx/deletes").listFiles() === null ||
+      new java.io.File(s"$idx/deletes").listFiles().isEmpty,
+      "consumed delete resolutions not reclaimed")
+    // consumed ids replay LOUDLY (silent duplication otherwise)
+    val exA = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToInvertedIndex(all.filter(col("doc_id") >= 180),
+        "text", "doc_id", idx, buckets = 16, batchId = Some(1L))
+    }
+    assert(exA.getMessage.contains("consumed by a compaction"))
+    val exD = intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromInvertedIndex(spark, Seq(31L).toDF("doc_id"),
+        idx, batchId = Some(0L))
+    }
+    assert(exD.getMessage.contains("consumed by a compaction"))
+    // life continues above the bounds: new append + new delete still
+    // land on the survivors rebuild exactly
+    val b2 = (300L until 330L).map(i => (i, s"alpha extra w${i % 5} here"))
+      .toDF("doc_id", "text")
+    TextAnalysis.appendToInvertedIndex(b2, "text", "doc_id", idx,
+      buckets = 16, batchId = Some(5L))
+    TextAnalysis.deleteFromInvertedIndex(spark, Seq(80L).toDF("doc_id"),
+      idx, batchId = Some(3L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-cmp-rb").toString
+    TextAnalysis.writeInvertedIndex(
+      all.filter(!col("doc_id").isin(30L, 150L, 80L)).unionByName(b2),
+      "text", "doc_id", rebuilt, buckets = 16)
+    assert(rank(idx) === rank(rebuilt),
+      "post-compaction maintenance diverges from the survivors rebuild")
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt))
+    // crash window between the swap's delete and rename: live dir gone,
+    // staging complete — rerunning the compaction resumes and finishes
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val preCrash = rank(idx)
+    TextAnalysis.compactInvertedIndex(spark, idx) // fold the new batches
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/postings.compacting")))
+    assert(IndexLayout.resumeCompaction(spark, s"$idx/postings"),
+      "resume did not detect the half-done swap")
+    assert(rank(idx) === preCrash, "resumed swap lost rows")
+  }
+
+  test("compactLshIndex / compactInt8Index / compactIvfPqIndex: results " +
+      "bit-identical across the collapse; consumed ids replay loudly; " +
+      "appends continue") {
+    // LSH
+    val corpus = (0L until 60L).map { i =>
+      (i, if (i % 20 == 5) base else s"doc number $i with its own words ${i * 7}")
+    }.toDF("doc_id", "text")
+    val probe = Seq((1000L, base)).toDF("doc_id", "text")
+    def verdicts(path: String) = Dedup.nearDupsAgainstIndex(
+      spark, probe, "text", "doc_id", path,
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = java.nio.file.Files.createTempDirectory("graft-lsh-cmp").toString
+    Dedup.writeLshIndex(corpus.filter(col("doc_id") < 40), "text", "doc_id",
+      lsh, n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    Dedup.appendToLshIndex(corpus.filter(col("doc_id") >= 40), "text",
+      "doc_id", lsh, n = 3, bands = 4, rowsPerBand = 4, buckets = 16,
+      batchId = Some(0L))
+    val vBefore = verdicts(lsh)
+    assert(vBefore === Set((1000L, 5L), (1000L, 25L), (1000L, 45L)))
+    Dedup.compactLshIndex(spark, lsh, buckets = 16)
+    assert(verdicts(lsh) === vBefore, "LSH compaction changed verdicts")
+    val exL = intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(probe, "text", "doc_id", lsh,
+        n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(0L))
+    }
+    assert(exL.getMessage.contains("consumed by a compaction"))
+    Dedup.appendToLshIndex(
+      Seq((2000L, unrelated)).toDF("doc_id", "text"), "text", "doc_id", lsh,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16) // auto id resumes above
+    assert(verdicts(lsh) === vBefore)
+
+    // int8 + IVF+PQ
+    val dim = 16
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 31 + j * 17) % 23).toFloat - 11f) / 7f))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val i8 = java.nio.file.Files.createTempDirectory("graft-i8-cmp").toString
+    Similarity.writeInt8Index(vecs.filter(col("vec_id") < 100), i8)
+    Similarity.appendToInt8Index(vecs.filter(col("vec_id") >= 100), i8,
+      batchId = Some(0L))
+    def r8(p: String) = Similarity.int8TopKFromIndex(spark, queries, p, k = 5)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val r8Before = r8(i8)
+    Similarity.compactInt8Index(spark, i8, targetFiles = 4)
+    assert(r8(i8) === r8Before, "int8 compaction changed the ranking")
+    assert(new java.io.File(i8).listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToInt8Index(vecs.filter(col("vec_id") >= 100), i8,
+        batchId = Some(0L))
+    }
+
+    val pq = java.nio.file.Files.createTempDirectory("graft-pq-cmp").toString
+    Similarity.writeIvfPqIndex(vecs.filter(col("vec_id") < 100), pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") < 100),
+      vecs.filter(col("vec_id") >= 100), pq,
+      centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    def rPq(p: String) = Similarity.ivfPqTopKFromIndex(spark, queries,
+      vecs.filter(col("vec_id") < 100), p, k = 5,
+      centroidEvery = 10, nprobe = 3, m = 4, dim = dim)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val rPqBefore = rPq(pq)
+    Similarity.compactIvfPqIndex(spark, pq)
+    assert(rPq(pq) === rPqBefore, "IVF+PQ compaction changed the ranking")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") < 100),
+        vecs.filter(col("vec_id") >= 100), pq,
+        centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    }
+  }
+
   test("deleteFromInt8Index / deleteFromIvfPqIndex: post-delete rankings " +
       "equal an index built without the deleted vectors") {
     val dim = 16
