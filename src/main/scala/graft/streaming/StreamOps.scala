@@ -376,6 +376,33 @@ object StreamOps {
         }
     }
 
+  /** Deletion half of [[int8AppendStream]] / [[indexAppendStream]]: a
+    * stream of vec_ids is deleted from a materialized ANN index per
+    * micro-batch (COW rewrite of exactly the affected batch/cell
+    * partitions; frozen codebooks untouched). Re-deleting on replay is
+    * a natural no-op, so no batch-id state is needed. `cellPartitioned`
+    * selects the IVF+PQ layout (`cell=K/batch=N`) over the flat int8
+    * one.
+    */
+  def annDeleteStream(
+      ids: DataFrame,
+      idCol: String,
+      indexPath: String,
+      cellPartitioned: Boolean): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val vecIds = batch.toDF().select(col(idCol))
+          if (cellPartitioned)
+            graft.functions.Similarity.deleteFromIvfPqIndex(
+              batch.sparkSession, vecIds, indexPath)
+          else
+            graft.functions.Similarity.deleteFromInt8Index(
+              batch.sparkSession, vecIds, indexPath)
+          ()
+        }
+    }
+
   /** Continuous dedup ingest: every micro-batch of documents (`idCol`,
     * `textCol`) is checked for near-dups against the materialized LSH
     * index (`Dedup.nearDupsAgainstIndex` — the corpus is never

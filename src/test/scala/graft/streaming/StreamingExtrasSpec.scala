@@ -271,6 +271,33 @@ class StreamingExtrasSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("annDeleteStream: streamed vec_id deletes leave the int8 index " +
+      "ranking identical to a survivors-only rebuild") {
+    import graft.functions.Similarity
+    val dim = 16
+    val vecs = (0L until 90L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 31 + j * 17) % 23).toFloat - 11f) / 7f))
+    }
+    val dead = Seq(13L, 57L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-i8-dstr").toString
+    Similarity.writeInt8Index(vecs.toDF("vec_id", "vec"), idx)
+    val input = MemoryStream[Long]
+    val q = StreamOps.annDeleteStream(input.toDF().toDF("vec_id"), "vec_id",
+      idx, cellPartitioned = false).start()
+    try {
+      input.addData(13L); q.processAllAvailable()
+      input.addData(57L); q.processAllAvailable()
+    } finally q.stop()
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-i8-dstr-rb").toString
+    Similarity.writeInt8Index(
+      vecs.filterNot(v => dead.contains(v._1)).toDF("vec_id", "vec"), rebuilt)
+    val queries = vecs.take(4).toDF("qid", "qvec")
+    def r8(p: String) = Similarity.int8TopKFromIndex(spark, queries, p, k = 5)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r8(idx) === r8(rebuilt),
+      "streamed-delete index diverges from the survivors rebuild")
+  }
+
   test("int8AppendStream converges to the one-shot batch index") {
     import graft.functions.Similarity
     val vecs = (0L until 80L).map { id =>
