@@ -744,10 +744,14 @@ object Dedup {
     */
   def compactLshIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      buckets: Int = 64): Unit = {
+      path: String): Unit = {
     IndexLayout.resumeCompaction(spark, s"$path/bands")
     IndexLayout.resumeCompaction(spark, s"$path/shingles")
+    // bucket count comes from the layout's own params table (the one
+    // compaction entry point must not take a trust-the-caller shape
+    // parameter that can disagree with the stored layout)
+    val buckets = IndexLayout.readParam(spark, path, "buckets")
+      .getOrElse(64L).toInt
     val through = math.max(
       IndexLayout.maxBatchId(spark, s"$path/bands"),
       IndexLayout.maxBatchId(spark, s"$path/shingles"))

@@ -437,7 +437,7 @@ object Graph {
       .withColumn("label", col("node"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      labels = sym
+      val next = sym
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("n"))
@@ -445,6 +445,11 @@ object Graph {
         .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("b"))
         .select(col("src").as("node"), (-col("b.neg")).as("label"))
         .localCheckpoint()
+      // superseded round frames release as the chain advances — a
+      // per-micro-batch caller (the refresh router's cold arm) would
+      // otherwise pin `rounds` node-sized blocks per refresh until GC
+      labels.unpersist()
+      labels = next
     }
     labels
   }
@@ -522,7 +527,8 @@ object Graph {
         .filter(col("n.label") =!= col("o.label"))
         .isEmpty
       rounds += 1
-      labels = next
+      labels.unpersist() // superseded round frame (the convergence check
+      labels = next      // above was its last consumer)
     }
     LpaRun(labels, rounds, converged)
   }
@@ -596,9 +602,11 @@ object Graph {
     * implementation, so the `hopsDone` resume contract cannot drift).
     * Superseded per-hop checkpoints unpersist as the chain advances (a
     * per-micro-batch caller would otherwise pin one dead ball frame per
-    * hop until driver GC — the dedupIngestStream rule); the RETURNED
-    * frame is the one live checkpoint, the caller's to release (never
-    * `hops0` itself, which stays the caller's).
+    * hop until driver GC — the dedupIngestStream rule). The RETURNED
+    * frame is the one live checkpoint UNLESS the loop never grew the
+    * ball (saturated resume, isolated seeds), in which case it is
+    * `hops0` itself — release it only behind an `ne hops0` guard, as
+    * both in-package callers do.
     */
   private[graft] def ballBfs(
       sym: DataFrame,

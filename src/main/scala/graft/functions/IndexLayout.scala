@@ -99,6 +99,17 @@ private[graft] object IndexLayout {
     }
   }
 
+  /** One stored shape parameter from `<root>/params`, when present. */
+  def readParam(spark: SparkSession, root: String, key: String): Option[Long] = {
+    val p = new Path(s"$root/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString)
+      .collect().collectFirst {
+        case r if r.getString(0) == key => r.getLong(1)
+      }
+  }
+
   /** Largest batch id CONSUMED by a compaction under `markerRoot`
     * (`compacted/through=<id>` dirs; [[Long.MinValue]]-free None when
     * never compacted). Appenders refuse ids at or below it: a replayed

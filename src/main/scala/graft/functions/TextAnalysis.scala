@@ -485,8 +485,16 @@ object TextAnalysis {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delRoot = new org.apache.hadoop.fs.Path(s"$path/deletes")
     if (!fs.exists(delRoot)) return Seq.empty
+    // slots a compaction consumed are NOT pending even when their
+    // resolution dir briefly survives (a crash between the stats
+    // collapse and the reclaim): their negated stats live in the
+    // compacted row, and reporting them would block the compaction
+    // rerun behind its own quiesce guard
+    val consumed = IndexLayout
+      .compactedThrough(spark, s"$path/compacted_del").getOrElse(-1L)
     fs.listStatus(delRoot).toSeq
       .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .filter(_ > consumed)
       .filter { b =>
         !fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats/batch=${-2L - b}"))
       }.sorted
@@ -523,11 +531,43 @@ object TextAnalysis {
     IndexLayout.resumeCompaction(spark, s"$path/stats")
     val ((_, _, buckets), committed) = indexStatsSnapshot(spark, path)
     require(committed.nonEmpty, s"nothing to compact at $path (no committed batches)")
+    // ENFORCED quiesce, not just documented: an in-flight batch would be
+    // destroyed silently. A pending delete's resolution references
+    // pre-compaction partition coordinates (its post-compaction replay
+    // would no-op the rewrite yet still subtract stats), and an orphan
+    // append's replay would be refused by the marker with its docs lost
+    // — heal or abandon them FIRST, loudly.
+    require(pendingDeletes(spark, path).isEmpty,
+      s"index at $path has crashed deletes pending " +
+        s"(${pendingDeletes(spark, path).mkString(",")}) — replay them to " +
+        "completion before compacting (their resolutions reference " +
+        "pre-compaction partition coordinates)")
+    val orphans = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/batch=*")))
+        .map(_.toSeq.flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("batch=").toLong).toOption).distinct)
+        .getOrElse(Nil).filterNot(committed.contains)
+    }
+    require(orphans.isEmpty,
+      s"index at $path has UNCOMMITTED postings batches ${orphans.sorted
+        .mkString(",")} — an ingest stream is mid-batch; let it commit " +
+        "(or replay) before compacting, or its replay will be refused " +
+        "with the batch's docs lost")
     val through = committed.max
     // caller-space bound of CONSUMED delete slots (internal ids below
     // BaseBatch map back as -id-2); -1 = none consumed
     val delThrough = committed.filter(_ < IndexLayout.BaseBatch)
       .map(id => -id - 2L).foldLeft(-1L)(math.max)
+    // markers FIRST: the stats collapse destroys the evidence of which
+    // ids were consumed, so a crash after it but before the markers
+    // would leave the replay guards permanently unwritable (r16 third
+    // review). Early markers are safe: every id at or below them is
+    // committed (guards above), and committed batches only replay after
+    // a crash the pendingDeletes/orphan guards just excluded.
+    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
+    if (delThrough >= 0L)
+      IndexLayout.writeCompactedThrough(spark, s"$path/compacted_del", delThrough)
     IndexLayout.compactTable(spark, s"$path/postings", Seq("bucket", "batch"),
       toBatch = through,
       keep = df => df.filter(col("batch").cast("long").isin(committed: _*)),
@@ -538,16 +578,19 @@ object TextAnalysis {
       keep = df => df.agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"),
         max(col("buckets")).as("buckets")),
       repartitionCols = Nil, targetFiles = 1)
-    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
-    if (delThrough >= 0L)
-      IndexLayout.writeCompactedThrough(spark, s"$path/compacted_del", delThrough)
     // consumed delete resolutions are dead weight (their batches can
-    // never replay past the guard): reclaim them
+    // never replay past the guard, and the pending guard above proved
+    // every slot here is committed): reclaim them — bounded by the
+    // MARKER, not this run's delThrough, so a rerun after a crash in
+    // this window (whose recomputed delThrough is -1, the slots' stats
+    // already folded) still reclaims the stragglers
+    val consumedDel = math.max(delThrough, IndexLayout
+      .compactedThrough(spark, s"$path/compacted_del").getOrElse(-1L))
     val delRoot = new org.apache.hadoop.fs.Path(s"$path/deletes")
     if (fs.exists(delRoot))
       fs.listStatus(delRoot).foreach { s =>
         scala.util.Try(s.getPath.getName.toLong).toOption
-          .filter(_ <= delThrough)
+          .filter(_ <= consumedDel)
           .foreach(_ => { fs.delete(s.getPath, true); () })
       }
   }

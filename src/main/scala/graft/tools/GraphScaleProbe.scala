@@ -616,18 +616,15 @@ object GraphScaleProbe {
         pmod(xxhash64(col("id") + 13) + 101, lit(nodes)).as("dst"))
         .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
       def ballProbe(sym: DataFrame): Long = {
-        var ball = delta.select(explode(array(col("src"), col("dst")))
-          .as("node")).distinct().localCheckpoint()
-        var frontier = ball
-        for (_ <- 1 to 2) {
-          frontier = sym
-            .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
-            .select(col("dst").as("node")).distinct()
-            .join(ball, Seq("node"), "left_anti")
-            .localCheckpoint()
-          ball = ball.unionAll(frontier).localCheckpoint()
-        }
-        ball.count()
+        // the router's actual implementation, timed as-is
+        val hops0 = delta.select(explode(array(col("src"), col("dst")))
+          .as("node")).distinct()
+          .select(col("node"), lit(0).as("hop")).localCheckpoint()
+        val ball = Graph.ballBfs(sym, hops0, fromHop = 0, maxH = 2)
+        val n = ball.count()
+        if (!(ball eq hops0)) ball.unpersist()
+        hops0.unpersist()
+        n
       }
       var ringBall = 0L; var hubBall = 0L
       val tRingProbe = timed { ringBall = ballProbe(ring) }

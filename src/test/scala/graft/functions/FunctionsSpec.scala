@@ -1598,7 +1598,7 @@ class FunctionsSpec extends SparkSpec {
       batchId = Some(0L))
     val vBefore = verdicts(lsh)
     assert(vBefore === Set((1000L, 5L), (1000L, 25L), (1000L, 45L)))
-    Dedup.compactLshIndex(spark, lsh, buckets = 16)
+    Dedup.compactLshIndex(spark, lsh) // buckets read from the params table
     assert(verdicts(lsh) === vBefore, "LSH compaction changed verdicts")
     val exL = intercept[IllegalArgumentException] {
       Dedup.appendToLshIndex(probe, "text", "doc_id", lsh,
