@@ -1295,6 +1295,12 @@ object Graph {
     val doneMarker = new Path(s"$stateDir/deletes_done/batch=$batchId")
     if (sign == 1L && countsApplied) return false
     if (sign == -1L && countsApplied && fs.exists(doneMarker)) return false
+    // ids folded by a log compaction are invisible to this batch's
+    // `batch < id` dedup read — reusing one would silently duplicate
+    IndexLayout.compactedThrough(spark, s"$stateDir/compacted").foreach(t =>
+      require(batchId > t,
+        s"batch $batchId was consumed by a log compaction (through=$t) " +
+          "— maintenance must resume above it"))
     // fail-fast on a partition-modulus mismatch BEFORE any state write —
     // mergeCountsPartitioned re-checks, but only after the edge log had
     // already absorbed the batch
@@ -1490,6 +1496,90 @@ object Graph {
     ()
   }
 
+  /** Compact a maintainer's edge LOG — the state-tier twin of the index
+    * compaction family: every micro-batch adds an `edges/batch=<id>`
+    * dir, and both the per-batch dedup anti-join's partition discovery
+    * and delete-path rewrites walk all of them forever. Folds the log
+    * into ONE batch (the max logged id, so future ids stay above it and
+    * the `batch < id` dedup read is unchanged) via the staged swap.
+    * REPLAY SAFETY NEEDS NO NEW MARKER here: a consumed insert/delete
+    * batch's no-op comes from the counts/labels `applied/` (and
+    * `deletes_done/`) markers, which this never touches. Quiesce is
+    * ENFORCED: a logged batch without its applied marker (an in-flight
+    * maintainer call) fails the compaction loudly. `doneDeletesRoot`
+    * lets the triangle wrapper also reclaim completed delete
+    * resolutions.
+    */
+  private def compactMaintainerLog(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      appliedRoot: String,
+      targetFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val edgesDir = s"$stateDir/edges"
+    IndexLayout.resumeCompaction(spark, edgesDir)
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logged = Option(fs.globStatus(new Path(s"$edgesDir/batch=*")))
+      .map(_.toSeq.flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption))
+      .getOrElse(Nil)
+    if (logged.length <= 1) return // nothing to fold
+    val applied = Option(fs.globStatus(new Path(s"$appliedRoot/batch=*")))
+      .map(_.toSeq.flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption).toSet)
+      .getOrElse(Set.empty[Long])
+    val inFlight = logged.filterNot(applied)
+    require(inFlight.isEmpty,
+      s"log at $edgesDir has batches ${inFlight.sorted.mkString(",")} " +
+        "without applied markers — a maintainer call is in flight; let " +
+        "it commit (or replay) before compacting")
+    // consumed-id guard first (the index-family convention): the dedup
+    // read `batch < id` cannot see the folded rows for an id at or
+    // below the fold target, so reusing one would silently duplicate
+    IndexLayout.writeCompactedThrough(spark, s"$stateDir/compacted", logged.max)
+    IndexLayout.compactTable(spark, edgesDir, Seq("batch"),
+      toBatch = logged.max, keep = identity,
+      repartitionCols = Nil, targetFiles = targetFiles)
+  }
+
+  /** [[compactMaintainerLog]] for [[maintainTriangleCounts]] state: also
+    * requires every delete batch finished (`deletes_done/`) and reclaims
+    * their resolution dirs. STOP-THE-WORLD for the swap window;
+    * rerunning after a crash finishes a half-done swap. Maintained
+    * counts are untouched (spec-pinned CRC-identical).
+    */
+  def compactTriangleLog(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      targetFiles: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unfinished = Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .map(_.toSeq.map(_.getPath.getName)
+        .filterNot(b => fs.exists(new Path(s"$stateDir/deletes_done/$b"))))
+      .getOrElse(Nil)
+    require(unfinished.isEmpty,
+      s"delete batches ${unfinished.mkString(",")} at $stateDir resolved " +
+        "but never finished their log rewrite — replay them before " +
+        "compacting (their resolutions reference pre-compaction rows)")
+    compactMaintainerLog(spark, stateDir, s"$stateDir/counts/applied",
+      targetFiles)
+    // finished deletes' resolutions are dead weight: their counts AND
+    // deletes_done markers survive, so replays stay no-ops without them
+    Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
+  }
+
+  /** [[compactMaintainerLog]] for [[maintainCommunityLabels]] state. */
+  def compactCommunityLabelsLog(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      targetFiles: Int = 32): Unit =
+    compactMaintainerLog(spark, stateDir, s"$stateDir/labels/applied",
+      targetFiles)
+
   /** The maintained triangle counts as a frame (`node`, `tri_cnt`);
     * None before the first batch with any surviving count.
     */
@@ -1592,6 +1682,10 @@ object Graph {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$labelsDir/applied/batch=$batchId"))) return false
+    IndexLayout.compactedThrough(spark, s"$stateDir/compacted").foreach(t =>
+      require(batchId > t,
+        s"batch $batchId was consumed by a log compaction (through=$t) " +
+          "— maintenance must resume above it"))
     Incremental.pinnedPartitions(spark, labelsDir).foreach(p =>
       require(p == partitions,
         s"label table at $labelsDir was built with partitions=$p; " +

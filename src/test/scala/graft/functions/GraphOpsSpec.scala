@@ -948,6 +948,79 @@ class GraphOpsSpec extends SparkSpec {
     assert(move <= tol, s"warm answer not a tol-valid fixed point: $move")
   }
 
+  test("compactTriangleLog / compactCommunityLabelsLog: maintained state " +
+      "byte-identical across the log fold; consumed ids refuse loudly; " +
+      "maintenance (incl. a delete) continues on the folded log") {
+    import org.apache.spark.sql.functions._
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val (sym, _) = randomGraph(67L, 24, 150)
+    val half = sym.filter(p => p._1 < p._2)
+    val (b1i, b2i) = half.zipWithIndex.partition(_._2 % 2 == 0)
+    val (b1, b2) = (b1i.map(_._1), b2i.map(_._1))
+    val P = 8
+    // triangles: two insert batches + a delete, then fold the log
+    val tri = java.nio.file.Files.createTempDirectory("graft-trilog").toString
+    Graph.maintainTriangleCounts(spark, tri, b1.toDF("src", "dst"), 0L, P)
+    Graph.maintainTriangleCounts(spark, tri, b2.toDF("src", "dst"), 1L, P)
+    val del = Seq(half.head)
+    Graph.maintainTriangleCounts(spark, tri, del.toDF("src", "dst"), 2L, P,
+      sign = -1L)
+    def counts() = Graph.readTriangleCounts(spark, tri).get
+    val survivors = half.filterNot(del.toSet)
+    assert(same(counts(), Graph.triangleCountsAdj(survivors.toDF("src", "dst"))))
+    Graph.compactTriangleLog(spark, tri, targetFiles = 2)
+    assert(same(counts(), Graph.triangleCountsAdj(survivors.toDF("src", "dst"))),
+      "log fold changed the maintained counts")
+    assert(new java.io.File(s"$tri/edges").listFiles()
+      .count(_.getName.startsWith("batch=")) === 1, "log not folded")
+    assert(new java.io.File(s"$tri/deletes").listFiles() == null ||
+      new java.io.File(s"$tri/deletes").listFiles().isEmpty,
+      "finished delete resolutions not reclaimed")
+    // consumed ids refuse loudly; committed replays remain no-ops only
+    // for ids whose applied markers survive — they all do
+    assert(!Graph.maintainTriangleCounts(spark, tri, b2.toDF("src", "dst"),
+      1L, P), "replay of a committed batch stopped being a no-op")
+    val ex = intercept[IllegalArgumentException] {
+      // an UNSEEN id at/below the fold target (3 batches folded at
+      // max id 2; id 2's marker exists so use a gap id — simulate by
+      // removing a marker)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tri/counts/applied/batch=1"))
+      Graph.maintainTriangleCounts(spark, tri, b2.toDF("src", "dst"), 1L, P)
+    }
+    assert(ex.getMessage.contains("consumed by a log compaction"))
+    // maintenance continues above the fold: insert + delete
+    Graph.maintainTriangleCounts(spark, tri,
+      Seq((900L, 901L), (900L, 902L), (901L, 902L)).toDF("src", "dst"), 3L, P)
+    Graph.maintainTriangleCounts(spark, tri,
+      Seq((901L, 902L)).toDF("src", "dst"), 4L, P, sign = -1L)
+    val survivors2 = survivors ++ Seq((900L, 901L), (900L, 902L))
+    assert(same(counts(), Graph.triangleCountsAdj(survivors2.toDF("src", "dst"))),
+      "post-fold maintenance diverges from the cold recompute")
+
+    // community labels: same shape
+    val lpa = java.nio.file.Files.createTempDirectory("graft-lpalog").toString
+    Graph.maintainCommunityLabels(spark, lpa, b1.toDF("src", "dst"), 0L,
+      rounds = 3, partitions = P)
+    Graph.maintainCommunityLabels(spark, lpa, b2.toDF("src", "dst"), 1L,
+      rounds = 3, partitions = P)
+    def labels() = Graph.readCommunityLabels(spark, lpa).get
+    val coldAll = Graph.communityLabels(half.toDF("src", "dst"), "src", "dst", 3)
+    assert(same(labels(), coldAll))
+    Graph.compactCommunityLabelsLog(spark, lpa, targetFiles = 2)
+    assert(same(labels(), coldAll), "log fold changed the maintained labels")
+    assert(new java.io.File(s"$lpa/edges").listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    Graph.maintainCommunityLabels(spark, lpa,
+      Seq((0L, 23L)).toDF("src", "dst"), 2L, rounds = 3, partitions = P)
+    assert(same(labels(), Graph.communityLabels(
+      (half :+ ((0L, 23L))).distinct.toDF("src", "dst"), "src", "dst", 3)),
+      "post-fold label maintenance diverges from the cold recompute")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tri))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lpa))
+  }
+
   test("kCoreRefreshAuto: routes cold on a shallow-peel graph and delta " +
       "on a cascade-deep graph — both arms bit-identical to the cold " +
       "recompute (dispatch is a cost decision, never a correctness one)") {
