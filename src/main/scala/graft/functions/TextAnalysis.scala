@@ -508,9 +508,8 @@ object TextAnalysis {
     * committed id, so the rows stay visible through the existing
     * commit-marker filter at every instant of the postings swap), sums
     * the stats rows (count monoids — appends and negated deletes alike)
-    * into one row at that id, reclaims crashed appends' orphan postings
-    * (uncommitted rows simply don't survive the `keep` filter) and
-    * committed deletes' resolution dirs, and records the consumed id
+    * into one row at that id, reclaims committed deletes' resolution
+    * dirs, and records the consumed id
     * bounds so a REPLAYED pre-compaction batch fails loudly instead of
     * silently duplicating rows ([[IndexLayout.compactedThrough]] guards
     * in the appender and the deleter). Post-compaction searches are
@@ -523,7 +522,8 @@ object TextAnalysis {
     */
   def compactInvertedIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String,
+      reclaimOrphans: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // finish any half-done swap before reading state
@@ -549,11 +549,18 @@ object TextAnalysis {
           s.getPath.getName.stripPrefix("batch=").toLong).toOption).distinct)
         .getOrElse(Nil).filterNot(committed.contains)
     }
-    require(orphans.isEmpty,
+    // orphans from a REPLAYABLE stream batch must not be consumed (the
+    // replay would be refused post-compaction with the docs lost), but
+    // an ad-hoc auto-id orphan is non-replayable BY DESIGN and would
+    // otherwise block compaction forever — `reclaimOrphans = true` is
+    // the operator's explicit statement that the orphans are ad-hoc
+    // garbage to drop (the `keep` filter already excludes their rows)
+    require(orphans.isEmpty || reclaimOrphans,
       s"index at $path has UNCOMMITTED postings batches ${orphans.sorted
-        .mkString(",")} — an ingest stream is mid-batch; let it commit " +
-        "(or replay) before compacting, or its replay will be refused " +
-        "with the batch's docs lost")
+        .mkString(",")} — a replayable ingest batch may be in flight; " +
+        "let it commit (or replay) before compacting, or pass " +
+        "reclaimOrphans = true if these are crashed AD-HOC (auto-id, " +
+        "non-replayable) appends to drop")
     val through = committed.max
     // caller-space bound of CONSUMED delete slots (internal ids below
     // BaseBatch map back as -id-2); -1 = none consumed

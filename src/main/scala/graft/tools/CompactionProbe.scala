@@ -29,20 +29,26 @@ object CompactionProbe {
     ta.writeInvertedIndex(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
       "text", "doc_id", frag, buckets = 64)
     val rest = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).localCheckpoint()
+    // batching key independent of the mod-5 base/rest split (doc_id %
+    // nBatches would leave every i % 5 == 0 batch empty — the configured
+    // and MEASURED batch counts must agree)
     for (i <- 0 until nBatches)
       ta.appendToInvertedIndex(
-        rest.filter(pmod(col("doc_id"), lit(nBatches)) === i),
+        rest.filter(pmod((col("doc_id") / 5).cast("long"), lit(nBatches)) === i),
         "text", "doc_id", frag, buckets = 64, batchId = Some(i.toLong))
 
     def tree(p: String): (Long, Long) = {
-      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
-      var dirs = 0L; var files = 0L
-      while (it.hasNext) {
-        val x = it.next()
-        if (java.nio.file.Files.isDirectory(x)) dirs += 1
-        else if (x.toString.endsWith(".parquet")) files += 1
-      }
-      (dirs, files)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        val it = walk.iterator()
+        var dirs = 0L; var files = 0L
+        while (it.hasNext) {
+          val x = it.next()
+          if (java.nio.file.Files.isDirectory(x)) dirs += 1
+          else if (x.toString.endsWith(".parquet")) files += 1
+        }
+        (dirs, files)
+      } finally walk.close()
     }
     val q = Seq("window", "hash", "stream", "dup")
     def search(p: String): Seq[(Long, Long)] =
