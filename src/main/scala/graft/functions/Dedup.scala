@@ -755,6 +755,13 @@ object Dedup {
     val through = math.max(
       IndexLayout.maxBatchId(spark, s"$path/bands"),
       IndexLayout.maxBatchId(spark, s"$path/shingles"))
+    // marker FIRST (the index-family convention — see
+    // TextAnalysis.compactInvertedIndex): a crash between either
+    // destructive fold and a trailing marker would leave a compacted
+    // table with no replay guard, so a replayed pre-compaction append
+    // silently duplicates rows. Early is safe under the documented
+    // stop-the-world quiesce: every id <= through is landed.
+    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
     // collapse INTO the max consumed id (not BaseBatch): maxBatchId then
     // still reads `through`, so auto-id allocation resumes above the
     // guard instead of colliding with it
@@ -764,7 +771,6 @@ object Dedup {
     IndexLayout.compactTable(spark, s"$path/shingles", Seq("batch"),
       toBatch = through, keep = identity,
       repartitionCols = Nil, targetFiles = 32)
-    IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
   }
 
   /** Near-dup pairs of a NEW document batch against an indexed corpus

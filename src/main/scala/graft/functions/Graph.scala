@@ -2218,6 +2218,10 @@ object Graph {
       rounds += 1
       converged = move <= tolMicro
       hub = nextHub
+      // the served-frame baseline is only consumable in round 1 — drop
+      // its checkpoint block too, not just the reference (r16 ADVICE:
+      // a leaked node-sized block per warm call until driver GC)
+      hubServed.foreach(_.unpersist())
       hubServed = None
       auth = nextAuth
       prevAuth = Some(nextAuth)

@@ -232,12 +232,18 @@ object Similarity {
       targetFiles: Int = 32): Unit = {
     IndexLayout.resumeCompaction(spark, path)
     val through = IndexLayout.maxBatchId(spark, path)
+    // marker FIRST (the index-family convention — see
+    // compactInvertedIndex): a crash between the destructive fold and a
+    // trailing marker would leave a compacted table with no replay
+    // guard, so a replayed pre-compaction append silently duplicates
+    // rows beside the compacted copy. Early is safe under the
+    // documented stop-the-world quiesce: every id <= through is landed.
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
     // collapse INTO the max consumed id so auto-id allocation resumes
     // above the replay guard instead of colliding with it
     IndexLayout.compactTable(spark, path, Seq("batch"),
       toBatch = through, keep = identity,
       repartitionCols = Nil, targetFiles = targetFiles)
-    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
   }
 
   /** [[compactInt8Index]] for the IVF+PQ layout (cell-pruned codes). */
@@ -247,10 +253,11 @@ object Similarity {
       targetFiles: Int = 64): Unit = {
     IndexLayout.resumeCompaction(spark, path)
     val through = IndexLayout.maxBatchId(spark, path)
+    // marker FIRST — same crash-window rationale as [[compactInt8Index]]
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
     IndexLayout.compactTable(spark, path, Seq("cell", "batch"),
       toBatch = through, keep = identity,
       repartitionCols = Seq("cell"), targetFiles = targetFiles)
-    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
   }
 
   /** GDPR-style delete from a [[writeInt8Index]] layout: copy-on-write

@@ -418,8 +418,7 @@ object TextAnalysis {
       return graft.sinks.Lake.DeleteStats(0L, 0L, 0L, 0L)
     if (!resolvedDone) {
       // one committed-postings scan resolves lens AND affected partitions
-      spark.read.parquet(s"$path/postings")
-        .filter(col("batch").cast("long").isin(committed: _*))
+      committedOnly(spark.read.parquet(s"$path/postings"), committed)
         .join(broadcast(docIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("len"),
           col("bucket").cast("long").as("bucket"),
@@ -428,7 +427,12 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(delDir.toString)
     }
     val resolved = spark.read.parquet(delDir.toString)
-    val del = resolved.select(col("doc_id"), col("len")).distinct()
+    // per (doc_id, BATCH), not per doc_id: the append stats are
+    // per-batch monoid rows, so a doc_id appended in two committed
+    // batches is counted twice in cumulative n/tot — collapsing it to
+    // one negated row here would under-subtract while the COW rewrite
+    // removes both posting copies (r16 ADVICE)
+    val del = resolved.select(col("doc_id"), col("batch"), col("len")).distinct()
       .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"))
       .head()
     val (nDel, totDel) = (del.getAs[Long]("n"), del.getAs[Long]("tot"))
@@ -577,7 +581,7 @@ object TextAnalysis {
       IndexLayout.writeCompactedThrough(spark, s"$path/compacted_del", delThrough)
     IndexLayout.compactTable(spark, s"$path/postings", Seq("bucket", "batch"),
       toBatch = through,
-      keep = df => df.filter(col("batch").cast("long").isin(committed: _*)),
+      keep = df => committedOnly(df, committed),
       repartitionCols = Seq("bucket"),
       targetFiles = math.max(1, buckets.toInt))
     IndexLayout.compactTable(spark, s"$path/stats", Seq("batch"),
@@ -601,6 +605,24 @@ object TextAnalysis {
           .foreach(_ => { fs.delete(s.getPath, true); () })
       }
   }
+
+  /** Commit-marker visibility filter over a postings read. Up to
+    * [[graft.sinks.Lake.MaxInlineIds]] committed batch ids ride the plan
+    * as an `isin` literal list (partition-pruned at planning time);
+    * above that — years of micro-batches on an uncompacted index — the
+    * list would be thousands of literals of plan text, the exact
+    * scalability bug the Lake rule exists to avoid (r16 ADVICE), so it
+    * falls back to a broadcast semi-join on the batch column.
+    */
+  private def committedOnly(df: DataFrame, committed: Seq[Long]): DataFrame =
+    if (committed.length <= graft.sinks.Lake.MaxInlineIds)
+      df.filter(col("batch").cast("long").isin(committed: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(committed.toDF("__committed_batch")),
+        col("batch").cast("long") === col("__committed_batch"), "left_semi")
+    }
 
   /** Exact corpus stats of a (possibly appended-to) inverted index:
     * n and tot are count monoids, so the per-batch stats rows SUM to the
@@ -686,8 +708,8 @@ object TextAnalysis {
     val qBuckets = qTerms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(qBuckets: _*))   // partition filter
-      .filter(col("batch").isin(committed: _*))   // commit-marker visibility
       .filter(col("t").isin(qTerms: _*))        // parquet-pushed within bucket
+      .transform(committedOnly(_, committed))   // commit-marker visibility
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     bm25Rank(postings, stats.select(col("n"), col("tot")), k1Milli, bMilli, topK)
   }
@@ -749,8 +771,8 @@ object TextAnalysis {
     val qBuckets = terms.map(t => hash48Local(t) % buckets).distinct
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("bucket").isin(qBuckets: _*))   // partition filter
-      .filter(col("batch").isin(committed: _*))   // commit-marker visibility
       .filter(col("t").isin(terms: _*))         // parquet-pushed within bucket
+      .transform(committedOnly(_, committed))   // commit-marker visibility
       .select(col("doc_id"), col("t"), col("tf"), col("len"))
     val dfq = postings.groupBy(col("t")).agg(count(lit(1)).as("dfreq"))
     val statsDf = spark.range(1).select(lit(n).as("n"), lit(tot).as("tot"))

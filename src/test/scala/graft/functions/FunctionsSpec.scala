@@ -1467,6 +1467,34 @@ class FunctionsSpec extends SparkSpec {
       "healed + fresh deletes diverge from the survivors rebuild")
   }
 
+  test("deleteFromInvertedIndex: a doc_id present in TWO committed batches " +
+      "subtracts stats per (doc_id, batch) — post-delete stats and ranking " +
+      "equal the survivors rebuild") {
+    // the r16 ADVICE scenario: identical (doc_id, len) rows in two
+    // committed batches collapse to ONE negated row under a doc_id-only
+    // distinct, under-subtracting n/tot while the COW rewrite removes
+    // both posting copies
+    val base = (0L until 60L).map(i => (i, s"alpha words w${i % 5} here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-inv-dup").toString
+    TextAnalysis.writeInvertedIndex(base, "text", "doc_id", idx, buckets = 8)
+    // doc 50 re-ingested verbatim (identical len) in a second committed batch
+    TextAnalysis.appendToInvertedIndex(base.filter(col("doc_id") === 50L),
+      "text", "doc_id", idx, buckets = 8, batchId = Some(0L))
+    val st = TextAnalysis.deleteFromInvertedIndex(spark, Seq(50L), idx)
+    assert(st.rowsDeleted > 0L)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-inv-dup-rb").toString
+    TextAnalysis.writeInvertedIndex(base.filter(col("doc_id") =!= 50L),
+      "text", "doc_id", rebuilt, buckets = 8)
+    assert(TextAnalysis.readIndexStats(spark, idx) ===
+      TextAnalysis.readIndexStats(spark, rebuilt),
+      "a doc committed in two batches must subtract from BOTH batches' stats")
+    val q = Seq("alpha", "here")
+    def rank(path: String) = TextAnalysis.bm25SearchFromIndex(spark, path, q,
+      topK = 20).as[(Long, Long)].collect().toSeq
+    assert(rank(idx) === rank(rebuilt))
+  }
+
   test("deleteFromLshIndex: post-delete near-dup verdicts equal a rebuild " +
       "without the deleted docs; re-delete is a no-op") {
     val corpus = (0L until 60L).map { i =>
