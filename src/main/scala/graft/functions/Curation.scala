@@ -1257,6 +1257,71 @@ object Curation {
     out
   }
 
+  /** The DELETION direction of [[refreshClusters]]: retract a batch of
+    * deleted doc ids from an existing `(node, cluster_id)` labelling —
+    * the cluster-state half of a GDPR delete, completing what
+    * [[graft.functions.Dedup.deleteFromLshIndex]] starts (an index
+    * delete alone leaves stale labels, possibly a DELETED doc serving as
+    * a cluster representative in keep-best and the dedup-aware
+    * pack/shard/split family).
+    *
+    * Removing a node is NON-LOCAL within its cluster (the deleted doc may
+    * have been the bridge holding two sub-groups together, or the min-id
+    * label itself), so affected clusters are re-solved exactly:
+    *   - affected clusters = those holding a deleted member (everything
+    *     else passes through untouched — cost is affected clusters'
+    *     members, never the corpus);
+    *   - their SURVIVING members' pair evidence is re-read via
+    *     `pairsAmong` (hand it
+    *     [[graft.functions.Dedup.pairsAmongFromIndex]] over the
+    *     POST-delete LSH index — the index delete must land first);
+    *   - re-CC + min-id relabel; survivors left with no pairs drop out of
+    *     the state entirely, exactly like full [[connectedComponents]]
+    *     over the surviving pair set (keep-best already treats stateless
+    *     docs as singletons).
+    *
+    * Invariants: `existing` labels are min-member ids reflecting the SAME
+    * pair evidence `pairsAmong` reads (the [[connectedComponents]] /
+    * [[refreshClusters]] output contract) — that is what guarantees no
+    * surviving pair can straddle an affected and an untouched cluster, so
+    * restricting the re-solve to affected survivors loses nothing.
+    * Output: the complete new `(node, cluster_id)` state, bit-identical
+    * to full CC over the surviving pairs (spec-pinned). Replay-safe: once
+    * applied, the deleted ids are absent from the state, so a re-applied
+    * retraction finds no affected clusters and is a no-op.
+    *
+    * `mergeEdgesOut` (introspection, spec-bound): the re-solve graph's
+    * edge count — the "never the corpus" proof is this number staying
+    * affected-cluster-sized while the corpus grows.
+    */
+  def refreshClustersRetract(
+      existing: DataFrame,
+      deletedIds: DataFrame,
+      pairsAmong: DataFrame => DataFrame,
+      mergeEdgesOut: Option[java.util.concurrent.atomic.AtomicLong] = None): DataFrame = {
+    val dead = Similarity.oneIdCol(deletedIds, "node")
+    val affectedClusters = existing
+      .join(broadcast(dead), Seq("node"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val survivors = existing
+      .join(broadcast(affectedClusters), Seq("cluster_id"), "left_semi")
+      .join(broadcast(dead), Seq("node"), "left_anti")
+      .select(col("node"))
+      .localCheckpoint()
+    val mergeEdges = pairsAmong(survivors)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    mergeEdgesOut.foreach(_.set(mergeEdges.count()))
+    val relabeled = connectedComponents(mergeEdges, "a", "b")
+    val untouched = existing
+      .join(broadcast(affectedClusters), Seq("cluster_id"), "left_anti")
+    val out = untouched.select(col("node"), col("cluster_id"))
+      .unionByName(relabeled.select(col("node"), col("cluster_id")))
+    Checkpoints.unpersist(survivors)
+    Checkpoints.unpersist(mergeEdges)
+    out
+  }
+
   /** Per-source dataset card — the corpus-stats bundle a pipeline
     * publishes with every snapshot (doc/token volume, exact-dup rate via
     * distinct content digests, integer quality mass, language spread).

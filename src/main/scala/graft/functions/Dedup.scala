@@ -878,6 +878,56 @@ object Dedup {
           minJaccardMilli)
           .select(col("a"), col("b")))
 
+  /** Verified near-dup pairs AMONG a given id set, regenerated entirely
+    * from a materialized [[writeLshIndex]] layout — nothing is
+    * re-shingled or re-banded: candidate generation self-joins the
+    * STORED band keys of exactly these docs, and exact-Jaccard
+    * verification reads their STORED shingle sets, so the result is
+    * bit-identical to [[minhashLshPairs]] over the same documents
+    * (spec-pinned; the append param guard pins the banding shape).
+    *
+    * This is the read [[graft.functions.Curation.refreshClustersRetract]]
+    * needs: after [[deleteFromLshIndex]] removed the dead docs' rows, the
+    * index holds exactly the SURVIVING pair evidence, and the retraction
+    * re-derives an affected cluster's pairs from it without touching the
+    * corpus. Cost: one column-pruned scan of each index table filtered by
+    * a broadcast semi-join on the (affected-cluster-bounded) id set; the
+    * self-join runs over only those docs' band rows. The per-doc
+    * dropDuplicates tolerate a doc landed in two committed batches (an
+    * at-least-once ingest under two different ids) — its band/shingle
+    * rows are copies by the append contract.
+    */
+  def pairsAmongFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      indexPath: String,
+      minJaccardMilli: Int): DataFrame = {
+    val docs = Similarity.oneIdCol(ids, "doc")
+    val banded = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(docs), Seq("doc"), "left_semi")
+      .select(col("doc"), col("band"), col("bh"))
+      .dropDuplicates("doc", "band", "bh")
+    val candIds = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .dropDuplicates("a", "b")
+    val sh = spark.read.parquet(s"$indexPath/shingles")
+      .join(broadcast(docs), Seq("doc"), "left_semi")
+      .select(col("doc"), col("sh"))
+      .dropDuplicates("doc")
+    candIds
+      .join(sh.select(col("doc").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select(col("a"), col("b"), col("jaccard_milli"))
+  }
+
   /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate
     * stays positive in signed 64-bit math in any engine). Bit j of the
     * fingerprint is 1 iff the sum over tokens of (bit j of h48/60(token)

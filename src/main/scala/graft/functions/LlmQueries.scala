@@ -356,9 +356,11 @@ object LlmQueries {
 
   /** doc_id + distinct hashed 3-gram shingle list (48-bit md5-prefix
     * hashes, mirroring `Dedup.hashedShingles`), docs with >=1 shingle.
+    * `where` restricts the corpus slice (the retraction oracle replays
+    * CC over a corpus that never contained the deleted docs).
     */
-  private val shinglesCte =
-    s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+  private def shinglesCteWhere(where: String) =
+    s"""base AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents $where),
         sh AS (SELECT doc_id, source,
                  list_distinct(list_transform(
                    list_distinct(CASE WHEN len(toks) >= 3
@@ -367,6 +369,8 @@ object LlmQueries {
                      ELSE [] END),
                    g -> CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT))) AS s
                FROM base)"""
+
+  private val shinglesCte = shinglesCteWhere("")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------- dedup
@@ -732,8 +736,44 @@ object LlmQueries {
       TextAnalysis.deleteFromInvertedIndex(s,
         docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
         idx, batchId = Some(0L))
+      // compaction at the gate (r17): collapse the three-batch tree
+      // (base + append + negated delete stats) into one batch BETWEEN
+      // the delete and the search — the oracle is unchanged (same
+      // surviving docs), so the hash certifies the collapse is
+      // invisible to ranking; it also cuts the row's small-file tax
+      // (CompactionProbe measured the fragmentation tax at 9.6x).
+      TextAnalysis.compactInvertedIndex(s, idx)
       TextAnalysis.bm25SearchFromIndex(s, idx,
         Seq("window", "hash", "stream", "dup"), topK = 50)
+    },
+    // Retraction through the dedup CLUSTER state driven end-to-end at
+    // the gate (r17): materialize the LSH index, derive CC labels from
+    // its stored pair evidence, COW-delete a doc slice from the index
+    // (deleteFromLshIndex), then retract the labels
+    // (refreshClustersRetract — only clusters holding a deleted member
+    // re-solve, from the index's SURVIVING pairs). The oracle replays
+    // the whole LSH+CC pipeline over a corpus that never contained the
+    // deleted docs, so the hash certifies retracted == cold.
+    "dedup_retract_labels" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-lsh-gate").toString
+      org.apache.commons.io.FileUtils
+        .forceDeleteOnExit(new java.io.File(idx))
+      Dedup.writeLshIndex(docs, "text", "doc_id", idx,
+        n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+      val state0 = Curation.connectedComponents(
+        Dedup.pairsAmongFromIndex(s, docs.select(col("doc_id")), idx,
+          minJaccardMilli = 500),
+        "a", "b")
+      val dead = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select(col("doc_id"))
+      Dedup.deleteFromLshIndex(s, dead, idx)
+      Curation.refreshClustersRetract(state0, dead,
+        survivors => Dedup.pairsAmongFromIndex(s, survivors, idx,
+          minJaccardMilli = 500))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
     },
     // Hybrid retrieval: integer RRF fusion of the BM25 lexical list and
     // a brute-force cosine list over the (aligned) embedding ids. The
@@ -1682,6 +1722,25 @@ object LlmQueries {
           SELECT doc_id, score_q10 FROM sc
           ORDER BY score_q10 DESC, doc_id LIMIT 50"""
     },
+    // the retracted cluster labels must equal CC over a corpus that
+    // never contained the deleted docs: the full LSH + verification +
+    // min-label-reachability pipeline replays over the survivors only
+    "dedup_retract_labels" ->
+      s"""WITH RECURSIVE ${shinglesCteWhere("WHERE doc_id % 9 <> 4")},
+          $minhashCandCtes,
+          vp AS (SELECT c.a, c.b FROM cand c
+                 JOIN valid sa ON sa.doc_id = c.a
+                 JOIN valid sb ON sb.doc_id = c.b
+                 WHERE CAST(floor(len(list_filter(sa.s, g -> list_contains(sb.s, g))) * 1000.0 /
+                   (len(sa.s) + len(sb.s) - len(list_filter(sa.s, g -> list_contains(sb.s, g)))))
+                   AS BIGINT) >= 500),
+          edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+          reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) s(a)
+            UNION
+            SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node)
+          SELECT node AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY 1 ORDER BY 1""",
     "search_hybrid_rrf" -> {
       def l1024(x: String): String =
         s"((length(bin($x)) - 1) * 1024 + " +

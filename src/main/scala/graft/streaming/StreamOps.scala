@@ -376,6 +376,44 @@ object StreamOps {
         }
     }
 
+  /** Deletion half of [[clusterMaintenanceStream]] — ONE streamed delete
+    * batch updates the LSH index AND the `(node, cluster_id)` state:
+    * first `Dedup.deleteFromLshIndex` removes the dead docs' band/shingle
+    * rows (COW, affected partitions only), then
+    * `Curation.refreshClustersRetract` re-solves exactly the clusters
+    * that held a deleted member from the index's now-SURVIVING pair
+    * evidence (`Dedup.pairsAmongFromIndex` — the corpus is never
+    * re-shingled). Order matters and is load-bearing for replay safety:
+    * the retraction must read the post-delete index, and because the
+    * state still names the deleted docs until the retraction lands, a
+    * crash after the index delete replays cleanly (the index re-delete
+    * no-ops, the retraction still finds its affected clusters); once the
+    * state is saved, a full replay is a no-op end-to-end. `saveState`
+    * atomicity is the caller's contract, as in
+    * [[clusterMaintenanceStream]].
+    */
+  def clusterRetractStream(
+      ids: DataFrame,
+      idCol: String,
+      indexPath: String,
+      minJaccardMilli: Int)(
+      loadState: () => DataFrame,
+      saveState: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val dead = batch.toDF().select(col(idCol)).localCheckpoint()
+          try {
+            graft.functions.Dedup.deleteFromLshIndex(
+              batch.sparkSession, dead, indexPath)
+            saveState(graft.functions.Curation.refreshClustersRetract(
+              loadState(), dead,
+              survivors => graft.functions.Dedup.pairsAmongFromIndex(
+                batch.sparkSession, survivors, indexPath, minJaccardMilli)))
+          } finally { dead.unpersist(); () }
+        }
+    }
+
   /** Deletion half of [[int8AppendStream]] / [[indexAppendStream]]: a
     * stream of vec_ids is deleted from a materialized ANN index per
     * micro-batch (COW rewrite of exactly the affected batch/cell

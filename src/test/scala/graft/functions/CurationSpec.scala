@@ -362,6 +362,73 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("refreshClustersRetract: retracted labels == full CC over surviving " +
+      "pairs bit-for-bit — deleted representative relabels, a bridge " +
+      "removal splits, untouched clusters never enter the re-solve") {
+    // chain 1-2-3 (deleting the BRIDGE 2 splits it; 1 and 3 drop out as
+    // pairless singletons), triangle 10-11-12 (deleting the
+    // REPRESENTATIVE/min-id 10 relabels {11,12} to 11), pair 20-21
+    // (untouched — must pass through without entering the merge graph)
+    val pairs0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L))
+    val state0 = Curation.connectedComponents(pairs0.toDF("a", "b"), "a", "b")
+    assert(state0.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L))
+    val dead = Seq(2L, 10L)
+    val surviving = pairs0.filterNot(p =>
+      dead.contains(p._1) || dead.contains(p._2))
+    def pairsAmong(members: org.apache.spark.sql.DataFrame) = {
+      val m = members.select(col("node"))
+      surviving.toDF("a", "b")
+        .join(m.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(m.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+    }
+    val mergeEdges = new java.util.concurrent.atomic.AtomicLong(-1)
+    val retracted = Curation.refreshClustersRetract(
+      state0, dead.toDF("node"), pairsAmong, Some(mergeEdges))
+      .localCheckpoint()
+    val full = Curation.connectedComponents(surviving.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(retracted.as[(Long, Long)].collect().toMap === full)
+    assert(full === Map(11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
+    // never-the-corpus proof: only the affected survivors' pairs enter —
+    // (11,12) alone; the untouched (20,21) stays out of the re-solve
+    assert(mergeEdges.get() === 1L)
+    // replay no-op: the deleted ids are gone from the state, so a
+    // re-applied retraction finds no affected clusters
+    val replayed = Curation.refreshClustersRetract(
+      retracted, dead.toDF("node"), pairsAmong)
+      .as[(Long, Long)].collect().toMap
+    assert(replayed === full, "replayed retraction must be a no-op")
+  }
+
+  test("refreshClustersRetract equals full CC over surviving pairs on " +
+      "random graphs with random delete sets (3 seeds)") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs0 = Seq.fill(120)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val dead = rnd.shuffle(pairs0.flatMap(p => Seq(p._1, p._2)).distinct)
+        .take(12)
+      val surviving = pairs0.filterNot(p =>
+        dead.contains(p._1) || dead.contains(p._2))
+      def pairsAmong(members: org.apache.spark.sql.DataFrame) =
+        surviving.toDF("a", "b")
+          .join(members.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(members.select(col("node").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      val state0 = Curation.connectedComponents(pairs0.toDF("a", "b"), "a", "b")
+      val retracted = Curation.refreshClustersRetract(
+        state0, dead.toDF("node"), pairsAmong)
+        .as[(Long, Long)].collect().toMap
+      val full = Curation.connectedComponents(surviving.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(retracted === full, s"seed $seed: retraction != full CC over survivors")
+    }
+  }
+
   test("quantileNormalizeQuality matches a naive reimplementation") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = Curation.quantileNormalizeQuality(docs, "text", "doc_id", "source")

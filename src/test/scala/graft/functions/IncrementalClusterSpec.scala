@@ -182,4 +182,118 @@ class IncrementalClusterSpec extends SparkSpec {
       assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 20L -> 1L))
     } finally q.stop()
   }
+
+  test("retraction end-to-end over the LSH index: delete via " +
+      "deleteFromLshIndex, retract labels from the index's surviving " +
+      "pairs, keep-best re-elects after the representative dies") {
+    val tplA = "the quick brown fox jumps over the lazy dog every single day"
+    val tplB = "completely different content discussing machine learning model training"
+    val corpus = Seq(
+      (1L, tplA),
+      (2L, tplA.replace("day", "night")),
+      (10L, tplA.replace("day", "morning")),
+      (4L, tplB),
+      (5L, tplB.replace("training", "serving")),
+      (8L, "a unique document about gardening tools sharing nothing with others"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-retract-cc").toString
+    Dedup.writeLshIndex(corpus, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    def pairsOf(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+    val state0 = Curation.connectedComponents(pairsOf(corpus), "a", "b")
+      .localCheckpoint()
+    assert(state0.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 4L -> 4L, 5L -> 4L))
+
+    // pairsAmongFromIndex == the fresh LSH pass, bit-for-bit incl. score
+    val allIds = corpus.select(col("doc_id"))
+    val fromIndex = Dedup.pairsAmongFromIndex(spark, allIds, idx, 500)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    val fresh = pairsOf(corpus)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(fromIndex === fresh, "stored-index pairs != fresh LSH pairs")
+
+    // keep-best BEFORE: representatives 1 and 4 win their clusters
+    val keep0 = Curation.keepBestFromClusters(corpus, "text", "doc_id", state0)
+      .as[(Long, Long, Long)].collect().map(k => k._1 -> k._2).toMap
+    assert(keep0(1L) === 1L && keep0(4L) === 4L)
+
+    // GDPR batch: doc 1 (cluster A's representative/min-id) and doc 4
+    // (cluster B's representative) die. Index first, then labels.
+    val dead = Seq(1L, 4L)
+    Dedup.deleteFromLshIndex(spark, dead, idx)
+    val mergeEdges = new AtomicLong(-1)
+    val retracted = Curation.refreshClustersRetract(
+      state0, dead.toDF("node"),
+      survivors => Dedup.pairsAmongFromIndex(spark, survivors, idx, 500),
+      Some(mergeEdges)).localCheckpoint()
+    val survivingDocs = corpus.filter(!col("doc_id").isin(dead: _*))
+      .localCheckpoint()
+    val full = Curation.connectedComponents(pairsOf(survivingDocs), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(retracted.as[(Long, Long)].collect().toMap === full,
+      "retracted labels != full CC over the surviving corpus")
+    assert(full.get(2L).contains(2L) && full.get(10L).contains(2L),
+      "cluster A must relabel to its new min survivor")
+    // the merge graph is affected-cluster-sized: at most the surviving
+    // pairs of clusters {1,2,10} and {4,5} — never the corpus
+    assert(mergeEdges.get() <= 4L,
+      s"merge graph ${mergeEdges.get()} edges — re-solve leaked past the " +
+        "affected clusters")
+
+    // keep-best re-election equals the cold form over the survivors
+    val keepR = Curation.keepBestFromClusters(
+      survivingDocs, "text", "doc_id", retracted)
+      .as[(Long, Long, Long)].collect().toSet
+    val keepFull = Curation.keepBestFromClusters(
+      survivingDocs, "text", "doc_id",
+      full.toSeq.toDF("node", "cluster_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(keepR === keepFull)
+    assert(keepR.map(k => k._1 -> k._2).toMap.get(2L).contains(2L),
+      "cluster A's keep must re-elect among survivors")
+  }
+
+  test("clusterRetractStream: one streamed delete batch updates the index " +
+      "AND the labels; the dead doc stops matching probes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tpl = "the quick brown fox jumps over the lazy dog every single day"
+    val corpus = Seq(
+      (1L, tpl), (2L, tpl.replace("day", "night")),
+      (10L, tpl.replace("day", "morning")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-retract-stream").toString
+    Dedup.writeLshIndex(corpus, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    var state = Curation.connectedComponents(
+      Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500),
+      "a", "b").localCheckpoint()
+
+    val in = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.clusterRetractStream(
+      in.toDF().toDF("doc_id"), "doc_id", idx, minJaccardMilli = 500)(
+      loadState = () => state,
+      saveState = s => { state = s.localCheckpoint() })
+      .start()
+    try {
+      in.addData(1L)
+      q.processAllAvailable()
+      // labels: cluster re-solved over the index's surviving pairs
+      assert(state.as[(Long, Long)].collect().toMap ===
+        Map(2L -> 2L, 10L -> 2L))
+      // index: the deleted doc no longer matches a probe of its own text
+      val verdicts = Dedup.nearDupsAgainstIndex(
+        spark, Seq((99L, tpl)).toDF("doc_id", "text"), "text", "doc_id", idx,
+        n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500, buckets = 16)
+        .select("corpus_id").as[Long].collect().toSet
+      assert(!verdicts.contains(1L), "deleted doc still matching probes")
+      // doc 2 band-collides with the probe; doc 10's membership was
+      // transitive (via pairs (1,2),(2,10)), so the probe need not hit it
+      assert(verdicts.contains(2L))
+    } finally q.stop()
+  }
 }
