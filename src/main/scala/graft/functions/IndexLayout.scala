@@ -189,6 +189,37 @@ private[graft] object IndexLayout {
     ()
   }
 
+  /** Stage a complete REPLACEMENT table and swap it in via the same
+    * delete-then-rename protocol as [[compactTable]] — shared by the
+    * rebuild operators, which re-derive contents from a corpus rather
+    * than fold the stored table. Crash rules identical: the staging dir
+    * is fully written (with `_SUCCESS`) before the live dir is touched;
+    * a crash between the delete and the rename is finished by
+    * [[resumeCompaction]] (or the next call here), and a stale pre-swap
+    * staging is rebuilt wholesale. STOP-THE-WORLD for the swap window,
+    * like every lifecycle operator of the index family.
+    */
+  private[graft] def stageAndSwap(
+      spark: SparkSession, tableDir: String)(
+      writeStaging: String => Unit): Unit = {
+    val live = new Path(tableDir)
+    val staging = new Path(tableDir + ".compacting")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish an interrupted predecessor's swap first — then rebuild
+    // anyway: the caller is asking for a FRESH derivation, and contents
+    // are deterministic in (corpus, params), so a rerun is idempotent
+    resumeCompaction(spark, tableDir)
+    require(fs.exists(live), s"no index table at $tableDir")
+    fs.delete(staging, true)
+    writeStaging(staging.toString)
+    require(fs.exists(new Path(staging, "_SUCCESS")),
+      s"staging write at $staging left no _SUCCESS marker")
+    fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"rename $staging -> $live failed; staging holds the full table")
+    ()
+  }
+
   /** Finish a compaction swap interrupted between its delete and its
     * rename (live dir absent, staging complete). Returns true when a
     * resume happened. Safe to call any time.

@@ -571,6 +571,89 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell", "batch").parquet(path)
   }
 
+  /** Staleness-triggered REBUILD of a [[writeIvfPqIndex]] layout — the
+    * action [[indexStalenessReport]]'s alarm calls for, closing the
+    * monitor→refresh loop: centroids and PQ codebooks are re-derived
+    * FRESH from `corpus` (the new base — post-delete survivors, or
+    * survivors plus the appended drift that tripped the alarm), every
+    * vector is re-encoded against them into a staging dir, and the live
+    * table is swapped via the [[IndexLayout.stageAndSwap]]
+    * delete-then-rename protocol (a crash in the swap window is a
+    * deterministic resume; rerunning this function finishes or
+    * reproduces it byte-for-byte — contents are deterministic in
+    * (corpus, params)).
+    *
+    * Post-rebuild [[ivfPqTopKFromIndex]] — with `corpus` as the codebook
+    * source — ranks IDENTICALLY to [[writeIvfPqIndex]] from scratch over
+    * the same corpus (spec-pinned), and on a planted-drift fixture the
+    * rebuilt index's recall matches the fresh arm of the staleness
+    * report (the alarm's actionable fix, demonstrated in RecallSpec).
+    *
+    * Batch-id accounting mirrors the compaction family: the rebuild
+    * CONSUMES every stored batch, so the consumed-through marker is
+    * written FIRST (a replayed pre-rebuild append would encode against
+    * the OLD codebooks — it must fail loudly), the rebuilt rows land at
+    * that max consumed id, and fresh appends resume above it —
+    * encoding against the NEW `corpus` from then on (the
+    * [[appendToIvfPqIndex]] `baseCorpus` contract).
+    *
+    * STOP-THE-WORLD maintenance: quiesce appenders/deleters/searchers
+    * for the swap window, like the compactors.
+    */
+  def rebuildIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      path: String,
+      centroidEvery: Int,
+      m: Int,
+      dim: Int): Unit = {
+    // a rebuild never changes the layout's shape (that would re-key
+    // every consumer's probe/encode path) — fail loudly on a mismatch
+    IndexLayout.requireParams(spark, s"$path.meta", Map(
+      "centroidEvery" -> centroidEvery.toLong, "m" -> m.toLong,
+      "dim" -> dim.toLong))
+    IndexLayout.resumeCompaction(spark, path)
+    val through = math.max(
+      IndexLayout.maxBatchId(spark, path), IndexLayout.BaseBatch)
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
+    IndexLayout.stageAndSwap(spark, path) { staging =>
+      val c = withNorm(corpus, "vec", "v")
+      val centroids = seedCentroids(c, centroidEvery)
+      val cells = cellAssign(c, centroids).withColumnRenamed("cid", "cell")
+      pqEncode(corpus, centroidEvery, m, dim)
+        .select(col("vec_id"), col("j"), col("code"))
+        .join(cells, "vec_id")
+        .withColumn("batch", lit(through))
+        .write.partitionBy("cell", "batch").parquet(staging)
+    }
+  }
+
+  /** [[rebuildIvfPqIndex]] for the flat int8 layout: every corpus
+    * vector re-quantized (per-vector max-abs rescale) into a staged
+    * replacement, swapped with the same crash-resume protocol and the
+    * same consumed-through marker discipline. Nothing global is frozen
+    * in this layout, so the rebuild's value is shrinking to exactly
+    * `corpus` (post-delete survivors) in ONE bounded-file table.
+    */
+  def rebuildInt8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      path: String,
+      targetFiles: Int = 32): Unit = {
+    IndexLayout.resumeCompaction(spark, path)
+    val through = math.max(
+      IndexLayout.maxBatchId(spark, path), IndexLayout.BaseBatch)
+    IndexLayout.writeCompactedThrough(spark, s"$path.meta/compacted", through)
+    IndexLayout.stageAndSwap(spark, path) { staging =>
+      val q8 = quantizeInt8(col("vec"))
+      corpus.select(col("vec_id"),
+          q8.getField("scale").as("scale"), q8.getField("q").as("code"))
+        .withColumn("batch", lit(through))
+        .repartition(targetFiles)
+        .write.partitionBy("batch").parquet(staging)
+    }
+  }
+
   /** Incremental index maintenance: encode `newVecs` against the BASE
     * corpus's frozen centroids + codebooks and append their codes to the
     * materialized index at `path`. Appended rows land in their cells'

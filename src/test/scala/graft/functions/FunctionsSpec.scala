@@ -1733,4 +1733,95 @@ class FunctionsSpec extends SparkSpec {
     assert(rPq(pq) === rPq(pqRb))
     assert(!rPq(pq).exists(r => dead.contains(r._2)), "a deleted vector ranked")
   }
+
+  test("rebuildIvfPqIndex / rebuildInt8Index: post-rebuild search equals a " +
+      "from-scratch write bit-for-bit; pre-rebuild appends replay loudly; " +
+      "fresh appends resume; a crash in the swap window resumes byte-equal") {
+    val dim = 16
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 31 + j * 17) % 23).toFloat - 11f) / 7f))
+    }.toDF("vec_id", "vec")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val dead = Seq(13L, 57L, 88L)
+    val survivors = vecs.filter(!col("vec_id").isin(dead: _*))
+      .localCheckpoint()
+
+    // a lived-in index: base + append + delete, then the staleness alarm
+    // fires and the operator rebuilds over the survivors
+    val pq = java.nio.file.Files.createTempDirectory("graft-pq-rb").toString
+    Similarity.writeIvfPqIndex(vecs.filter(col("vec_id") < 100), pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") < 100),
+      vecs.filter(col("vec_id") >= 100), pq,
+      centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    Similarity.deleteFromIvfPqIndex(spark, dead, pq)
+    Similarity.rebuildIvfPqIndex(spark, survivors, pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    // the reference: writeIvfPqIndex from scratch over the same corpus;
+    // BOTH arms search with the rebuild corpus as codebook source
+    val pqFresh = java.nio.file.Files.createTempDirectory("graft-pq-rb-f").toString
+    Similarity.writeIvfPqIndex(survivors, pqFresh,
+      centroidEvery = 10, m = 4, dim = dim)
+    def rPq(p: String) = Similarity.ivfPqTopKFromIndex(spark, queries,
+      survivors, p, k = 5, centroidEvery = 10, nprobe = 3, m = 4, dim = dim)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rPq(pq) === rPq(pqFresh),
+      "rebuilt index ranks differently from a from-scratch write")
+
+    // crash window: live deleted, staging complete (the exact state
+    // between stageAndSwap's delete and rename) — rerunning the rebuild
+    // resumes the swap, then reproduces byte-equal rankings (contents
+    // deterministic in (corpus, params))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(pq),
+      new org.apache.hadoop.fs.Path(pq + ".compacting")))
+    Similarity.rebuildIvfPqIndex(spark, survivors, pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    assert(rPq(pq) === rPq(pqFresh),
+      "crash-window resume + rebuild changed the ranking")
+
+    // the rebuild consumed every stored batch: a replayed pre-rebuild
+    // append (which would encode against the OLD codebooks) fails loudly
+    val exPq = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(survivors,
+        vecs.filter(col("vec_id") >= 100), pq,
+        centroidEvery = 10, m = 4, dim = dim, batchId = Some(0L))
+    }
+    assert(exPq.getMessage.contains("consumed by a compaction"))
+    // fresh appends resume above the bound, encoding against the NEW
+    // corpus — still equal to the same append on the from-scratch twin
+    val extra = (200L until 210L).map { i =>
+      (i, Array.tabulate(dim)(j => (((i * 13 + j * 29) % 19).toFloat - 9f) / 5f))
+    }.toDF("vec_id", "vec")
+    Similarity.appendToIvfPqIndex(survivors, extra, pq,
+      centroidEvery = 10, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(survivors, extra, pqFresh,
+      centroidEvery = 10, m = 4, dim = dim)
+    assert(rPq(pq) === rPq(pqFresh), "post-rebuild append diverged")
+
+    // int8: same protocol, self-contained codes
+    val i8 = java.nio.file.Files.createTempDirectory("graft-i8-rb").toString
+    Similarity.writeInt8Index(vecs.filter(col("vec_id") < 100), i8)
+    Similarity.appendToInt8Index(vecs.filter(col("vec_id") >= 100), i8,
+      batchId = Some(0L))
+    Similarity.deleteFromInt8Index(spark, dead, i8)
+    Similarity.rebuildInt8Index(spark, survivors, i8, targetFiles = 4)
+    val i8Fresh = java.nio.file.Files.createTempDirectory("graft-i8-rb-f").toString
+    Similarity.writeInt8Index(survivors, i8Fresh)
+    def r8(p: String) = Similarity.int8TopKFromIndex(spark, queries, p, k = 5)
+      .orderBy("qid", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r8(i8) === r8(i8Fresh))
+    assert(new java.io.File(i8).listFiles()
+      .count(_.getName.startsWith("batch=")) === 1,
+      "rebuild must leave ONE batch dir")
+    intercept[IllegalArgumentException] {
+      Similarity.appendToInt8Index(vecs.filter(col("vec_id") >= 100), i8,
+        batchId = Some(0L))
+    }
+    Similarity.appendToInt8Index(extra, i8) // auto id resumes above
+    Similarity.appendToInt8Index(extra, i8Fresh)
+    assert(r8(i8) === r8(i8Fresh))
+  }
 }

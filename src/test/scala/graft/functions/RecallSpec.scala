@@ -256,4 +256,62 @@ class RecallSpec extends SparkSpec {
     assert(math.abs(cGap) <= 100L,
       s"no-drift control reads a staleness gap: $cGap")
   }
+
+  test("rebuildIvfPqIndex closes the planted-drift recall gap: the stale " +
+      "index under-recalls the drifted vectors, the rebuilt one reads a " +
+      "~0 gap vs a from-scratch write (the alarm's actionable fix)") {
+    import spark.implicits._
+    val dim = 24
+    // the indexStalenessReport fixture: base clusters on axes 0..11,
+    // appended drift on brand-new axes 16..23 with strong base-axis
+    // noise — stale centroids scatter each appended cluster ~12 ways
+    def noise(i: Long, d: Int, c: Int, amp: Float): Float =
+      (((i * 31 + d * 17 + c * 7) % 13).toFloat - 6f) * amp
+    def baseVec(i: Long): Array[Float] = {
+      val c = (i % 12).toInt
+      val a = Array.tabulate(dim)(d => noise(i, d, c, 0.01f))
+      a(c) = 1.0f
+      a
+    }
+    def driftVec(i: Long): Array[Float] = {
+      val c = (i % 8).toInt
+      val a = Array.tabulate(dim)(d =>
+        if (d < 12) noise(i, d, c, 0.04f) else noise(i, d, c, 0.005f))
+      a(16 + c) = 1.0f
+      a
+    }
+    val frozen = (0L until 300L).map(i => (i, baseVec(i))).toDF("vec_id", "vec")
+    val drifted = (1000L until 1240L).map(i => (i, driftVec(i)))
+    val emb = frozen.unionByName(drifted.toDF("vec_id", "vec"))
+      .localCheckpoint()
+    val queries = drifted.take(20).toDF("qid", "qvec")
+    val truth = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(p: String, codebookSrc: org.apache.spark.sql.DataFrame): Int =
+      Similarity.ivfPqTopKFromIndex(spark, queries, codebookSrc, p, k = 5,
+        centroidEvery = 25, nprobe = 3, m = 4, dim = dim)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+        .intersect(truth).size
+
+    // the lived-in index: frozen base + drifted append under the FROZEN
+    // centroids/codebooks — the state indexStalenessReport alarms on
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
+    Similarity.writeIvfPqIndex(frozen, idx, centroidEvery = 25, m = 4, dim = dim)
+    Similarity.appendToIvfPqIndex(frozen, drifted.toDF("vec_id", "vec"), idx,
+      centroidEvery = 25, m = 4, dim = dim, batchId = Some(0L))
+    val stale = recall(idx, frozen)
+
+    // the alarm's fix: rebuild over the full corpus (fresh centroids +
+    // codebooks cover the drifted axes)
+    Similarity.rebuildIvfPqIndex(spark, emb, idx,
+      centroidEvery = 25, m = 4, dim = dim)
+    val rebuilt = recall(idx, emb)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-pq-drift-f").toString
+    Similarity.writeIvfPqIndex(emb, fresh, centroidEvery = 25, m = 4, dim = dim)
+    val freshRecall = recall(fresh, emb)
+    assert(rebuilt === freshRecall,
+      s"rebuilt recall $rebuilt != from-scratch recall $freshRecall — the gap must read 0")
+    assert(rebuilt > stale,
+      s"rebuild did not close the drift gap: stale $stale rebuilt $rebuilt")
+  }
 }
