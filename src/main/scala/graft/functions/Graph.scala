@@ -1572,13 +1572,32 @@ object Graph {
       .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
   }
 
-  /** [[compactMaintainerLog]] for [[maintainCommunityLabels]] state. */
+  /** [[compactMaintainerLog]] for [[maintainCommunityLabels]] state —
+    * the [[compactTriangleLog]] discipline now that label maintenance
+    * takes delete batches too: every delete must have finished its log
+    * rewrite (`deletes_done/`) before the fold, and finished deletes'
+    * resolution dirs are reclaimed after it.
+    */
   def compactCommunityLabelsLog(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      targetFiles: Int = 32): Unit =
+      targetFiles: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unfinished = Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .map(_.toSeq.map(_.getPath.getName)
+        .filterNot(b => fs.exists(new Path(s"$stateDir/deletes_done/$b"))))
+      .getOrElse(Nil)
+    require(unfinished.isEmpty,
+      s"delete batches ${unfinished.mkString(",")} at $stateDir resolved " +
+        "but never finished their log rewrite — replay them before " +
+        "compacting (their resolutions reference pre-compaction rows)")
     compactMaintainerLog(spark, stateDir, s"$stateDir/labels/applied",
       targetFiles)
+    Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
+  }
 
   /** The maintained triangle counts as a frame (`node`, `tri_cnt`);
     * None before the first batch with any surviving count.
@@ -1617,34 +1636,43 @@ object Graph {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val df = batch.toDF()
-        val (edges, sgn) =
-          if (df.columns.contains("sign")) {
-            val signRows = df.select(col("sign").cast("long")).distinct()
-              .collect()
-            require(signRows.forall(!_.isNullAt(0)),
-              s"micro-batch $batchId carries NULL sign values — sign must " +
-                "be +1 (insert) or -1 (delete) on every row")
-            val signs = signRows.map(_.getLong(0))
-            require(signs.length <= 1,
-              s"mixed-sign micro-batch $batchId: a batch must be all-insert " +
-                "or all-delete — the per-batch commit marker cannot " +
-                "represent a half-applied batch")
-            (df.drop("sign"), signs.headOption.getOrElse(1L))
-          } else (df, 1L)
+        val (edges, sgn) = splitUniformSign(batch.toDF(), batchId)
         maintainTriangleCounts(batch.sparkSession, stateDir, edges, batchId,
           partitions, sgn)
         ()
       }
+
+  /** Extract a micro-batch's uniform `sign` column (+1 insert /
+    * -1 delete; missing column = all-insert) — shared by the maintainer
+    * stream wrappers. A mixed or NULL-carrying batch fails loudly: the
+    * per-batch commit marker cannot represent a half-applied batch.
+    */
+  private def splitUniformSign(
+      df: DataFrame, batchId: Long): (DataFrame, Long) =
+    if (df.columns.contains("sign")) {
+      val signRows = df.select(col("sign").cast("long")).distinct()
+        .collect()
+      require(signRows.forall(!_.isNullAt(0)),
+        s"micro-batch $batchId carries NULL sign values — sign must " +
+          "be +1 (insert) or -1 (delete) on every row")
+      val signs = signRows.map(_.getLong(0))
+      require(signs.length <= 1,
+        s"mixed-sign micro-batch $batchId: a batch must be all-insert " +
+          "or all-delete — the per-batch commit marker cannot " +
+          "represent a half-applied batch")
+      (df.drop("sign"), signs.headOption.getOrElse(1L))
+    } else (df, 1L)
 
   /** Maintained FIXED-ROUND community labels under edge-insert batches —
     * the streaming-state story for the last clustered view without one
     * (r15 verdict #5), composing [[communityLabelsRefreshAuto]] into the
     * [[maintainTriangleCounts]] state discipline. State under `stateDir`:
     *
-    *  - `edges/batch=<id>` — the canonical half-edge log (insert-only:
-    *    deletions are the documented batch-tier cold recompute, the
-    *    [[communityLabelsDelta]] contract);
+    *  - `edges/batch=<id>` — the canonical half-edge log; delete
+    *    batches COW-rewrite exactly the partitions holding their edges
+    *    (see the DELETE paragraph below), with `deletes/batch=<id>`
+    *    resolutions and `deletes_done/` markers as in
+    *    [[maintainTriangleCounts]];
     *  - `labels/` — an [[Incremental.upsertPartitioned]] table keyed by
     *    `node`, value `label`: per batch only the partitions holding
     *    CHANGED labels rewrite (the cone refresh changes a ball-sized
@@ -1666,6 +1694,21 @@ object Graph {
     * makes the refresh a no-op.
     *
     * Returns false on an already-applied batch (replay no-op).
+    *
+    * DELETE batches (`sign = -1`, r17 — parity with
+    * [[maintainTriangleCounts]]'s retraction path): label deletions are
+    * NON-LOCAL (the [[communityLabelsDelta]] contract — a removed edge
+    * can re-route label flow arbitrarily far), so the refresh arm is the
+    * auto-dispatcher's COLD recompute over the SURVIVING log, with
+    * changed rows upserting and nodes that lost their last edge DROPPED
+    * from the table ([[Incremental.upsertPartitioned]]'s `dropKeys`).
+    * The log itself COW-rewrites with the triangle maintainer's step
+    * order — resolved set persisted (`deletes/batch=<id>`), label
+    * refresh + upsert (whose `applied/` marker commits the batch), log
+    * rewrite of exactly the partitions holding deleted edges,
+    * `deletes_done/batch=<id>` — so every step is idempotent from the
+    * previous one's on-disk evidence and a replay at any crash point
+    * heals to the same committed state.
     */
   def maintainCommunityLabels(
       spark: org.apache.spark.sql.SparkSession,
@@ -1674,14 +1717,19 @@ object Graph {
       batchId: Long,
       rounds: Int,
       partitions: Int = 64,
-      saturationFraction: Double = 0.2): Boolean = {
+      saturationFraction: Double = 0.2,
+      sign: Long = 1L): Boolean = {
     import org.apache.hadoop.fs.Path
     require(rounds >= 1)
+    require(sign == 1L || sign == -1L, "sign must be +1 (inserts) or -1 (deletes)")
     val labelsDir = s"$stateDir/labels"
     val edgesDir = s"$stateDir/edges"
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$labelsDir/applied/batch=$batchId"))) return false
+    val labelsApplied = fs.exists(new Path(s"$labelsDir/applied/batch=$batchId"))
+    val doneMarker = new Path(s"$stateDir/deletes_done/batch=$batchId")
+    if (sign == 1L && labelsApplied) return false
+    if (sign == -1L && labelsApplied && fs.exists(doneMarker)) return false
     IndexLayout.compactedThrough(spark, s"$stateDir/compacted").foreach(t =>
       require(batchId > t,
         s"batch $batchId was consumed by a log compaction (through=$t) " +
@@ -1700,35 +1748,109 @@ object Graph {
         Some(spark.read.parquet(edgesDir)
           .filter(col("batch") < batchId).select(col("src"), col("dst")))
       else None
-    val delta = oldOpt.map(old => canon.join(old, Seq("src", "dst"), "left_anti"))
-      .getOrElse(canon)
-      .localCheckpoint() // consumed by the log write, the router, the union
-    try {
-      val after = oldOpt.map(_.unionAll(delta)).getOrElse(delta)
-      if (!delta.isEmpty)
-        IndexLayout.overwriteBatchPartitions(
-          delta.withColumn("batch", lit(batchId)), edgesDir, Seq("batch"))
-      val oldLabels =
-        Incremental.readCountsPartitioned(spark, labelsDir, Seq("node"), "label")
-      val fresh = oldLabels match {
-        case None => communityLabels(after, "src", "dst", rounds)
-        case Some(old) => communityLabelsRefreshAuto(after, "src", "dst",
-          rounds, old, delta, saturationFraction).result
+    if (sign == 1L) {
+      val delta = oldOpt.map(old => canon.join(old, Seq("src", "dst"), "left_anti"))
+        .getOrElse(canon)
+        .localCheckpoint() // consumed by the log write, the router, the union
+      try {
+        val after = oldOpt.map(_.unionAll(delta)).getOrElse(delta)
+        if (!delta.isEmpty)
+          IndexLayout.overwriteBatchPartitions(
+            delta.withColumn("batch", lit(batchId)), edgesDir, Seq("batch"))
+        val oldLabels =
+          Incremental.readCountsPartitioned(spark, labelsDir, Seq("node"), "label")
+        val fresh = oldLabels match {
+          case None => communityLabels(after, "src", "dst", rounds)
+          case Some(old) => communityLabelsRefreshAuto(after, "src", "dst",
+            rounds, old, delta, saturationFraction).result
+        }
+        // only CHANGED assignments upsert — ball-sized under the cone route
+        val changed = oldLabels match {
+          case None => fresh
+          case Some(old) => fresh.exceptAll(old)
+        }
+        val applied = Incremental.upsertPartitioned(spark, labelsDir,
+          changed.select(col("node"), col("label")),
+          Seq("node"), "label", partitions, batchId)
+        // the refresh result is a checkpoint-backed frame, fully consumed
+        // by the upsert — release it, or a long stream pins one node-sized
+        // block per micro-batch until driver GC
+        fresh.unpersist()
+        applied
+      } finally { delta.unpersist(); () }
+    } else {
+      val delDir = s"$stateDir/deletes/batch=$batchId"
+      if (!labelsApplied) {
+        val resolved = oldOpt
+          .map(old => canon.join(old, Seq("src", "dst"), "left_semi"))
+          .getOrElse(canon.limit(0))
+          .localCheckpoint() // consumed by the delete-set write + refresh
+        try {
+          if (!resolved.isEmpty)
+            resolved.write.mode("overwrite").parquet(delDir)
+          val surviving = oldOpt
+            .map(_.join(resolved, Seq("src", "dst"), "left_anti"))
+            .getOrElse(resolved.limit(0))
+            .localCheckpoint() // consumed by emptiness probe + recompute
+          try {
+            val oldLabels = Incremental.readCountsPartitioned(
+              spark, labelsDir, Seq("node"), "label")
+            // label deletions are non-local: COLD fixed-round recompute
+            // over the surviving log (the dispatcher's cold arm — a cone
+            // cannot bound a removal's influence)
+            // communityLabels' result is already checkpoint-backed (the
+            // insert path's unpersist note); the empty frame is free
+            val fresh =
+              if (surviving.isEmpty)
+                surviving.select(col("src").as("node"), col("src").as("label"))
+              else communityLabels(surviving, "src", "dst", rounds)
+            try {
+              val changed = oldLabels match {
+                case None => fresh
+                case Some(old) => fresh.exceptAll(old)
+              }
+              // a node that lost its last edge leaves the label table —
+              // a stale row would diverge from the cold recompute forever
+              val vanished = oldLabels.map(_.select(col("node"))
+                .join(fresh.select(col("node")), Seq("node"), "left_anti"))
+              Incremental.upsertPartitioned(spark, labelsDir,
+                changed.select(col("node"), col("label")),
+                Seq("node"), "label", partitions, batchId,
+                dropKeys = vanished)
+            } finally { fresh.unpersist(); () }
+          } finally { surviving.unpersist(); () }
+        } finally { resolved.unpersist(); () }
       }
-      // only CHANGED assignments upsert — ball-sized under the cone route
-      val changed = oldLabels match {
-        case None => fresh
-        case Some(old) => fresh.exceptAll(old)
+      // log rewrite — idempotent from the on-disk resolved set (the
+      // triangle maintainer's block): an already-rewritten partition
+      // simply stops matching the join
+      if (fs.exists(new Path(delDir)) &&
+          Incremental.hasLivePartitions(spark, edgesDir, "batch=")) {
+        val delSet = spark.read.parquet(delDir).select(col("src"), col("dst"))
+        val log = spark.read.parquet(edgesDir)
+          .select(col("src"), col("dst"), col("batch"))
+        val affected = log.join(delSet, Seq("src", "dst"))
+          .select(col("batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)) // bounded by the batch count
+        if (affected.nonEmpty) {
+          val survivors = log
+            .filter(col("batch").isin(affected: _*))
+            .join(delSet, Seq("src", "dst"), "left_anti")
+            .localCheckpoint() // consumed by liveness accounting + write
+          val live = survivors.select(col("batch").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          try {
+            if (!survivors.isEmpty)
+              IndexLayout.overwriteBatchPartitions(
+                survivors, edgesDir, Seq("batch"))
+            affected.filterNot(live).foreach(b =>
+              fs.delete(new Path(edgesDir, s"batch=$b"), true))
+          } finally { survivors.unpersist(); () }
+        }
       }
-      val applied = Incremental.upsertPartitioned(spark, labelsDir,
-        changed.select(col("node"), col("label")),
-        Seq("node"), "label", partitions, batchId)
-      // the refresh result is a checkpoint-backed frame, fully consumed
-      // by the upsert — release it, or a long stream pins one node-sized
-      // block per micro-batch until driver GC
-      fresh.unpersist()
-      applied
-    } finally { delta.unpersist(); () }
+      fs.mkdirs(doneMarker)
+      true
+    }
   }
 
   /** The maintained label table as a frame (`node`, `label`); None
@@ -1757,8 +1879,11 @@ object Graph {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        maintainCommunityLabels(batch.sparkSession, stateDir, batch.toDF(),
-          batchId, rounds, partitions)
+        // delete batches ride the same stream via a uniform `sign`
+        // column, the maintainTriangleCountsStream contract
+        val (edges, sgn) = splitUniformSign(batch.toDF(), batchId)
+        maintainCommunityLabels(batch.sparkSession, stateDir, edges,
+          batchId, rounds, partitions, sign = sgn)
         ()
       }
 

@@ -650,11 +650,18 @@ object Incremental {
     * partitions holding the batch's keys are rewritten, so a ball-sized
     * changed-label set costs ball-sized I/O, never node-sized. Same
     * crash caveat (the affected-slice rewrite is not atomic); replay
-    * with the same batch id is a no-op via the marker. A partition can
-    * never empty under upsert (keys are only added or rewritten), so
-    * there is no emptied-directory cleanup here. The batch must carry
-    * ONE row per key — two rows racing for a key would make the stored
-    * value an accident of partition order; fail loudly instead.
+    * with the same batch id is a no-op via the marker. The batch must
+    * carry ONE row per key — two rows racing for a key would make the
+    * stored value an accident of partition order; fail loudly instead.
+    *
+    * `dropKeys` (r17, the label-maintainer delete path): keys whose
+    * stored rows are REMOVED in the same committed batch — the
+    * retraction direction upsert alone cannot express (a node that lost
+    * its last edge must leave the table, not keep a stale value). Drops
+    * ride the same affected-partition rewrite and the same marker; a
+    * partition emptied by drops has its directory removed (the
+    * [[mergeCountsPartitioned]] emptied-slice rule). A key both upserted
+    * and dropped in one batch is a contradiction — fail loudly.
     */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
@@ -663,7 +670,8 @@ object Incremental {
       keys: Seq[String],
       valCol: String,
       partitions: Int,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      dropKeys: Option[DataFrame] = None): Boolean = {
     import org.apache.hadoop.fs.Path
     require(partitions >= 1)
     val dataDir = s"$stateDir/data"
@@ -681,32 +689,60 @@ object Incremental {
     val delta = rows.select((keys :+ valCol).map(col): _*)
       .select(col("*"), part)
       .localCheckpoint() // consumed by the dup check, listing, and merge
+    val drops = dropKeys.map(_.select(keys.map(col): _*)
+      .distinct().select(col("*"), part)
+      .localCheckpoint()) // consumed by the overlap check, listing, merge
     try {
       val nRows = delta.count()
       val nKeys = delta.select(keys.map(col): _*).distinct().count()
       require(nRows == nKeys,
         s"upsert batch $batchId carries ${nRows - nKeys} duplicate key " +
           "rows — the stored value would be an accident of partition order")
-      val affected = delta.select(col("__p")).distinct()
+      drops.foreach { dr =>
+        val overlap = dr.join(delta, keys, "left_semi").count()
+        require(overlap == 0L,
+          s"upsert batch $batchId both writes and drops $overlap key(s) " +
+            "— a contradictory batch would make the outcome an accident " +
+            "of evaluation order")
+      }
+      val affected = (delta.select(col("__p")) +:
+        drops.map(_.select(col("__p"))).toSeq)
+        .reduce(_.unionAll(_)).distinct()
         .collect().map(_.getLong(0)) // bounded by `partitions`
       if (affected.isEmpty) { fs.mkdirs(marker); return true }
       val merged0 =
         if (!hasLivePartitions(spark, dataDir, "__p=")) delta
-        else spark.read.parquet(dataDir)
-          .where(col("__p").isin(affected: _*))
-          .select((keys :+ valCol).map(col): _*)
-          .join(delta.select(keys.map(col): _*), keys, "left_anti")
-          .select(col("*"), part)
-          .unionByName(delta)
+        else {
+          val survivors0 = spark.read.parquet(dataDir)
+            .where(col("__p").isin(affected: _*))
+            .select((keys :+ valCol).map(col): _*)
+            .join(delta.select(keys.map(col): _*), keys, "left_anti")
+          drops.fold(survivors0)(dr =>
+              survivors0.join(dr.select(keys.map(col): _*), keys, "left_anti"))
+            .select(col("*"), part)
+            .unionByName(delta)
+        }
       val merged = merged0.localCheckpoint()
       try {
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__p").parquet(dataDir)
+        if (!merged.isEmpty)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__p").parquet(dataDir)
+        // a slice fully emptied by drops cannot be expressed by dynamic
+        // overwrite (nothing to write) — remove its directory, or the
+        // dropped rows would silently survive
+        val live = merged.select(col("__p")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        affected.filterNot(live).foreach(p =>
+          fs.delete(new Path(dataDir, s"__p=$p"), true))
         fs.mkdirs(marker)
         true
       } finally { merged.unpersist(); () }
-    } finally { delta.unpersist(); () }
+    } finally {
+      delta.unpersist()
+      drops.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Streaming maintainer for the [[mergeCountsPartitioned]] state table

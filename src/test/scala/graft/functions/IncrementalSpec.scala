@@ -460,6 +460,48 @@ class IncrementalSpec extends SparkSpec {
     assert(ex.getMessage.contains("partitions=4"))
   }
 
+  test("upsertPartitioned dropKeys: dropped keys leave the table, emptied " +
+      "slices lose their directory, a contradictory batch fails loudly, " +
+      "replay is marker-detected") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-upd").toString
+    val keys = Seq("k")
+    def read() = Incremental.readCountsPartitioned(spark, stateDir, keys, "v")
+      .map(_.as[(Long, Long)].collect().toMap).getOrElse(Map.empty[Long, Long])
+    // seed 8 keys across 4 slices
+    assert(Incremental.upsertPartitioned(spark, stateDir,
+      (0L until 8L).map(k => (k, k * 10L)).toDF("k", "v"),
+      keys, "v", partitions = 4, batchId = 0L))
+    // batch 1: rewrite one key, drop two (incl. one sharing a slice with
+    // a survivor), ignore a never-stored drop key (harmless)
+    assert(Incremental.upsertPartitioned(spark, stateDir,
+      Seq((0L, 99L)).toDF("k", "v"), keys, "v", partitions = 4, batchId = 1L,
+      dropKeys = Some(Seq(3L, 5L, 999L).toDF("k"))))
+    assert(read() === (0L until 8L).filterNot(k => k == 3L || k == 5L)
+      .map(k => k -> (if (k == 0L) 99L else k * 10L)).toMap)
+    // batch 2: drop EVERYTHING — every slice empties, directories go,
+    // and the reader reports no live state rather than a schema error
+    assert(Incremental.upsertPartitioned(spark, stateDir,
+      Seq.empty[(Long, Long)].toDF("k", "v"), keys, "v", partitions = 4,
+      batchId = 2L, dropKeys = Some((0L until 8L).toDF("k"))))
+    assert(read() === Map.empty[Long, Long])
+    assert(!new java.io.File(s"$stateDir/data").exists() ||
+      new java.io.File(s"$stateDir/data").listFiles()
+        .count(_.getName.startsWith("__p=")) === 0,
+      "emptied slices kept their directories")
+    // replay of batch 2 is a no-op via the marker
+    assert(!Incremental.upsertPartitioned(spark, stateDir,
+      Seq.empty[(Long, Long)].toDF("k", "v"), keys, "v", partitions = 4,
+      batchId = 2L, dropKeys = Some((0L until 8L).toDF("k"))))
+    // a batch that both writes and drops a key is a contradiction
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.upsertPartitioned(spark, stateDir,
+        Seq((7L, 1L)).toDF("k", "v"), keys, "v", partitions = 4, batchId = 3L,
+        dropKeys = Some(Seq(7L).toDF("k")))
+    }
+    assert(ex.getMessage.contains("writes and drops"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+  }
+
   test("keys present in only one side pass through the merge") {
     // synthetic summaries with disjoint + overlapping keys
     val a = Seq(("A", "F", 10L, 100L, 90L, 95L, 2L),

@@ -271,6 +271,89 @@ class StreamingExtrasSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("maintainCommunityLabelsStream: a DELETE batch (sign = -1) lands " +
+      "on the cold recompute over the surviving log; a node that lost " +
+      "its last edge leaves the table; replay is a no-op on state bytes; " +
+      "a mixed-sign batch fails loudly") {
+    import graft.functions.Graph
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // two 10-cliques joined by a bridge, plus a pendant node 50 whose
+    // ONLY edge dies with the delete batch — the vanished-key case
+    val cliqueA = for (i <- 0L until 10L; j <- (i + 1) until 10L) yield (i, j)
+    val cliqueB = for (i <- 20L until 30L; j <- (i + 1) until 30L) yield (i, j)
+    val extras = Seq((9L, 20L), (0L, 50L))
+    val rounds = 3
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-lpam-del").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lpam-del-ck").toString
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = Graph.maintainCommunityLabelsStream(
+      input.toDF().toDF("src", "dst", "sign"), stateDir, ckpt, rounds,
+      partitions = 8).start()
+    try {
+      input.addData((cliqueA ++ cliqueB).map(e => (e._1, e._2, 1L)): _*)
+      q.processAllAvailable()
+      input.addData(extras.map(e => (e._1, e._2, 1L)): _*)
+      q.processAllAvailable()
+      val all = (cliqueA ++ cliqueB ++ extras).distinct
+      assert(same(Graph.readCommunityLabels(spark, stateDir).get,
+        Graph.communityLabels(all.toDF("src", "dst"), "src", "dst", rounds)))
+      // the DELETE batch through the SAME stream: the bridge (reversed
+      // row — canonicalization) and the pendant's only edge
+      input.addData((20L, 9L, -1L), (50L, 0L, -1L))
+      q.processAllAvailable()
+      val surviving = cliqueA ++ cliqueB
+      assert(same(Graph.readCommunityLabels(spark, stateDir).get,
+        Graph.communityLabels(surviving.toDF("src", "dst"), "src", "dst", rounds)),
+        "stream delete batch diverges from the cold recompute over the " +
+          "surviving log")
+      assert(Graph.readCommunityLabels(spark, stateDir).get
+        .filter($"node" === 50L).isEmpty,
+        "a node that lost its last edge kept a stale label row")
+      assert(same(
+        spark.read.parquet(s"$stateDir/edges").select($"src", $"dst"),
+        surviving.toDF("src", "dst")),
+        "edge log diverges from the surviving edge set after the delete")
+    } finally q.stop()
+    // replay the delete batch id directly: marker-detected no-op,
+    // every state file byte-identical
+    def crcs(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(stateDir)
+      val it = java.nio.file.Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map[String, Long]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")) {
+          val c = new java.util.zip.CRC32()
+          c.update(java.nio.file.Files.readAllBytes(p))
+          out(root.relativize(p).toString) = c.getValue
+        }
+      }
+      out.toMap
+    }
+    val before = crcs()
+    assert(!Graph.maintainCommunityLabels(spark, stateDir,
+      Seq((20L, 9L), (50L, 0L)).toDF("src", "dst"), batchId = 2L,
+      rounds = rounds, partitions = 8, sign = -1L),
+      "replayed delete batch re-applied")
+    assert(crcs() === before, "replayed delete touched state files")
+    // a mixed-sign micro-batch must fail loudly
+    val q2 = Graph.maintainCommunityLabelsStream(
+      input.toDF().toDF("src", "dst", "sign"), stateDir, ckpt, rounds,
+      partitions = 8).start()
+    try {
+      input.addData((30L, 31L, 1L), (0L, 1L, -1L))
+      val ex = intercept[Throwable] { q2.processAllAvailable() }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("mixed-sign")),
+        s"expected the mixed-sign guard, got: ${msgs.mkString(" | ")}")
+    } finally q2.stop()
+    Seq(stateDir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("annDeleteStream: streamed vec_id deletes leave the int8 index " +
       "ranking identical to a survivors-only rebuild") {
     import graft.functions.Similarity
