@@ -967,6 +967,168 @@ object Curation {
       .select(col("doc_id"), col("n_tri"), col("dsir_w_q10"))
   }
 
+  /** Frozen-DSIR staleness bundle: the (b, ct, cr) hashed-trigram bucket
+    * model ([[dsirTrainModel]], localCheckpoint-pinned and broadcastable
+    * — at most `buckets` rows), its instance totals, and the frozen doc
+    * count — everything [[dsirModelStalenessReportFrom]] needs without
+    * ever rescanning the frozen corpus.
+    */
+  final case class DsirFrozenModel(
+      model: DataFrame, targetTotal: Long, rawTotal: Long, nDocs: Long)
+
+  /** Train the [[DsirFrozenModel]] bundle on the reference corpus — the
+    * freeze-tier half of the DSIR staleness monitor (the
+    * [[graft.functions.TextAnalysis.nbFreezeStaleness]] pattern: DSIR's
+    * target/raw models are the same trigram count monoid as NB's class
+    * counts, so the frozen artifact is two bounded count columns).
+    */
+  def dsirFreezeStaleness(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = 4096): DsirFrozenModel = {
+    val m = dsirTrainModel(df, textCol, idCol, targetPred, buckets)
+      .localCheckpoint()
+    val (tt, tr) = dsirModelTotals(m)
+    DsirFrozenModel(m, tt, tr, df.count())
+  }
+
+  /** Frozen-DSIR-model staleness monitor, SERVING form — the
+    * importance-weighting twin of
+    * [[graft.functions.TextAnalysis.nbModelStalenessReportFrom]]:
+    * APPENDED-SLICE-sized by construction (one trigram extraction of the
+    * appended docs feeds the appended model, the share-drift comparison,
+    * and both scoring arms; the fresh model is the count-monoid MERGE of
+    * two bounded bucket tables, never a corpus retrain). One
+    * integer-exact row:
+    *
+    *   - `max/mean_share_delta_q6` — per-bucket RAW trigram-mass share
+    *     drift, frozen vs appended distribution (the "did the data
+    *     move" arm);
+    *   - `n_flips` / `flip_q3` — appended docs whose DSIR weight SIGN
+    *     (target-like vs raw-like, the selection threshold) differs
+    *     between the frozen and the merged-fresh model — the actionable
+    *     signal: each flip is a doc the stale model would mis-route
+    *     through [[dsirWeights]]-driven selection;
+    *   - `mean_abs_w_gap_q10` — mean absolute weight disagreement.
+    *
+    * Scoring both arms reproduces [[dsirScoreAgainst]] term-for-term
+    * (spec-pinned), so the DuckDB oracle replays every integer.
+    */
+  def dsirModelStalenessReportFrom(
+      frozen: DsirFrozenModel,
+      appended: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    val spark = appended.sparkSession
+    val base = appended.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"), targetPred.cast("boolean").as("__tgt"))
+    val nAppended = base.count()
+    val tdA = TextAnalysis.charTrigrams(base, "__text", "doc_id",
+      carryCols = Seq("__tgt"))
+      .withColumn("b", pmod(TextAnalysis.portableHash48(col("t")), lit(buckets)))
+      .groupBy(col("doc_id"), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // consumed by the appended model AND the scorer
+    try {
+      val mA = tdA.groupBy(col("b"))
+        .agg(sum(when(col("__tgt"), col("k")).otherwise(lit(0L))).as("ct"),
+          sum(col("k")).as("cr"))
+        .localCheckpoint() // bounded (<= buckets rows); merge + drift + totals
+      try {
+        val (ttA, trA) = dsirModelTotals(mA)
+        val mF = frozen.model
+        // the fresh model is merge(frozen, appended) — the additive
+        // monoid the r14 directive named; two bounded tables, no retrain
+        val mN = mF.unionByName(mA).groupBy(col("b"))
+          .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+        val (ttN, trN) = (frozen.targetTotal + ttA, frozen.rawTotal + trA)
+        val l = TextAnalysis.log2Q10Sql _
+        val cF = TextAnalysis.log2Q10(frozen.rawTotal + buckets) -
+          TextAnalysis.log2Q10(frozen.targetTotal + buckets)
+        val cN = TextAnalysis.log2Q10(trN + buckets) -
+          TextAnalysis.log2Q10(ttN + buckets)
+        // both arms in ONE pass over the shared per-(doc, bucket) counts
+        // — term-for-term the dsirScoreAgainst formula per arm
+        val scored = tdA
+          .join(broadcast(mF.select(col("b"),
+            col("ct").as("ctf"), col("cr").as("crf"))), Seq("b"), "left")
+          .join(broadcast(mN.select(col("b"),
+            col("ct").as("ctn"), col("cr").as("crn"))), Seq("b"), "left")
+          .withColumn("s1f", col("k") * expr(
+            s"${l("(coalesce(ctf, 0) + 1)")} - ${l("(coalesce(crf, 0) + 1)")}"))
+          .withColumn("s1n", col("k") * expr(
+            s"${l("(coalesce(ctn, 0) + 1)")} - ${l("(coalesce(crn, 0) + 1)")}"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_tri"),
+            sum(col("s1f")).as("sf"), sum(col("s1n")).as("sn"))
+          .select(col("doc_id"),
+            expr(s"cast(sf + n_tri * $cF as bigint)").as("wf"),
+            expr(s"cast(sn + n_tri * $cN as bigint)").as("wn"))
+        val ero = scored.agg(count(lit(1)).as("n_scored"),
+          sum(when((col("wf") >= 0) =!= (col("wn") >= 0), lit(1L))
+            .otherwise(lit(0L))).as("n_flips"),
+          expr("sum(abs(wf - wn)) div count(1)").as("mean_abs_w_gap_q10"))
+          .head()
+        require(ero.getAs[Long]("n_scored") > 0L,
+          "dsirModelStalenessReport: the appended slice has no scorable " +
+            "docs (no >= 3-char texts, or isFrozen matched every doc)")
+        // per-bucket RAW-mass share drift, frozen vs appended — the
+        // nbStalenessCore block over the models' own cr columns
+        val share = mF.select(col("b"), col("cr").as("k"))
+          .withColumn("__fr", lit(true))
+          .unionByName(mA.select(col("b"), col("cr").as("k"))
+            .withColumn("__fr", lit(false)))
+        val drift = share
+          .join(share.groupBy(col("__fr")).agg(sum(col("k")).as("tk")), "__fr")
+          .select(col("__fr"), col("b"), expr("k * 1000000 div tk").as("s_q6"))
+          .groupBy(col("b"))
+          .agg(sum(when(col("__fr"), col("s_q6"))).as("sf"),
+            sum(when(!col("__fr"), col("s_q6"))).as("sa"))
+          .select(abs(coalesce(col("sa"), lit(0L)) -
+            coalesce(col("sf"), lit(0L))).as("ad"))
+          .agg(max(col("ad")).as("max_share_delta_q6"),
+            expr("sum(ad) div count(1)").as("mean_share_delta_q6"))
+          .head()
+        spark.range(1).select(
+          lit(frozen.nDocs).as("n_frozen"),
+          lit(nAppended).as("n_appended"),
+          lit(drift.getAs[Long]("max_share_delta_q6")).as("max_share_delta_q6"),
+          lit(drift.getAs[Long]("mean_share_delta_q6")).as("mean_share_delta_q6"),
+          lit(ero.getAs[Long]("n_scored")).as("n_scored"),
+          lit(ero.getAs[Long]("n_flips")).as("n_flips"),
+          lit(ero.getAs[Long]("n_flips") * 1000L /
+            ero.getAs[Long]("n_scored")).as("flip_q3"),
+          lit(ero.getAs[Long]("mean_abs_w_gap_q10")).as("mean_abs_w_gap_q10"))
+      } finally { mA.unpersist(); () }
+    } finally { tdA.unpersist(); () }
+  }
+
+  /** Self-contained gate form of the DSIR staleness monitor: freeze on
+    * the `isFrozen` slice, report against the rest — one extraction per
+    * slice (the r16 rule), identical row to the serving form by
+    * construction (it IS the serving form over a just-frozen bundle).
+    */
+  def dsirModelStalenessReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      isFrozen: Column,
+      buckets: Int = 4096): DataFrame = {
+    val frozen = dsirFreezeStaleness(df.filter(isFrozen), textCol, idCol,
+      targetPred, buckets)
+    // the report row is literal-valued (every field forced by a head()),
+    // so the frozen model's checkpoint can be released immediately
+    val out = dsirModelStalenessReportFrom(frozen, df.filter(!isFrozen),
+      textCol, idCol, targetPred, buckets)
+    frozen.model.unpersist()
+    out
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021, Table A1):
     * the named per-document rules a web-scale pipeline applies before
     * any model-based scoring, each an INTEGER-EXACT flag (ratio bounds
@@ -1115,6 +1277,107 @@ object Curation {
       idCol: String,
       srcCol: String): DataFrame =
     surprisalTerciles(surprisalFrame(docs, textCol, idCol, srcCol))
+
+  /** Frozen-CCNet staleness bundle: the char-trigram LM counts
+    * ([[graft.functions.TextAnalysis.trigramModel]], bounded by
+    * |charset|^3), their total, and the per-source tercile cuts — the
+    * exact tables `ccnetAssignStream` serves from, so the monitor
+    * watches precisely what the serving tier holds frozen.
+    */
+  final case class CcnetFrozenCuts(
+      lmModel: DataFrame, lmTotal: Long, cuts: DataFrame, nDocs: Long)
+
+  /** Train the [[CcnetFrozenCuts]] bundle on the reference corpus (the
+    * freeze-tier half of [[ccnetCutsStalenessFrom]]).
+    */
+  def ccnetFreezeCuts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): CcnetFrozenCuts = {
+    val lm = TextAnalysis.trigramModel(df, textCol, idCol).localCheckpoint()
+    val totalRow = lm.agg(sum(col("cnt")).as("t")).head()
+    require(!totalRow.isNullAt(0) && totalRow.getAs[Long]("t") > 0L,
+      "ccnetFreezeCuts: the frozen slice has no trigrams")
+    CcnetFrozenCuts(lm, totalRow.getAs[Long]("t"),
+      ccnetThresholds(df, textCol, idCol, srcCol).localCheckpoint(),
+      df.count())
+  }
+
+  /** Frozen-CCNet-cuts staleness monitor, SERVING form — do the frozen
+    * tercile cuts still tercile the ARRIVING data? APPENDED-SLICE-sized
+    * by construction: appended docs are scored under the FROZEN LM (the
+    * `ccnetAssignStream` contract — unseen trigrams count 1, nothing
+    * frozen is rescanned), fresh cuts are the terciles of THAT appended
+    * surprisal distribution, and the actionable signal is the
+    * BUCKET-FLIP rate — the permille of appended docs whose
+    * head/middle/tail verdict differs between the frozen cuts and cuts
+    * fit to the data actually arriving. One integer-exact row per
+    * source: (source, n_appended, t1_frozen, t2_frozen, t1_fresh,
+    * t2_fresh, d_t1_q10, d_t2_q10, n_flips, flip_q3). A source absent
+    * from the frozen cuts buckets as unknown (every doc a flip) — the
+    * re-freeze-to-admit signal, not a silent drop.
+    */
+  def ccnetCutsStalenessFrom(
+      frozen: CcnetFrozenCuts,
+      appended: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String): DataFrame = {
+    val base = appended.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"), col(srcCol).as("src"))
+    val sA = TextAnalysis.charTrigrams(base, "__text", "doc_id",
+      carryCols = Seq("src"))
+      .groupBy(col("doc_id"), col("src"), col("t"))
+      .agg(count(lit(1)).as("k"))
+      .join(broadcast(frozen.lmModel), Seq("t"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
+      .withColumn("s_q10", TextAnalysis.surprisalQ10("cnt", frozen.lmTotal))
+      .groupBy(col("doc_id"), col("src"))
+      .agg(sum(col("k")).as("n_tri"),
+        sum(col("k") * col("s_q10")).as("sum_s"))
+      .withColumn("s", expr("cast(sum_s div n_tri as bigint)"))
+      .select(col("doc_id"), col("src"), col("s"))
+      .localCheckpoint() // consumed by the fresh cuts AND both bucketings
+    val cutsN = surprisalTerciles(sA)
+    def bucketOf(t1: Column, t2: Column): Column =
+      when(col("s") <= t1, lit(0L)).when(col("s") <= t2, lit(1L))
+        .otherwise(lit(2L))
+    sA
+      .join(broadcast(frozen.cuts.select(col("src"),
+        col("t1").as("t1f"), col("t2").as("t2f"))), Seq("src"), "left")
+      .join(broadcast(cutsN.select(col("src"),
+        col("t1").as("t1n"), col("t2").as("t2n"))), Seq("src"))
+      .withColumn("bf", when(col("t1f").isNull, lit(-1L))
+        .otherwise(bucketOf(col("t1f"), col("t2f"))))
+      .withColumn("bn", bucketOf(col("t1n"), col("t2n")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_appended"),
+        max(col("t1f")).as("t1_frozen"), max(col("t2f")).as("t2_frozen"),
+        max(col("t1n")).as("t1_fresh"), max(col("t2n")).as("t2_fresh"),
+        sum(when(col("bf") =!= col("bn"), lit(1L)).otherwise(lit(0L)))
+          .as("n_flips"))
+      .select(col("src").as("source"), col("n_appended"),
+        col("t1_frozen"), col("t2_frozen"), col("t1_fresh"), col("t2_fresh"),
+        (col("t1_fresh") - col("t1_frozen")).as("d_t1_q10"),
+        (col("t2_fresh") - col("t2_frozen")).as("d_t2_q10"),
+        col("n_flips"),
+        expr("n_flips * 1000 div n_appended").as("flip_q3"))
+  }
+
+  /** Self-contained gate form of the CCNet cuts monitor: freeze on the
+    * `isFrozen` slice, report against the rest (it IS the serving form
+    * over a just-frozen bundle).
+    */
+  def ccnetCutsStaleness(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      srcCol: String,
+      isFrozen: Column): DataFrame = {
+    val frozen = ccnetFreezeCuts(df.filter(isFrozen), textCol, idCol, srcCol)
+    ccnetCutsStalenessFrom(frozen, df.filter(!isFrozen), textCol, idCol, srcCol)
+  }
 
   /** Connected components over an undirected pair list (the
     * duplicate-CLUSTER resolution step after any pairwise dedup): every

@@ -827,6 +827,26 @@ object LlmQueries {
       TextAnalysis.nbModelStalenessReport(Tables.documents(s, d),
         "text", "doc_id", "lang", pmod(col("doc_id"), lit(3)) =!= 0)
     },
+    // Frozen-DSIR-model staleness monitor (r17, completing the
+    // frozen-artifact family the r14 directive named): the fresh arm is
+    // the count-monoid MERGE of the frozen bucket model and the appended
+    // slice's (never a retrain); the actionable signal is the rate of
+    // appended docs whose DSIR weight flips SIGN — the selection
+    // threshold — between the two arms.
+    "dsir_model_staleness" -> { (s, d) =>
+      Curation.dsirModelStalenessReport(Tables.documents(s, d),
+        "text", "doc_id", col("lang") === "en",
+        pmod(col("doc_id"), lit(3)) =!= 0)
+    },
+    // Frozen-CCNet-cuts staleness monitor (r17): appended docs scored
+    // under the FROZEN trigram LM (the ccnetAssignStream serving
+    // contract), fresh tercile cuts fit to that arriving distribution,
+    // and the per-source bucket-flip rate as the re-freeze alarm.
+    "ccnet_cuts_staleness" -> { (s, d) =>
+      Curation.ccnetCutsStaleness(Tables.documents(s, d),
+        "text", "doc_id", "source", pmod(col("doc_id"), lit(3)) =!= 0)
+        .orderBy("source")
+    },
     // DSIR importance weights against an English target distribution —
     // the data-selection primitive: weight > 0 means "more target-like
     // than the raw corpus", selection is a filter on the weight.
@@ -1882,6 +1902,130 @@ object LlmQueries {
                  CAST(ero.fresh_hits * 1000 // ero.n_scored
                    - ero.frozen_hits * 1000 // ero.n_scored AS BIGINT) AS acc_gap_q3
           FROM cnts CROSS JOIN dr CROSS JOIN ero""",
+    // both staleness arms replayed bit-exact: frozen model over the
+    // doc_id % 3 <> 0 slice, fresh model as the bucket-count merge,
+    // appended docs scored under each, sign flips + share drift
+    "dsir_model_staleness" -> {
+      def l(x: String): String = l1024Sql(x)
+      s"""WITH dsb AS (SELECT doc_id, lower(text) AS lt, lang = 'en' AS tg,
+                 doc_id % 3 <> 0 AS fr
+               FROM documents),
+          dstri AS (SELECT doc_id, tg, fr, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM dsb),
+          dstd AS (SELECT doc_id, tg, fr,
+                   CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT) % 4096 AS b,
+                   count(*) AS k
+                 FROM dstri GROUP BY 1, 2, 3, 4),
+          mfz AS (SELECT b, CAST(sum(CASE WHEN tg THEN k ELSE 0 END) AS BIGINT) AS ct,
+                    CAST(sum(k) AS BIGINT) AS cr
+                  FROM dstd WHERE fr GROUP BY 1),
+          mapp AS (SELECT b, CAST(sum(CASE WHEN tg THEN k ELSE 0 END) AS BIGINT) AS ct,
+                     CAST(sum(k) AS BIGINT) AS cr
+                   FROM dstd WHERE NOT fr GROUP BY 1),
+          mn AS (SELECT b, CAST(sum(ct) AS BIGINT) AS ct, CAST(sum(cr) AS BIGINT) AS cr
+                 FROM (SELECT * FROM mfz UNION ALL SELECT * FROM mapp) GROUP BY 1),
+          totf AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM mfz),
+          totn AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM mn),
+          tda AS (SELECT doc_id, b, CAST(sum(k) AS BIGINT) AS k
+                  FROM dstd WHERE NOT fr GROUP BY 1, 2),
+          sc AS (SELECT t.doc_id, CAST(sum(t.k) AS BIGINT) AS n_tri,
+                   CAST(sum(t.k * (${l("(coalesce(f.ct, 0) + 1)")} -
+                     ${l("(coalesce(f.cr, 0) + 1)")})) AS BIGINT) AS sf,
+                   CAST(sum(t.k * (${l("(coalesce(n.ct, 0) + 1)")} -
+                     ${l("(coalesce(n.cr, 0) + 1)")})) AS BIGINT) AS sn
+                 FROM tda t LEFT JOIN mfz f USING (b) LEFT JOIN mn n USING (b)
+                 GROUP BY 1),
+          w AS (SELECT doc_id,
+                  CAST(sf + n_tri * (${l("(totf.tr + 4096)")} -
+                    ${l("(totf.tt + 4096)")}) AS BIGINT) AS wf,
+                  CAST(sn + n_tri * (${l("(totn.tr + 4096)")} -
+                    ${l("(totn.tt + 4096)")}) AS BIGINT) AS wn
+                FROM sc CROSS JOIN totf CROSS JOIN totn),
+          ero AS (SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                    CAST(sum(CASE WHEN (wf >= 0) <> (wn >= 0) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_flips,
+                    CAST(sum(abs(wf - wn)) // count(*) AS BIGINT) AS mean_abs_w_gap_q10
+                  FROM w),
+          tb AS (SELECT fr, b, CAST(sum(k) AS BIGINT) AS k FROM dstd GROUP BY 1, 2),
+          tot AS (SELECT fr, CAST(sum(k) AS BIGINT) AS tk FROM tb GROUP BY 1),
+          share AS (SELECT tb.fr, tb.b, CAST(tb.k * 1000000 // tot.tk AS BIGINT) AS s_q6
+                    FROM tb JOIN tot ON tot.fr = tb.fr),
+          dr AS (SELECT CAST(max(ad) AS BIGINT) AS max_share_delta_q6,
+                   CAST(sum(ad) // count(*) AS BIGINT) AS mean_share_delta_q6
+                 FROM (SELECT abs(coalesce(sum(CASE WHEN NOT fr THEN s_q6 END), 0)
+                         - coalesce(sum(CASE WHEN fr THEN s_q6 END), 0)) AS ad
+                       FROM share GROUP BY b)),
+          cnts AS (SELECT CAST(sum(CASE WHEN fr THEN 1 ELSE 0 END) AS BIGINT) AS n_frozen,
+                     CAST(sum(CASE WHEN NOT fr THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+                   FROM dsb)
+          SELECT cnts.n_frozen, cnts.n_appended,
+                 dr.max_share_delta_q6, dr.mean_share_delta_q6,
+                 ero.n_scored, ero.n_flips,
+                 CAST(ero.n_flips * 1000 // ero.n_scored AS BIGINT) AS flip_q3,
+                 ero.mean_abs_w_gap_q10
+          FROM cnts CROSS JOIN dr CROSS JOIN ero"""
+    },
+    // appended docs scored under the FROZEN LM (unseen trigrams count 1),
+    // frozen vs appended-fit tercile cuts, per-source bucket-flip rate
+    "ccnet_cuts_staleness" -> {
+      def l(x: String): String = l1024Sql(x)
+      s"""WITH cb AS (SELECT doc_id, lower(text) AS lt, source,
+                 doc_id % 3 <> 0 AS fr
+               FROM documents),
+          tri AS (SELECT doc_id, source, fr, unnest(CASE WHEN length(lt) >= 3
+                    THEN list_transform(generate_series(1, length(lt) - 2),
+                           i -> substring(lt, i, 3))
+                    ELSE [] END) AS t
+                  FROM cb),
+          cntf AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tri WHERE fr GROUP BY 1),
+          totf AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cntf),
+          tdf AS (SELECT doc_id, source, t, count(*) AS k
+                  FROM tri WHERE fr GROUP BY 1, 2, 3),
+          sfz AS (SELECT doc_id, source AS src,
+                    CAST(sum(k * (${l("total")} - ${l("cnt")})) // sum(k) AS BIGINT) AS s
+                  FROM tdf JOIN cntf USING (t) CROSS JOIN totf GROUP BY 1, 2),
+          vf AS (SELECT src, s, count(*) AS n_s FROM sfz GROUP BY 1, 2),
+          cf AS (SELECT src, s, sum(n_s) OVER (PARTITION BY src ORDER BY s) AS cum FROM vf),
+          tf AS (SELECT src, count(*) AS n FROM sfz GROUP BY 1),
+          cutsf AS (SELECT cf.src,
+                      min(CASE WHEN cum >= n // 3 THEN s END) AS t1f,
+                      min(CASE WHEN cum >= (2 * n) // 3 THEN s END) AS t2f
+                    FROM cf JOIN tf USING (src) GROUP BY 1),
+          tda AS (SELECT doc_id, source, t, count(*) AS k
+                  FROM tri WHERE NOT fr GROUP BY 1, 2, 3),
+          sap AS (SELECT doc_id, source AS src,
+                    CAST(sum(k * (${l("total")} - ${l("coalesce(cnt, 1)")})) // sum(k)
+                      AS BIGINT) AS s
+                  FROM tda LEFT JOIN cntf USING (t) CROSS JOIN totf GROUP BY 1, 2),
+          va AS (SELECT src, s, count(*) AS n_s FROM sap GROUP BY 1, 2),
+          ca AS (SELECT src, s, sum(n_s) OVER (PARTITION BY src ORDER BY s) AS cum FROM va),
+          ta AS (SELECT src, count(*) AS n FROM sap GROUP BY 1),
+          cutsn AS (SELECT ca.src,
+                      min(CASE WHEN cum >= n // 3 THEN s END) AS t1n,
+                      min(CASE WHEN cum >= (2 * n) // 3 THEN s END) AS t2n
+                    FROM ca JOIN ta USING (src) GROUP BY 1),
+          j AS (SELECT sap.src, sap.s, f.t1f, f.t2f, n.t1n, n.t2n,
+                  CASE WHEN f.t1f IS NULL THEN -1
+                       WHEN sap.s <= f.t1f THEN 0
+                       WHEN sap.s <= f.t2f THEN 1 ELSE 2 END AS bf,
+                  CASE WHEN sap.s <= n.t1n THEN 0
+                       WHEN sap.s <= n.t2n THEN 1 ELSE 2 END AS bn
+                FROM sap LEFT JOIN cutsf f USING (src) JOIN cutsn n USING (src))
+          SELECT src AS source, CAST(count(*) AS BIGINT) AS n_appended,
+                 CAST(max(t1f) AS BIGINT) AS t1_frozen,
+                 CAST(max(t2f) AS BIGINT) AS t2_frozen,
+                 CAST(max(t1n) AS BIGINT) AS t1_fresh,
+                 CAST(max(t2n) AS BIGINT) AS t2_fresh,
+                 CAST(max(t1n) - max(t1f) AS BIGINT) AS d_t1_q10,
+                 CAST(max(t2n) - max(t2f) AS BIGINT) AS d_t2_q10,
+                 CAST(sum(CASE WHEN bf <> bn THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+                 CAST(sum(CASE WHEN bf <> bn THEN 1 ELSE 0 END) * 1000 // count(*)
+                   AS BIGINT) AS flip_q3
+          FROM j GROUP BY src ORDER BY src"""
+    },
     "dsir_weights" ->
       s"""WITH $dsirCtes
           SELECT doc_id, n_tri, dsir_w_q10 FROM dsirw ORDER BY doc_id""",

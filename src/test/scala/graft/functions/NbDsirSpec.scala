@@ -264,6 +264,96 @@ class NbDsirSpec extends SparkSpec {
     } finally { q.stop(); model.unpersist() }
   }
 
+  private val newWords = Seq("zorx", "blivet", "quux", "fnord", "glorp",
+    "snarf", "wibble", "plugh", "vroom", "kzzrt")
+
+  private def mkDocs(words: Seq[String], label: String, base: Long, n: Int) =
+    (0 until n).map { i =>
+      val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+        .mkString(" ")
+      (base + i, txt, label)
+    }
+
+  test("dsirModelStalenessReport: appended NON-target docs in an unseen " +
+      "vocabulary fire sign flips and share drift (the frozen model would " +
+      "mis-route them as target-like); a same-distribution control reads " +
+      "quiet; the serving From-form reproduces the row bit-for-bit") {
+    val frozenDocs = mkDocs(enWords, "en", 0L, 40) ++ mkDocs(frWords, "fr", 100L, 40)
+    def report(appended: Seq[(Long, String, String)]) =
+      Curation.dsirModelStalenessReport(
+        (frozenDocs ++ appended).toDF("doc_id", "text", "lang"),
+        "text", "doc_id", col("lang") === "en", col("doc_id") < 1000L)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // drifted: fr-labelled docs in a vocabulary the frozen model never
+    // saw — the frozen arm weights them TARGET-like (unseen trigrams
+    // contribute only the positive raw-vs-target constant), the
+    // merged-fresh arm knows their buckets as raw-only mass
+    val drifted = mkDocs(newWords, "fr", 1000L, 30)
+    // control: the frozen texts verbatim under fresh ids — the merged
+    // model preserves every ratio, so no weight crosses the threshold
+    val control = frozenDocs.map { case (id, t, l) => (id + 1000L, t, l) }
+    val (_, _, dMax, _, dScored, dFlips, dFlipQ3, dGap) = report(drifted)
+    val (_, _, cMax, _, _, cFlips, _, _) = report(control)
+    assert(dScored === 30L)
+    assert(dFlipQ3 >= 800L && dFlips >= 24L,
+      s"planted drift did not flip selection signs: $dFlips/$dScored")
+    assert(cFlips === 0L,
+      s"same-distribution control flipped $cFlips docs")
+    assert(dMax >= 5L * math.max(1L, cMax),
+      s"share drift did not fire: planted $dMax vs control $cMax")
+    assert(dGap > 0L)
+    // serving form over a pre-frozen bundle == the self-contained row
+    val fr = Curation.dsirFreezeStaleness(
+      frozenDocs.toDF("doc_id", "text", "lang"), "text", "doc_id",
+      col("lang") === "en")
+    val fromRow = Curation.dsirModelStalenessReportFrom(fr,
+      drifted.toDF("doc_id", "text", "lang"), "text", "doc_id",
+      col("lang") === "en")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(fromRow === report(drifted),
+      "serving From-form diverges from the self-contained report")
+    fr.model.unpersist()
+  }
+
+  test("ccnetCutsStaleness: a shifted appended distribution fires the " +
+      "bucket-flip rate and cut drift; a verbatim same-distribution " +
+      "control reads exactly quiet; From-form == self-contained") {
+    val frozenDocs = mkDocs(enWords, "en", 0L, 40) ++ mkDocs(frWords, "fr", 100L, 40)
+    val src = "web"
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "lang").withColumn("source", lit(src))
+    def report(appended: Seq[(Long, String, String)]) =
+      Curation.ccnetCutsStaleness(df(frozenDocs ++ appended),
+        "text", "doc_id", "source", col("doc_id") < 1000L)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .head()
+    // drifted: unseen-vocabulary docs score near the model-total
+    // surprisal ceiling — all "tail" under the frozen cuts, while fresh
+    // cuts fit to the arriving distribution re-tercile them
+    val drifted = mkDocs(newWords, "fr", 1000L, 30)
+    val (_, dN, _, dT2f, dT1n, _, dDt1, _, dFlips, dFlipQ3) = report(drifted)
+    assert(dN === 30L)
+    assert(dT1n > dT2f && dDt1 > 1000L,
+      s"fresh cuts did not shift above the frozen ceiling: t1_fresh $dT1n " +
+        s"vs t2_frozen $dT2f (d_t1 $dDt1)")
+    assert(dFlipQ3 >= 500L, s"bucket-flip rate did not fire: $dFlipQ3 ($dFlips flips)")
+    // control: the frozen texts verbatim — identical surprisal multiset,
+    // identical cuts, zero flips by construction
+    val control = frozenDocs.map { case (id, t, l) => (id + 1000L, t, l) }
+    val (_, _, _, _, _, _, cDt1, cDt2, cFlips, _) = report(control)
+    assert(cFlips === 0L && cDt1 === 0L && cDt2 === 0L,
+      s"verbatim control not quiet: flips $cFlips d_t1 $cDt1 d_t2 $cDt2")
+    // serving form over a pre-frozen bundle == the self-contained row
+    val fz = Curation.ccnetFreezeCuts(df(frozenDocs), "text", "doc_id", "source")
+    val fromRow = Curation.ccnetCutsStalenessFrom(fz, df(drifted),
+      "text", "doc_id", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .head()
+    assert(fromRow === report(drifted),
+      "serving From-form diverges from the self-contained report")
+    fz.lmModel.unpersist(); fz.cuts.unpersist()
+  }
+
   test("dsirWeights ranks target-like docs strictly above the rest") {
     val docs = planted
     val w = Curation.dsirWeights(docs, "text", "doc_id", col("lang") === "en")
