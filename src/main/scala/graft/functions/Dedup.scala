@@ -710,6 +710,9 @@ object Dedup {
     * every probe; re-running the delete removes the orphans. No shape
     * parameters are taken — deletion never bands or shingles anything,
     * so there is nothing to mismatch. Re-running is a natural no-op.
+    * Batch pending ids into ONE call per maintenance window — each
+    * call pays its own corpus-proportional discovery scan (measured
+    * 7x for 10 calls vs 1; SCALING "Delete-family pricing").
     */
   def deleteFromLshIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -269,6 +269,9 @@ object Similarity {
     * every code row is self-contained (per-vector max-abs scale, no
     * frozen global artifact), so removing rows IS the rebuild. Re-running
     * the same delete is a natural no-op (no matching rows → no rewrites).
+    * Batch pending ids into ONE call per maintenance window — each
+    * call pays its own corpus-proportional discovery scan (measured
+    * 7x for 10 calls vs 1; SCALING "Delete-family pricing").
     */
   def deleteFromInt8Index(
       spark: org.apache.spark.sql.SparkSession,
@@ -296,6 +299,9 @@ object Similarity {
     * probe-time cell pruning is unchanged. No shape parameters are taken
     * because deletion never buckets or encodes anything — there is
     * nothing to mismatch. Re-running the same delete is a natural no-op.
+    * Batch pending ids into ONE call per maintenance window — each
+    * call pays its own corpus-proportional discovery scan (measured
+    * 7x for 10 calls vs 1; SCALING "Delete-family pricing").
     */
   def deleteFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -190,6 +190,14 @@ object Lake {
     * are not rewritten). Partition values must round-trip through their
     * string form (the numeric bucket/cell/batch columns all do); same
     * crash-atomicity caveat as [[deleteWhere]].
+    *
+    * OPERATING RULE (measured, `graft.tools.DeletionProbe` / SCALING
+    * "Delete-family pricing"): the discovery scan is the
+    * corpus-proportional term and EVERY call pays it, while the rewrite
+    * is flat per affected fixed-size partition — so N pending deletes
+    * batched into ONE call cost one scan where N calls cost N (measured
+    * 7x at 10x corpus). Accumulate delete ids and flush them as one
+    * frame per maintenance window.
     */
   def deleteMatchingNested(
       spark: SparkSession,
