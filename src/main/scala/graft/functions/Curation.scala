@@ -1376,7 +1376,14 @@ object Curation {
       srcCol: String,
       isFrozen: Column): DataFrame = {
     val frozen = ccnetFreezeCuts(df.filter(isFrozen), textCol, idCol, srcCol)
-    ccnetCutsStalenessFrom(frozen, df.filter(!isFrozen), textCol, idCol, srcCol)
+    val out = ccnetCutsStalenessFrom(frozen, df.filter(!isFrozen),
+      textCol, idCol, srcCol)
+    // the appended surprisal frame inside the From form is EAGERLY
+    // checkpointed, so the LM's blocks are dead once it returns —
+    // release them instead of leaking one vocab-sized block per call
+    // (the cuts stay: they back the returned frame's joins)
+    frozen.lmModel.unpersist()
+    out
   }
 
   /** Connected components over an undirected pair list (the

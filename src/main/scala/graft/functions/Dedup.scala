@@ -471,6 +471,20 @@ object Dedup {
     // of the full shingle sets
     val banded = bandKeysFromShingles(sh, bands, rowsPerBand)
       .select(col("doc"), col("band"), col("bh"))
+    verifiedPairsFrom(banded, sh, minJaccardMilli)
+  }
+
+  /** Candidate self-join + exact-Jaccard verification over a band-key
+    * frame (`doc`, `band`, `bh`) and a shingle frame (`doc`, `sh`) —
+    * shared by [[minhashLshPairsFromShingles]] (fresh keys) and
+    * [[pairsAmongFromIndex]] (stored keys), so the retraction path's
+    * bit-identical-to-fresh contract is structural, not two copies that
+    * must be kept in sync (r17 review).
+    */
+  private def verifiedPairsFrom(
+      banded: DataFrame,
+      sh: DataFrame,
+      minJaccardMilli: Int): DataFrame = {
     val candIds = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -895,10 +909,15 @@ object Dedup {
     * re-derives an affected cluster's pairs from it without touching the
     * corpus. Cost: one column-pruned scan of each index table filtered by
     * a broadcast semi-join on the (affected-cluster-bounded) id set; the
-    * self-join runs over only those docs' band rows. The per-doc
-    * dropDuplicates tolerate a doc landed in two committed batches (an
-    * at-least-once ingest under two different ids) — its band/shingle
-    * rows are copies by the append contract.
+    * self-join runs over only those docs' band rows.
+    *
+    * A doc id present in MULTIPLE batches resolves LAST-WRITER per
+    * table (max batch id — a replayed at-least-once ingest holds copies,
+    * an UPDATE re-append holds two text versions, and mixing one
+    * version's band keys with the other's shingles would verify pairs a
+    * fresh pass over the current corpus rejects, nondeterministically;
+    * r17 review). A crashed half-append (new bands, old shingles) heals
+    * when its batch replays, the layout's standing contract.
     */
   def pairsAmongFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -906,29 +925,19 @@ object Dedup {
       indexPath: String,
       minJaccardMilli: Int): DataFrame = {
     val docs = Similarity.oneIdCol(ids, "doc")
-    val banded = spark.read.parquet(s"$indexPath/bands")
-      .join(broadcast(docs), Seq("doc"), "left_semi")
-      .select(col("doc"), col("band"), col("bh"))
+    def latestOf(table: String, valCols: Seq[String]): DataFrame = {
+      val rows = spark.read.parquet(s"$indexPath/$table")
+        .join(broadcast(docs), Seq("doc"), "left_semi")
+        .select((Seq(col("doc"), col("batch").cast("long").as("batch")) ++
+          valCols.map(col)): _*)
+      rows.join(rows.groupBy(col("doc")).agg(max(col("batch")).as("batch")),
+          Seq("doc", "batch"))
+        .select((col("doc") +: valCols.map(col)): _*)
+    }
+    val banded = latestOf("bands", Seq("band", "bh"))
       .dropDuplicates("doc", "band", "bh")
-    val candIds = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"))
-      .dropDuplicates("a", "b")
-    val sh = spark.read.parquet(s"$indexPath/shingles")
-      .join(broadcast(docs), Seq("doc"), "left_semi")
-      .select(col("doc"), col("sh"))
-      .dropDuplicates("doc")
-    candIds
-      .join(sh.select(col("doc").as("a"), col("sh").as("sha")), "a")
-      .join(sh.select(col("doc").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
-      .withColumn("jaccard_milli",
-        floor(col("inter") * lit(1000.0) / col("uni")).cast("long"))
-      .filter(col("jaccard_milli") >= minJaccardMilli)
-      .select(col("a"), col("b"), col("jaccard_milli"))
+    val sh = latestOf("shingles", Seq("sh")).dropDuplicates("doc")
+    verifiedPairsFrom(banded, sh, minJaccardMilli)
   }
 
   /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate

@@ -1505,10 +1505,13 @@ object Graph {
     * REPLAY SAFETY NEEDS NO NEW MARKER here: a consumed insert/delete
     * batch's no-op comes from the counts/labels `applied/` (and
     * `deletes_done/`) markers, which this never touches. Quiesce is
-    * ENFORCED: a logged batch without its applied marker (an in-flight
-    * maintainer call) fails the compaction loudly. `doneDeletesRoot`
-    * lets the triangle wrapper also reclaim completed delete
-    * resolutions.
+    * ENFORCED twice: a logged batch without its applied marker (an
+    * in-flight maintainer call) fails loudly, and so does a resolved
+    * delete without its `deletes_done/` marker (its resolution
+    * references pre-compaction rows). Finished deletes' resolution dirs
+    * are reclaimed after the fold — both maintainer families take
+    * delete batches now, so the r16 triangle-only wrapper logic lives
+    * here (r17 review: one copy, not two).
     */
   private def compactMaintainerLog(
       spark: org.apache.spark.sql.SparkSession,
@@ -1520,84 +1523,65 @@ object Graph {
     IndexLayout.resumeCompaction(spark, edgesDir)
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unfinished = Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .map(_.toSeq.map(_.getPath.getName)
+        .filterNot(b => fs.exists(new Path(s"$stateDir/deletes_done/$b"))))
+      .getOrElse(Nil)
+    require(unfinished.isEmpty,
+      s"delete batches ${unfinished.mkString(",")} at $stateDir resolved " +
+        "but never finished their log rewrite — replay them before " +
+        "compacting (their resolutions reference pre-compaction rows)")
     val logged = Option(fs.globStatus(new Path(s"$edgesDir/batch=*")))
       .map(_.toSeq.flatMap(s => scala.util.Try(
         s.getPath.getName.stripPrefix("batch=").toLong).toOption))
       .getOrElse(Nil)
-    if (logged.length <= 1) return // nothing to fold
-    val applied = Option(fs.globStatus(new Path(s"$appliedRoot/batch=*")))
-      .map(_.toSeq.flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("batch=").toLong).toOption).toSet)
-      .getOrElse(Set.empty[Long])
-    val inFlight = logged.filterNot(applied)
-    require(inFlight.isEmpty,
-      s"log at $edgesDir has batches ${inFlight.sorted.mkString(",")} " +
-        "without applied markers — a maintainer call is in flight; let " +
-        "it commit (or replay) before compacting")
-    // consumed-id guard first (the index-family convention): the dedup
-    // read `batch < id` cannot see the folded rows for an id at or
-    // below the fold target, so reusing one would silently duplicate
-    IndexLayout.writeCompactedThrough(spark, s"$stateDir/compacted", logged.max)
-    IndexLayout.compactTable(spark, edgesDir, Seq("batch"),
-      toBatch = logged.max, keep = identity,
-      repartitionCols = Nil, targetFiles = targetFiles)
+    if (logged.length > 1) {
+      val applied = Option(fs.globStatus(new Path(s"$appliedRoot/batch=*")))
+        .map(_.toSeq.flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("batch=").toLong).toOption).toSet)
+        .getOrElse(Set.empty[Long])
+      val inFlight = logged.filterNot(applied)
+      require(inFlight.isEmpty,
+        s"log at $edgesDir has batches ${inFlight.sorted.mkString(",")} " +
+          "without applied markers — a maintainer call is in flight; let " +
+          "it commit (or replay) before compacting")
+      // consumed-id guard first (the index-family convention): the dedup
+      // read `batch < id` cannot see the folded rows for an id at or
+      // below the fold target, so reusing one would silently duplicate
+      IndexLayout.writeCompactedThrough(spark, s"$stateDir/compacted", logged.max)
+      IndexLayout.compactTable(spark, edgesDir, Seq("batch"),
+        toBatch = logged.max, keep = identity,
+        repartitionCols = Nil, targetFiles = targetFiles)
+    }
+    // finished deletes' resolutions are dead weight: their counts/labels
+    // AND deletes_done markers survive, so replays stay no-ops without
+    // them — reclaimed even when the fold itself had nothing to do
+    Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
+      .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
   }
 
-  /** [[compactMaintainerLog]] for [[maintainTriangleCounts]] state: also
-    * requires every delete batch finished (`deletes_done/`) and reclaims
-    * their resolution dirs. STOP-THE-WORLD for the swap window;
-    * rerunning after a crash finishes a half-done swap. Maintained
-    * counts are untouched (spec-pinned CRC-identical).
+  /** [[compactMaintainerLog]] for [[maintainTriangleCounts]] state
+    * (delete quiesce + resolution reclaim included). STOP-THE-WORLD for
+    * the swap window; rerunning after a crash finishes a half-done
+    * swap. Maintained counts are untouched (spec-pinned CRC-identical).
     */
   def compactTriangleLog(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      targetFiles: Int = 32): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val unfinished = Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
-      .map(_.toSeq.map(_.getPath.getName)
-        .filterNot(b => fs.exists(new Path(s"$stateDir/deletes_done/$b"))))
-      .getOrElse(Nil)
-    require(unfinished.isEmpty,
-      s"delete batches ${unfinished.mkString(",")} at $stateDir resolved " +
-        "but never finished their log rewrite — replay them before " +
-        "compacting (their resolutions reference pre-compaction rows)")
+      targetFiles: Int = 32): Unit =
     compactMaintainerLog(spark, stateDir, s"$stateDir/counts/applied",
       targetFiles)
-    // finished deletes' resolutions are dead weight: their counts AND
-    // deletes_done markers survive, so replays stay no-ops without them
-    Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
-      .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
-  }
 
-  /** [[compactMaintainerLog]] for [[maintainCommunityLabels]] state —
-    * the [[compactTriangleLog]] discipline now that label maintenance
-    * takes delete batches too: every delete must have finished its log
-    * rewrite (`deletes_done/`) before the fold, and finished deletes'
-    * resolution dirs are reclaimed after it.
+  /** [[compactMaintainerLog]] for [[maintainCommunityLabels]] state
+    * (same delete quiesce + reclaim — label maintenance takes delete
+    * batches too).
     */
   def compactCommunityLabelsLog(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
-      targetFiles: Int = 32): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val unfinished = Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
-      .map(_.toSeq.map(_.getPath.getName)
-        .filterNot(b => fs.exists(new Path(s"$stateDir/deletes_done/$b"))))
-      .getOrElse(Nil)
-    require(unfinished.isEmpty,
-      s"delete batches ${unfinished.mkString(",")} at $stateDir resolved " +
-        "but never finished their log rewrite — replay them before " +
-        "compacting (their resolutions reference pre-compaction rows)")
+      targetFiles: Int = 32): Unit =
     compactMaintainerLog(spark, stateDir, s"$stateDir/labels/applied",
       targetFiles)
-    Option(fs.globStatus(new Path(s"$stateDir/deletes/batch=*")))
-      .foreach(_.foreach(s => { fs.delete(s.getPath, true); () }))
-  }
 
   /** The maintained triangle counts as a frame (`node`, `tri_cnt`);
     * None before the first batch with any surviving count.
@@ -1786,8 +1770,20 @@ object Graph {
           .getOrElse(canon.limit(0))
           .localCheckpoint() // consumed by the delete-set write + refresh
         try {
-          if (!resolved.isEmpty)
-            resolved.write.mode("overwrite").parquet(delDir)
+          if (resolved.isEmpty) {
+            // nothing matched the log (a re-issued GDPR batch, or edges
+            // that never existed): the surviving log IS the old log and
+            // by the maintained invariant the stored labels already
+            // equal its cold recompute — commit the marker without
+            // paying a whole-graph fixed-round pass (r17 review)
+            Incremental.upsertPartitioned(spark, labelsDir,
+              canon.select(col("src").as("node"), col("src").as("label"))
+                .limit(0),
+              Seq("node"), "label", partitions, batchId)
+            fs.mkdirs(doneMarker)
+            return true
+          }
+          resolved.write.mode("overwrite").parquet(delDir)
           val surviving = oldOpt
             .map(_.join(resolved, Seq("src", "dst"), "left_anti"))
             .getOrElse(resolved.limit(0))
@@ -2290,6 +2286,10 @@ object Graph {
     // round's scores either way)
     var prevAuth: Option[DataFrame] =
       init.map(p => p.select(col("node"), col("auth_m").as("s")).localCheckpoint())
+    // the init-derived baseline above is consumable only in round 1 —
+    // keep a handle so its checkpoint block is released when superseded
+    // (the hubServed discipline; r17 review)
+    val initAuth = prevAuth
     var auth: DataFrame = null
     var rounds = 0
     var converged = false
@@ -2349,6 +2349,7 @@ object Graph {
       hubServed.foreach(_.unpersist())
       hubServed = None
       auth = nextAuth
+      if (rounds == 1) initAuth.foreach(_.unpersist())
       prevAuth = Some(nextAuth)
     }
     HitsRun(

@@ -730,11 +730,16 @@ object Incremental {
             .partitionBy("__p").parquet(dataDir)
         // a slice fully emptied by drops cannot be expressed by dynamic
         // overwrite (nothing to write) — remove its directory, or the
-        // dropped rows would silently survive
-        val live = merged.select(col("__p")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        affected.filterNot(live).foreach(p =>
-          fs.delete(new Path(dataDir, s"__p=$p"), true))
+        // dropped rows would silently survive. Pure upserts can never
+        // empty a slice, so the liveness collect (an extra driver job on
+        // the hot per-micro-batch path) runs only when drops exist
+        // (r17 review).
+        if (drops.isDefined) {
+          val live = merged.select(col("__p")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          affected.filterNot(live).foreach(p =>
+            fs.delete(new Path(dataDir, s"__p=$p"), true))
+        }
         fs.mkdirs(marker)
         true
       } finally { merged.unpersist(); () }

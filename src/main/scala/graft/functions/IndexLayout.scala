@@ -169,24 +169,19 @@ private[graft] object IndexLayout {
       targetFiles: Int): Unit = {
     require(partCols.lastOption.contains("batch"),
       "compactTable expects a batch-terminated partition layout")
-    val live = new Path(tableDir)
-    val staging = new Path(tableDir + ".compacting")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a resumed swap IS the completed compaction — unlike the rebuilds,
+    // there is nothing fresher to derive, so return
     if (resumeCompaction(spark, tableDir)) return
-    require(fs.exists(live), s"no index table at $tableDir")
-    fs.delete(staging, true) // stale pre-swap staging: rebuild wholesale
     val rows = keep(spark.read.parquet(tableDir))
       .drop("batch").withColumn("batch", lit(toBatch))
     val shaped =
       if (repartitionCols.isEmpty) rows.repartition(targetFiles)
       else rows.repartition(targetFiles, repartitionCols.map(col): _*)
-    shaped.write.partitionBy(partCols: _*).parquet(staging.toString)
-    // the swap: delete-then-rename; the recovery rule above covers the
-    // window in between
-    fs.delete(live, true)
-    require(fs.rename(staging, live),
-      s"rename $staging -> $live failed; staging holds the full table")
-    ()
+    // ONE copy of the swap protocol (r17 review): the fold rides the
+    // same stage/require-_SUCCESS/delete/rename as the rebuilds; the
+    // staging write lazily reads the still-intact live table
+    stageAndSwap(spark, tableDir)(staging =>
+      shaped.write.partitionBy(partCols: _*).parquet(staging))
   }
 
   /** Stage a complete REPLACEMENT table and swap it in via the same

@@ -256,6 +256,40 @@ class IncrementalClusterSpec extends SparkSpec {
       "cluster A's keep must re-elect among survivors")
   }
 
+  test("pairsAmongFromIndex resolves a re-appended UPDATED doc last-writer: " +
+      "verdicts match a fresh LSH pass over the current corpus, never a " +
+      "mix of the two stored versions") {
+    val tplA = "the quick brown fox jumps over the lazy dog every single day"
+    val tplB = "completely different content discussing machine learning model training"
+    val v1 = Seq((1L, tplA), (2L, tplA.replace("day", "night")), (4L, tplB))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft-lw").toString
+    Dedup.writeLshIndex(v1, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16)
+    // doc 2 is UPDATED: its new text leaves cluster A for cluster B —
+    // the old version's band keys and shingles stay in the base batch,
+    // the new version lands in batch 0
+    val updated = Seq((2L, tplB.replace("training", "serving")))
+      .toDF("doc_id", "text")
+    Dedup.appendToLshIndex(updated, "text", "doc_id", idx,
+      n = 3, bands = 4, rowsPerBand = 4, buckets = 16, batchId = Some(0L))
+    val current = Seq((1L, tplA), (2L, tplB.replace("training", "serving")),
+      (4L, tplB)).toDF("doc_id", "text")
+    val fromIndex = Dedup.pairsAmongFromIndex(spark,
+      current.select(col("doc_id")), idx, 500)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    val fresh = Dedup.minhashLshPairs(current, "text", "doc_id",
+      n = 3, bands = 4, rowsPerBand = 4, minJaccardMilli = 500)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(fromIndex === fresh,
+      "stored-index pairs after an update-append != fresh pass over the " +
+        "current corpus")
+    assert(fresh.exists(p => (p._1, p._2) == (2L, 4L)),
+      "fixture broken: updated doc 2 should pair with 4")
+    assert(!fresh.exists(p => (p._1, p._2) == (1L, 2L)),
+      "fixture broken: updated doc 2 must no longer pair with 1")
+  }
+
   test("clusterRetractStream: one streamed delete batch updates the index " +
       "AND the labels; the dead doc stops matching probes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -338,6 +338,17 @@ class StreamingExtrasSpec extends SparkSpec {
       rounds = rounds, partitions = 8, sign = -1L),
       "replayed delete batch re-applied")
     assert(crcs() === before, "replayed delete touched state files")
+    // a matched-nothing delete batch (re-issued GDPR ids) commits its
+    // markers WITHOUT a whole-graph recompute and leaves data bytes
+    // untouched; its own replay then no-ops
+    assert(Graph.maintainCommunityLabels(spark, stateDir,
+      Seq((20L, 9L)).toDF("src", "dst"), batchId = 5L,
+      rounds = rounds, partitions = 8, sign = -1L))
+    assert(crcs() === before, "matched-nothing delete touched data files")
+    assert(!Graph.maintainCommunityLabels(spark, stateDir,
+      Seq((20L, 9L)).toDF("src", "dst"), batchId = 5L,
+      rounds = rounds, partitions = 8, sign = -1L),
+      "replayed matched-nothing delete re-applied")
     // a mixed-sign micro-batch must fail loudly
     val q2 = Graph.maintainCommunityLabelsStream(
       input.toDF().toDF("src", "dst", "sign"), stateDir, ckpt, rounds,
