@@ -781,12 +781,16 @@ object Dedup {
     IndexLayout.writeCompactedThrough(spark, s"$path/compacted", through)
     // collapse INTO the max consumed id (not BaseBatch): maxBatchId then
     // still reads `through`, so auto-id allocation resumes above the
-    // guard instead of colliding with it
+    // guard instead of colliding with it. The fold resolves LAST-WRITER
+    // per doc first: collapsing an update re-append's two text versions
+    // into one batch would otherwise destroy the max-batch distinction
+    // pairsAmongFromIndex relies on, permanently (r17 second review);
+    // for at-least-once copies this is also the natural dedup.
     IndexLayout.compactTable(spark, s"$path/bands", Seq("bucket", "batch"),
-      toBatch = through, keep = identity,
+      toBatch = through, keep = lastWriterRows,
       repartitionCols = Seq("bucket"), targetFiles = math.max(1, buckets))
     IndexLayout.compactTable(spark, s"$path/shingles", Seq("batch"),
-      toBatch = through, keep = identity,
+      toBatch = through, keep = lastWriterRows,
       repartitionCols = Nil, targetFiles = 32)
   }
 
@@ -925,19 +929,30 @@ object Dedup {
       indexPath: String,
       minJaccardMilli: Int): DataFrame = {
     val docs = Similarity.oneIdCol(ids, "doc")
-    def latestOf(table: String, valCols: Seq[String]): DataFrame = {
-      val rows = spark.read.parquet(s"$indexPath/$table")
-        .join(broadcast(docs), Seq("doc"), "left_semi")
-        .select((Seq(col("doc"), col("batch").cast("long").as("batch")) ++
-          valCols.map(col)): _*)
-      rows.join(rows.groupBy(col("doc")).agg(max(col("batch")).as("batch")),
-          Seq("doc", "batch"))
+    def latestOf(table: String, valCols: Seq[String]): DataFrame =
+      lastWriterRows(spark.read.parquet(s"$indexPath/$table")
+        .join(broadcast(docs), Seq("doc"), "left_semi"))
         .select((col("doc") +: valCols.map(col)): _*)
-    }
     val banded = latestOf("bands", Seq("band", "bh"))
       .dropDuplicates("doc", "band", "bh")
     val sh = latestOf("shingles", Seq("sh")).dropDuplicates("doc")
     verifiedPairsFrom(banded, sh, minJaccardMilli)
+  }
+
+  /** Keep only each doc's MAX-batch rows — last-writer resolution for a
+    * (doc, ..., batch) index table, as ONE pass (a per-doc window, never
+    * a second corpus scan). Shared by [[pairsAmongFromIndex]]'s read and
+    * [[compactLshIndex]]'s fold: the fold must resolve last-writer
+    * BEFORE collapsing batches, or an update re-append's two text
+    * versions merge into one batch and the distinction is destroyed
+    * permanently (r17 second review).
+    */
+  private def lastWriterRows(rows: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+    rows
+      .withColumn("__mb", max(col("batch").cast("long")).over(w))
+      .filter(col("batch").cast("long") === col("__mb"))
+      .drop("__mb")
   }
 
   /** 60-bit SimHash over whitespace tokens (60 bits so every intermediate

@@ -2286,10 +2286,6 @@ object Graph {
     // round's scores either way)
     var prevAuth: Option[DataFrame] =
       init.map(p => p.select(col("node"), col("auth_m").as("s")).localCheckpoint())
-    // the init-derived baseline above is consumable only in round 1 —
-    // keep a handle so its checkpoint block is released when superseded
-    // (the hubServed discipline; r17 review)
-    val initAuth = prevAuth
     var auth: DataFrame = null
     var rounds = 0
     var converged = false
@@ -2342,14 +2338,20 @@ object Graph {
           .getOrElse(Long.MaxValue))
       rounds += 1
       converged = move <= tolMicro
+      // every frame superseded by this round is fully consumed (the
+      // residual head() and the next frames' checkpoints are eager) —
+      // release the checkpoint blocks, not just the references (r16
+      // ADVICE / r17 second review: a long warm-refresh loop otherwise
+      // leaks node-sized blocks until driver GC). Unpersist on the
+      // cold path's non-persisted round-1 frames is a no-op.
+      rawA.unpersist()
+      rawH.unpersist()
+      hub.unpersist()
+      prevAuth.foreach(_.unpersist())
       hub = nextHub
-      // the served-frame baseline is only consumable in round 1 — drop
-      // its checkpoint block too, not just the reference (r16 ADVICE:
-      // a leaked node-sized block per warm call until driver GC)
       hubServed.foreach(_.unpersist())
       hubServed = None
       auth = nextAuth
-      if (rounds == 1) initAuth.foreach(_.unpersist())
       prevAuth = Some(nextAuth)
     }
     HitsRun(

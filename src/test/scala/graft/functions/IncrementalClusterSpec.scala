@@ -288,6 +288,14 @@ class IncrementalClusterSpec extends SparkSpec {
       "fixture broken: updated doc 2 should pair with 4")
     assert(!fresh.exists(p => (p._1, p._2) == (1L, 2L)),
       "fixture broken: updated doc 2 must no longer pair with 1")
+    // compaction resolves last-writer BEFORE collapsing batches — the
+    // max-batch distinction would otherwise be destroyed permanently
+    Dedup.compactLshIndex(spark, idx)
+    val afterCompact = Dedup.pairsAmongFromIndex(spark,
+      current.select(col("doc_id")), idx, 500)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(afterCompact === fresh,
+      "compaction merged the two stored text versions of the updated doc")
   }
 
   test("clusterRetractStream: one streamed delete batch updates the index " +
