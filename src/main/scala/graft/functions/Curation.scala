@@ -994,6 +994,28 @@ object Curation {
     DsirFrozenModel(m, tt, tr, df.count())
   }
 
+  /** Persist / load the [[DsirFrozenModel]] bundle — the
+    * [[graft.functions.TextAnalysis.saveNbFrozenModel]] convention, so
+    * the serving tier monitors from disk without the frozen corpus.
+    */
+  def saveDsirFrozenModel(m: DsirFrozenModel, dir: String): Unit = {
+    val spark = m.model.sparkSession
+    m.model.coalesce(1).write.mode("overwrite").parquet(s"$dir/dsir_model")
+    spark.range(1).select(lit(m.targetTotal).as("tt"), lit(m.rawTotal).as("tr"),
+        lit(m.nDocs).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/dsir_totals")
+  }
+
+  def loadDsirFrozenModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DsirFrozenModel = {
+    val t = spark.read.parquet(s"$dir/dsir_totals").head()
+    DsirFrozenModel(
+      model = spark.read.parquet(s"$dir/dsir_model"),
+      targetTotal = t.getAs[Long]("tt"), rawTotal = t.getAs[Long]("tr"),
+      nDocs = t.getAs[Long]("n_docs"))
+  }
+
   /** Frozen-DSIR-model staleness monitor, SERVING form — the
     * importance-weighting twin of
     * [[graft.functions.TextAnalysis.nbModelStalenessReportFrom]]:
@@ -1302,6 +1324,29 @@ object Curation {
     CcnetFrozenCuts(lm, totalRow.getAs[Long]("t"),
       ccnetThresholds(df, textCol, idCol, srcCol).localCheckpoint(),
       df.count())
+  }
+
+  /** Persist / load the [[CcnetFrozenCuts]] bundle. The LM + cuts tables
+    * match [[CurationArtifacts]]' `lm_model` / `ccnet_cuts` shapes, so a
+    * pipeline already publishing that bundle can monitor from it.
+    */
+  def saveCcnetFrozenCuts(m: CcnetFrozenCuts, dir: String): Unit = {
+    val spark = m.lmModel.sparkSession
+    m.lmModel.coalesce(1).write.mode("overwrite").parquet(s"$dir/lm_model")
+    m.cuts.coalesce(1).write.mode("overwrite").parquet(s"$dir/ccnet_cuts")
+    spark.range(1).select(lit(m.lmTotal).as("total"), lit(m.nDocs).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ccnet_meta")
+  }
+
+  def loadCcnetFrozenCuts(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): CcnetFrozenCuts = {
+    val meta = spark.read.parquet(s"$dir/ccnet_meta").head()
+    CcnetFrozenCuts(
+      lmModel = spark.read.parquet(s"$dir/lm_model"),
+      lmTotal = meta.getAs[Long]("total"),
+      cuts = spark.read.parquet(s"$dir/ccnet_cuts"),
+      nDocs = meta.getAs[Long]("n_docs"))
   }
 
   /** Frozen-CCNet-cuts staleness monitor, SERVING form — do the frozen

@@ -302,17 +302,22 @@ class NbDsirSpec extends SparkSpec {
     assert(dMax >= 5L * math.max(1L, cMax),
       s"share drift did not fire: planted $dMax vs control $cMax")
     assert(dGap > 0L)
-    // serving form over a pre-frozen bundle == the self-contained row
+    // serving form over a pre-frozen bundle == the self-contained row,
+    // including through a save/load round-trip (the NB convention)
     val fr = Curation.dsirFreezeStaleness(
       frozenDocs.toDF("doc_id", "text", "lang"), "text", "doc_id",
       col("lang") === "en")
-    val fromRow = Curation.dsirModelStalenessReportFrom(fr,
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-frz").toString
+    Curation.saveDsirFrozenModel(fr, dir)
+    fr.model.unpersist()
+    val fromRow = Curation.dsirModelStalenessReportFrom(
+      Curation.loadDsirFrozenModel(spark, dir),
       drifted.toDF("doc_id", "text", "lang"), "text", "doc_id",
       col("lang") === "en")
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(fromRow === report(drifted),
-      "serving From-form diverges from the self-contained report")
-    fr.model.unpersist()
+      "serving From-form through save/load diverges from the " +
+        "self-contained report")
   }
 
   test("ccnetCutsStaleness: a shifted appended distribution fires the " +
@@ -343,15 +348,20 @@ class NbDsirSpec extends SparkSpec {
     val (_, _, _, _, _, _, cDt1, cDt2, cFlips, _) = report(control)
     assert(cFlips === 0L && cDt1 === 0L && cDt2 === 0L,
       s"verbatim control not quiet: flips $cFlips d_t1 $cDt1 d_t2 $cDt2")
-    // serving form over a pre-frozen bundle == the self-contained row
+    // serving form over a pre-frozen bundle == the self-contained row,
+    // including through a save/load round-trip
     val fz = Curation.ccnetFreezeCuts(df(frozenDocs), "text", "doc_id", "source")
-    val fromRow = Curation.ccnetCutsStalenessFrom(fz, df(drifted),
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccnet-frz").toString
+    Curation.saveCcnetFrozenCuts(fz, dir)
+    fz.lmModel.unpersist(); fz.cuts.unpersist()
+    val fromRow = Curation.ccnetCutsStalenessFrom(
+      Curation.loadCcnetFrozenCuts(spark, dir), df(drifted),
       "text", "doc_id", "source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .head()
     assert(fromRow === report(drifted),
-      "serving From-form diverges from the self-contained report")
-    fz.lmModel.unpersist(); fz.cuts.unpersist()
+      "serving From-form through save/load diverges from the " +
+        "self-contained report")
   }
 
   test("dsirWeights ranks target-like docs strictly above the rest") {
