@@ -9,6 +9,14 @@ import org.apache.spark.sql.DataFrame
   * [[unpersist]] on the PREVIOUS frame only after the next checkpoint has
   * materialized — a localCheckpoint'd RDD's lineage is truncated, so its
   * blocks must never be dropped while still reachable from live plans.
+  *
+  * THIS HELPER IS THE ONLY RELEASE THAT WORKS (measured on the shipped
+  * Spark 4.1.2, pinned by CheckpointsSpec): `Dataset.unpersist` routes
+  * through the CacheManager, which only drops `persist()`/`cache()`
+  * entries — on a localCheckpoint'd frame it is a silent NO-OP and the
+  * RDD blocks stay resident until driver GC collects the Dataset.
+  * Plain `.unpersist()` on a checkpointed frame is therefore always a
+  * bug (r17 third review); route through here instead.
   */
 private[graft] object Checkpoints {
 

@@ -1125,8 +1125,8 @@ object Curation {
           lit(ero.getAs[Long]("n_flips") * 1000L /
             ero.getAs[Long]("n_scored")).as("flip_q3"),
           lit(ero.getAs[Long]("mean_abs_w_gap_q10")).as("mean_abs_w_gap_q10"))
-      } finally { mA.unpersist(); () }
-    } finally { tdA.unpersist(); () }
+      } finally { Checkpoints.unpersist(mA); () }
+    } finally { Checkpoints.unpersist(tdA); () }
   }
 
   /** Self-contained gate form of the DSIR staleness monitor: freeze on
@@ -1147,7 +1147,7 @@ object Curation {
     // so the frozen model's checkpoint can be released immediately
     val out = dsirModelStalenessReportFrom(frozen, df.filter(!isFrozen),
       textCol, idCol, targetPred, buckets)
-    frozen.model.unpersist()
+    Checkpoints.unpersist(frozen.model)
     out
   }
 
@@ -1427,7 +1427,7 @@ object Curation {
     // checkpointed, so the LM's blocks are dead once it returns —
     // release them instead of leaking one vocab-sized block per call
     // (the cuts stay: they back the returned frame's joins)
-    frozen.lmModel.unpersist()
+    Checkpoints.unpersist(frozen.lmModel)
     out
   }
 

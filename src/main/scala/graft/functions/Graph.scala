@@ -1757,11 +1757,12 @@ object Graph {
           changed.select(col("node"), col("label")),
           Seq("node"), "label", partitions, batchId)
         // the refresh result is a checkpoint-backed frame, fully consumed
-        // by the upsert — release it, or a long stream pins one node-sized
-        // block per micro-batch until driver GC
-        fresh.unpersist()
+        // by the upsert — release its BLOCKS (Dataset.unpersist is a
+        // no-op on checkpoint blocks; Checkpoints.unpersist is strict,
+        // so a non-checkpoint cone result stays untouched)
+        Checkpoints.unpersist(fresh)
         applied
-      } finally { delta.unpersist(); () }
+      } finally { Checkpoints.unpersist(delta); () }
     } else {
       val delDir = s"$stateDir/deletes/batch=$batchId"
       if (!labelsApplied) {
@@ -1813,9 +1814,9 @@ object Graph {
                 changed.select(col("node"), col("label")),
                 Seq("node"), "label", partitions, batchId,
                 dropKeys = vanished)
-            } finally { fresh.unpersist(); () }
-          } finally { surviving.unpersist(); () }
-        } finally { resolved.unpersist(); () }
+            } finally { Checkpoints.unpersist(fresh); () }
+          } finally { Checkpoints.unpersist(surviving); () }
+        } finally { Checkpoints.unpersist(resolved); () }
       }
       // log rewrite — idempotent from the on-disk resolved set (the
       // triangle maintainer's block): an already-rewritten partition
@@ -2340,16 +2341,20 @@ object Graph {
       converged = move <= tolMicro
       // every frame superseded by this round is fully consumed (the
       // residual head() and the next frames' checkpoints are eager) —
-      // release the checkpoint blocks, not just the references (r16
-      // ADVICE / r17 second review: a long warm-refresh loop otherwise
-      // leaks node-sized blocks until driver GC). Unpersist on the
-      // cold path's non-persisted round-1 frames is a no-op.
-      rawA.unpersist()
-      rawH.unpersist()
-      hub.unpersist()
-      prevAuth.foreach(_.unpersist())
+      // release the checkpoint BLOCKS via Checkpoints.unpersist:
+      // Dataset.unpersist is a measured NO-OP on a localCheckpoint's
+      // RDD blocks (it only uncaches cached plans; r17 third review),
+      // which is what made the r16-ADVICE leak real. The hub release is
+      // guarded: the COLD path's round-1 hub is a Projection over the
+      // shared `nodes` checkpoint, whose blocks the final join still
+      // needs — warm round-1 and every later round's hub are their own
+      // checkpoints.
+      Checkpoints.unpersist(rawA)
+      Checkpoints.unpersist(rawH)
+      if (rounds > 1 || init.isDefined) Checkpoints.unpersist(hub)
+      prevAuth.foreach(Checkpoints.unpersist)
       hub = nextHub
-      hubServed.foreach(_.unpersist())
+      hubServed.foreach(Checkpoints.unpersist)
       hubServed = None
       auth = nextAuth
       prevAuth = Some(nextAuth)

@@ -742,10 +742,10 @@ object Incremental {
         }
         fs.mkdirs(marker)
         true
-      } finally { merged.unpersist(); () }
+      } finally { Checkpoints.unpersist(merged); () }
     } finally {
-      delta.unpersist()
-      drops.foreach(_.unpersist())
+      Checkpoints.unpersist(delta)
+      drops.foreach(Checkpoints.unpersist)
       ()
     }
   }

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * members, never the corpus" claim, and the retraction analog of
   * [[DeletionProbe]]:
   *
-  *   - a synthetic corpus with planted 2-doc near-dup clusters (doc
-  *     `50k+1` is doc `50k` with the last word changed — ~0.54 shingle
-  *     Jaccard, the `tplA.replace` fixture shape at scale) is LSH-indexed
-  *     and CC-labelled;
+  *   - a synthetic corpus with planted 3-doc near-dup TRIOS (ids
+  *     `50k`, `50k+1`, `50k+2` share words 0..10, last word differs —
+  *     deleting the representative leaves a surviving pair, so the
+  *     re-solve is non-trivial) is LSH-indexed and CC-labelled; all
+  *     other vocabulary is per-doc-unique, so the planted structure is
+  *     the ONLY structure;
   *   - a FIXED 20-representative delete set is retracted at 1x and 10x
   *     corpus size (largest first, after a discarded warm-up, so JIT
   *     bias works against the flat claim);
@@ -36,8 +38,6 @@ object RetractionProbe {
     val dedup = graft.functions.Dedup
     val cur = graft.functions.Curation
 
-    // 12-word docs; doc 50k+1 shares words 0..10 with doc 50k (near-dup
-    // pair), everything else is its own vocabulary slice
     def corpus(n: Long) = {
       // planted TRIOS (ids 50k, 50k+1, 50k+2 share words 0..10): deleting
       // the representative leaves a surviving pair to re-solve, so the
@@ -94,7 +94,9 @@ object RetractionProbe {
         f"index_delete=$tDel%.2f s retract=$tRet%.2f s " +
         f"(merge_edges=${merge.get()}) vs cold_relabel=$tCold%.2f s " +
         f"(${tCold / tRet}%.2fx)")
-      retracted.unpersist(); state0.unpersist(); docs.unpersist()
+      graft.functions.Checkpoints.unpersist(retracted)
+      graft.functions.Checkpoints.unpersist(state0)
+      graft.functions.Checkpoints.unpersist(docs)
       ()
     }
 
