@@ -71,8 +71,8 @@ object CurationPipeline {
         Dedup.appendToLshIndex(
           clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
           batchId = Some(batchId))
-      } finally { dups.unpersist(); () }
-    } finally { b.unpersist(); () }
+      } finally { graft.functions.Checkpoints.unpersist(dups); () }
+    } finally { graft.functions.Checkpoints.unpersist(b); () }
   }
 
   /** Per-batch body of the metrics branch: per-language doc/token counts

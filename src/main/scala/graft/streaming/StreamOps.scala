@@ -410,7 +410,7 @@ object StreamOps {
               loadState(), dead,
               survivors => graft.functions.Dedup.pairsAmongFromIndex(
                 batch.sparkSession, survivors, indexPath, minJaccardMilli)))
-          } finally { dead.unpersist(); () }
+          } finally { graft.functions.Checkpoints.unpersist(dead); () }
         }
     }
 
@@ -493,8 +493,8 @@ object StreamOps {
               graft.functions.Dedup.appendToLshIndex(
                 clean, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
                 batchId = Some(batchId))
-            } finally { dups.unpersist(); () }
-          } finally { b.unpersist(); () }
+            } finally { graft.functions.Checkpoints.unpersist(dups); () }
+          } finally { graft.functions.Checkpoints.unpersist(b); () }
         }
     }
 
@@ -543,8 +543,8 @@ object StreamOps {
               graft.functions.Dedup.appendToLshIndex(
                 b, textCol, idCol, indexPath, n, bands, rowsPerBand, buckets,
                 batchId = Some(batchId))
-            } finally { pairs.unpersist(); () }
-          } finally { b.unpersist(); () }
+            } finally { graft.functions.Checkpoints.unpersist(pairs); () }
+          } finally { graft.functions.Checkpoints.unpersist(b); () }
         }
     }
 
