@@ -448,7 +448,7 @@ object Graph {
       // superseded round frames release as the chain advances — a
       // per-micro-batch caller (the refresh router's cold arm) would
       // otherwise pin `rounds` node-sized blocks per refresh until GC
-      labels.unpersist()
+      Checkpoints.unpersist(labels)
       labels = next
     }
     labels
@@ -527,8 +527,8 @@ object Graph {
         .filter(col("n.label") =!= col("o.label"))
         .isEmpty
       rounds += 1
-      labels.unpersist() // superseded round frame (the convergence check
-      labels = next      // above was its last consumer)
+      Checkpoints.unpersist(labels) // superseded round frame (the
+      labels = next      // convergence check above was its last consumer)
     }
     LpaRun(labels, rounds, converged)
   }
@@ -584,7 +584,7 @@ object Graph {
     try communityLabelsDeltaFrom(sym, rounds, oldLabels, hops0, hopsDone = 0)
     finally {
       // the returned frame is a self-contained checkpoint — these fed it
-      sym.unpersist(); hops0.unpersist(); ()
+      Checkpoints.unpersist(sym); Checkpoints.unpersist(hops0); ()
     }
   }
 
@@ -624,7 +624,7 @@ object Graph {
         .join(hops, Seq("node"), "left_anti")
         .withColumn("hop", lit(h + 1))
       val grown = hops.unionAll(nxt).localCheckpoint()
-      if (hops ne hops0) { hops.unpersist(); () }
+      if (hops ne hops0) { Checkpoints.unpersist(hops); () }
       hops = grown
       h += 1
       frontierLive = !hops.filter(col("hop") === h).isEmpty
@@ -660,7 +660,7 @@ object Graph {
       val next = lpaVote(
         coneEdges.join(domain, Seq("src"), "left_semi"), labels)
         .localCheckpoint()
-      labels.unpersist()
+      Checkpoints.unpersist(labels)
       labels = next
     }
     val ballK = hops.filter(col("hop") <= rounds).select(col("node"))
@@ -671,9 +671,9 @@ object Graph {
       .unionAll(oldLabels.select(col("node"), col("label"))
         .join(ballK, Seq("node"), "left_anti"))
       .localCheckpoint()
-    labels.unpersist()
-    coneEdges.unpersist()
-    if (hops ne hops0) { hops.unpersist(); () }
+    Checkpoints.unpersist(labels)
+    Checkpoints.unpersist(coneEdges)
+    if (hops ne hops0) { Checkpoints.unpersist(hops); () }
     out
   }
 
@@ -1124,8 +1124,8 @@ object Graph {
       // both arms return checkpoint-backed frames; the probe's pins are
       // dead on return (a per-micro-batch caller must not accumulate an
       // edge-sized checkpoint per refresh — the dedupIngestStream rule)
-      sym.unpersist(); hops0.unpersist()
-      if (ball ne hops0) { ball.unpersist(); () }
+      Checkpoints.unpersist(sym); Checkpoints.unpersist(hops0)
+      if (ball ne hops0) { Checkpoints.unpersist(ball); () }
     }
   }
 
@@ -1334,7 +1334,7 @@ object Graph {
         Incremental.mergeCountsPartitioned(spark, countsDir,
           d.select(col("node"), col("tri_delta").as("tri_cnt")),
           Seq("node"), "tri_cnt", partitions, batchId)
-      } finally { delta.unpersist(); () }
+      } finally { Checkpoints.unpersist(delta); () }
     } else {
       val delDir = s"$stateDir/deletes/batch=$batchId"
       if (!countsApplied) {
@@ -1350,7 +1350,7 @@ object Graph {
           Incremental.mergeCountsPartitioned(spark, countsDir,
             d.select(col("node"), (-col("tri_delta")).as("tri_cnt")),
             Seq("node"), "tri_cnt", partitions, batchId)
-        } finally { resolved.unpersist(); () }
+        } finally { Checkpoints.unpersist(resolved); () }
       }
       // log rewrite — idempotent from the on-disk resolved set: an
       // already-rewritten partition simply stops matching the join. The
@@ -1377,7 +1377,7 @@ object Graph {
                 survivors, edgesDir, Seq("batch"))
             affected.filterNot(live).foreach(b =>
               fs.delete(new Path(edgesDir, s"batch=$b"), true))
-          } finally { survivors.unpersist(); () }
+          } finally { Checkpoints.unpersist(survivors); () }
         }
       }
       fs.mkdirs(doneMarker)
@@ -1448,7 +1448,7 @@ object Graph {
           .select(col("node"), col("tri_cnt")),
         Seq("node"), "tri_cnt", partitions, batchId = 0L)
       ()
-    } finally { canon.unpersist(); () }
+    } finally { Checkpoints.unpersist(canon); () }
   }
 
   /** DISASTER-RECOVERY rebuild of the maintained count table from the
@@ -1842,7 +1842,7 @@ object Graph {
                 survivors, edgesDir, Seq("batch"))
             affected.filterNot(live).foreach(b =>
               fs.delete(new Path(edgesDir, s"batch=$b"), true))
-          } finally { survivors.unpersist(); () }
+          } finally { Checkpoints.unpersist(survivors); () }
         }
       }
       fs.mkdirs(doneMarker)

@@ -317,7 +317,7 @@ object TextAnalysis {
       // a days-long bm25IngestStream calls this per micro-batch: without
       // the unpersist each call pins a dead checkpoint block pair until
       // driver GC (the dedupIngestStream rule)
-      lens.unpersist(); ()
+      Checkpoints.unpersist(lens); ()
     }
   }
 
@@ -1253,9 +1253,9 @@ object TextAnalysis {
         .groupBy(col("__label").as("c")).agg(count(lit(1)).as("d_c"))
         .localCheckpoint()
       val n = docAgg.count()
-      docAgg.unpersist()
+      Checkpoints.unpersist(docAgg)
       NbFrozenModel(model, priors, mass, n)
-    } finally { cc.unpersist(); () }
+    } finally { Checkpoints.unpersist(cc); () }
   }
 
   /** Persist / reload the frozen bundle (tiny parquet tables + a 1-row
@@ -1391,8 +1391,8 @@ object TextAnalysis {
               .select(col("doc_id"), col("__label")),
             nAppended = cnt.getAs[Long]("n_appended"),
             buckets = buckets)
-        } finally { ccFp.unpersist(); () }
-      } finally { triA.unpersist(); () }
+        } finally { Checkpoints.unpersist(ccFp); () }
+      } finally { Checkpoints.unpersist(triA); () }
     }
   }
 
@@ -1431,7 +1431,7 @@ object TextAnalysis {
           .select(col(idCol).as("doc_id"), col(labelCol).as("__label")),
         nAppended = appended.count(),
         buckets = buckets)
-    } finally { triA.unpersist(); () }
+    } finally { Checkpoints.unpersist(triA); () }
   }
 
   /** The staleness report's shared tail: score the appended docs with

@@ -277,7 +277,7 @@ object Lake {
       }
       DeleteStats(rowsDeleted, keys.length.toLong, emptied.length.toLong,
         allParts - keys.length)
-    } finally { survivors.unpersist(); () }
+    } finally { graft.functions.Checkpoints.unpersist(survivors); () }
   }
 
   /** Compact the named partitions of the lake at `dir` down to

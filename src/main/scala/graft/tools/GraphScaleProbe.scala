@@ -622,8 +622,8 @@ object GraphScaleProbe {
           .select(col("node"), lit(0).as("hop")).localCheckpoint()
         val ball = Graph.ballBfs(sym, hops0, fromHop = 0, maxH = 2)
         val n = ball.count()
-        if (!(ball eq hops0)) ball.unpersist()
-        hops0.unpersist()
+        if (!(ball eq hops0)) graft.functions.Checkpoints.unpersist(ball)
+        graft.functions.Checkpoints.unpersist(hops0)
         n
       }
       var ringBall = 0L; var hubBall = 0L
