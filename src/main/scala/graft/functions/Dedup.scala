@@ -857,6 +857,12 @@ object Dedup {
           col("x.doc") =!= col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .dropDuplicates("a", "b")
+      // candidate-volume-bounded pin: materializing the candidate ids
+      // here lets newBk release NOW instead of backing the lazily
+      // returned frame — a per-micro-batch caller otherwise pins one
+      // batch-sized band-key block per batch forever (r17 fourth review)
+      .localCheckpoint()
+    Checkpoints.unpersist(newBk)
     val corpusSh = spark.read.parquet(s"$indexPath/shingles").filter(notOwnBatch)
     candIds
       .join(newSh.select(col("doc").as("a"), col("sh").as("sha")), "a")

@@ -250,8 +250,14 @@ object Graph {
       val resid = if (residRow.isNullAt(0)) 0L else residRow.getLong(0)
       rounds += 1
       converged = resid <= tolMicro
+      // superseded round frame: the residual head() was its last
+      // consumer and `next` is materialized (r17 fourth review)
+      Checkpoints.unpersist(rank)
       rank = next
     }
+    // the returned frame reads only the final rank checkpoint
+    if (checkpointEdges) Checkpoints.unpersist(e)
+    Checkpoints.unpersist(deg)
     PageRankRun(
       rank.select(col("node"), col("r").as("rank_micro")), rounds, converged)
   }
@@ -451,6 +457,8 @@ object Graph {
       Checkpoints.unpersist(labels)
       labels = next
     }
+    // the returned labels are a self-contained checkpoint
+    if (checkpointEdges) Checkpoints.unpersist(sym)
     labels
   }
 
@@ -530,6 +538,9 @@ object Graph {
       Checkpoints.unpersist(labels) // superseded round frame (the
       labels = next      // convergence check above was its last consumer)
     }
+    // the returned labels are a self-contained checkpoint
+    if (checkpointEdges) Checkpoints.unpersist(sym)
+    Checkpoints.unpersist(nodes)
     LpaRun(labels, rounds, converged)
   }
 
@@ -2194,6 +2205,7 @@ object Graph {
       rescaledScores(r, keyCol, vCol)
     var hub = nodes.select(col("node"), lit(1000000L).as("s"))
     var auth: DataFrame = null
+    var prevRawH: DataFrame = null
     for (i <- 1 to iterations) {
       val rawA0 = e.join(
           hint(hub.select(col("node").as("src"), col("s").as("h"))), "src")
@@ -2205,9 +2217,16 @@ object Graph {
           hint(rawA.select(col("dst"), col("ra").as("a"))), "dst")
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
         .localCheckpoint()
+      // the previous round's rawH backed the old hub; this round's
+      // checkpoint just consumed it — release (the LAST rawH stays: it
+      // backs the returned hub scores; r17 fourth review)
+      if (prevRawH != null) Checkpoints.unpersist(prevRawH)
+      prevRawH = rawH
       hub = rescaled(rawH, "src", "rh")
       if (i == iterations) auth = rescaled(rawA, "dst", "ra")
     }
+    // the returned frame reads nodes + the final rawH/rawA checkpoints
+    if (checkpointEdges) Checkpoints.unpersist(e)
     nodes
       .join(hub.select(col("node"), col("s").as("hub_m")), Seq("node"), "left")
       .join(auth.select(col("node"), col("s").as("auth_m")), Seq("node"), "left")
@@ -2359,6 +2378,10 @@ object Graph {
       auth = nextAuth
       prevAuth = Some(nextAuth)
     }
+    // the edge checkpoint fed only the (eagerly materialized) rounds —
+    // the final join reads nodes/hub/auth alone; release OUR pin only
+    // (a caller-supplied frame is not ours to free)
+    if (checkpointEdges) Checkpoints.unpersist(e)
     HitsRun(
       nodes
         .join(hub.select(col("node"), col("s").as("hub_m")), Seq("node"), "left")

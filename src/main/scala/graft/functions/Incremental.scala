@@ -605,6 +605,7 @@ object Incremental {
       // empty micro-batches): writing an empty frame would create a
       // schemaless data/ dir that poisons every later read — commit the
       // marker and touch nothing
+      Checkpoints.unpersist(deltaAgg)
       fs.mkdirs(marker)
       return true
     }
@@ -639,6 +640,11 @@ object Incremental {
     }
     emptied.foreach(p => fs.delete(new Path(dataDir, s"__p=$p"), true))
     fs.mkdirs(marker)
+    // both pins are fully consumed (merge checkpointed, write + emptied
+    // collect done) — release them, or a days-long maintainer stream
+    // grows one block set per micro-batch (r17 fourth review)
+    Checkpoints.unpersist(deltaAgg)
+    Checkpoints.unpersist(merged)
     true
   }
 
