@@ -106,7 +106,10 @@ object SparkEntry {
     "graph_triangles_delta" -> { f =>
       val half = f.half.select(col("src"), col("dst"))
       val delta = half.filter(pmod(col("src") * 31 + col("dst"), lit(10)) === 0)
-      graft.functions.Graph.triangleCountDelta(half, delta).orderBy("node")
+      // 10% of edges ~ 5.7x |V| delta: far past the |D| > |V|/2 crossover,
+      // so T1 runs the adjacency-intersect arm (same rows, same oracle)
+      graft.functions.Graph.triangleCountDelta(half, delta,
+        t1ViaAdjacency = graft.Tuning.triDeltaAdjacency).orderBy("node")
     },
     // The r15 partitioned-state MAINTAINER driven end-to-end at the gate
     // (the strongest IVM pattern: maintained state must land on the
@@ -156,7 +159,10 @@ object SparkEntry {
       val half = f.half.select(col("src"), col("dst"))
       val isDelta = pmod(col("src") * 31 + col("dst"), lit(10)) === 0
       val fullCounts = graft.functions.Graph.triangleCountsAdj(half)
-      val d = graft.functions.Graph.triangleCountDelta(half, half.filter(isDelta))
+      // same 10%-of-edges delta as graph_triangles_delta: past the
+      // |D| > |V|/2 crossover, T1 takes the adjacency-intersect arm
+      val d = graft.functions.Graph.triangleCountDelta(half, half.filter(isDelta),
+        t1ViaAdjacency = graft.Tuning.triDeltaAdjacency)
       graft.functions.Graph.applyTriangleDelta(fullCounts, d, sign = -1L)
         .orderBy("node")
     },

@@ -1317,13 +1317,41 @@ object Curation {
       textCol: String,
       idCol: String,
       srcCol: String): CcnetFrozenCuts = {
-    val lm = TextAnalysis.trigramModel(df, textCol, idCol).localCheckpoint()
-    val totalRow = lm.agg(sum(col("cnt")).as("t")).head()
-    require(!totalRow.isNullAt(0) && totalRow.getAs[Long]("t") > 0L,
-      "ccnetFreezeCuts: the frozen slice has no trigrams")
-    CcnetFrozenCuts(lm, totalRow.getAs[Long]("t"),
-      ccnetThresholds(df, textCol, idCol, srcCol).localCheckpoint(),
-      df.count())
+    // ONE trigram extraction feeds BOTH frozen artifacts (r17
+    // optimization round): the LM counts are the per-(doc, trigram)
+    // multiplicities re-aggregated, and the cuts' per-doc surprisal is
+    // the same frame joined back to those counts — the build form paid
+    // two full extractions over the frozen slice (trigramModel +
+    // ccnetThresholds' own lmSurprisalScore), guide §1.2's "don't
+    // compute things twice". Arithmetic is bit-identical: same
+    // multiplicities, same counts, same log2Q10 surprisal
+    // ([[TextAnalysis.surprisalQ10]] with the literal total equals the
+    // 1-row-frame form, the log2Q10/log2Q10Sql parity contract), so the
+    // frozen bundle — and the gate hash — are unchanged.
+    val base = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"), col(srcCol).as("src"))
+    val td = TextAnalysis.charTrigrams(base, "__text", "doc_id",
+      carryCols = Seq("src"))
+      .groupBy(col("doc_id"), col("src"), col("t"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    try {
+      val lm = td.groupBy(col("t")).agg(sum(col("k")).as("cnt"))
+        .localCheckpoint()
+      val totalRow = lm.agg(sum(col("cnt")).as("t")).head()
+      require(!totalRow.isNullAt(0) && totalRow.getAs[Long]("t") > 0L,
+        "ccnetFreezeCuts: the frozen slice has no trigrams")
+      val total = totalRow.getAs[Long]("t")
+      val sur = td.join(lm, "t")
+        .withColumn("s_q10", TextAnalysis.surprisalQ10("cnt", total))
+        .groupBy(col("doc_id"), col("src"))
+        .agg(sum(col("k")).as("n_tri"),
+          sum(col("k") * col("s_q10")).as("sum_s"))
+        .select(col("doc_id"), col("src"),
+          expr("cast(sum_s div n_tri as bigint)").as("s"))
+      CcnetFrozenCuts(lm, total,
+        surprisalTerciles(sur).localCheckpoint(), df.count())
+    } finally { Checkpoints.unpersist(td); () }
   }
 
   /** Persist / load the [[CcnetFrozenCuts]] bundle. The LM + cuts tables

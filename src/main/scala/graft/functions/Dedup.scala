@@ -642,6 +642,10 @@ object Dedup {
       .select(col("doc"), col("band"), col("bh"))
       .withColumn("bucket", bandBucket(col("bh"), buckets))
       .withColumn("batch", lit(IndexLayout.BaseBatch))
+      // align the shuffle to the bucket tree (guide §6): one file per
+      // bucket dir instead of tasks x buckets small files; buckets are
+      // hash-even, so the write stays parallel at scale
+      .transform(graft.Tuning.align(_, Seq("bucket")))
       .write.mode("overwrite").partitionBy("bucket", "batch").parquet(s"$path/bands")
     withHashedShingles(df, textCol, n, "sh")
       .select(col(idCol).as("doc"), col("sh"))

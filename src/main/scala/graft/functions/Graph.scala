@@ -879,9 +879,32 @@ object Graph {
     * unpersists it after consumption; re-checkpointing here would pin
     * one orphan block set per call, a per-micro-batch leak in a
     * long-lived stream (r14 ADVICE).
+    *
+    * `t1ViaAdjacency` (r17 optimization round): T1's default shape fans
+    * every delta edge out to its endpoints' full neighbor lists and
+    * SHUFFLES that wedge-sized frame into the (v, w) closing join —
+    * Σ_{(u,v)∈D} (deg u + deg v) rows, which for a CORPUS-FRACTION delta
+    * dwarfs the graph itself (the r17 bench measured 262 MB shuffled for
+    * an 11 MB edge table on the 10% gate delta). The adjacency arm
+    * instead builds symmetric neighbor arrays ONCE (one 2|E|-row
+    * groupBy, the [[triangleCountsAdj]] trick) and emits closers as an
+    * in-row `array_intersect` — nothing wedge-sized ever shuffles.
+    * Crossover rule: the wedge join moves ~|D| x 2 x avg-degree rows,
+    * the adjacency build ~2|E| rows, so prefer adjacency when
+    * |D| > |V| / 2 (i.e. |D| x 2 x avgdeg > 2|E| with avgdeg =
+    * 2|E|/|V|). Micro-batch maintenance ([[maintainTriangleCounts]])
+    * stays on the wedge join — a per-batch full-graph adjacency build
+    * would be corpus-sized work for a batch-sized answer. CAVEATS: the
+    * arrays here are bounded by the FULL degree (not the oriented
+    * out-degree's sqrt(E) bound) — on power-law hubs the wedge join is
+    * also the memory-safe choice — and the adjacency table must fit a
+    * BROADCAST (it is hinted onto both attaches; letting it sort-merge
+    * would shuffle every delta row with its attached array, re-creating
+    * the wedge fan-out in array clothing). Both arms are bit-identical
+    * (GraphOpsSpec pins equality on random graphs).
     */
   def triangleCountDelta(halfWithDelta: DataFrame, deltaHalf: DataFrame,
-      pinDelta: Boolean = true): DataFrame = {
+      pinDelta: Boolean = true, t1ViaAdjacency: Boolean = false): DataFrame = {
     val d0 = deltaHalf.select(col("src").as("u"), col("dst").as("v"))
     val d = if (pinDelta) d0.localCheckpoint() else d0
     val full = halfWithDelta.select(col("src"), col("dst"))
@@ -889,10 +912,27 @@ object Graph {
       full.select(col("dst").as("src"), col("src").as("dst")))
     // T1: closers of each delta edge in the FULL graph — w adjacent to
     // both u and v. The delta side is batch-sized: broadcast it.
-    val t1 = broadcast(d)
-      .join(sym.select(col("src").as("u"), col("dst").as("w")), "u")
-      .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
+    val t1 =
+      if (t1ViaAdjacency) {
+        // the adjacency rides as an EXPLICIT broadcast on both attaches:
+        // size estimates put the array column past the auto threshold and
+        // the planner then sort-merges the second join — shuffling every
+        // delta row WITH its attached neighbor array, which re-creates
+        // the wedge fan-out in array clothing (measured 14 s vs the wedge
+        // join's 10 s before this hint). Broadcast, both attaches stream
+        // the batch-sized delta and NOTHING array-laden ever shuffles.
+        val symAdj = sym.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+          .localCheckpoint()
+        d
+          .join(broadcast(symAdj.select(col("src").as("u"), col("nbrs").as("nu"))), "u")
+          .join(broadcast(symAdj.select(col("src").as("v"), col("nbrs").as("nv"))), "v")
+          .select(col("u"), col("v"),
+            explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      } else broadcast(d)
+        .join(sym.select(col("src").as("u"), col("dst").as("w")), "u")
+        .join(sym.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        .select(col("u"), col("v"), col("w"))
     // T2: two delta edges sharing w, the (u, v) pair closed by any full
     // half-edge (u < v matches the half form's key directly)
     val symD = d.unionAll(d.select(col("v").as("u"), col("u").as("v")))

@@ -622,9 +622,13 @@ object Incremental {
           .select((keys :+ cnt).map(col): _*)
         mergeCounts(slice, deltaAgg.drop("__p"), keys, cnt)
       }
-    // re-derive __p (a pure function of the keys) and pin the result:
-    // Spark refuses to overwrite a path still feeding the running plan
-    val merged = merged0.select(col("*"), part).localCheckpoint()
+    // re-derive __p (a pure function of the keys), align the write to the
+    // slice tree (one file per __p dir instead of tasks x slices — the
+    // guide §6 small-files rule; a maintainer stream otherwise grows the
+    // state's file count every micro-batch), and pin the result: Spark
+    // refuses to overwrite a path still feeding the running plan
+    val merged = graft.Tuning.align(merged0.select(col("*"), part), Seq("__p"))
+      .localCheckpoint()
     val emptied = {
       val live = merged.select(col("__p")).distinct()
         .collect().map(_.getLong(0)).toSet
@@ -728,7 +732,9 @@ object Incremental {
             .select(col("*"), part)
             .unionByName(delta)
         }
-      val merged = merged0.localCheckpoint()
+      // align the write to the slice tree (one file per __p dir — the
+      // mergeCountsPartitioned rule) before pinning
+      val merged = graft.Tuning.align(merged0, Seq("__p")).localCheckpoint()
       try {
         if (!merged.isEmpty)
           merged.write.mode("overwrite")

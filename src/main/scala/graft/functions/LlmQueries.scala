@@ -722,7 +722,10 @@ object LlmQueries {
     // ranks identically to one never containing them (n, tot, and every
     // per-term df included).
     "index_delete_bm25" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // raw (unfilled) read: the lifecycle row's wall is write/read stage
+      // count, not narrow compute — the filled scan measured 1.25-2.47x
+      // on this row (Tables.documentsRaw scaladoc)
+      val docs = Tables.documentsRaw(s, d)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-bm25-gate").toString
       org.apache.commons.io.FileUtils
@@ -755,7 +758,9 @@ object LlmQueries {
     // the whole LSH+CC pipeline over a corpus that never contained the
     // deleted docs, so the hash certifies retracted == cold.
     "dedup_retract_labels" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // raw (unfilled) read — same lifecycle-row rationale as
+      // index_delete_bm25 (measured 1.14-1.68x with the filled scan)
+      val docs = Tables.documentsRaw(s, d)
       val idx = java.nio.file.Files
         .createTempDirectory("graft-lsh-gate").toString
       org.apache.commons.io.FileUtils

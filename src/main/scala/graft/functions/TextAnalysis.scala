@@ -220,6 +220,10 @@ object TextAnalysis {
       .join(lens, "doc_id")
       .withColumn("bucket", pmod(portableHash48(col("t")), lit(buckets.toLong)))
       .withColumn("batch", lit(IndexLayout.BaseBatch))
+      // align the shuffle to the bucket tree (guide §6): one file per
+      // bucket dir instead of tasks x buckets small files; a bucket is
+      // ~1/buckets of the postings, so the write stays parallel at scale
+      .transform(graft.Tuning.align(_, Seq("bucket")))
       .write.mode("overwrite").partitionBy("bucket", "batch").parquet(s"$path/postings")
     lens.agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("tot"),
         lit(buckets.toLong).as("buckets"))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Batch table loaders for the driver-generated parquet corpus
@@ -35,12 +36,72 @@ object Tables {
     eventsCache.filterInPlace { case ((_, p), _) => !p.startsWith(dir) }
   }
 
+  /** Tables whose consumers run crypto-hash-dense narrow pipelines
+    * (shingle/minhash/char-trigram/vector math — md5 per element) where
+    * single-task scans serialize real compute. Scan-light tables
+    * (lineitem/orders/events: scan → filter → one aggregate/sort) are
+    * deliberately NOT filled: the A/B measured the extra exchange costing
+    * them 2-3x (tpch_q1 0.34 → 1.00 s) while the text tier gained up to
+    * 4.4x (dedup_simhash_wide 3.08 → 0.70 s).
+    */
+  // embeddings deliberately absent: its consumers (vector math over a
+  // row-per-vector array column) measured 1.3-2x WORSE filled — the
+  // per-row compute is too light to amortize the exchange + task overhead
+  private val computeDenseTables = Map("documents" -> "doc_id")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     planCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     planCache.getOrElseUpdate(
       (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(spark),
-        s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+        s"$dir/$name.parquet"), {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        computeDenseTables.get(name) match {
+          case Some(idCol) =>
+            fillScanParallelism(spark, s"$dir/$name.parquet", df, idCol)
+          case None => df
+        }
+      })
+  }
+
+  /** Guide §2.5's unsplittable-input fix, made conditional: parquet scan
+    * parallelism is bounded by row groups, and a small corpus arrives as
+    * ONE file with ONE row group — so every narrow pipeline over it
+    * (tokenize / shingle / minhash / char-trigram, the CPU-dense half of
+    * the text tier) runs single-task until its first exchange, no matter
+    * how many cores the session holds (measured: the LSH band build ran
+    * 1.26 s in one task on a 32-core session). When the scan's ESTIMATED
+    * split count cannot reach half the default parallelism, round-robin
+    * repartition to the default parallelism right after the read: rows
+    * are unchanged (and deterministic under retry — Spark sorts before a
+    * keyless repartition, SPARK-23207), filters/projections still push
+    * BELOW the added exchange (PushDownPredicates/ColumnPruning both
+    * traverse Repartition), and the exchange moves at most the table's
+    * bytes once. At production scale the split estimate exceeds any
+    * realistic core count and this is the identity — the condition is
+    * data-sized, not tuned to the local core count.
+    */
+  private def fillScanParallelism(
+      spark: SparkSession, path: String, df: DataFrame,
+      idCol: String): DataFrame = {
+    val target = graft.Tuning.scanFill(spark.sparkContext.defaultParallelism)
+      .getOrElse(return df)
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes: Seq[Long] =
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p).getLen)
+      else fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .map(_.getLen)
+    val estSplits = sizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum
+    // hash-partition on the table's unique id, NOT round-robin: a keyless
+    // repartition first pays a local sort of the full rows (text payload
+    // included; spark.sql.execution.sortBeforeRepartition, the SPARK-23207
+    // retry-determinism guard), which on a text corpus costs more than
+    // the exchange itself. The id hash is already retry-deterministic.
+    if (estSplits * 2 <= target) df.repartition(target, col(idCol)) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
@@ -99,6 +160,24 @@ object Tables {
       })
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** `documents` WITHOUT the scan-parallelism fill — for the index
+    * BUILD/lifecycle paths, whose cost is dominated by many short write/
+    * read stages rather than narrow compute: the interleaved A/B measured
+    * the filled read costing them 1.14-2.47x (index_delete_bm25,
+    * dedup_retract_labels) while the pair-mining/classifier pipelines
+    * gained 1.7-3.7x from the same fill. At production scale the fill is
+    * inert either way (the split-count condition never fires), so this
+    * split only encodes which LOCAL plan each workload shape wants.
+    */
+  def documentsRaw(s: SparkSession, d: String): DataFrame = {
+    planCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    planCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(s),
+        s"$d/documents.parquet#raw"),
+      s.read.parquet(s"$d/documents.parquet"))
+  }
+
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 

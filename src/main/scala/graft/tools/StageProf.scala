@@ -28,14 +28,19 @@ object StageProf {
       if (p != null) p.resolve("sf0.001").toString else ""
     }
     for (q <- args) {
-      val spark = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      // A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays configs so a
+      // candidate setting can be measured without a code edit per trial
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      })
+      val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val fn = graft.SparkEntry.queries(q)
       if (new java.io.File(warmDir, "lineitem.parquet").exists()) {

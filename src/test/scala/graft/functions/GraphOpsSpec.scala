@@ -548,6 +548,10 @@ class GraphOpsSpec extends SparkSpec {
       val cntBase = Graph.triangleCountsAdj(base)
       val cntFull = Graph.triangleCountsAdj(full)
       val d = Graph.triangleCountDelta(full, delta)
+      // the r17 adjacency-intersect T1 arm must be bit-identical to the
+      // wedge-join arm on the same (graph, delta) — the gate rows run it
+      assert(same(Graph.triangleCountDelta(full, delta, t1ViaAdjacency = true), d),
+        s"seed $seed mod $fracMod: adjacency T1 arm diverged from the wedge join")
       // the planted all-delta triangle is visible in the delta itself
       assert(d.filter(col("node").isin(100L, 101L, 102L))
         .count() === 3L, s"seed $seed mod $fracMod: T3 term missing")
