@@ -456,9 +456,18 @@ object Bench {
           if (famQs.isEmpty) Nil
           else {
             val sB = newSession(cpus)
+            // the stored tables are written at the session's parallelism
+            // (hash on src — deterministic, no pre-sort): the AQE-coalesced
+            // build otherwise lands 1-4 files, and every family row's scan
+            // then runs single-task (the unsplittable-input problem) — a
+            // production stored edge table is many-file by construction,
+            // and with N files Spark's minPartitionNum default gives the
+            // readers one task per file. Cost stays attributed in
+            // family_build.
             def build(name: String, df: DataFrame, path: String): Unit = {
               val t0 = System.nanoTime()
-              df.write.mode("overwrite").parquet(path)
+              df.repartition(cpus.toInt, org.apache.spark.sql.functions.col("src"))
+                .write.mode("overwrite").parquet(path)
               familyBuilds += name -> (System.nanoTime() - t0) / 1e9
             }
             val fr = SparkEntry.copurchaseFrames(sB, sfDir)

@@ -43,7 +43,11 @@ object SparkEntry {
       edges: DataFrame, weighted: DataFrame, half: DataFrame)
 
   def copurchaseFrames(s: SparkSession, d: String): CopurchaseFrames = {
-    val li = Tables.lineitem(s, d)
+    // filled read (per-query opt-in, Tables.tableFilled scaladoc): the
+    // basket self-join's distinct pre-pass is compute-dense behind a
+    // single-task scan; the scan-light tpch rows keep the plain read
+    // (fill measured 2-3x on them)
+    val li = Tables.tableFilled(s, d, "lineitem", "l_orderkey")
     CopurchaseFrames(
       edges = graft.functions.Graph.copurchaseEdges(li),
       weighted = graft.functions.Graph.copurchaseEdgesWeighted(li),
@@ -1636,7 +1640,10 @@ object SparkEntry {
     // Data-quality audit: per-column profile of orders in ONE aggregate
     // pass (nulls, exact distincts, portable min/max reprs).
     "table_profile_orders" -> { (s, d) =>
-      graft.functions.Profiling.tableProfile(Tables.orders(s, d), Seq(
+      // filled read (per-query opt-in): the profile is a 7x
+      // count-distinct expand — compute-dense behind a single-task scan
+      graft.functions.Profiling.tableProfile(
+        Tables.tableFilled(s, d, "orders", "o_orderkey"), Seq(
         "o_orderkey" -> "long", "o_custkey" -> "long",
         "o_orderstatus" -> "string", "o_totalprice" -> "double_centi",
         "o_orderdate" -> "ts_us", "o_orderpriority" -> "string"))

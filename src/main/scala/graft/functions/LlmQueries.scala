@@ -641,7 +641,7 @@ object LlmQueries {
     // on <= 1001-row bounded histograms; per-doc path is two broadcast
     // integer equi-joins.
     "quality_quantile_norm" -> { (s, d) =>
-      Curation.quantileNormalizeQuality(Tables.documents(s, d),
+      Curation.quantileNormalizeQuality(Tables.documentsRaw(s, d),
         "text", "doc_id", "source")
         .orderBy("doc_id")
     },
@@ -682,7 +682,7 @@ object LlmQueries {
     // Exact corpus heavy hitters (the oracle twin of the Count-Min
     // library path, `functions.Sketches`): top tokens by frequency.
     "top_terms" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsRaw(s, d)
         .select(explode(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n"))
@@ -695,7 +695,7 @@ object LlmQueries {
     // corpus explode is paid delta-sized; the rank is a state-sized
     // TakeOrdered. Retractions ride the same algebra (negated counts).
     "top_terms_incremental" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsRaw(s, d)
       def counts(slice: org.apache.spark.sql.DataFrame) = slice
         .select(explode(filter(split(lower(col("text")), "\\s+"),
           t => length(t) > 0)).as("t"))
@@ -711,7 +711,7 @@ object LlmQueries {
     // family): query-term prune before any shuffle, broadcast stats,
     // TakeOrderedAndProject top-k.
     "search_bm25" -> { (s, d) =>
-      TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
+      TextAnalysis.bm25Search(Tables.documentsRaw(s, d), "text", "doc_id",
         queryTerms = Seq("window", "hash", "stream", "dup"), topK = 50)
     },
     // Deletion through the materialized KEYWORD index driven end-to-end
@@ -953,12 +953,12 @@ object LlmQueries {
     },
     // Token-budget sequence packing (4096-token bins per source).
     "pack_sequences" -> { (s, d) =>
-      Curation.packSequences(Tables.documents(s, d), "doc_id", "source", "text", 4096)
+      Curation.packSequences(Tables.documentsRaw(s, d), "doc_id", "source", "text", 4096)
         .orderBy("doc_id")
     },
     // Same packing, skew-safe chunked prefix-sum plan (same oracle).
     "pack_sequences_chunked" -> { (s, d) =>
-      Curation.packSequencesChunked(Tables.documents(s, d), "doc_id", "source", "text",
+      Curation.packSequencesChunked(Tables.documentsRaw(s, d), "doc_id", "source", "text",
         4096, chunkCol = floor(col("doc_id") / 100))
         .orderBy("doc_id")
     },
@@ -1011,14 +1011,14 @@ object LlmQueries {
     // Deterministic training-order shuffle: (shard, pos) per doc, dense
     // positions via chunked prefix counts — never a per-shard global sort.
     "shuffle_shards" -> { (s, d) =>
-      Curation.shuffleShards(Tables.documents(s, d), "doc_id",
+      Curation.shuffleShards(Tables.documentsRaw(s, d), "doc_id",
         shards = 8, chunkDiv = 1L << 44)
         .orderBy("shard", "pos")
     },
     // Token-budget selection: per source, highest-quality docs whose
     // inclusive running token total stays within budget.
     "token_budget_select" -> { (s, d) =>
-      Curation.tokenBudgetSelect(Tables.documents(s, d), "doc_id", "text",
+      Curation.tokenBudgetSelect(Tables.documentsRaw(s, d), "doc_id", "text",
         "source", budgetTokens = 700L, chunkDiv = 50L)
         .orderBy("source", "doc_id")
     },
@@ -1113,7 +1113,7 @@ object LlmQueries {
     // spread). One partial-aggregating groupBy; the two count-distincts
     // expand rows 3x map-side but stay fully distributed.
     "corpus_datasheet" -> { (s, d) =>
-      Curation.datasheet(Tables.documents(s, d), "text", "source", "lang")
+      Curation.datasheet(Tables.documentsRaw(s, d), "text", "source", "lang")
         .orderBy("source")
     },
     // IVM beyond the Q1 monoid: the datasheet rebuilt as merge(base
@@ -1123,7 +1123,7 @@ object LlmQueries {
     // retraction path (negated counts after a COW delete) is pinned in
     // IncrementalSpec.
     "datasheet_incremental" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsRaw(s, d)
       val base = Incremental.datasheetState(
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "text", "source", "lang")
       val delta = Incremental.datasheetState(
@@ -1154,7 +1154,7 @@ object LlmQueries {
     // exact duplicates co-assign and cannot straddle the train/eval
     // boundary; 5% test, 10% val.
     "dataset_split" -> { (s, d) =>
-      Curation.datasetSplit(Tables.documents(s, d), "text",
+      Curation.datasetSplit(Tables.documentsRaw(s, d), "text",
         valPermille = 100, testPermille = 50)
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")
@@ -1190,19 +1190,19 @@ object LlmQueries {
     },
     // Rarity-weighted keyword extraction: top-3 terms per doc.
     "text_keywords" -> { (s, d) =>
-      Curation.keywordScores(Tables.documents(s, d), "text", "doc_id", k = 3)
+      Curation.keywordScores(Tables.documentsRaw(s, d), "text", "doc_id", k = 3)
         .orderBy("doc_id", "rank")
     },
     // Gopher-style repetition/diversity quality signals per doc.
     "text_repetition" -> { (s, d) =>
-      Curation.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+      Curation.repetitionStats(Tables.documentsRaw(s, d), "text", "doc_id")
         .orderBy("doc_id")
     },
     // Token-budget mixture sampling: 512 tokens of src0, 2048 of src1,
     // 1024 of anything else, in deterministic doc_id order (budgets sized
     // to ~2.5k tokens/source at gate scale so the cutoff actually bites).
     "mixture_sample" -> { (s, d) =>
-      Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "source", "text",
+      Curation.tokenBudgetSample(Tables.documentsRaw(s, d), "doc_id", "source", "text",
         budgets = Map("src0" -> 512L, "src1" -> 2048L), defaultBudget = 1024L)
         .orderBy("doc_id")
     },
@@ -1210,7 +1210,7 @@ object LlmQueries {
     // from the corpus's own token totals — small sources up-weighted,
     // content-hash keep rule, no RNG.
     "temperature_mixture" -> { (s, d) =>
-      Curation.temperatureMixtureSample(Tables.documents(s, d),
+      Curation.temperatureMixtureSample(Tables.documentsRaw(s, d),
         "doc_id", "source", "text", budgetTokens = 3000L)
         .orderBy("doc_id")
     },
@@ -1274,7 +1274,7 @@ object LlmQueries {
         .orderBy("doc_id")
     },
     "text_tokens" -> { (s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsRaw(s, d)
         .select(
           col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),

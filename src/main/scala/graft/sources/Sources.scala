@@ -63,6 +63,22 @@ object Tables {
       })
   }
 
+  /** A scan-light table WITH the parallelism fill — the per-QUERY opt-in
+    * for the few consumers whose downstream is compute-dense even though
+    * the table's typical consumer is not (e.g. `table_profile_orders`:
+    * a 7x count-distinct expand behind a single-task scan). Same
+    * data-sized condition as the documents fill — inert at scale.
+    */
+  def tableFilled(
+      spark: SparkSession, dir: String, name: String, idCol: String): DataFrame = {
+    planCache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    planCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(spark),
+        s"$dir/$name.parquet#filled"),
+      fillScanParallelism(spark, s"$dir/$name.parquet",
+        spark.read.parquet(s"$dir/$name.parquet"), idCol))
+  }
+
   /** Guide §2.5's unsplittable-input fix, made conditional: parquet scan
     * parallelism is bounded by row groups, and a small corpus arrives as
     * ONE file with ONE row group — so every narrow pipeline over it
